@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TrinoFunctions._
+
+/** The reference script's pure-query surface (SURVEY.md §2.2-2.5, §2.10)
+  * re-expressed as declarative DataFrame plans over the test tables.
+  *
+  * Design notes (100 TB stance):
+  *  - Every query is a lazy plan; Catalyst pushes filters/projections into
+  *    the parquet scans (verified via `.explain` in CoreQueriesSpec).
+  *  - Dimension tables (region/nation) are broadcast — no shuffle of the
+  *    fact side for those joins. Fact-fact joins (customer⋈orders) shuffle
+  *    on the join key, the right partitioning for any cluster size; AQE
+  *    re-plans to broadcast when the build side turns out small.
+  *  - Aggregates rely on Catalyst's partial/final HashAggregate (map-side
+  *    combine), so groupBy shuffles carry pre-aggregated rows only.
+  *  - Double aggregates are rounded to a coarse-enough grid (≥2 decimals
+  *    against ≤1e-4 accumulated fp error at sf0.1 group sizes) so
+  *    summation order — which differs between engines and between cluster
+  *    sizes — cannot flip the compared value.
+  */
+object CoreQueries {
+  import Tables._
+
+  /** Flagship: the federation aggregate, `iceberg_trino_sqldemo.sql:286-295`.
+    * customer ⋈ nation (broadcast dim) ⋈ orders (shuffle on custkey) →
+    * groupBy nation → round(sum(totalprice)) → order.
+    */
+  def federationAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("total_price"), col("nation"))
+
+  /** The CTAS source query, `sql:29-40`: 3-way cross-catalog join,
+    * filter on region, per-row round, ordered + limited deterministically.
+    */
+  def euroCustomers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        trinoRound(col("c_acctbal")).as("account_balance"),
+        col("c_mktsegment").as("mktsegment"),
+        col("n_name").as("nation"),
+        col("r_name").as("region"))
+      .orderBy(col("custkey"))
+      .limit(500)
+
+  /** Half-open date-range scan, `sql:15` — the predicate that hidden
+    * `year()` partitioning prunes in the lake layer (here: plain parquet
+    * scan with the filter pushed to the reader).
+    */
+  def ordersDateRange(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-06-01")) &&
+              col("o_orderdate") <  to_timestamp(lit("1996-06-01")))
+      .select(
+        col("o_orderkey").as("orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice").as("totalprice"))
+      .orderBy(col("orderkey"))
+
+  /** IN-list point lookup, `sql:137`. */
+  def customerInList(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_custkey").isin(11L, 47L, 103L))
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("mktsegment"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("custkey"))
+
+  /** Scalar-function battery: concat_ws (`sql:86`), MySQL-style
+    * date_format (`sql:87`), year (`sql:13`), interval arithmetic + cast
+    * (`sql:268`) — all codegen'd built-ins, no UDFs.
+    */
+  def scalarFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey").as("orderkey"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        trinoDateFormat(col("o_orderdate"), "%Y/%m/%d-%T").as("odate_fmt"),
+        year(col("o_orderdate")).as("oyear"),
+        to_date(col("o_orderdate") - expr("INTERVAL 2 DAY")).as("odate_minus2"))
+      .orderBy(col("orderkey"))
+
+  /** TPC-H Q1-shaped pricing summary: the widest aggregate surface
+    * (sum/avg/count over computed expressions), partial-agg friendly.
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag").as("returnflag"),
+               col("l_linestatus").as("linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Left-outer join (the `$history ⟕ $refs` shape of `sql:89-93`,
+    * exercised here on data tables so DuckDB can oracle it): every
+    * customer with their order count, including order-less customers.
+    */
+  def customerOrderCounts(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey").as("custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+      .orderBy(col("custkey"))
+
+  /** Top-N per group via ranking window (north-star breadth; also the
+    * internal shape of filtered compaction candidate selection).
+    */
+  def topOrdersPerStatus(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus").as("orderstatus"),
+              col("rn"),
+              col("o_orderkey").as("orderkey"),
+              round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("orderstatus"), col("rn"))
+  }
+
+  /** Batch event-time windowed aggregation over the ns-timestamp events
+    * table: hourly tumbling buckets per event_type. Exercises the
+    * TIMESTAMP(9) gap handling (`sql:185-187`): ns epoch-long → µs
+    * timestamp at the edge, explicit truncation.
+    */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("ts_us", nanosToTimestamp(col("ts")))
+      .groupBy(date_trunc("hour", col("ts_us")).as("hour_bucket"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
+  /** VARIANT/JSON surface (Iceberg v3 variant, `sql:175-177`): parse the
+    * JSON props column with Spark 4's native variant type and extract a
+    * typed field — `parse_json` + `variant_get`, both codegen-friendly.
+    */
+  def eventsJsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", try_variant_get(parse_json(col("props")), "$.k", "int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_federation_agg"    -> federationAgg _,
+    "q_euro_customers"    -> euroCustomers _,
+    "q_orders_date_range" -> ordersDateRange _,
+    "q_customer_in_list"  -> customerInList _,
+    "q_scalar_fns"        -> scalarFns _,
+    "q_pricing_summary"   -> pricingSummary _,
+    "q_customer_order_counts" -> customerOrderCounts _,
+    "q_top_orders_per_status" -> topOrdersPerStatus _,
+    "q_events_hourly"     -> eventsHourly _,
+    "q_events_json"       -> eventsJsonExtract _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_federation_agg" ->
+      """SELECT n_name AS nation, round(sum(o_totalprice), 2) AS total_price
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY n_name ORDER BY total_price, nation""",
+    "q_euro_customers" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                round(c_acctbal) AS account_balance,
+                c_mktsegment AS mktsegment, n_name AS nation, r_name AS region
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' ORDER BY custkey LIMIT 500""",
+    "q_orders_date_range" ->
+      """SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                o_totalprice AS totalprice
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+           AND o_orderdate <  TIMESTAMP '1996-06-01'
+         ORDER BY orderkey""",
+    "q_customer_in_list" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_mktsegment AS mktsegment, round(c_acctbal, 2) AS acctbal
+         FROM customer WHERE c_custkey IN (11, 47, 103) ORDER BY custkey""",
+    "q_scalar_fns" ->
+      """SELECT o_orderkey AS orderkey,
+                concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+                strftime(o_orderdate, '%Y/%m/%d-%H:%M:%S') AS odate_fmt,
+                CAST(year(o_orderdate) AS INT) AS oyear,
+                CAST(o_orderdate - INTERVAL 2 DAY AS DATE) AS odate_minus2
+         FROM orders WHERE o_orderkey < 1000 ORDER BY orderkey""",
+    "q_pricing_summary" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_customer_order_counts" ->
+      """SELECT c_custkey AS custkey, count(o_orderkey) AS n_orders,
+                round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY custkey""",
+    "q_top_orders_per_status" ->
+      """SELECT o_orderstatus AS orderstatus, CAST(rn AS INT) AS rn,
+                o_orderkey AS orderkey,
+                round(o_totalprice, 2) AS totalprice
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY o_orderstatus
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) WHERE rn <= 3 ORDER BY orderstatus, rn""",
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+                event_type, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

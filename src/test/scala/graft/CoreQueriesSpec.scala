@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  // One session for the whole test JVM (suites share it via this object).
+  lazy val spark: SparkSession = {
+    val s = SparkEnv.builder(master = "local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("filter and projection are pushed to the parquet scan") {
+    val plan = graft.queries.CoreQueries.ordersDateRange(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(o_orderdate)"), plan)
+    // Column pruning: the scan must not read o_orderstatus etc.
+    assert(!plan.contains("o_orderstatus"), plan)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = graft.queries.CoreQueries.euroCustomers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aggregation uses partial (map-side) hash aggregate") {
+    val plan = graft.queries.CoreQueries.federationAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+  }
+}
+
+class TrinoFunctionsSpec extends AnyFunSuite {
+  import graft.functions.TrinoFunctions._
+
+  test("mysql pattern translation") {
+    assert(mysqlToJavaPattern("%Y/%m/%d-%T") == "yyyy/MM/dd-HH:mm:ss")
+    assert(mysqlToJavaPattern("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss")
+    assert(mysqlToJavaPattern("%d%%") == "dd%")
+    intercept[IllegalArgumentException](mysqlToJavaPattern("%Q"))
+  }
+
+  test("literal letters in pattern are quoted") {
+    assert(mysqlToJavaPattern("%YT%m") == "yyyy'T'MM")
+  }
+
+  test("nanos round-trip renders 9 digits") {
+    import TestSpark._
+    import spark.implicits._
+    val df = Seq(1704067200123456789L).toDF("ns")
+    val got = df.select(nanosToString($"ns")).as[String].head()
+    assert(got == "2024-01-01 00:00:00.123456789")
+  }
+}
