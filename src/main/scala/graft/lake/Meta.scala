@@ -1,0 +1,196 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** The versioned table-metadata model — a from-scratch, Iceberg-v3-shaped
+  * metadata log (the reference exercises this via Trino's Iceberg
+  * connector; we re-derive the structure from the public Iceberg spec and
+  * the script's observable behavior, `iceberg_trino_sqldemo.sql:74-82,
+  * 112-143, 193-249`).
+  *
+  * Layout on disk:
+  * {{{
+  *   <table>/metadata/v<N>.json         — full table metadata (small)
+  *   <table>/metadata/manifest-N.json   — immutable file manifests
+  *   <table>/metadata/version-hint.txt  — latest N (atomic pointer)
+  *   <table>/data/<file>.parquet        — data files
+  *   <table>/deletes/<file>.parquet     — deletion vectors (_row_id,_del_seq)
+  * }}}
+  *
+  * Scale stance: `v<N>.json` holds only schemas/specs/snapshots/refs —
+  * O(commits), not O(files). File listings live in immutable per-commit
+  * manifests that snapshots *share* structurally (a snapshot lists the
+  * manifest chain), so commit cost is O(new files), never a rewrite of
+  * the full file inventory — the same property that lets Iceberg tables
+  * hold millions of files.
+  */
+object Meta {
+
+  /** One field of a partition spec. `transform`: identity | year | month |
+    * day | bucket[N] | truncate[W] (hidden partitioning, `sql:13,21,193`).
+    */
+  case class PartitionField(source: String, transform: String, name: String)
+
+  case class PartitionSpec(specId: Int, fields: List[PartitionField])
+
+  /** Per-column min/max/nulls lifted from the parquet footer at write
+    * time; `min`/`max` are canonical strings (see [[StatsCodec]]).
+    */
+  case class ColumnStats(min: Option[String], max: Option[String], nullCount: Long)
+
+  /** A data file plus everything needed to prune it without opening it. */
+  case class DataFileEntry(
+      path: String,
+      specId: Int,
+      schemaId: Int,
+      partition: Map[String, String],
+      recordCount: Long,
+      sizeBytes: Long,
+      stats: Map[String, ColumnStats],
+      dataSeq: Long)
+
+  /** A deletion-vector file: parquet of (_row_id, _del_seq). A delete
+    * entry hits a data row iff row._last_updated_seq < entry._del_seq —
+    * rows (re)written in the same or a later commit are immune, which is
+    * what makes MoR UPDATE (delete-old + rewrite-new with the same
+    * `$row_id`) correct. (`sql:129-143`)
+    */
+  case class DeleteFileEntry(path: String, recordCount: Long, dataSeq: Long)
+
+  /** An immutable manifest: the delta one commit contributed. */
+  case class Manifest(
+      addedData: List[DataFileEntry],
+      addedDeletes: List[DeleteFileEntry],
+      removedDataPaths: List[String],
+      removedDeletePaths: List[String])
+
+  case class Snapshot(
+      snapshotId: Long,
+      parentId: Option[Long],
+      sequenceNumber: Long,
+      timestampMs: Long,
+      operation: String, // append | overwrite | delete | replace
+      manifests: List[String],
+      summary: Map[String, String])
+
+  /** Schema version; `schemaJson` is Spark's own StructType JSON, with
+    * per-field metadata `graft.field-id` (stable across rename/drop,
+    * `sql:166-189`) and `graft.default` (v3 default values, `sql:166`).
+    */
+  case class SchemaInfo(schemaId: Int, schemaJson: String) {
+    lazy val struct: StructType =
+      DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  case class Ref(snapshotId: Long, refType: String) // "branch" | "tag"
+
+  case class TableMetadata(
+      formatVersion: Int,
+      tableUuid: String,
+      location: String,
+      lastSequenceNumber: Long,
+      lastSnapshotId: Long,     // monotone counter, never reused after rollback
+      nextRowId: Long,          // v3 row-lineage id watermark
+      schemas: List[SchemaInfo],
+      currentSchemaId: Int,
+      specs: List[PartitionSpec],
+      defaultSpecId: Int,
+      snapshots: List[Snapshot],
+      refs: Map[String, Ref],
+      properties: Map[String, String],
+      metadataLog: List[String]) {
+
+    def schema(id: Int): SchemaInfo = schemas.find(_.schemaId == id).get
+    def currentSchema: SchemaInfo = schema(currentSchemaId)
+    def spec(id: Int): PartitionSpec = specs.find(_.specId == id).get
+    def defaultSpec: PartitionSpec = spec(defaultSpecId)
+    def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+    def currentSnapshotId: Option[Long] = refs.get("main").map(_.snapshotId)
+    def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshot)
+
+    /** Snapshot ancestry chain, newest first. */
+    def ancestors(id: Long): List[Snapshot] =
+      snapshot(id) match {
+        case Some(s) => s :: s.parentId.map(ancestors).getOrElse(Nil)
+        case None => Nil
+      }
+
+    def isAncestorOf(ancestorId: Long, descendantId: Long): Boolean =
+      ancestors(descendantId).exists(_.snapshotId == ancestorId)
+  }
+
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  // ---- JSON log I/O --------------------------------------------------
+
+  def metadataDir(location: String): Path = Paths.get(location, "metadata")
+
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.createDirectories(target.getParent)
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion(location: String): Option[Int] = {
+    val hint = metadataDir(location).resolve("version-hint.txt")
+    if (Files.exists(hint))
+      Some(new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  def load(location: String): TableMetadata = {
+    val v = currentVersion(location).getOrElse(
+      throw new IllegalStateException(s"no lake table at $location"))
+    loadVersion(location, v)
+  }
+
+  def loadVersion(location: String, v: Int): TableMetadata = {
+    val p = metadataDir(location).resolve(s"v$v.json")
+    Serialization.read[TableMetadata](
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Commit metadata as the next version. Optimistic single-writer: the
+    * version file is created atomically; a concurrent commit of the same
+    * version loses the rename race and must retry on reload.
+    */
+  def commit(meta: TableMetadata): Int = {
+    val next = currentVersion(meta.location).map(_ + 1).getOrElse(1)
+    val versionFile = metadataDir(meta.location).resolve(s"v$next.json")
+    if (Files.exists(versionFile))
+      throw new IllegalStateException(
+        s"concurrent commit: v$next already exists at ${meta.location}")
+    val withLog = meta.copy(metadataLog = meta.metadataLog :+ s"v$next.json")
+    atomicWrite(versionFile, Serialization.writePretty(withLog))
+    atomicWrite(metadataDir(meta.location).resolve("version-hint.txt"),
+      next.toString)
+    next
+  }
+
+  def writeManifest(location: String, name: String, m: Manifest): String = {
+    val rel = s"metadata/$name"
+    atomicWrite(Paths.get(location, rel), Serialization.writePretty(m))
+    rel
+  }
+
+  def readManifest(location: String, rel: String): Manifest =
+    Serialization.read[Manifest](new String(
+      Files.readAllBytes(Paths.get(location, rel)), StandardCharsets.UTF_8))
+
+  /** Resolve a snapshot's live file sets by folding its manifest chain. */
+  def liveFiles(meta: TableMetadata, s: Snapshot)
+      : (List[DataFileEntry], List[DeleteFileEntry]) = {
+    val ms = s.manifests.map(readManifest(meta.location, _))
+    val removedData = ms.flatMap(_.removedDataPaths).toSet
+    val removedDel = ms.flatMap(_.removedDeletePaths).toSet
+    val data = ms.flatMap(_.addedData).filterNot(f => removedData(f.path))
+    val dels = ms.flatMap(_.addedDeletes).filterNot(f => removedDel(f.path))
+    (data, dels)
+  }
+}

@@ -1,0 +1,334 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.{LakeTable, Scan}
+
+/** Lake-layer operators exposed through the driver contract: each entry
+  * builds a scenario (CTAS + DML on a temp lake table seeded from the
+  * test parquet), then returns the observable result. Where the *final
+  * state* is ANSI-expressible over the source tables, an oracle verifies
+  * the whole lifecycle (write → snapshot log → MoR/CoW read) end to end;
+  * versioning-only observables (snapshot logs, stats) get rows-only
+  * checks and are covered by LakeLifecycleSpec instead.
+  */
+object LakeQueries {
+
+  private val cache = new ConcurrentHashMap[String, LakeTable]()
+  private lazy val base = Files.createTempDirectory("graft-lake-queries-")
+
+  /** Build-once-per-JVM scenario table (Verify/Bench call every query
+    * function; the DML lifecycle runs once, reads re-plan each call).
+    */
+  private def scenario(key: String, sfDir: String)(build: String => LakeTable)
+      : LakeTable =
+    cache.computeIfAbsent(s"$key|$sfDir", _ =>
+      build(base.resolve(key + "-" + Math.abs(sfDir.hashCode)).toString))
+
+  private def customerDf(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("custkey"), col("c_name").as("name"),
+      col("c_acctbal").as("account_balance"),
+      col("c_mktsegment").as("mktsegment"))
+
+  // ---- scenarios ------------------------------------------------------
+
+  /** CTAS from the 3-way federation join, identity-partitioned
+    * (`iceberg_trino_sqldemo.sql:19-44`), read back.
+    */
+  def ctasSelect(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("ctas", d) { loc =>
+      val src = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_mktsegment").as("mktsegment"), col("n_name").as("nation"))
+      LakeTable.create(s, loc, Right(src), partitioning = Seq("mktsegment"))
+    }
+    t.read().orderBy("custkey")
+  }
+
+  /** MoR UPDATE (`sql:129`): balance := 1000 where custkey < 10. */
+  def morUpdate(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("morupd", d) { loc =>
+      val t0 = LakeTable.create(s, loc, Right(customerDf(s, d)),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.update(col("custkey") < 10, Map("account_balance" -> lit(1000.0)))
+      t0
+    }
+    t.read().orderBy("custkey")
+  }
+
+  /** MoR DELETE (`sql:137`): drop every 10th customer. */
+  def morDelete(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("mordel", d) { loc =>
+      val t0 = LakeTable.create(s, loc, Right(customerDf(s, d)),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.delete(col("custkey") % 10 === 0)
+      t0
+    }
+    t.read().orderBy("custkey")
+  }
+
+  /** CoW UPDATE+DELETE (`sql:25` copy-on-write mode). */
+  def cowDml(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("cowdml", d) { loc =>
+      val t0 = LakeTable.create(s, loc, Right(customerDf(s, d)),
+        properties = Map("merge_mode" -> "copy-on-write"))
+      t0.update(col("custkey") < 10, Map("account_balance" -> lit(1000.0)))
+      t0.delete(col("custkey") % 10 === 0)
+      t0
+    }
+    t.read().orderBy("custkey")
+  }
+
+  /** MERGE (`sql:146-157`): upsert shifted customer range. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("merge", d) { loc =>
+      val target = customerDf(s, d).filter(col("custkey") < 100)
+      val source = customerDf(s, d)
+        .filter(col("custkey") >= 50 && col("custkey") < 150)
+        .withColumn("name", concat(lit("M-"), col("name")))
+        .withColumn("account_balance", col("account_balance") + lit(5.0))
+      val t0 = LakeTable.create(s, loc, Right(target),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.merge(source, Seq("custkey"))
+      t0
+    }
+    t.read().orderBy("custkey")
+  }
+
+  /** Time travel (`sql:216`): read the pre-append snapshot. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("travel", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 100)))
+      t0.setProperties(Map("graft.test.snap1" ->
+        t0.meta.currentSnapshotId.get.toString))
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") >= 100 && col("custkey") < 120))
+      t0
+    }
+    t.asOf(t.properties("graft.test.snap1").toLong).orderBy("custkey")
+  }
+
+  /** Branch isolation (`sql:238-247`): DML on dev, main untouched. */
+  private def branchScenario(s: SparkSession, d: String): LakeTable =
+    scenario("branch", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 100)),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.createBranch("dev")
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") >= 100 && col("custkey") < 110), branch = "dev")
+      t0.delete(col("custkey") < 5, branch = "dev")
+      t0
+    }
+
+  def branchMain(s: SparkSession, d: String): DataFrame =
+    branchScenario(s, d).read().orderBy("custkey")
+
+  def branchDev(s: SparkSession, d: String): DataFrame =
+    branchScenario(s, d).readRef("dev").orderBy("custkey")
+
+  /** CDC (`sql:114-125`): append + delete, then table_changes. */
+  def cdcChanges(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("cdc", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 100)),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.setProperties(Map("graft.test.s0" ->
+        t0.meta.currentSnapshotId.get.toString))
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") >= 100 && col("custkey") < 150))
+      t0.delete(col("custkey") % 7 === 0)
+      t0.setProperties(Map("graft.test.s1" ->
+        t0.meta.currentSnapshotId.get.toString))
+      t0
+    }
+    t.changes(t.properties("graft.test.s0").toLong,
+        t.properties("graft.test.s1").toLong)
+      .select(col("_change_type").as("change_type"), col("custkey"))
+      .orderBy("change_type", "custkey")
+  }
+
+  /** Compaction invariance (`sql:258-265`): many small appends +
+    * a delete, optimize, results unchanged.
+    */
+  def optimizeInvariance(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("optimize", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 40)),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      (0 until 4).foreach { i =>
+        t0.append(customerDf(s, d).filter(
+          col("custkey") >= 40 + i * 10 && col("custkey") < 50 + i * 10))
+      }
+      t0.delete(col("custkey") % 9 === 0)
+      t0.optimize(fileSizeThresholdBytes = 512L << 20)
+      t0
+    }
+    t.read().orderBy("custkey")
+  }
+
+  /** Hidden-partition pruned scan (`sql:13-15`): year(o_orderdate)
+    * partitioning; the filter prunes year files before Spark plans.
+    */
+  def prunedScan(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("pruned", d) { loc =>
+      LakeTable.create(s, loc, Right(Tables.orders(s, d)),
+        partitioning = Seq("year(o_orderdate)"))
+    }
+    t.read(col("o_orderdate") >=
+        lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("o_orderdate") <
+        lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select(col("o_orderkey").as("orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice").as("totalprice"))
+      .orderBy("orderkey")
+  }
+
+  /** Schema evolution with v3 defaults (`sql:166-169`). */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("schevo", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 50)))
+      t0.addColumn("phone", org.apache.spark.sql.types.StringType,
+        default = Some("+33606060606"))
+      t0
+    }
+    t.read().orderBy("custkey")
+  }
+
+  /** Snapshot log shape (rows-only check; deterministic columns). */
+  def snapshotLog(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("snaplog", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 30)),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") >= 30 && col("custkey") < 40))
+      t0.update(col("custkey") === 1, Map("name" -> lit("u")))
+      t0.delete(col("custkey") === 2)
+      t0
+    }
+    t.metaTable("snapshots")
+      .select("snapshot_id", "parent_id", "operation")
+      .orderBy("snapshot_id")
+  }
+
+  /** Row lineage across UPDATE (`sql:133-135`): ids stable, seq bumps. */
+  def rowLineage(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("lineage", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 20)),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.update(col("custkey") < 5, Map("account_balance" -> lit(7.0)))
+      t0
+    }
+    t.readWithMetaColumns()
+      .select(col("custkey"), col("$row_id").as("row_id"),
+        col("$last_updated_sequence_number").as("last_seq"))
+      .orderBy("custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_ctas_select"     -> ctasSelect _,
+    "lake_mor_update"      -> morUpdate _,
+    "lake_mor_delete"      -> morDelete _,
+    "lake_cow_dml"         -> cowDml _,
+    "lake_merge_upsert"    -> mergeUpsert _,
+    "lake_time_travel"     -> timeTravel _,
+    "lake_branch_main"     -> branchMain _,
+    "lake_branch_dev"      -> branchDev _,
+    "lake_cdc_changes"     -> cdcChanges _,
+    "lake_optimize_invariance" -> optimizeInvariance _,
+    "lake_pruned_scan"     -> prunedScan _,
+    "lake_schema_evolution" -> schemaEvolution _,
+    "lake_snapshot_log"    -> snapshotLog _,
+    "lake_row_lineage"     -> rowLineage _
+  )
+
+  /** Oracles express the *final state* of each lifecycle in ANSI SQL over
+    * the source parquet — DuckDB never sees the lake machinery, so a
+    * match proves write+read round-trip semantics, not shared code.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "lake_ctas_select" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_mktsegment AS mktsegment, n_name AS nation
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' ORDER BY custkey""",
+    "lake_mor_update" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                CASE WHEN c_custkey < 10 THEN 1000.0 ELSE c_acctbal END
+                  AS account_balance,
+                c_mktsegment AS mktsegment
+         FROM customer ORDER BY custkey""",
+    "lake_mor_delete" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey % 10 <> 0 ORDER BY custkey""",
+    "lake_cow_dml" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                CASE WHEN c_custkey < 10 THEN 1000.0 ELSE c_acctbal END
+                  AS account_balance,
+                c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey % 10 <> 0 ORDER BY custkey""",
+    "lake_merge_upsert" ->
+      """SELECT c_custkey AS custkey,
+                CASE WHEN c_custkey >= 50 THEN 'M-' || c_name ELSE c_name END
+                  AS name,
+                CASE WHEN c_custkey >= 50 THEN c_acctbal + 5.0 ELSE c_acctbal
+                  END AS account_balance,
+                c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey < 150 ORDER BY custkey""",
+    "lake_time_travel" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey < 100 ORDER BY custkey""",
+    "lake_branch_main" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey < 100 ORDER BY custkey""",
+    "lake_branch_dev" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey >= 5 AND c_custkey < 110
+         ORDER BY custkey""",
+    "lake_cdc_changes" ->
+      """SELECT * FROM (
+           SELECT 'insert' AS change_type, c_custkey AS custkey
+           FROM customer WHERE c_custkey >= 100 AND c_custkey < 150
+           UNION ALL
+           SELECT 'delete' AS change_type, c_custkey AS custkey
+           FROM customer WHERE c_custkey < 150 AND c_custkey % 7 = 0
+         ) ORDER BY change_type, custkey""",
+    "lake_optimize_invariance" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey < 80 AND c_custkey % 9 <> 0
+         ORDER BY custkey""",
+    "lake_pruned_scan" ->
+      """SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                o_totalprice AS totalprice
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+         ORDER BY orderkey""",
+    "lake_schema_evolution" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment,
+                '+33606060606' AS phone
+         FROM customer WHERE c_custkey < 50 ORDER BY custkey"""
+    // lake_snapshot_log, lake_row_lineage: engine-internal observables →
+    // rows-only check here; exact semantics asserted in LakeLifecycleSpec.
+  )
+}
