@@ -1,0 +1,195 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine — all
+  * expressed as declarative DataFrame plans (explode → hash → band →
+  * bucket-join), the shape that scales: every stage is a shuffle on a
+  * bounded key space, no pairwise O(n²) anywhere, candidate verification
+  * touches only bucket-cohabiting pairs.
+  *
+  * All hash seeds are fixed constants → deterministic across runs and
+  * cluster sizes.
+  */
+object Dedup {
+
+  /** Word k-shingles of a text column, distinct, via codegen'd
+    * higher-order functions (no UDF).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - k, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** Exact dedup: representative (min id) + duplicate count per distinct
+    * text. A single hash-aggregate — the 100 TB answer is exactly this
+    * shuffle-on-hash(groupBy), optionally pre-bucketed.
+    */
+  def exact(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
+
+  // MinHash parameters: h_j(x) = (a_j * x + b_j) mod P over
+  // x = xxhash64(shingle) mod P. P prime < 2^31 keeps a*x in Long range.
+  private val P = 2147483629L
+  private def hashParams(n: Int): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(n)((1 + math.abs(rnd.nextLong()) % (P - 1),
+      math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature columns `sig_0..sig_{n-1}` per id. */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleK: Int): DataFrame = {
+    val params = hashParams(numHashes)
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
+      .withColumn("x", pmod(xxhash64(col("sh")), lit(P)))
+    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(P))).as(s"sig_$j")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + banded LSH near-duplicate pairs with exact-Jaccard
+    * verification of candidates (`id_a < id_b`).
+    *
+    * Pipeline: shingle-explode → per-doc signature (map-side combinable
+    * min-agg) → band-hash explode → bucket self-join (shuffle on band
+    * hash, never all-pairs) → Jaccard on the candidates only.
+    */
+  def minhashLsh(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
+      shingleK: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignature(df, textCol, idCol, numHashes, shingleK)
+    val banded = sigs.select(col(idCol) +: (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+        .as(s"band_$b")
+    }: _*)
+    val buckets = banded.select(col(idCol), posexplode(
+      array((0 until bands).map(b => col(s"band_$b")): _*))
+      .as(Seq("band_idx", "band_hash")))
+    val l = buckets.select(col(idCol).as("id_a"), col("band_idx"),
+      col("band_hash"))
+    val r = buckets.select(col(idCol).as("id_b"), col("band_idx"),
+      col("band_hash"))
+    val candidates = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = df.select(col(idCol),
+      shingles(col(textCol), shingleK).as("sh_set"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("set_a")),
+        Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("set_b")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: sign-sum of word-hash bits, rebuilt
+    * into a long; near-dup pairs via 4×16-bit band LSH + Hamming ≤ maxHamming
+    * (pigeonhole: ≤3 differing bits ⇒ at least one equal band).
+    */
+  def simhash(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1))
+        .as(s"bit_$k")
+    }
+    val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 64).map { k =>
+      when(col(s"bit_$k") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), hashExpr.as("simhash"))
+  }
+
+  def simhashPairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, textCol, idCol)
+    val banded = sh.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("band_idx", "band_val")))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard dedup with single-hash blocking: documents sharing
+    * their minimum shingle hash become candidates (cheap 1-band LSH),
+    * then exact Jaccard filters. A distinct blocking scheme from
+    * [[minhashLsh]] — recall-lighter, one shuffle cheaper.
+    */
+  def ngramJaccard(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, threshold: Double = 0.6)
+      : DataFrame = {
+    val sets = df.select(col(idCol), shingles(col(textCol), k).as("sh_set"))
+      .withColumn("block",
+        array_min(transform(col("sh_set"), s => xxhash64(s))))
+    val l = sets.select(col(idCol).as("id_a"), col("sh_set").as("set_a"),
+      col("block"))
+    val r = sets.select(col(idCol).as("id_b"), col("sh_set").as("set_b"),
+      col("block"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-duplicates: random-hyperplane LSH (deterministic
+    * planes) buckets sign-pattern bands; candidates verified by exact
+    * cosine via zip_with/aggregate — no UDF, no O(n²).
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64, nPlanes: Int = 16,
+      bandBits: Int = 8, cosineThreshold: Double = 0.95): DataFrame = {
+    val planes = Similarity.randomPlanes(nPlanes, dim, seed = 7)
+    val codeExpr = planes.zipWithIndex.map { case (p, i) =>
+      val dot = Similarity.dotWithConst(col(vecCol), p)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val coded = df.select(col(idCol), col(vecCol), codeExpr.as("code"))
+    val nBands = nPlanes / bandBits
+    val banded = coded.select(col(idCol), col(vecCol), posexplode(
+      array((0 until nBands).map(b =>
+        shiftright(col("code"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+      .as(Seq("band_idx", "band_val")))
+    val l = banded.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("band_idx"), col("band_val"))
+    val r = banded.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .distinct()
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= cosineThreshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

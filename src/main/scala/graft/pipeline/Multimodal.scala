@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed by batched
+  * per-partition operators (the Scala analog of `mapInPandas`).
+  *
+  * The Spark-side mechanics — schema, modality partitioning, batch
+  * iteration shape, feature/frame output schemas — are real and tested.
+  * The codec step itself is STUBBED: this container has no image/audio
+  * libraries, so `decodeStub` derives deterministic fake features from
+  * the bytes. Swapping in a real decoder changes ONLY the body of
+  * `decodeStub` (e.g. JNI/javacpp ffmpeg); every plan around it stays.
+  */
+object Multimodal {
+
+  val blobSchema: StructType = StructType(Seq(
+    StructField("blob_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("codec", StringType))))))
+
+  /** Build a blob table from the documents fixture: text bytes stand in
+    * for encoded media payloads; modality assigned round-robin so the
+    * partition-by-modality path is exercised.
+    */
+  def blobTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("blob_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("content"),
+      struct(
+        (pmod(col("doc_id"), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms"),
+        lit("stub").as("codec")).as("meta"))
+
+  /** STUB decode: deterministic pseudo-features from payload bytes.
+    * Real implementation would decode the media and run a feature
+    * extractor; everything else in this operator is production-shaped.
+    */
+  private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
+    // ??? real codec goes here — deterministic fake for the harness:
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < content.length) { h = 31 * h + content(i); i += 1 }
+    var j = 0
+    while (j < dim) {
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+      out(j) = (h % 1000) / 1000.0f
+      j += 1
+    }
+    out
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("blob_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("features", ArrayType(FloatType)),
+    StructField("n_bytes", IntegerType)))
+
+  /** Batched feature extraction — mapPartitions with an explicit batch
+    * size so the decode amortizes per-batch setup (model load, codec
+    * context) exactly like a `mapInPandas` batch would. Repartitioning
+    * by modality first keeps one codec kind per task at scale.
+    */
+  def extractFeatures(blobs: DataFrame, dim: Int = 16, batchSize: Int = 64)
+      : DataFrame = {
+    val spark = blobs.sparkSession
+    val partitioned = blobs.repartition(col("modality"))
+    val rdd = partitioned.select("blob_id", "modality", "content").rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would happen here (decoder init)
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]]("content")
+            Row(r.getLong(0), r.getString(1),
+              decodeStub(bytes, dim).toSeq, bytes.length)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("blob_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", BinaryType),
+    StructField("frame_offset", IntegerType)))
+
+  /** Frame sampling for video-like payloads: n evenly spaced byte
+    * windows per blob (the real version seeks keyframes; the slicing,
+    * explode shape and output schema are identical).
+    */
+  def sampleFrames(blobs: DataFrame, nFrames: Int = 4, frameSize: Int = 32)
+      : DataFrame = {
+    val stride = greatest((length(col("content")) / nFrames).cast("int"), lit(1))
+    blobs.filter(col("modality") === "video")
+      .select(col("blob_id"), posexplode(transform(
+        sequence(lit(0), lit(nFrames - 1)),
+        i => struct(
+          (i * stride).as("off"),
+          substring(col("content"), (i * stride + 1).cast("int"), lit(frameSize))
+            .as("bytes"))))
+        .as(Seq("frame_idx", "frame")))
+      .select(col("blob_id"), col("frame_idx"),
+        col("frame.bytes").as("frame_bytes"),
+        col("frame.off").as("frame_offset"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor similarity search over an embedding
+  * column (`Array[Float]`).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *    query set against the full table; one scan, no shuffle of the
+  *    vector side, per-query top-k via ranking window. The baseline any
+  *    ANN must beat and the verifier for recall.
+  *  - [[IvfIndex]] — IVF-style scale path: k-means coarse quantizer
+  *    (Spark MLlib), vectors assigned to their nearest centroid once
+  *    (cluster-pruned storage); queries probe only `nprobe` nearest
+  *    cells, scanning a fraction of the data. At 100 TB this is the
+  *    difference between a full-table scan per query batch and touching
+  *    `nprobe/nlist` of it.
+  *
+  * Dot products ride `zip_with` + `aggregate` (codegen'd higher-order
+  * functions) — no UDFs.
+  */
+object Similarity {
+
+  /** Exact dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Dot with a constant plane (literal folded into codegen). */
+  def dotWithConst(v: Column, plane: Array[Double]): Column =
+    aggregate(zip_with(v, lit(plane), (x, p) => x * p), lit(0.0d),
+      (acc, x) => acc + x)
+
+  /** Deterministic random unit-ish hyperplanes. */
+  def randomPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Exact cosine top-k for each query vector (queries small →
+    * broadcast; fact side streams once).
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val scored = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(col(vecCol), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").as("rank"), col(idCol).as("neighbor"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF coarse index: centroids fit once (sampled k-means, fixed seed),
+    * vectors carry their cell id. `assignments` is reusable — at scale
+    * you'd persist it bucketed by `cell`.
+    */
+  case class IvfIndex(centroids: Array[(Int, Array[Double])],
+      assignments: DataFrame)
+
+  def buildIvf(vectors: DataFrame, nlist: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id", sampleFraction: Double = 1.0): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = (if (sampleFraction < 1.0)
+      vectors.sample(withReplacement = false, sampleFraction, seed = 42)
+    else vectors)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }
+    val assignments = vectors
+      .transform(assignCells(centroids, vecCol, idCol))
+    IvfIndex(centroids, assignments)
+  }
+
+  /** Nearest-centroid assignment as a broadcast join + ranking window:
+    * N×nlist scored rows, vectors never shuffled by data volume — the
+    * plan that survives 100× scale (a giant unrolled argmin expression
+    * does not: it blows up analysis/codegen at nlist×dim literals).
+    */
+  private def assignCells(centroids: Array[(Int, Array[Double])],
+      vecCol: String, idCol: String)(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = broadcast(
+      centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+        .toDF("cell", "cvec"))
+    val scored = vectors.crossJoin(cents)
+      .withColumn("dist",
+        aggregate(zip_with(col(vecCol), col("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist"), col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** ANN top-k: probe the `nprobe` cells nearest each query, exact
+    * cosine within the probed subset only.
+    */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = broadcast(
+      index.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+        .toDF("cell", "cvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell"))
+    val qx = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .crossJoin(cents)
+        .withColumn("dist",
+          aggregate(zip_with(col("qvec"), col("cvec"),
+            (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("qvec"), col("cell")))
+    val scored = index.assignments.join(qx, Seq("cell"))
+      .withColumn("cosine", cosine(col(vecCol), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * Everything is codegen'd built-ins (regex, higher-order functions,
+  * hashes) — single-pass, shuffle only where an aggregation demands it.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens + a BPE-ish segmentation (letter runs, digit
+    * runs, single punctuation — the pre-tokenization most BPE vocab
+    * pipelines apply), plus chars-per-token, a practical compression
+    * proxy for token-budget estimation.
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(split(trim(t), "\\s+")))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("n_chars_computed", length(t))
+      .withColumn("chars_per_token",
+        round(length(t).cast("double") /
+          greatest(col("bpe_tokens"), lit(1)), 4))
+  }
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  /** Heuristic quality score ∈ [0,1]: length band + stopword presence +
+    * punctuation sanity + word-length sanity (the classic cheap filters
+    * applied before expensive model-based scoring).
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(lower(t)), "\\s+")
+    val nWords = size(words).cast("double")
+    val stopRatio = size(filter(words,
+      w => array_contains(lit(stopwords.toArray), w))).cast("double") /
+      greatest(nWords, lit(1.0))
+    val punctRatio =
+      size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+        greatest(length(t).cast("double"), lit(1.0))
+    val meanWordLen =
+      aggregate(words, lit(0.0d), (acc, w) => acc + length(w)) /
+        greatest(nWords, lit(1.0))
+    val lengthOk = (length(t) >= 100 && length(t) <= 20000).cast("double")
+    val stopOk = (stopRatio >= 0.01).cast("double")
+    val punctOk = (punctRatio <= 0.2).cast("double")
+    val wordLenOk = (meanWordLen >= 2.0 && meanWordLen <= 12.0).cast("double")
+    df.withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn("punct_ratio", round(punctRatio, 4))
+      .withColumn("mean_word_len", round(meanWordLen, 4))
+      .withColumn("quality_score", round(
+        lengthOk * 0.3 + stopOk * 0.3 + punctOk * 0.2 + wordLenOk * 0.2, 2))
+  }
+
+  /** Language identification via learned character-trigram profiles:
+    * fit per-language profiles from a labeled seed fraction, classify by
+    * trigram-overlap score — the classic n-gram heuristic (Cavnar &
+    * Trenkle) as two shuffles: profile aggregation, then a
+    * trigram-profile broadcast join + per-doc argmax.
+    */
+  def languageId(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", labelCol: String = "lang",
+      profileSize: Int = 200): DataFrame = {
+    val s = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val tris = transform(sequence(lit(1), greatest(length(s) - 2, lit(1))),
+      i => s.substr(i, lit(3)))
+    val exploded = df.select(col(idCol), col(labelCol), explode(tris).as("tri"))
+      .filter(length(col("tri")) === 3)
+
+    // seed split: every 5th doc trains the profiles
+    val train = exploded.filter(col(idCol) % 5 === 0)
+    val wRank = Window.partitionBy(col(labelCol))
+      .orderBy(col("cnt").desc, col("tri"))
+    val profiles = train.groupBy(col(labelCol), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= profileSize)
+      .select(col(labelCol).as("profile_lang"), col("tri"),
+        (lit(1.0) / (col("rank") + 10)).as("weight"))
+
+    val docTris = exploded.groupBy(col(idCol), col("tri"))
+      .agg(count(lit(1)).as("tf"))
+    val scores = docTris.join(broadcast(profiles), Seq("tri"))
+      .groupBy(col(idCol), col("profile_lang"))
+      .agg(sum(col("weight") * col("tf")).as("score"))
+    val wBest = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("profile_lang"))
+    scores.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("profile_lang").as("predicted_lang"),
+        round(col("score"), 4).as("lang_score"))
+  }
+
+  /** Document fingerprints: md5 of whitespace-normalized text (exact
+    * content identity) + an 8-way min-hash sketch (winnowing-style
+    * robust fingerprint for near-identity).
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val normalized = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val sh = Dedup.shingles(col(textCol), 3)
+    val sketch = (0 until 8).map { j =>
+      array_min(transform(sh, s => pmod(xxhash64(s, lit(j)), lit(1000000007L))))
+        .as(s"sketch_$j")
+    }
+    df.select(Seq(col(idCol), md5(normalized.cast("binary")).as("content_md5")) ++
+      sketch: _*)
+  }
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) exposed through the driver contract. Oracles cover every
+  * numerically-stable, ANSI-expressible output; LSH candidate sets and
+  * stub-derived features get rows-only checks plus PipelineSpec
+  * assertions (recall vs brute force, determinism).
+  */
+object PipelineQueries {
+
+  /** Exact dedup: representative id + dup count per distinct text. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** MinHash+LSH near-dup pairs, Jaccard-verified. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d),
+      numHashes = 32, bands = 16, shingleK = 3, jaccardThreshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit sketches). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d))
+      .orderBy("id_a", "id_b")
+
+  /** n-gram Jaccard pairs with min-hash blocking. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), k = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding cosine near-dups via random-hyperplane LSH. The synthetic
+    * embeddings have no natural near-duplicates (max pairwise cosine
+    * ≈ 0.51), so the scenario plants them: each vector gets a
+    * deterministically jittered twin (cosine ≈ 0.999 — the regime
+    * hyperplane LSH is built for); the operator must recover exactly the
+    * planted pairs.
+    */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val jittered = base.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0f) + pmod(i, lit(5)).cast("float") * lit(0.01f)))
+        .as("embedding"))
+    Dedup.embeddingNearDup(base.unionByName(jittered),
+      cosineThreshold = 0.98)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-10 for the first 5 vectors as queries —
+    * double-precision math on both engines so the oracle is exact.
+    */
+  def simTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF ANN top-10 (16 cells, probe 4) — same queries; recall vs the
+    * brute-force baseline is asserted in PipelineSpec.
+    */
+  def simTopKIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val index = Similarity.buildIvf(emb, nlist = 16)
+    Similarity.ivfTopK(index, emb.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Token counting: whitespace + BPE-ish segmentation + compression. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, d))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        col("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword/punct/word-length heuristics. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, d))
+      .select(col("doc_id"), col("stopword_ratio"), col("punct_ratio"),
+        col("mean_word_len"), col("quality_score"))
+      .orderBy("doc_id")
+
+  /** Language ID from learned char-trigram profiles + accuracy flag. */
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.languageId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("predicted_lang"), col("lang_score"),
+        (col("predicted_lang") === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 of normalized text (oracle-checked). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d))
+      .select(col("doc_id"), col("content_md5"))
+      .orderBy("doc_id")
+
+  /** Multimodal: binary blob table → batched (stub-)decoded features;
+    * oracle checks the Spark-side plumbing (ids, modality routing, byte
+    * accounting) — the stub features are asserted in PipelineSpec.
+    */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.blobTable(Tables.documents(s, d)))
+      .select(col("blob_id"), col("modality"), col("n_bytes"))
+      .orderBy("blob_id")
+
+  /** Frame sampling over video-modality blobs. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.blobTable(Tables.documents(s, d)))
+      .select(col("blob_id"), col("frame_idx"), col("frame_offset"))
+      .orderBy("blob_id", "frame_idx")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"          -> dedupExact _,
+    "dedup_minhash_pairs"  -> dedupMinhash _,
+    "dedup_simhash_pairs"  -> dedupSimhash _,
+    "dedup_ngram_pairs"    -> dedupNgram _,
+    "dedup_embedding_pairs" -> dedupEmbedding _,
+    "sim_topk_bruteforce"  -> simTopK _,
+    "sim_topk_ivf"         -> simTopKIvf _,
+    "text_tokens"          -> textTokens _,
+    "text_quality"         -> textQuality _,
+    "text_langid"          -> textLangId _,
+    "text_fingerprint"     -> textFingerprint _,
+    "multimodal_features"  -> multimodalFeatures _,
+    "multimodal_frames"    -> multimodalFrames _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                    FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, CAST(rank AS INT) AS rank, neighbor, cosine FROM (
+           SELECT q.query_id, e.vec_id AS neighbor,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6)
+                    AS cosine,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
+                      DESC, e.vec_id) AS rank
+           FROM embeddings e, q)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                  AS ws_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+                round(length(text)::DOUBLE /
+                  greatest(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1), 4)
+                  AS chars_per_token
+         FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """SELECT doc_id,
+                round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    w -> list_contains(['the','a','an','and','or','of','to','in',
+                      'is','it','that','for','on','with','as','at','by'], w)))::DOUBLE
+                  / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 4)
+                  AS stopword_ratio,
+                round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                  / greatest(length(text), 1), 4) AS punct_ratio,
+                round(list_sum(list_transform(string_split_regex(trim(lower(text)),
+                    '\s+'), w -> length(w)))::DOUBLE
+                  / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 4)
+                  AS mean_word_len,
+                round(
+                  (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0 END) +
+                  (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      w -> list_contains(['the','a','an','and','or','of','to','in',
+                        'is','it','that','for','on','with','as','at','by'], w)))::DOUBLE
+                    / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+                    >= 0.01 THEN 0.3 ELSE 0 END) +
+                  (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                    / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+                  (CASE WHEN list_sum(list_transform(string_split_regex(trim(lower(text)),
+                      '\s+'), w -> length(w)))::DOUBLE
+                    / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+                    BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2) AS quality_score
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                  AS content_md5
+         FROM documents ORDER BY doc_id""",
+    "multimodal_features" ->
+      """SELECT doc_id AS blob_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+                CAST(strlen(text) AS INT) AS n_bytes
+         FROM documents ORDER BY blob_id""",
+    "multimodal_frames" ->
+      """SELECT doc_id AS blob_id, CAST(i AS INT) AS frame_idx,
+                CAST(i * greatest(strlen(text) // 4, 1) AS INT)
+                  AS frame_offset
+         FROM documents, UNNEST([0,1,2,3]) AS t(i)
+         WHERE doc_id % 3 = 2 ORDER BY blob_id, frame_idx"""
+    // dedup_*_pairs, sim_topk_ivf, text_langid: candidate sets /
+    // stub-features / learned profiles → rows-only here; recall and
+    // determinism asserted in PipelineSpec.
+  )
+}

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Properties the DuckDB oracle can't express: LSH recall against
+  * brute-force ground truth, ANN recall, stub-feature determinism,
+  * langid mechanics.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+  private lazy val docs = s.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = s.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash LSH finds the pairs exact Jaccard finds (recall ≥ 0.9)") {
+    // ground truth: brute-force all-pairs Jaccard at this tiny SF
+    val sets = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val l = sets.select(col("doc_id").as("id_a"), col("sh").as("set_a"))
+    val r = sets.select(col("doc_id").as("id_b"), col("sh").as("set_b"))
+    val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("j",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    val found = Dedup.minhashLsh(docs, numHashes = 32, bands = 16,
+      shingleK = 3, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    assert(found.subsetOf(truth), "LSH must not report false positives " +
+      "(they are Jaccard-verified)")
+    if (truth.nonEmpty) {
+      val recall = found.size.toDouble / truth.size
+      assert(recall >= 0.9, s"recall $recall (found ${found.size}/${truth.size})")
+    }
+  }
+
+  test("simhash pairs are symmetric-free and hamming-bounded") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("id_a") < p.getAs[Long]("id_b"))
+      assert(p.getAs[Int]("hamming") <= 3)
+    }
+  }
+
+  test("embedding near-dup: every reported pair really has cosine ≥ thr") {
+    val pairs = Dedup.embeddingNearDup(emb, cosineThreshold = 0.9).collect()
+    pairs.foreach(p => assert(p.getAs[Double]("cosine") >= 0.9))
+  }
+
+  test("IVF recall vs brute force ≥ 0.6 while scanning fewer vectors") {
+    val embD = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val queries = embD.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embD, queries, k = 5)
+      .select("query_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.buildIvf(embD, nlist = 16)
+    val approx = Similarity.ivfTopK(index, queries, k = 5, nprobe = 4)
+      .select("query_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+    // scale property: probing 4/16 cells touches a strict subset
+    val probedRows = index.assignments
+      .join(broadcast(Similarity.ivfTopK(index, queries, 5, 4)
+        .select(col("neighbor")).distinct()),
+        col("vec_id") === col("neighbor"), "left_semi").count()
+    assert(probedRows <= embD.count())
+  }
+
+  test("stub multimodal features are deterministic and shaped") {
+    val blobs = Multimodal.blobTable(docs.limit(50))
+    val f1 = Multimodal.extractFeatures(blobs, dim = 16)
+      .orderBy("blob_id").collect()
+    val f2 = Multimodal.extractFeatures(blobs, dim = 16)
+      .orderBy("blob_id").collect()
+    assert(f1.length == 50)
+    f1.zip(f2).foreach { case (a, b) =>
+      val fa = a.getAs[collection.Seq[Float]]("features")
+      val fb = b.getAs[collection.Seq[Float]]("features")
+      assert(fa == fb, "stub decode must be deterministic")
+      assert(fa.length == 16)
+    }
+  }
+
+  test("frame sampling yields n frames per video blob") {
+    val frames = Multimodal.sampleFrames(Multimodal.blobTable(docs), nFrames = 4)
+    val counts = frames.groupBy("blob_id").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(counts == Set(4L))
+  }
+
+  test("language id predicts for every doc with score > 0") {
+    val out = TextAnalysis.languageId(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("lang_score") <= 0).count() == 0)
+    val langs = out.select("predicted_lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
+  }
+}
