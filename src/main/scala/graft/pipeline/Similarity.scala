@@ -72,10 +72,13 @@ object Similarity {
       idCol: String = "vec_id", sampleFraction: Double = 1.0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // Few fat partitions for the iterative fit: k-means makes 10 passes,
+    // and at sample scale 32 tiny tasks/pass is pure scheduler overhead.
     val train = (if (sampleFraction < 1.0)
       vectors.sample(withReplacement = false, sampleFraction, seed = 42)
     else vectors)
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .coalesce(4)
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
       .fit(train)
     val centroids = model.clusterCenters.zipWithIndex
