@@ -15,16 +15,19 @@ import org.json4s.jackson.Serialization
   * Names are `schema.table`. Tables live at `<warehouse>/<schema>/<table>`
   * unless registered from an external location.
   */
-class LakeCatalog(val spark: SparkSession, val warehouse: String) {
-  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
-
-  private case class CatalogState(
+object LakeCatalog {
+  private[lake] case class CatalogState(
       schemas: Map[String, String],            // name -> location
       external: Map[String, String],           // table -> location
       views: Map[String, String],              // name -> sql
       mviews: Map[String, MvDef])
-  private case class MvDef(sql: String, location: String,
+  private[lake] case class MvDef(sql: String, location: String,
       refreshSchedule: Option[String])
+}
+
+class LakeCatalog(val spark: SparkSession, val warehouse: String) {
+  import LakeCatalog.{CatalogState, MvDef}
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
   private def statePath = Paths.get(warehouse, "_catalog.json")
 

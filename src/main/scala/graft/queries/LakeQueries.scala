@@ -238,7 +238,31 @@ object LakeQueries {
       .orderBy("custkey")
   }
 
+  /** Catalog + stored view over metadata tables — the script's
+    * snapshot-history view (`sql:85-96`), re-planned at read.
+    */
+  def catalogViewHistory(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("catview", d) { loc =>
+      val cat = new graft.lake.LakeCatalog(s,
+        java.nio.file.Files.createTempDirectory("catq-").toString)
+      cat.createSchema("demo")
+      val t0 = cat.createTable("demo.vcust",
+        customerDf(s, d).filter(col("custkey") < 50))
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") >= 50 && col("custkey") < 80))
+      cat.createView("v_hist",
+        """SELECT s.snapshot_id, s.operation, h.is_current_ancestor
+           FROM vcust_snapshots s
+           JOIN vcust_history h ON s.snapshot_id = h.snapshot_id""")
+      t0.setProperties(Map("graft.test.cat" -> cat.warehouse))
+      t0
+    }
+    val cat = new graft.lake.LakeCatalog(s, t.properties("graft.test.cat"))
+    cat.readView("v_hist").orderBy("snapshot_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_catalog_view"    -> catalogViewHistory _,
     "lake_ctas_select"     -> ctasSelect _,
     "lake_mor_update"      -> morUpdate _,
     "lake_mor_delete"      -> morDelete _,

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TrinoFunctions
+
+/** Structured Streaming counterparts of the batch event analytics: the
+  * same logical transforms declared over `readStream`, so a pipeline
+  * validated in batch can run incrementally. The reference is pure batch
+  * (SURVEY §2.12), so these are north-star extensions: watermarked
+  * tumbling-window aggregation and custom sessionization state.
+  */
+object EventStreams {
+
+  /** The events table as a stream: ns-epoch `ts` surfaces as `event_time`
+    * (µs truncation explicit, `iceberg_trino_sqldemo.sql:185-187` gap).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    // The streaming file source monitors a directory; wrap a bare
+    // parquet file in a temp dir via symlink so both layouts work.
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("events-stream-")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      } else path
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("event_time", TrinoFunctions.nanosToTimestamp(col("ts")))
+  }
+
+  /** Hourly tumbling counts per event type with a watermark bounding
+    * state: identical semantics to the batch `q_events_hourly` —
+    * asserted against it in StreamingSpec.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("hour_bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(user_id: Long, event_time: java.sql.Timestamp,
+      value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, sum_value: Double)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom
+    * stateful operator shape (KeyValueGroupedDataset) for logic window
+    * functions can't express incrementally. State carries epoch-micros
+    * (java.sql.Timestamp#getTime is ms-truncated — µs matter here).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[List[SessionState]]) =>
+          val sorted = rows.toSeq.sortBy(e => toMicros(e.event_time))
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer[Session]()
+          sorted.foreach { e =>
+            val t = toMicros(e.event_time)
+            sessions match {
+              case cur :: rest if t - cur.last <= gapUs =>
+                sessions = cur.copy(last = t, n = cur.n + 1,
+                  sum = cur.sum + e.value) :: rest
+              case cur :: rest =>
+                closed += Session(userId, fromMicros(cur.start),
+                  fromMicros(cur.last), cur.n, cur.sum)
+                sessions = SessionState(t, t, 1, e.value) :: rest
+              case Nil =>
+                sessions = SessionState(t, t, 1, e.value) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.iterator
+      }
+  }
+
+  /** Batch reference implementation of the same sessionization (window
+    * functions over the complete data) — the oracle for the stateful
+    * streaming path.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_time"))
+    events
+      .withColumn("prev", lag(col("event_time"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev").isNull ||
+          (unix_millis(col("event_time")) - unix_millis(col("prev"))) > gapMs)
+          .cast("int"))
+      .withColumn("session_no",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .drop("session_no")
+  }
+}

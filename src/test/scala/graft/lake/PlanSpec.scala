@@ -1,0 +1,82 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Physical-plan assertions — the properties that decide whether these
+  * operators survive a 100× scale-up (SURVEY §4): residual filters must
+  * reach the parquet reader, MoR delete application must broadcast the
+  * delete side (never shuffle the data side), and scans must stay inside
+  * whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+
+  private def freshTable(mode: String): LakeTable = {
+    val customers = s.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("mktsegment"))
+    LakeTable.create(s,
+      Files.createTempDirectory("plan-").resolve("t").toString,
+      Right(customers), partitioning = Seq("mktsegment"),
+      properties = Map("merge_mode" -> mode))
+  }
+
+  test("lake scan pushes residual filter into the parquet reader") {
+    val t = freshTable("merge-on-read")
+    val plan = t.read(col("custkey") > 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(custkey), GreaterThan(custkey,100)]"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("MoR read broadcasts deletion vectors — data side never shuffles") {
+    val t = freshTable("merge-on-read")
+    t.delete(col("custkey") % 7 === 0)
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "delete application must not " +
+      "sort-merge (shuffles the full data side)")
+  }
+
+  test("lake scan participates in whole-stage codegen") {
+    val t = freshTable("merge-on-read")
+    val plan = t.read().queryExecution.executedPlan.toString
+    // compact plan strings mark WholeStageCodegen stages with "*(n)"
+    assert(plan.contains("*("), plan.take(1500))
+  }
+
+  test("pruned scan reads strictly fewer files (manifest-level prune)") {
+    val orders = s.read.parquet(s"$sf/orders.parquet")
+    val t = LakeTable.create(s,
+      Files.createTempDirectory("plan-").resolve("t").toString,
+      Right(orders), partitioning = Seq("year(o_orderdate)"))
+    val m = t.meta
+    val (files, _) = Meta.liveFiles(m, m.currentSnapshot.get)
+    val pred = col("o_orderdate") >=
+      lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+      col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val pruned = Scan.pruneFiles(m, files, Some(pred))
+    assert(pruned.size == 1, s"${pruned.size} of ${files.size} files " +
+      "survived a single-year predicate over year partitioning")
+  }
+
+  test("IN-list prunes via bucket transform partitioning") {
+    val customers = s.read.parquet(s"$sf/customer.parquet")
+    val t = LakeTable.create(s,
+      Files.createTempDirectory("plan-").resolve("t").toString,
+      Right(customers), partitioning = Seq("bucket(c_custkey, 8)"))
+    val m = t.meta
+    val (files, _) = Meta.liveFiles(m, m.currentSnapshot.get)
+    assert(files.size > 4)
+    val pruned = Scan.pruneFiles(m, files,
+      Some(col("c_custkey").isin(11L, 47L)))
+    assert(pruned.size <= 2, s"${pruned.size} files for a 2-key IN-list " +
+      "over bucket(8) partitioning")
+    assert(t.read(col("c_custkey").isin(11L, 47L)).count() == 2)
+  }
+}
