@@ -102,7 +102,11 @@ object Meta {
       snapshots: List[Snapshot],
       refs: Map[String, Ref],
       properties: Map[String, String],
-      metadataLog: List[String]) {
+      metadataLog: List[String],
+      /** Version this metadata was loaded from — the CAS base for commit.
+        * 0 = fresh table. Set by load(); the serialized value is ignored.
+        */
+      baseVersion: Int = 0) {
 
     def schema(id: Int): SchemaInfo = schemas.find(_.schemaId == id).get
     def currentSchema: SchemaInfo = schema(currentSchemaId)
@@ -154,14 +158,22 @@ object Meta {
     val p = metadataDir(location).resolve(s"v$v.json")
     Serialization.read[TableMetadata](
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .copy(baseVersion = v)
   }
 
-  /** Commit metadata as the next version. Optimistic single-writer: the
-    * version file is created atomically; a concurrent commit of the same
-    * version loses the rename race and must retry on reload.
+  /** Commit metadata as the next version — optimistic CAS on the version
+    * the metadata was loaded from: a writer holding stale metadata fails
+    * instead of silently dropping the interleaved commit, and two writers
+    * racing the same base lose on the (atomic) rename. Retry = reload,
+    * reapply, commit.
     */
   def commit(meta: TableMetadata): Int = {
-    val next = currentVersion(meta.location).map(_ + 1).getOrElse(1)
+    val cur = currentVersion(meta.location).getOrElse(0)
+    if (cur != meta.baseVersion)
+      throw new IllegalStateException(
+        s"stale metadata: loaded v${meta.baseVersion} but table is at " +
+          s"v$cur (${meta.location}) — reload and retry")
+    val next = meta.baseVersion + 1
     val versionFile = metadataDir(meta.location).resolve(s"v$next.json")
     if (Files.exists(versionFile))
       throw new IllegalStateException(

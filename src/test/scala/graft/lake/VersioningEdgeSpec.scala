@@ -1,0 +1,83 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Versioning edges the main lifecycle doesn't cover: tags, time travel
+  * by timestamp, branch drop, and the optimistic-commit conflict path.
+  */
+class VersioningEdgeSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+
+  private def base() = {
+    val df = s.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") < 10)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+    LakeTable.create(s,
+      Files.createTempDirectory("vedge-").resolve("t").toString, Right(df))
+  }
+
+  test("tags pin a snapshot; reads through the tag are frozen") {
+    import s.implicits._
+    val t = base()
+    val snap1 = t.meta.currentSnapshotId.get
+    t.createTag("v1.0", snap1)
+    t.append(Seq((100L, "later")).toDF("custkey", "name"))
+    assert(t.readRef("v1.0").count() == 10)
+    assert(t.read().count() == 11)
+    val refs = t.metaTable("refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(refs("v1.0") == "TAG" && refs("main") == "BRANCH")
+  }
+
+  test("FOR TIMESTAMP AS OF resolves along main ancestry") {
+    import s.implicits._
+    val t = base()
+    val after1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.append(Seq((100L, "later")).toDF("custkey", "name"))
+    assert(t.asOfTime(after1).count() == 10)
+    assert(t.asOfTime(System.currentTimeMillis()).count() == 11)
+  }
+
+  test("dropBranch removes the ref; main is protected") {
+    val t = base()
+    t.createBranch("scratch")
+    assert(t.metaTable("refs").count() == 2)
+    t.dropBranch("scratch")
+    assert(t.metaTable("refs").count() == 1)
+    intercept[IllegalArgumentException](t.readRef("scratch"))
+    intercept[IllegalArgumentException](t.dropBranch("main"))
+  }
+
+  test("optimistic concurrency: stale metadata loses the commit race") {
+    val t = base()
+    val stale = t.meta // loaded at version N
+    t.setProperties(Map("k" -> "v")) // advances to N+1
+    intercept[IllegalStateException] {
+      Meta.commit(stale.copy(properties = stale.properties + ("x" -> "y")))
+    }
+    // winner's commit is intact
+    assert(t.properties("k") == "v")
+  }
+
+  test("sorted_by table property orders rows within data files") {
+    val df = s.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+      .orderBy(rand(7)) // shuffle input order
+    val t = LakeTable.create(s,
+      Files.createTempDirectory("sorted-").resolve("t").toString,
+      Right(df), properties = Map("sorted_by" -> "custkey"))
+    // every file individually sorted: per-file check via $path
+    val rows = t.readWithMetaColumns()
+      .select(col("$path"), col("custkey")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { case (_, rs) =>
+      val keys = rs.map(_.getLong(1)).toSeq
+      assert(keys == keys.sorted, "file not sorted by custkey")
+    }
+  }
+}
