@@ -447,10 +447,22 @@ class LakeTable(val spark: SparkSession, val location: String) {
         val preimage: Option[DataFrame] =
           if (mf.addedDeletes.nonEmpty) {
             // MoR deletes: join parent state against the new delete ids.
+            // Deletion vectors are metadata-sized → take their row-id
+            // bounds first and prune parent files whose _row_id stats
+            // can't overlap — the preimage scan touches only files that
+            // actually lost rows, not the whole parent snapshot.
             val (pData, pDels) = parentLive.getOrElse((Nil, Nil))
             val delDf = broadcast(spark.read.parquet(
               mf.addedDeletes.map(d => s"$location/${d.path}"): _*))
-            val parent = Scan.readEntries(spark, m, pData, pDels)
+            val b = delDf.agg(min(col("_del_row_id")), max(col("_del_row_id")))
+              .head()
+            val (lo, hi) = (b.getLong(0), b.getLong(1))
+            val prunedParent = pData.filter { f =>
+              f.stats.get(RowId).forall { st =>
+                st.min.forall(_.toLong <= hi) && st.max.forall(_.toLong >= lo)
+              }
+            }
+            val parent = Scan.readEntries(spark, m, prunedParent, pDels)
             Some(parent.join(delDf,
               parent(RowId) === delDf("_del_row_id") &&
                 parent(LastUpdatedSeq) < delDf("_del_seq"), "left_semi"))
