@@ -502,6 +502,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
     */
   def optimize(fileSizeThresholdBytes: Long = 100L << 20,
       filePredicate: Option[(String, Long) => Boolean] = None,
+      clusterBy: Seq[String] = Nil,
+      targetFileCount: Option[Int] = None,
       branch: String = "main"): Option[Snapshot] = {
     val m = meta
     val (files, dels) = liveOf(m, branch)
@@ -517,10 +519,14 @@ class LakeTable(val spark: SparkSession, val location: String) {
     if (selected.size < 2) return None // nothing worth compacting
     val seq = m.lastSequenceNumber + 1
     val rows = Scan.readEntries(spark, m, selected, dels)
-    val targetFiles = math.max(1,
-      (selected.map(_.sizeBytes).sum / fileSizeThresholdBytes).toInt)
-    val entries = Writer.writeDataFiles(rows.coalesce(targetFiles), location,
-      m.defaultSpec, m.currentSchemaId, seq, sortedBy(m))
+    val targetFiles = targetFileCount.getOrElse(math.max(1,
+      (selected.map(_.sizeBytes).sum / fileSizeThresholdBytes).toInt))
+    val arranged =
+      if (clusterBy.nonEmpty) ZOrder.cluster(rows, clusterBy, targetFiles)
+      else rows.coalesce(targetFiles)
+    val entries = Writer.writeDataFiles(arranged, location,
+      m.defaultSpec, m.currentSchemaId, seq,
+      if (clusterBy.nonEmpty) Nil else sortedBy(m))
     val allCompacted = selected.map(_.path).toSet == files.map(_.path).toSet
     Some(commitSnapshot(m, "replace",
       Manifest(entries.toList, Nil, selected.map(_.path).toList,

@@ -1,0 +1,59 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Z-order (Morton) clustering for compaction: quantize each clustering
+  * column to `bits` via its rank, interleave the bits into one z-value,
+  * and sort the rewrite by it. Rows close in the multi-dimensional key
+  * space land in the same files, so min/max file pruning works on ANY
+  * clustered column — the property plain sort orders only give the
+  * leading column.
+  *
+  * Cost: one rank window per clustering column over the data being
+  * rewritten — acceptable at compaction time (the data is being
+  * rewritten anyway), never on the read path.
+  */
+object ZOrder {
+
+  /** Interleave `bits` bits of each quantized column into a Morton code
+    * (pure bitwise expressions, codegen'd).
+    */
+  def interleave(quantized: Seq[Column], bits: Int): Column = {
+    val n = quantized.size
+    val terms = for {
+      b <- 0 until bits
+      (q, d) <- quantized.zipWithIndex
+    } yield shiftleft(
+      shiftright(q, b).bitwiseAND(lit(1L)), b * n + d)
+    terms.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Append a `_zvalue` column: per-column percent_rank quantized to
+    * `bits`, interleaved.
+    */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16)
+      : DataFrame = {
+    val maxQ = (1L << bits) - 1
+    val quantCols = cols.map { c =>
+      val w = Window.orderBy(col(c))
+      (percent_rank().over(w) * maxQ).cast("long").as(s"_q_$c")
+    }
+    val withQ = df.select(df.columns.map(col).toSeq ++ quantCols: _*)
+    withQ
+      .withColumn("_zvalue",
+        interleave(cols.map(c => col(s"_q_$c")), bits))
+      .drop(cols.map(c => s"_q_$c"): _*)
+  }
+
+  /** Sort a rewrite batch in z-order over `cols` (used by
+    * [[LakeTable.optimize]] clusterBy).
+    */
+  def cluster(df: DataFrame, cols: Seq[String], targetFiles: Int,
+      bits: Int = 16): DataFrame =
+    withZValue(df, cols, bits)
+      .repartitionByRange(math.max(1, targetFiles), col("_zvalue"))
+      .sortWithinPartitions("_zvalue")
+      .drop("_zvalue")
+}

@@ -194,6 +194,26 @@ object LakeQueries {
       .orderBy("orderkey")
   }
 
+  /** Z-order clustered compaction: rewrite orders clustered on
+    * (custkey, totalprice), then a selective filter on the *second*
+    * clustered column — pruning works on either dimension, results
+    * invariant (oracle = plain SQL over the source).
+    */
+  def zorderCompaction(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("zorder", d) { loc =>
+      val t0 = graft.lake.LakeTable.create(s, loc,
+        Right(Tables.orders(s, d).repartition(6)))
+      t0.optimize(fileSizeThresholdBytes = 1L << 30,
+        clusterBy = Seq("o_custkey", "o_totalprice"),
+        targetFileCount = Some(8))
+      t0
+    }
+    t.read(col("o_totalprice") < 20000.0)
+      .select(col("o_orderkey").as("orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("orderkey")
+  }
+
   /** Schema evolution with v3 defaults (`sql:166-169`). */
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     val t = scenario("schevo", d) { loc =>
@@ -273,6 +293,7 @@ object LakeQueries {
     "lake_branch_dev"      -> branchDev _,
     "lake_cdc_changes"     -> cdcChanges _,
     "lake_optimize_invariance" -> optimizeInvariance _,
+    "lake_zorder_compaction" -> zorderCompaction _,
     "lake_pruned_scan"     -> prunedScan _,
     "lake_schema_evolution" -> schemaEvolution _,
     "lake_snapshot_log"    -> snapshotLog _,
@@ -340,6 +361,9 @@ object LakeQueries {
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment
          FROM customer WHERE c_custkey < 80 AND c_custkey % 9 <> 0
          ORDER BY custkey""",
+    "lake_zorder_compaction" ->
+      """SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+         FROM orders WHERE o_totalprice < 20000.0 ORDER BY orderkey""",
     "lake_pruned_scan" ->
       """SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS order_date,
                 o_totalprice AS totalprice

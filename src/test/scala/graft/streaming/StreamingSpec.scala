@@ -26,6 +26,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization state carries across micro-batches") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(uid: Long, t: String, v: Double) =
+      EventStreams.Event(uid, java.sql.Timestamp.valueOf(t), v)
+    implicit val sq = s.sqlContext
+    val src = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(src.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("xbatch_sessions").start()
+    try {
+      // batch 1: open a session for user 1
+      src.addData(ev(1, "2024-01-01 10:00:00", 1.0),
+        ev(1, "2024-01-01 10:05:00", 2.0))
+      q.processAllAvailable()
+      assert(s.table("xbatch_sessions").count() == 0, "session still open")
+      // batch 2: event within the gap EXTENDS the session from batch 1
+      src.addData(ev(1, "2024-01-01 10:12:00", 3.0))
+      q.processAllAvailable()
+      assert(s.table("xbatch_sessions").count() == 0, "still open")
+      // batch 3: event past the gap closes the combined session
+      src.addData(ev(1, "2024-01-01 11:00:00", 4.0))
+      q.processAllAvailable()
+      val closed = s.table("xbatch_sessions").collect()
+      assert(closed.length == 1)
+      val r = closed.head
+      assert(r.getAs[java.sql.Timestamp]("session_start").toString
+        .startsWith("2024-01-01 10:00:00"))
+      assert(r.getAs[java.sql.Timestamp]("session_end").toString
+        .startsWith("2024-01-01 10:12:00"))
+      assert(r.getAs[Int]("n_events") == 3, "batch-1 events + batch-2 event")
+      assert(r.getAs[Double]("sum_value") == 6.0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window oracle") {
     import s.implicits._
     val batchEvents = s.read.parquet(s"$sf/events.parquet")
