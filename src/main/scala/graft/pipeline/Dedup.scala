@@ -108,6 +108,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs via iterative
+    * min-label propagation — the step that turns pairwise matches into
+    * dedup *clusters* (a ~ b, b ~ c ⇒ {a,b,c} keep one). Each iteration
+    * is one join + aggregate; near-dup components have tiny diameters,
+    * so few iterations converge; early-exits when no label changes.
+    */
+  def components(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("neighbor_min"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("neighbor_min"),
+            col("component"))).as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("id")).filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one representative (min id) per near-duplicate cluster:
+    * the end-to-end dedup — pair detection → components → filtered
+    * dataset.
+    */
+  def dropDuplicatesByPairs(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = components(pairs)
+    val losers = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash per document: sign-sum of word-hash bits, rebuilt
     * into a long; near-dup pairs via 4×16-bit band LSH + Hamming ≤ maxHamming
     * (pigeonhole: ≤3 differing bits ⇒ at least one equal band).

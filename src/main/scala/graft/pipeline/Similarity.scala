@@ -30,7 +30,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over array<double>: a native fused-loop codegen Expression
+    * ([[graft.functions.CosineSimilarity]]) — one pass, no intermediate
+    * arrays. `cosineHof` keeps the composable built-in form (works on
+    * any numeric array type via implicit casts) as reference/fallback.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineNative(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Dot with a constant plane (literal folded into codegen). */
   def dotWithConst(v: Column, plane: Array[Double]): Column =

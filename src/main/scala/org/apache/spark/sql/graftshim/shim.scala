@@ -23,6 +23,13 @@ package object graftshim {
 
   def columnNode(c: Column): GNode = conv(c.node)
 
+  /** Column ↔ Catalyst Expression (for custom codegen expressions). */
+  def columnExpr(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+
+  def columnOf(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   private def conv(n: internal.ColumnNode): GNode = n match {
     case f: internal.UnresolvedFunction =>
       GFn(f.functionName.toLowerCase(java.util.Locale.ROOT),

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class VectorExprSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+
+  test("native cosine ≡ HOF cosine, and it codegens") {
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val other = emb.select(col("vec_id").as("vid2"), col("v").as("w"))
+    val joined = emb.crossJoin(broadcast(other.limit(3)))
+    val native = joined.select(col("vec_id"), col("vid2"),
+      round(Similarity.cosine(col("v"), col("w")), 9).as("c"))
+    val hof = joined.select(col("vec_id"), col("vid2"),
+      round(Similarity.cosineHof(col("v"), col("w")), 9).as("c"))
+    assert(native.orderBy("vec_id", "vid2").collect().toSeq ==
+      hof.orderBy("vec_id", "vid2").collect().toSeq)
+    // stays inside whole-stage codegen: over a plain projection the
+    // generated java must contain the fused loop from doGenCode
+    // (the cross-join above uses BroadcastNestedLoopJoin, which is not
+    // WSCG-eligible regardless of the expression)
+    val gen = emb
+      .select(Similarity.cosine(col("v"), col("v")).as("c"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("Found 1 WholeStageCodegen"), gen.take(500))
+    assert(gen.contains("Math.sqrt("), "doGenCode loop missing from " +
+      "generated code — expression fell back to interpreted eval")
+  }
+
+  test("null/zero handling: zero vector yields null, mismatched dims ok") {
+    import s.implicits._
+    val df = Seq(
+      (Array(0.0, 0.0), Array(1.0, 2.0)),
+      (Array(1.0, 0.0), Array(1.0, 0.0, 5.0))
+    ).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0), "zero vector → null, not NaN")
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12,
+      "extra trailing dims ignored (min length)")
+  }
+}
+
+class ComponentsSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+
+  test("chained pairs collapse into one cluster") {
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("end-to-end dedup keeps one representative per cluster") {
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.minhashLsh(docs, numHashes = 32, bands = 16,
+      shingleK = 3, jaccardThreshold = 0.5)
+    val pairCount = pairs.count()
+    val deduped = Dedup.dropDuplicatesByPairs(docs, pairs)
+    val removed = docs.count() - deduped.count()
+    assert(removed > 0 && removed <= pairCount,
+      s"removed $removed of $pairCount paired duplicates")
+    // no surviving pair: both endpoints of any near-dup pair can't remain
+    val ids = deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = pairs.collect().count(r =>
+      ids(r.getLong(0)) && ids(r.getLong(1)))
+    assert(survivors == 0, s"$survivors near-dup pairs survived dedup")
+  }
+}
