@@ -105,6 +105,33 @@ object TextAnalysis {
         round(col("score"), 4).as("lang_score"))
   }
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+  private val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII masking for training-data curation: emails, phone-shaped
+    * number runs and IPv4 literals replaced by typed placeholders.
+    * Pure regexp_replace chain — codegen'd, single pass per pattern,
+    * identical semantics in the DuckDB oracle (with the 'g' flag).
+    */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Cheap boilerplate strip: collapse whitespace runs, drop
+    * non-printable control chars, trim — the normalization applied
+    * before fingerprinting/dedup so formatting noise doesn't defeat
+    * exact matching.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
+      "\\s+", " "))
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact
     * content identity) + an 8-way min-hash sketch (winnowing-style
     * robust fingerprint for near-identity).

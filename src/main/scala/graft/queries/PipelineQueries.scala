@@ -105,6 +105,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** PII masking: the synthetic docs carry no PII, so the scenario
+    * plants a deterministic email/phone/IP tail per doc and the
+    * operator must scrub exactly those (oracle replays the same
+    * planting + masking in DuckDB).
+    */
+  def textPiiMask(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        lit(" or +1 555 01"), col("doc_id"),
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+        .as("dirty"))
+    planted.select(col("doc_id"),
+      TextAnalysis.maskPii(col("dirty")).as("masked"))
+      .withColumn("clean",
+        !col("masked").rlike("@|\\+1 555|10\\.0\\."))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d))
@@ -138,6 +157,7 @@ object PipelineQueries {
     "text_quality"         -> textQuality _,
     "text_langid"          -> textLangId _,
     "text_fingerprint"     -> textFingerprint _,
+    "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
     "multimodal_frames"    -> multimodalFrames _
   )
@@ -200,6 +220,34 @@ object PipelineQueries {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                   AS content_md5
          FROM documents ORDER BY doc_id""",
+    "text_pii_mask" ->
+      """WITH planted AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id || '@example.com' ||
+                  ' or +1 555 01' || doc_id ||
+                  ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                    AS dirty
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(dirty,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                    '<IP>', 'g'),
+                  '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS masked,
+                NOT regexp_matches(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(dirty,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                      '<IP>', 'g'),
+                    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+                  '@|\+1 555|10\.0\.') AS clean
+         FROM planted ORDER BY doc_id""",
     "multimodal_features" ->
       """SELECT doc_id AS blob_id,
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
