@@ -46,26 +46,20 @@ object Dedup {
       .select(col(idCol), col("dup_count"))
 
   // MinHash parameters: h_j(x) = (a_j * x + b_j) mod P over
-  // x = xxhash64(shingle) mod P. P prime < 2^31 keeps a*x in Long range.
-  private val P = 2147483629L
-  private def hashParams(n: Int): Seq[(Long, Long)] = {
-    val rnd = new java.util.Random(42)
-    Seq.fill(n)((1 + math.abs(rnd.nextLong()) % (P - 1),
-      math.abs(rnd.nextLong()) % P))
-  }
+  // x = xxhash64(shingle) mod P — shared with the sketch aggregate.
+  private val P = graft.functions.MinHashAgg.P
 
-  /** MinHash signature columns `sig_0..sig_{n-1}` per id. */
+  /** MinHash signature per id as one array column, computed by the
+    * custom [[graft.functions.MinHashAgg]] TypedImperativeAggregate —
+    * a single fixed-size buffer per group with map-side combine, instead
+    * of `numHashes` independent min() aggregate expressions.
+    */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, shingleK: Int): DataFrame = {
-    val params = hashParams(numHashes)
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
-      .withColumn("x", pmod(xxhash64(col("sh")), lit(P)))
-    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("x") * lit(a) + lit(b), lit(P))).as(s"sig_$j")
-    }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+      numHashes: Int, shingleK: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg
+        .minhashSketch(xxhash64(col("sh")), numHashes).as("sig"))
 
   /** MinHash + banded LSH near-duplicate pairs with exact-Jaccard
     * verification of candidates (`id_a < id_b`).
@@ -81,7 +75,8 @@ object Dedup {
     val sigs = minhashSignature(df, textCol, idCol, numHashes, shingleK)
     val banded = sigs.select(col(idCol) +: (0 until bands).map { b =>
       xxhash64(concat_ws(",",
-        (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+        transform(slice(col("sig"), lit(b * rows + 1), lit(rows)),
+          x => x.cast("string"))))
         .as(s"band_$b")
     }: _*)
     val buckets = banded.select(col(idCol), posexplode(
