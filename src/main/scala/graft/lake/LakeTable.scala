@@ -373,16 +373,24 @@ class LakeTable(val spark: SparkSession, val location: String) {
       currentSchemaId = next.schemaId))
   }
 
-  /** ALTER TABLE ADD COLUMN [DEFAULT] (`sql:166,175,185`). */
+  /** ALTER TABLE ADD COLUMN [DEFAULT] (`sql:166,175,185`). Field ids are
+    * never reused: the new id tops the max across ALL schema versions —
+    * reusing a dropped column's id would make old files resolve the new
+    * column to the dropped column's data (the classic evolution bug;
+    * Iceberg tracks last-column-id for exactly this reason).
+    */
   def addColumn(name: String, dt: DataType, default: Option[String] = None)
-      : Unit =
+      : Unit = {
+    val m = meta
+    val maxEver = m.schemas.map(si => SchemaEvolution.maxFieldId(si.struct))
+      .foldLeft(0)(math.max)
     evolveSchema { cur =>
       require(!cur.fieldNames.contains(name), s"column $name exists")
-      var f = SchemaEvolution.withFieldId(
-        StructField(name, dt), SchemaEvolution.maxFieldId(cur) + 1)
+      var f = SchemaEvolution.withFieldId(StructField(name, dt), maxEver + 1)
       default.foreach(d => f = SchemaEvolution.withDefault(f, d))
       StructType(cur.fields :+ f)
     }
+  }
 
   /** ALTER TABLE DROP COLUMN (`sql:181`) — data files untouched. */
   def dropColumn(name: String): Unit =
