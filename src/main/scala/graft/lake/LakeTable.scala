@@ -501,6 +501,26 @@ class LakeTable(val spark: SparkSession, val location: String) {
     parts.foldLeft(empty)(_ unionByName _)
   }
 
+  /** Incremental append read: rows added by `append` commits in
+    * `(fromSnapshotId, toSnapshotId]` — the cheap consumption path for
+    * downstream pipelines that only need new data (full row-level diffs
+    * incl. deletes → [[changes]]). Reads only the files those commits
+    * added; nothing else is touched.
+    */
+  def readIncremental(fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val m = meta
+    val end = toSnapshotId.orElse(m.currentSnapshotId).getOrElse(
+      return Scan.read(spark, m, Scan.ReadOptions()))
+    val chain = m.ancestors(end)
+      .takeWhile(_.snapshotId != fromSnapshotId).reverse
+    val added = chain.filter(_.operation == "append").flatMap { snap =>
+      Meta.readManifest(location, snap.manifests.last).addedData
+    }
+    Scan.readEntries(spark, m, added, Nil)
+      .select(m.currentSchema.struct.fieldNames.map(col).toSeq: _*)
+  }
+
   // ---- maintenance (SURVEY §2.9) -------------------------------------
 
   /** CALL optimize (`sql:263-268`): compact files under the size

@@ -64,6 +64,22 @@ class VersioningEdgeSpec extends AnyFunSuite {
     assert(t.properties("k") == "v")
   }
 
+  test("readIncremental returns only appended rows, skips non-append commits") {
+    import s.implicits._
+    val t = base()
+    val s0 = t.meta.currentSnapshotId.get
+    t.append(Seq((100L, "a1")).toDF("custkey", "name"))
+    t.update(col("custkey") === 100L, Map("name" -> lit("a1-upd")))
+    t.append(Seq((101L, "a2")).toDF("custkey", "name"))
+    val inc = t.readIncremental(s0)
+    val keys = inc.select("custkey").collect().map(_.getLong(0)).toSet
+    assert(keys == Set(100L, 101L),
+      s"incremental read must cover only the two appends, got $keys")
+    // empty range → empty result
+    val head = t.meta.currentSnapshotId.get
+    assert(t.readIncremental(head).count() == 0)
+  }
+
   test("sorted_by table property orders rows within data files") {
     val df = s.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
