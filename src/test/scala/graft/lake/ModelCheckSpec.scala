@@ -15,7 +15,7 @@ class ModelCheckSpec extends AnyFunSuite {
   import TestSpark._
   private lazy val s = spark
 
-  private def runModelCheck(mode: String, seed: Long, nOps: Int): Unit = {
+  def runModelCheckPublic(mode: String, seed: Long, nOps: Int): Unit = {
     import s.implicits._
     val rnd = new scala.util.Random(seed)
     val loc = Files.createTempDirectory(s"model-$mode-").resolve("t").toString
@@ -82,11 +82,11 @@ class ModelCheckSpec extends AnyFunSuite {
   }
 
   test("random DML sequence matches model (merge-on-read)") {
-    runModelCheck("merge-on-read", seed = 1001, nOps = 18)
+    runModelCheckPublic("merge-on-read", seed = 1001, nOps = 18)
   }
 
   test("random DML sequence matches model (copy-on-write)") {
-    runModelCheck("copy-on-write", seed = 2002, nOps = 18)
+    runModelCheckPublic("copy-on-write", seed = 2002, nOps = 18)
   }
 
   test("random predicates: pruned scan ≡ brute-force filter") {
