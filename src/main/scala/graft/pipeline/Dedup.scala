@@ -139,16 +139,34 @@ object Dedup {
     labels
   }
 
-  /** Keep one representative (min id) per near-duplicate cluster:
-    * the end-to-end dedup — pair detection → components → filtered
-    * dataset.
+  /** Keep one representative per near-duplicate cluster — the
+    * end-to-end dedup: pair detection → components → filtered dataset.
+    * With `keepBest`, the representative is the cluster member
+    * maximizing that column (e.g. a quality score, ties broken by min
+    * id) instead of simply the min id — what production curation does:
+    * drop the duplicates, keep the best copy.
     */
   def dropDuplicatesByPairs(df: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", keepBest: Option[String] = None)
+      : DataFrame = {
     val comp = components(pairs)
-    val losers = comp.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    keepBest match {
+      case None =>
+        val losers = comp.filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+        df.join(broadcast(losers), Seq(idCol), "left_anti")
+      case Some(scoreCol) =>
+        import org.apache.spark.sql.expressions.Window
+        val scored = df.select(col(idCol), col(scoreCol))
+          .join(broadcast(comp.withColumnRenamed("id", idCol)),
+            Seq(idCol), "inner")
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col(scoreCol).desc, col(idCol))
+        val losers = scored
+          .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_rk") > 1).select(col(idCol))
+        df.join(broadcast(losers), Seq(idCol), "left_anti")
+    }
   }
 
   /** 64-bit SimHash per document: sign-sum of word-hash bits, rebuilt
