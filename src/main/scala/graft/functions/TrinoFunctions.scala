@@ -75,19 +75,28 @@ object TrinoFunctions {
     */
   def trinoRound(c: Column): Column = round(c)
 
+  /** Exact floor division for epoch-scale longs. Column `/` is always
+    * floating-point (doubles can't represent epoch-nanos >2^53), and
+    * even decimal division rounds the quotient at scale 6 before any
+    * floor() — so subtract the remainder first, making the division an
+    * exact integer at any scale. Inputs are non-negative epochs.
+    */
+  private def floorDiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
+
   /** Nanosecond timestamps (Iceberg v3 `timestamp_ns`, `sql:185-187`).
     * Spark has no ns precision; we carry nanos-since-epoch as LongType
     * (reader config `spark.sql.legacy.parquet.nanosAsLong=true`) and
     * convert at the edge. Truncation to µs is explicit, never silent.
     */
   def nanosToTimestamp(nanos: Column): Column =
-    timestamp_micros((nanos / 1000L).cast("long"))
+    timestamp_micros(floorDiv(nanos, 1000L))
 
   /** Render ns-precision epoch-nanos as an ISO string with 9 fractional
     * digits — full precision preserved (what a ns-aware engine displays).
     */
   def nanosToString(nanos: Column): Column = {
-    val secs = (nanos / 1000000000L).cast("long")
+    val secs = floorDiv(nanos, 1000000000L)
     val frac = pmod(nanos, lit(1000000000L)).cast("long")
     concat(
       date_format(timestamp_seconds(secs), "yyyy-MM-dd HH:mm:ss"),

@@ -134,10 +134,17 @@ class LakeTable(val spark: SparkSession, val location: String) {
 
   // ---- DML (SURVEY §2.6) ---------------------------------------------
 
-  /** INSERT INTO — append rows, new `append` snapshot (`sql:103-106`). */
+  /** INSERT INTO — append rows, new `append` snapshot (`sql:103-106`).
+    * Caller-supplied lineage columns are dropped: `$row_id` assignment
+    * belongs to the table (re-appending rows read with meta columns must
+    * get FRESH ids, or MoR deletes keyed on row id would hit imposters).
+    */
   def append(df: DataFrame, branch: String = "main"): Snapshot = {
     val m = meta
-    val aligned = align(df, m.currentSchema.struct)
+    val cleaned = df.drop(RowId, LastUpdatedSeq,
+      Scan.RowIdCol, Scan.LastSeqCol,
+      Scan.PathCol, Scan.MtimeCol, Scan.PartitionCol)
+    val aligned = align(cleaned, m.currentSchema.struct)
     val seq = m.lastSequenceNumber + 1
     val withLin =
       if (Scan.rowLineageEnabled(m)) Writer.withLineage(aligned, m.nextRowId, seq)
@@ -298,6 +305,13 @@ class LakeTable(val spark: SparkSession, val location: String) {
       var rowsAssigned = 0L
       updatedOpt.foreach { upd =>
         upd.cache()
+        // Trino semantics: a target row matched by >1 source row is an
+        // error, not a silent duplicate (both copies would share one
+        // $row_id and corrupt later MoR deletes).
+        val multi = upd.groupBy(col(RowId)).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(multi == 0,
+          "MERGE: one target row matched more than one source row")
         val delEntry = Writer.writeDeleteFile(upd.select(col(RowId)), location, seq)
         if (delEntry.nonEmpty) {
           val entries = Writer.writeDataFiles(upd, location, m.defaultSpec,
@@ -428,6 +442,9 @@ class LakeTable(val spark: SparkSession, val location: String) {
     */
   def changes(startSnapshotId: Long, endSnapshotId: Long): DataFrame = {
     val m = meta
+    require(m.isAncestorOf(startSnapshotId, endSnapshotId),
+      s"start snapshot $startSnapshotId is not an ancestor of " +
+        s"$endSnapshotId (expired or on another branch) — cannot compute changes")
     val chain = m.ancestors(endSnapshotId)
       .takeWhile(_.snapshotId != startSnapshotId).reverse // oldest first
     val outSchema = m.currentSchema.struct
@@ -512,6 +529,9 @@ class LakeTable(val spark: SparkSession, val location: String) {
     val m = meta
     val end = toSnapshotId.orElse(m.currentSnapshotId).getOrElse(
       return Scan.read(spark, m, Scan.ReadOptions()))
+    require(m.isAncestorOf(fromSnapshotId, end),
+      s"snapshot $fromSnapshotId is not an ancestor of $end " +
+        "(expired or on another branch) — incremental range is undefined")
     val chain = m.ancestors(end)
       .takeWhile(_.snapshotId != fromSnapshotId).reverse
     val added = chain.filter(_.operation == "append").flatMap { snap =>
@@ -661,7 +681,14 @@ object LakeTable {
     val base = if (exists) Meta.load(location) else null
     val schemaId = if (exists) base.currentSchemaId + 1 else 0
     val specId = if (exists) base.specs.map(_.specId).max + 1 else 0
-    val schema = SchemaEvolution.assignIds(userSchema)
+    // REPLACE must not reuse field ids of any prior schema version —
+    // old snapshots stay time-travelable and resolve columns by id.
+    val firstFieldId =
+      if (exists)
+        base.schemas.map(si => SchemaEvolution.maxFieldId(si.struct))
+          .foldLeft(0)(math.max) + 1
+      else 1
+    val schema = SchemaEvolution.assignIds(userSchema, start = firstFieldId)
     val spec = parseSpec(partitioning, specId)
 
     val m0 =

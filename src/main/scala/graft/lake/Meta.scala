@@ -141,6 +141,24 @@ object Meta {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Exclusive atomic publish: fails if `target` already exists — the
+    * actual CAS arm of the commit protocol. A REPLACE_EXISTING move here
+    * would let the second of two same-base racers silently clobber the
+    * first's committed version.
+    */
+  private def atomicWriteExclusive(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, target.getFileName.toString, ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent commit: $target already exists — reload and retry", e)
+    }
+  }
+
   def currentVersion(location: String): Option[Int] = {
     val hint = metadataDir(location).resolve("version-hint.txt")
     if (Files.exists(hint))
@@ -175,11 +193,9 @@ object Meta {
           s"v$cur (${meta.location}) — reload and retry")
     val next = meta.baseVersion + 1
     val versionFile = metadataDir(meta.location).resolve(s"v$next.json")
-    if (Files.exists(versionFile))
-      throw new IllegalStateException(
-        s"concurrent commit: v$next already exists at ${meta.location}")
     val withLog = meta.copy(metadataLog = meta.metadataLog :+ s"v$next.json")
-    atomicWrite(versionFile, Serialization.writePretty(withLog))
+    // exclusive create: same-base racers lose here instead of clobbering
+    atomicWriteExclusive(versionFile, Serialization.writePretty(withLog))
     atomicWrite(metadataDir(meta.location).resolve("version-hint.txt"),
       next.toString)
     next

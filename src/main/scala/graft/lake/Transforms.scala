@@ -205,6 +205,20 @@ object Transforms {
 
   private val monthFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
   private val dayFmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+  private val hourFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
+
+  private def toUtcDateTime(canon: BigDecimal, dt: DataType)
+      : Option[java.time.LocalDateTime] = dt match {
+    case TimestampType | TimestampNTZType =>
+      Some(Instant.ofEpochSecond(
+        Math.floorDiv(canon.toLong, 1000000L),
+        Math.floorMod(canon.toLong, 1000000L) * 1000L)
+        .atZone(ZoneOffset.UTC).toLocalDateTime)
+    case DateType =>
+      Some(LocalDate.ofEpochDay(canon.toLong).atStartOfDay)
+    case _ => None
+  }
 
   /** Map a canonical source value through a transform into the partition
     * value domain (as a comparable), preserving order for time-based
@@ -223,6 +237,10 @@ object Transforms {
     }
     case "day" => canon match {
       case d: BigDecimal => toLocalDate(d, srcType).map(_.format(dayFmt))
+      case _ => None
+    }
+    case "hour" => canon match {
+      case d: BigDecimal => toUtcDateTime(d, srcType).map(_.format(hourFmt))
       case _ => None
     }
     case Bucket(n) =>
@@ -254,9 +272,14 @@ object Transforms {
           try Some(BigDecimal(LocalDate.parse(s).toEpochDay))
           catch { case _: Exception => parseCanonical(s, DateType) }
         case TimestampType | TimestampNTZType =>
-          try Some(BigDecimal(java.sql.Timestamp.valueOf(s.replace("T", " "))
-            .toInstant.toEpochMilli * 1000L))
-          catch { case _: Exception => parseCanonical(s, srcType) }
+          // Partition strings are rendered in the UTC session zone with
+          // up to µs precision; Timestamp.valueOf would reinterpret them
+          // in the JVM-default zone and truncate to ms.
+          try {
+            val ldt = java.time.LocalDateTime.parse(s.replace(" ", "T"))
+            val inst = ldt.toInstant(ZoneOffset.UTC)
+            Some(BigDecimal(inst.getEpochSecond * 1000000L + inst.getNano / 1000L))
+          } catch { case _: Exception => parseCanonical(s, srcType) }
         case dt => parseCanonical(s, dt)
       }
       case "month" | "day" | "hour" => Some(s)

@@ -243,6 +243,10 @@ object Writer {
           if (factor > 0) s(x * factor) else s(x / -factor)
         }
         (Some(conv(st.genericGetMin)), Some(conv(st.genericGetMax)), true)
+      case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        // decimal stats are unscaled integers; recording them raw would
+        // make pruning non-conservative (12.34 stored as 1234) → skip
+        (None, None, false)
       case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
             PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE |
             PrimitiveTypeName.BOOLEAN, _) =>

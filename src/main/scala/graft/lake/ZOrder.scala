@@ -30,15 +30,32 @@ object ZOrder {
     terms.reduce((a, c) => a.bitwiseOR(c))
   }
 
-  /** Append a `_zvalue` column: per-column percent_rank quantized to
-    * `bits`, interleaved.
+  /** Append a `_zvalue` column: per-column linear quantization against
+    * the batch's min/max (one distributed aggregate), interleaved.
+    *
+    * A rank-based quantization (percent_rank over an unpartitioned
+    * window) would funnel the whole rewrite through ONE task — Spark
+    * even warns about it — which contradicts the compaction-at-scale
+    * purpose. Linear binning is a single agg + a map stage; it loses
+    * equi-depth bins under heavy skew, but preserves order and
+    * multi-dimensional locality, which is all pruning needs.
     */
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16)
       : DataFrame = {
-    val maxQ = (1L << bits) - 1
+    val maxQ = ((1L << bits) - 1).toDouble
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"_mn_$c"),
+      max(col(c).cast("double")).as(s"_mx_$c")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
     val quantCols = cols.map { c =>
-      val w = Window.orderBy(col(c))
-      (percent_rank().over(w) * maxQ).cast("long").as(s"_q_$c")
+      val mn = Option(b.getAs[java.lang.Double](s"_mn_$c"))
+        .map(_.doubleValue).getOrElse(0.0)
+      val mx = Option(b.getAs[java.lang.Double](s"_mx_$c"))
+        .map(_.doubleValue).getOrElse(0.0)
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      least(greatest(
+        (((col(c).cast("double") - lit(mn)) / lit(span)) * maxQ).cast("long"),
+        lit(0L)), lit(maxQ.toLong)).as(s"_q_$c")
     }
     val withQ = df.select(df.columns.map(col).toSeq ++ quantCols: _*)
     withQ
