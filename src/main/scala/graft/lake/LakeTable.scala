@@ -86,7 +86,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
       s"manifest-$snapId-${UUID.randomUUID.toString.take(8)}.json", manifest)
     val snap = Snapshot(snapId, parent, seq, System.currentTimeMillis(),
       operation, parentManifests :+ mPath,
-      summary ++ Map(
+      schemaId = base.currentSchemaId,
+      summary = summary ++ Map(
         "added-data-files" -> manifest.addedData.size.toString,
         "added-delete-files" -> manifest.addedDeletes.size.toString,
         "removed-data-files" -> manifest.removedDataPaths.size.toString,

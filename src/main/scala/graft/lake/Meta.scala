@@ -75,7 +75,11 @@ object Meta {
       timestampMs: Long,
       operation: String, // append | overwrite | delete | replace
       manifests: List[String],
-      summary: Map[String, String])
+      summary: Map[String, String],
+      /** Schema current when this snapshot committed — time travel reads
+        * with it (Iceberg semantics). -1 on legacy entries → current.
+        */
+      schemaId: Int = -1)
 
   /** Schema version; `schemaJson` is Spark's own StructType JSON, with
     * per-field metadata `graft.field-id` (stable across rename/drop,

@@ -77,12 +77,16 @@ object Scan {
     */
   def readEntries(spark: SparkSession, meta: TableMetadata,
       entries: Seq[DataFileEntry], deletes: Seq[DeleteFileEntry],
-      withPath: Boolean = false, applyDeletes: Boolean = true): DataFrame = {
+      withPath: Boolean = false, applyDeletes: Boolean = true,
+      targetSchemaId: Option[Int] = None): DataFrame = {
     val lineage = rowLineageEnabled(meta)
-    if (entries.isEmpty) return emptyRaw(spark, meta, lineage, withPath)
+    val target = targetSchemaId.map(meta.schema(_).struct)
+      .getOrElse(meta.currentSchema.struct)
+    if (entries.isEmpty)
+      return emptyRaw(spark, meta, lineage, withPath, target)
     val groups = entries.groupBy(_.schemaId).toSeq.sortBy(_._1)
     val parts = groups.map { case (sid, files) =>
-      readGroup(spark, meta, sid, files, lineage, withPath)
+      readGroup(spark, meta, sid, files, lineage, withPath, target)
     }
     var df = parts.reduce(_ unionByName _)
     if (applyDeletes && deletes.nonEmpty && lineage) {
@@ -96,31 +100,41 @@ object Scan {
     df
   }
 
-  /** The user-facing read (S3-S8 of SURVEY §2.1). */
+  /** The user-facing read (S3-S8 of SURVEY §2.1). Time travel (explicit
+    * snapshot id or timestamp) reads with the schema that was current at
+    * that snapshot — Iceberg semantics; branch/current reads use the
+    * table's current schema.
+    */
   def read(spark: SparkSession, meta: TableMetadata, opts: ReadOptions)
       : DataFrame = {
-    val curSchema = meta.currentSchema.struct
     val lineage = rowLineageEnabled(meta)
+    val isTravel = opts.snapshotId.isDefined || opts.asOfTimestampMs.isDefined
     resolveSnapshot(meta, opts) match {
       case None => finalProject(
-        emptyRaw(spark, meta, lineage, opts.withFileMeta), meta, opts, lineage)
+        emptyRaw(spark, meta, lineage, opts.withFileMeta),
+        meta.currentSchema.struct, opts, lineage)
       case Some(snap) =>
+        val schemaAt =
+          if (isTravel && snap.schemaId >= 0) Some(snap.schemaId) else None
+        val target = schemaAt.map(meta.schema(_).struct)
+          .getOrElse(meta.currentSchema.struct)
         val (allData, deletes) = liveFiles(meta, snap)
         val data = pruneFiles(meta, allData, opts.filter)
         if (data.isEmpty)
           return finalProject(
-            emptyRaw(spark, meta, lineage, opts.withFileMeta), meta, opts, lineage)
+            emptyRaw(spark, meta, lineage, opts.withFileMeta, target),
+            target, opts, lineage)
         var df = readEntries(spark, meta, data, deletes,
-          withPath = opts.withFileMeta)
+          withPath = opts.withFileMeta, targetSchemaId = schemaAt)
         if (opts.withFileMeta) df = attachPartitionCol(spark, df, meta, data)
         opts.filter.foreach(f => df = df.filter(f))
-        finalProject(df, meta, opts, lineage)
+        finalProject(df, target, opts, lineage)
     }
   }
 
-  private def finalProject(df: DataFrame, meta: TableMetadata,
+  private def finalProject(df: DataFrame, target: StructType,
       opts: ReadOptions, lineage: Boolean): DataFrame = {
-    val userCols = meta.currentSchema.struct.fieldNames.map(col).toSeq
+    val userCols = target.fieldNames.map(col).toSeq
     val extra =
       (if (opts.withLineage && lineage)
         Seq(col(RowId).as(RowIdCol), col(LastUpdatedSeq).as(LastSeqCol))
@@ -133,8 +147,9 @@ object Scan {
   }
 
   private def emptyRaw(spark: SparkSession, meta: TableMetadata,
-      lineage: Boolean, withPath: Boolean): DataFrame = {
-    var s = meta.currentSchema.struct
+      lineage: Boolean, withPath: Boolean,
+      target: StructType = null): DataFrame = {
+    var s = Option(target).getOrElse(meta.currentSchema.struct)
     if (lineage) s = s.add(RowId, LongType).add(LastUpdatedSeq, LongType)
     if (withPath) s = s.add(GraftPath, StringType)
       .add(GraftMtime, TimestampType).add("_graft_partition", StringType)
@@ -142,8 +157,8 @@ object Scan {
   }
 
   private def readGroup(spark: SparkSession, meta: TableMetadata, sid: Int,
-      files: Seq[DataFileEntry], lineage: Boolean, withPath: Boolean)
-      : DataFrame = {
+      files: Seq[DataFileEntry], lineage: Boolean, withPath: Boolean,
+      target: StructType): DataFrame = {
     val fileStruct = meta.schema(sid).struct
     val readSchema =
       if (lineage)
@@ -156,7 +171,7 @@ object Scan {
       df = df.withColumn(GraftPath, col("_metadata.file_path"))
         .withColumn(GraftMtime, col("_metadata.file_modification_time"))
 
-    val cur = meta.currentSchema.struct
+    val cur = target
     val byId = fileStruct.fields.map(f => SchemaEvolution.fieldId(f) -> f).toMap
     val projected: Seq[Column] = cur.fields.toSeq.map { cf =>
       byId.get(SchemaEvolution.fieldId(cf)) match {

@@ -80,6 +80,29 @@ class VersioningEdgeSpec extends AnyFunSuite {
     assert(t.readIncremental(head).count() == 0)
   }
 
+  test("time travel reads with the snapshot's own schema") {
+    import s.implicits._
+    val t = base()
+    val preEvo = t.meta.currentSnapshotId.get
+    t.addColumn("phone", org.apache.spark.sql.types.StringType,
+      default = Some("+00"))
+    t.append(Seq((500L, "late")).toDF("custkey", "name"))
+    // current read: evolved schema
+    assert(t.read().columns.contains("phone"))
+    // travel to pre-evolution snapshot: its schema, no phone column
+    assert(!t.asOf(preEvo).columns.contains("phone"),
+      "pre-evolution snapshot must read with its own schema")
+    assert(t.asOf(preEvo).count() == 10)
+    // across a REPLACE the old snapshot keeps its own columns
+    val l = t.location
+    val preReplace = t.meta.currentSnapshotId.get
+    val t2 = LakeTable.create(s, l,
+      Right(Seq(("x", 1L)).toDF("name2", "region")), replace = true)
+    val old = t2.asOf(preReplace)
+    assert(old.columns.toSet == Set("custkey", "name", "phone"))
+    assert(old.count() == 11)
+  }
+
   test("sorted_by table property orders rows within data files") {
     val df = s.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
