@@ -106,17 +106,14 @@ class LakeTable(val spark: SparkSession, val location: String) {
     * rejected; types are cast.
     */
   private def align(df: DataFrame, target: StructType): DataFrame = {
-    val extra = df.columns.toSet -- target.fieldNames.toSet --
-      Set(RowId, LastUpdatedSeq)
+    val extra = df.columns.toSet -- target.fieldNames.toSet
     require(extra.isEmpty, s"columns not in table schema: $extra")
     val cols = target.fields.toSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else SchemaEvolution.defaultValue(f).getOrElse(lit(null))
         .cast(f.dataType).as(f.name)
     }
-    val lineage = Seq(RowId, LastUpdatedSeq).filter(df.columns.contains)
-      .map(col)
-    df.select(cols ++ lineage: _*)
+    df.select(cols: _*)
   }
 
   private def sortedBy(m: TableMetadata): Seq[String] =
@@ -306,22 +303,24 @@ class LakeTable(val spark: SparkSession, val location: String) {
       var rowsAssigned = 0L
       updatedOpt.foreach { upd =>
         upd.cache()
-        // Trino semantics: a target row matched by >1 source row is an
-        // error, not a silent duplicate (both copies would share one
-        // $row_id and corrupt later MoR deletes).
-        val multi = upd.groupBy(col(RowId)).count()
-          .filter(col("count") > 1).limit(1).count()
-        require(multi == 0,
-          "MERGE: one target row matched more than one source row")
-        val delEntry = Writer.writeDeleteFile(upd.select(col(RowId)), location, seq)
-        if (delEntry.nonEmpty) {
-          val entries = Writer.writeDataFiles(upd, location, m.defaultSpec,
-            m.currentSchemaId, seq, sortedBy(m))
-          manifest = manifest.copy(
-            addedData = manifest.addedData ++ entries,
-            addedDeletes = manifest.addedDeletes ++ delEntry)
-        }
-        upd.unpersist()
+        try {
+          // Trino semantics: a target row matched by >1 source row is an
+          // error, not a silent duplicate (both copies would share one
+          // $row_id and corrupt later MoR deletes).
+          val multi = upd.groupBy(col(RowId)).count()
+            .filter(col("count") > 1).limit(1).count()
+          require(multi == 0,
+            "MERGE: one target row matched more than one source row")
+          val delEntry = Writer.writeDeleteFile(upd.select(col(RowId)),
+            location, seq)
+          if (delEntry.nonEmpty) {
+            val entries = Writer.writeDataFiles(upd, location, m.defaultSpec,
+              m.currentSchemaId, seq, sortedBy(m))
+            manifest = manifest.copy(
+              addedData = manifest.addedData ++ entries,
+              addedDeletes = manifest.addedDeletes ++ delEntry)
+          }
+        } finally upd.unpersist()
       }
       insertedOpt.foreach { ins =>
         val withLin = Writer.withLineage(ins, m.nextRowId, seq)
@@ -570,12 +569,17 @@ class LakeTable(val spark: SparkSession, val location: String) {
     val rows = Scan.readEntries(spark, m, selected, dels)
     val targetFiles = targetFileCount.getOrElse(math.max(1,
       (selected.map(_.sizeBytes).sum / fileSizeThresholdBytes).toInt))
-    val arranged =
-      if (clusterBy.nonEmpty) ZOrder.cluster(rows, clusterBy, targetFiles)
-      else rows.coalesce(targetFiles)
-    val entries = Writer.writeDataFiles(arranged, location,
-      m.defaultSpec, m.currentSchemaId, seq,
-      if (clusterBy.nonEmpty) Nil else sortedBy(m))
+    // clusterBy makes two passes (min/max agg + write): cache the
+    // delete-applied input so compaction doesn't read the files twice
+    if (clusterBy.nonEmpty) rows.cache()
+    val entries = try {
+      val arranged =
+        if (clusterBy.nonEmpty) ZOrder.cluster(rows, clusterBy, targetFiles)
+        else rows.coalesce(targetFiles)
+      Writer.writeDataFiles(arranged, location,
+        m.defaultSpec, m.currentSchemaId, seq,
+        if (clusterBy.nonEmpty) Nil else sortedBy(m))
+    } finally if (clusterBy.nonEmpty) rows.unpersist()
     val allCompacted = selected.map(_.path).toSet == files.map(_.path).toSet
     Some(commitSnapshot(m, "replace",
       Manifest(entries.toList, Nil, selected.map(_.path).toList,

@@ -146,16 +146,20 @@ object Meta {
   }
 
   /** Exclusive atomic publish: fails if `target` already exists — the
-    * actual CAS arm of the commit protocol. A REPLACE_EXISTING move here
-    * would let the second of two same-base racers silently clobber the
-    * first's committed version.
+    * actual CAS arm of the commit protocol. NB: a rename (Files.move,
+    * even ATOMIC_MOVE) silently REPLACES an existing target on POSIX, so
+    * the publish is a hard link — link(2) is atomic and fails with
+    * EEXIST when the target exists.
     */
   private def atomicWriteExclusive(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent, target.getFileName.toString, ".tmp")
+    val tmp = Files.createTempFile(target.getParent,
+      target.getFileName.toString, ".tmp")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new IllegalStateException(

@@ -193,15 +193,7 @@ object Transforms {
   // ---- transform-aware value mapping ---------------------------------
 
   private def toLocalDate(canon: BigDecimal, dt: DataType): Option[LocalDate] =
-    dt match {
-      case DateType => Some(LocalDate.ofEpochDay(canon.toLong))
-      case TimestampType | TimestampNTZType =>
-        Some(Instant.ofEpochSecond(
-          Math.floorDiv(canon.toLong, 1000000L),
-          Math.floorMod(canon.toLong, 1000000L) * 1000L)
-          .atZone(ZoneOffset.UTC).toLocalDate)
-      case _ => None
-    }
+    toUtcDateTime(canon, dt).map(_.toLocalDate)
 
   private val monthFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
   private val dayFmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE

@@ -31,27 +31,26 @@ object Writer {
   val LastUpdatedSeq = "_last_updated_seq"
   val lineageCols: Seq[String] = Seq(RowId, LastUpdatedSeq)
 
-  /** Attach `_row_id` (from `firstRowId`, unique, stable for the life of
-    * the row — `sql:65-68,133-135`) and `_last_updated_seq` to rows that
-    * don't already carry lineage. zipWithIndex costs one extra pass over
-    * the *written* batch only (never the whole table); Iceberg avoids it
-    * by deriving ids from file-order positions, we trade that pass for
-    * ids that survive arbitrary repartitioning.
+  /** Attach fresh `_row_id` (from `firstRowId`, unique, stable for the
+    * life of the row — `sql:65-68,133-135`) and `_last_updated_seq`.
+    * Callers must pass lineage-free rows (append strips caller-supplied
+    * lineage; rewrite paths that preserve ids write files directly).
+    * zipWithIndex costs one extra pass over the *written* batch only
+    * (never the whole table); Iceberg avoids it by deriving ids from
+    * file-order positions, we trade that pass for ids that survive
+    * arbitrary repartitioning.
     */
   def withLineage(df: DataFrame, firstRowId: Long, seq: Long): DataFrame = {
-    if (df.columns.contains(RowId)) {
-      df.withColumn(LastUpdatedSeq,
-        coalesce(col(LastUpdatedSeq), lit(seq)).cast(LongType))
-    } else {
-      val spark = df.sparkSession
-      val schema = df.schema
-        .add(RowId, LongType, nullable = false)
-        .add(LastUpdatedSeq, LongType, nullable = false)
-      val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (firstRowId + i) :+ seq)
-      }
-      spark.createDataFrame(rdd, schema)
+    require(!df.columns.contains(RowId),
+      s"withLineage expects lineage-free input; found $RowId")
+    val spark = df.sparkSession
+    val schema = df.schema
+      .add(RowId, LongType, nullable = false)
+      .add(LastUpdatedSeq, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (firstRowId + i) :+ seq)
     }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Write `df` (already lineage-carrying, columns = file schema) as data
@@ -243,10 +242,15 @@ object Writer {
           if (factor > 0) s(x * factor) else s(x / -factor)
         }
         (Some(conv(st.genericGetMin)), Some(conv(st.genericGetMax)), true)
+      case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+            dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        // decimal stats are unscaled integers: rescale to canonical form
+        // (recording them raw made pruning non-conservative: 12.34 vs 1234)
+        def conv(v: Any): String =
+          BigDecimal(BigInt(v.toString), dec.getScale).toString
+        (Some(conv(st.genericGetMin)), Some(conv(st.genericGetMax)), true)
       case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
-        // decimal stats are unscaled integers; recording them raw would
-        // make pruning non-conservative (12.34 stored as 1234) → skip
-        (None, None, false)
+        (None, None, false) // binary-backed decimals: skip conservatively
       case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
             PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE |
             PrimitiveTypeName.BOOLEAN, _) =>

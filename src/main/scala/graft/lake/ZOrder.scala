@@ -40,12 +40,34 @@ object ZOrder {
     * equi-depth bins under heavy skew, but preserves order and
     * multi-dimensional locality, which is all pruning needs.
     */
+  /** Order-preserving numeric key per supported type: numerics and
+    * timestamps cast to double, dates via epoch-day, strings via a
+    * packed 7-byte prefix (lexicographic order preserved for the prefix
+    * — enough locality for clustering). Unsupported types error clearly
+    * instead of silently null-casting.
+    */
+  private def orderKey(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case TimestampType | TimestampNTZType => col(c).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case StringType =>
+        (0 until 7).map(k =>
+          coalesce(ascii(substring(col(c), k + 1, 1)), lit(0))
+            .cast("double") * math.pow(256.0, 6 - k))
+          .reduce(_ + _)
+      case other => throw new IllegalArgumentException(
+        s"clusterBy($c): unsupported type $other")
+    }
+  }
+
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16)
       : DataFrame = {
     val maxQ = ((1L << bits) - 1).toDouble
+    val keyed = cols.map(c => c -> orderKey(df, c)).toMap
     val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"_mn_$c"),
-      max(col(c).cast("double")).as(s"_mx_$c")))
+      min(keyed(c)).as(s"_mn_$c"), max(keyed(c)).as(s"_mx_$c")))
     val b = df.agg(aggs.head, aggs.tail: _*).head()
     val quantCols = cols.map { c =>
       val mn = Option(b.getAs[java.lang.Double](s"_mn_$c"))
@@ -54,7 +76,7 @@ object ZOrder {
         .map(_.doubleValue).getOrElse(0.0)
       val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
       least(greatest(
-        (((col(c).cast("double") - lit(mn)) / lit(span)) * maxQ).cast("long"),
+        (((keyed(c) - lit(mn)) / lit(span)) * maxQ).cast("long"),
         lit(0L)), lit(maxQ.toLong)).as(s"_q_$c")
     }
     val withQ = df.select(df.columns.map(col).toSeq ++ quantCols: _*)
