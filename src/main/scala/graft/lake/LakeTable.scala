@@ -610,8 +610,14 @@ class LakeTable(val spark: SparkSession, val location: String) {
       }.toSet
     val keepFiles = referenced(keep)
     val dropFiles = referenced(dropped.map(_.snapshotId).toSet) -- keepFiles
-    dropFiles.foreach(p => Files.deleteIfExists(Paths.get(location, p)))
+    // Commit the snapshot removal FIRST (CAS on the state the drop set
+    // was computed from), and only then touch storage: if the commit
+    // loses to a concurrent writer (e.g. a rollback targeting a snapshot
+    // being expired) or the process dies here, no live metadata ever
+    // references a deleted file. Files orphaned by a crash after the
+    // commit are removeOrphanFiles' job.
     Meta.commit(m.copy(snapshots = m.snapshots.filter(s => keep(s.snapshotId))))
+    dropFiles.foreach(p => Files.deleteIfExists(Paths.get(location, p)))
   }
 
   /** CALL remove_orphan_files (`sql:261`): files on disk no snapshot

@@ -167,11 +167,24 @@ object Meta {
     }
   }
 
+  /** Latest committed version. The hint file is a CACHE, not the source
+    * of truth: the commit point is the (atomic) publish of v{N}.json, and
+    * a crash between that and the hint update would otherwise leave the
+    * hint permanently behind — every commit would reload N, collide on
+    * v{N+1}.json, and the table would be wedged. So always probe past the
+    * hint for version files a crashed/concurrent writer already
+    * published, and fast-forward the hint opportunistically.
+    */
   def currentVersion(location: String): Option[Int] = {
-    val hint = metadataDir(location).resolve("version-hint.txt")
-    if (Files.exists(hint))
-      Some(new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt)
-    else None
+    val dir = metadataDir(location)
+    val hint = dir.resolve("version-hint.txt")
+    if (!Files.exists(hint)) return None
+    val hinted =
+      new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt
+    var v = hinted
+    while (Files.exists(dir.resolve(s"v${v + 1}.json"))) v += 1
+    if (v != hinted) atomicWrite(hint, v.toString)
+    Some(v)
   }
 
   def load(location: String): TableMetadata = {

@@ -59,13 +59,28 @@ object Scan {
   def rowLineageEnabled(meta: TableMetadata): Boolean =
     meta.properties.getOrElse("row-lineage", "true") == "true"
 
-  /** Prune a snapshot's live data files against a predicate. */
+  /** Prune a snapshot's live data files against a predicate. The
+    * predicate's column names are resolved in `namesSchemaId`'s schema
+    * (the schema the caller's DataFrame exposes — current for normal
+    * reads/DML, the snapshot's own for time travel) and remapped to each
+    * file's write-time schema by stable field id, mirroring the read
+    * path: a name whose id the file schema lacks contributes no pruning
+    * rather than consulting a dead column's stats.
+    */
   def pruneFiles(meta: TableMetadata, files: Seq[DataFileEntry],
-      filter: Option[Column]): Seq[DataFileEntry] =
+      filter: Option[Column], namesSchemaId: Option[Int] = None)
+      : Seq[DataFileEntry] =
     filter.map(Transforms.analyzeColumn) match {
-      case Some(p) => files.filter(f =>
-        Transforms.mightMatch(p, f, meta.schema(f.schemaId).struct,
-          meta.spec(f.specId)))
+      case Some(p) =>
+        val names = namesSchemaId.map(meta.schema(_).struct)
+          .getOrElse(meta.currentSchema.struct)
+        val bySchema = scala.collection.mutable.Map[Int, Transforms.Pred]()
+        files.filter { f =>
+          val fileSchema = meta.schema(f.schemaId).struct
+          val fp = bySchema.getOrElseUpdate(f.schemaId,
+            Transforms.remapPred(p, names, fileSchema))
+          Transforms.mightMatch(fp, f, fileSchema, meta.spec(f.specId))
+        }
       case None => files
     }
 
@@ -119,7 +134,7 @@ object Scan {
         val target = schemaAt.map(meta.schema(_).struct)
           .getOrElse(meta.currentSchema.struct)
         val (allData, deletes) = liveFiles(meta, snap)
-        val data = pruneFiles(meta, allData, opts.filter)
+        val data = pruneFiles(meta, allData, opts.filter, schemaAt)
         if (data.isEmpty)
           return finalProject(
             emptyRaw(spark, meta, lineage, opts.withFileMeta, target),

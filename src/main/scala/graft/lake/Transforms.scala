@@ -145,6 +145,37 @@ object Transforms {
   private def cmp(op: String, a: Expression, v: Expression): Option[Pred] =
     for { c <- attrName(a); lv <- litValue(v) } yield Cmp(op, c, lv)
 
+  // ---- schema-version remapping --------------------------------------
+
+  /** Rewrite a predicate's column names from `names`-schema naming into
+    * a specific file schema's naming via stable field ids — the same
+    * resolution the read path uses. A leaf whose column has no
+    * same-id counterpart in the file schema becomes Opaque (no prune):
+    * after drop-then-re-add of a name, the old file's stats describe the
+    * DROPPED field, and consulting them for the new field would prune
+    * files whose projected rows (default-filled) can match. Stats and
+    * partition tuples are keyed by write-time names, so the remapped name
+    * is the correct key for both.
+    */
+  def remapPred(p: Pred, names: StructType, fileSchema: StructType): Pred = {
+    val curId: Map[String, Int] = names.fields.iterator
+      .map(f => f.name -> SchemaEvolution.fieldId(f)).toMap
+    val fileById: Map[Int, String] = fileSchema.fields.iterator
+      .map(f => SchemaEvolution.fieldId(f) -> f.name).toMap
+    def resolve(c: String): Option[String] =
+      curId.get(c).filter(_ >= 0).flatMap(fileById.get)
+    def walk(p: Pred): Pred = p match {
+      case Cmp(op, c, v) => resolve(c).map(Cmp(op, _, v)).getOrElse(Opaque)
+      case InSet(c, vs) => resolve(c).map(InSet(_, vs)).getOrElse(Opaque)
+      case NullCheck(c, b) =>
+        resolve(c).map(NullCheck(_, b)).getOrElse(Opaque)
+      case AndP(a, b) => AndP(walk(a), walk(b))
+      case OrP(a, b) => OrP(walk(a), walk(b))
+      case Opaque => Opaque
+    }
+    walk(p)
+  }
+
   // ---- value canonicalization ----------------------------------------
 
   /** Canonical comparable for a Scala-side value of a given column type:

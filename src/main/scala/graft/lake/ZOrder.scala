@@ -64,7 +64,12 @@ object ZOrder {
 
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16)
       : DataFrame = {
-    val maxQ = ((1L << bits) - 1).toDouble
+    // The interleaved code must fit one long: Java shifts wrap mod 64,
+    // so cols*bits > 64 would silently corrupt z-values (e.g. 5 columns
+    // at the default 16 bits). Degrade bit depth instead — locality per
+    // dimension shrinks, ordering stays correct.
+    val bitsEff = math.max(1, math.min(bits, 64 / math.max(1, cols.size)))
+    val maxQ = ((1L << bitsEff) - 1).toDouble
     val keyed = cols.map(c => c -> orderKey(df, c)).toMap
     val aggs = cols.flatMap(c => Seq(
       min(keyed(c)).as(s"_mn_$c"), max(keyed(c)).as(s"_mx_$c")))
@@ -82,7 +87,7 @@ object ZOrder {
     val withQ = df.select(df.columns.map(col).toSeq ++ quantCols: _*)
     withQ
       .withColumn("_zvalue",
-        interleave(cols.map(c => col(s"_q_$c")), bits))
+        interleave(cols.map(c => col(s"_q_$c")), bitsEff))
       .drop(cols.map(c => s"_q_$c"): _*)
   }
 

@@ -149,23 +149,28 @@ object Dedup {
   def dropDuplicatesByPairs(df: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", keepBest: Option[String] = None)
       : DataFrame = {
+    // No broadcast hints here: the loser set (and the components frame)
+    // scales with the corpus's duplicate count, which is unbounded — a
+    // broadcast would OOM the driver exactly on the dup-heavy corpora
+    // this exists for. A shuffle left_anti/inner join on the id is the
+    // plan that survives 100 TB; AQE still downgrades it to a broadcast
+    // at runtime when the set turns out small.
     val comp = components(pairs)
     keepBest match {
       case None =>
         val losers = comp.filter(col("id") =!= col("component"))
           .select(col("id").as(idCol))
-        df.join(broadcast(losers), Seq(idCol), "left_anti")
+        df.join(losers, Seq(idCol), "left_anti")
       case Some(scoreCol) =>
         import org.apache.spark.sql.expressions.Window
         val scored = df.select(col(idCol), col(scoreCol))
-          .join(broadcast(comp.withColumnRenamed("id", idCol)),
-            Seq(idCol), "inner")
+          .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "inner")
         val w = Window.partitionBy(col("component"))
           .orderBy(col(scoreCol).desc, col(idCol))
         val losers = scored
           .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("_rk") > 1).select(col(idCol))
-        df.join(broadcast(losers), Seq(idCol), "left_anti")
+        df.join(losers, Seq(idCol), "left_anti")
     }
   }
 
