@@ -138,8 +138,13 @@ object Meta {
   def metadataDir(location: String): Path = Paths.get(location, "metadata")
 
   private def atomicWrite(target: Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    // Unique temp file per call: a fixed sibling name would let two
+    // concurrent writers (e.g. two readers fast-forwarding the hint)
+    // consume each other's tmp — one move throws NoSuchFileException,
+    // or publishes a partially-written file.
     Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent,
+      target.getFileName.toString, ".tmp")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -178,13 +183,24 @@ object Meta {
   def currentVersion(location: String): Option[Int] = {
     val dir = metadataDir(location)
     val hint = dir.resolve("version-hint.txt")
-    if (!Files.exists(hint)) return None
+    // A missing or unparsable hint is NOT "no table": a crash between
+    // publishing v1.json and the first hint write must not wedge the
+    // table — probe from v1.json in that case.
     val hinted =
-      new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt
+      if (!Files.exists(hint)) 0
+      else try new String(Files.readAllBytes(hint),
+        StandardCharsets.UTF_8).trim.toInt
+      catch { case _: NumberFormatException => 0 }
     var v = hinted
     while (Files.exists(dir.resolve(s"v${v + 1}.json"))) v += 1
-    if (v != hinted) atomicWrite(hint, v.toString)
-    Some(v)
+    if (v == 0) None
+    else {
+      // The hint is a cache: a lost fast-forward is harmless, so a race
+      // here must never fail the read.
+      if (v != hinted)
+        try atomicWrite(hint, v.toString) catch { case _: Exception => () }
+      Some(v)
+    }
   }
 
   def load(location: String): TableMetadata = {

@@ -64,11 +64,13 @@ object ZOrder {
 
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16)
       : DataFrame = {
-    // The interleaved code must fit one long: Java shifts wrap mod 64,
-    // so cols*bits > 64 would silently corrupt z-values (e.g. 5 columns
-    // at the default 16 bits). Degrade bit depth instead — locality per
-    // dimension shrinks, ordering stays correct.
-    val bitsEff = math.max(1, math.min(bits, 64 / math.max(1, cols.size)))
+    // The interleaved code must fit the 63 value bits of a long: Java
+    // shifts wrap mod 64, and writing bit 63 flips the sign, splitting
+    // the Morton curve into two runs (negative z-values sort first).
+    // Degrade bit depth instead — locality per dimension shrinks,
+    // ordering stays correct. 63/cols also keeps a 1-column bits>=64
+    // request from wrapping (1L << 64 == 1).
+    val bitsEff = math.max(1, math.min(bits, 63 / math.max(1, cols.size)))
     val maxQ = ((1L << bitsEff) - 1).toDouble
     val keyed = cols.map(c => c -> orderKey(df, c)).toMap
     val aggs = cols.flatMap(c => Seq(

@@ -205,34 +205,96 @@ object Dedup {
       col("band_idx"), col("band_val"))
     val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
       col("band_idx"), col("band_val"))
+    // Hamming filter BEFORE the distinct, and only (id_a, id_b, hamming)
+    // through it: the dedup shuffle carries just surviving pairs, not
+    // every band collision with both 64-bit sketches attached. (hamming
+    // is functionally dependent on the pair, so distinct is unchanged.)
     l.join(r, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
-  /** n-gram Jaccard dedup with single-hash blocking: documents sharing
-    * their minimum shingle hash become candidates (cheap 1-band LSH),
-    * then exact Jaccard filters. A distinct blocking scheme from
-    * [[minhashLsh]] — recall-lighter, one shuffle cheaper.
+  /** Exact n-gram Jaccard similarity join via prefix filtering (the
+    * PPJoin-family set-similarity join): order shingles globally by
+    * (document frequency, token) ascending; a document of n shingles is
+    * indexed under only its first `n - ceil(t*n) + 1` rarest shingles.
+    * Any pair with Jaccard >= t must share >= ceil(t*n) shingles, so by
+    * pigeonhole it shares at least one *prefix* shingle — candidate
+    * generation is complete, and the output is EXACTLY all pairs with
+    * Jaccard >= t (no LSH recall loss ⇒ DuckDB-oracle-able).
+    *
+    * Scale shape: blocking keys are each doc's rarest tokens, so bucket
+    * sizes are bounded by rare-token frequency — the hot common-token
+    * buckets that sank single-hash blocking never form. Every shuffle
+    * carries 64-bit hashed tokens (never shingle strings or arrays);
+    * Jaccard is verified by counting shared hashed tokens per candidate
+    * pair (|A∩B| as a count aggregate, |A∪B| = n_a + n_b − |A∩B|), so
+    * full shingle sets are never materialized per collision. A size
+    * filter (t*max(n_a,n_b) <= min(n_a,n_b), necessary for J >= t)
+    * prunes before the candidate distinct.
     */
   def ngramJaccard(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, threshold: Double = 0.6)
       : DataFrame = {
-    val sets = df.select(col(idCol), shingles(col(textCol), k).as("sh_set"))
-      .withColumn("block",
-        array_min(transform(col("sh_set"), s => xxhash64(s))))
-    val l = sets.select(col(idCol).as("id_a"), col("sh_set").as("set_a"),
-      col("block"))
-    val r = sets.select(col(idCol).as("id_b"), col("sh_set").as("set_b"),
-      col("block"))
-    l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+    // (id, n, tok): per-doc distinct shingles, 64-bit hashed. Hashing
+    // merges colliding shingles (~n²/2⁶⁵ chance corpus-wide): prefixes
+    // only grow relative to the hashed universe, so completeness holds.
+    val toks = df
+      .select(col(idCol), shingles(col(textCol), k).as("sh_set"))
+      .select(col(idCol), size(col("sh_set")).as("n"),
+        explode(col("sh_set")).as("sh"))
+      .select(col(idCol), col("n"), xxhash64(col("sh")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // Per-doc token list sorted rare-first (global (freq, tok) order).
+    val sorted = toks.join(freq, Seq("tok"))
+      .groupBy(col(idCol), col("n"))
+      .agg(sort_array(collect_list(struct(col("freq"), col("tok"))))
+        .as("sorted"))
+    // PPJoin prefixes: the pair's required overlap is
+    // α = ceil(t/(1+t)·(n_a+n_b)), and the globally-first common token
+    // provably sits within the first n-α+1 tokens of BOTH sets. With
+    // n_a <= n_b that is covered by indexing the smaller set under its
+    // short prefix (n - ceil(2t/(1+t)·n) + 1) and probing with the
+    // larger set's long prefix (n - ceil(t·n) + 1) — candidate
+    // generation stays complete with ~half the blocking keys.
+    def prefixed(len: Column) = sorted.select(col(idCol), col("n"),
+      posexplode(slice(transform(col("sorted"), s => s("tok")), lit(1), len))
+        .as(Seq("pos", "tok")))
+    val probe = prefixed(
+      (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
+    val index = prefixed(
+      (col("n") - ceil(col("n") * lit(2 * threshold / (1 + threshold))) + 1)
+        .cast("int"))
+    val alpha = ceil((col("n_a") + col("n_b")) * lit(threshold / (1 + threshold)))
+    val candidates = index
+      .select(col(idCol).as("id_a"), col("n").as("n_a"), col("pos").as("pos_a"),
+        col("tok"))
+      .join(probe.select(col(idCol).as("id_b"), col("n").as("n_b"),
+        col("pos").as("pos_b"), col("tok")), Seq("tok"))
+      // index side strictly smaller by (n, id): each unordered pair is
+      // tried exactly once, smaller set as the indexed one
+      .filter(struct(col("n_a").as("n"), col("id_a").as("id")) <
+        struct(col("n_b").as("n"), col("id_b").as("id")))
+      // positional filter: common tokens ⊆ both suffixes from the match
+      .filter(least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b"))
+        >= alpha)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("n_a"), col("n_b"))
+      .distinct()
+    // |A∩B| by joining the candidates back to the hashed token lists —
+    // candidate sets are post-LSH-small, so AQE broadcasts them and the
+    // token table streams through twice without a data-sized shuffle.
+    candidates
+      .join(toks.select(col(idCol).as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -249,21 +311,29 @@ object Dedup {
       val dot = Similarity.dotWithConst(col(vecCol), p)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val coded = df.select(col(idCol), col(vecCol), codeExpr.as("code"))
+    val coded = df.select(col(idCol), codeExpr.as("code"))
     val nBands = nPlanes / bandBits
-    val banded = coded.select(col(idCol), col(vecCol), posexplode(
+    // Bucket join and candidate-distinct carry ids only — the embedding
+    // arrays never ride the band shuffle; cosine verification re-joins
+    // vectors by id (once per doc, not once per band collision).
+    val banded = coded.select(col(idCol), posexplode(
       array((0 until nBands).map(b =>
         shiftright(col("code"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*))
       .as(Seq("band_idx", "band_val")))
-    val l = banded.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("band_idx"), col("band_val"))
-    val r = banded.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      col("band_idx"), col("band_val"))
-    l.join(r, Seq("band_idx", "band_val"))
+    val l = banded.select(col(idCol).as("id_a"), col("band_idx"),
+      col("band_val"))
+    val r = banded.select(col(idCol).as("id_b"), col("band_idx"),
+      col("band_val"))
+    val candidates = l.join(r, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
-      .distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = df.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")),
+        Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")),
+        Seq("id_b"))
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

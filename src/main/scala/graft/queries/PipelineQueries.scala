@@ -27,7 +27,10 @@ object PipelineQueries {
     Dedup.simhashPairs(Tables.documents(s, d))
       .orderBy("id_a", "id_b")
 
-  /** n-gram Jaccard pairs with min-hash blocking. */
+  /** n-gram Jaccard pairs via prefix-filtered similarity join — exact
+    * (all pairs with Jaccard >= 0.6), so the oracle recomputes the same
+    * join in DuckDB.
+    */
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d), k = 3, threshold = 0.6)
       .orderBy("id_a", "id_b")
