@@ -193,20 +193,22 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   private def execSql(sql: String): DataFrame = {
     // Register every catalog table (+ its metadata tables) the SQL
-    // mentions as temp views, then let Spark SQL plan it.
-    val s = state
-    val names = listTables
-    names.foreach { n =>
+    // mentions as temp views, then let Spark SQL plan it. Mentions are
+    // matched on whole identifier tokens, not substrings — a view over
+    // `orders` must not also register (and read) `orders_2`.
+    val idents = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql).toSet
+    val metaKinds = Seq("snapshots", "history", "refs", "files",
+      "partitions", "properties", "manifests", "entries",
+      "metadata_log_entries")
+    listTables.foreach { n =>
       val short = n.split("\\.").last
-      if (sql.contains(short)) {
+      val needsBase = idents.contains(short)
+      val metaRefs = metaKinds.filter(mt => idents.contains(s"${short}_$mt"))
+      if (needsBase || metaRefs.nonEmpty) {
         val t = table(n)
-        t.read().createOrReplaceTempView(short)
-        Seq("snapshots", "history", "refs", "files", "partitions",
-          "properties", "manifests", "entries", "metadata_log_entries")
-          .foreach { mt =>
-            if (sql.contains(s"${short}_$mt"))
-              MetaTables(t, mt).createOrReplaceTempView(s"${short}_$mt")
-          }
+        if (needsBase) t.read().createOrReplaceTempView(short)
+        metaRefs.foreach(mt =>
+          MetaTables(t, mt).createOrReplaceTempView(s"${short}_$mt"))
       }
     }
     spark.sql(sql)

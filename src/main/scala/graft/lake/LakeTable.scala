@@ -82,10 +82,27 @@ class LakeTable(val spark: SparkSession, val location: String) {
     val parent = base.refs.get(branch).map(_.snapshotId)
     val parentManifests = parent.flatMap(base.snapshot)
       .map(_.manifests).getOrElse(Nil)
+    // Manifest-list compaction (Iceberg's manifest merge): without it
+    // the chain grows O(commits) and every read re-reads every manifest
+    // JSON — the metadata bottleneck at 100× commit volume. Once the
+    // parent chain reaches `manifest_merge_min`, fold its net live
+    // entries into ONE compacted manifest. Only the *parent* chain is
+    // folded — the new delta manifest stays last, because CDC and
+    // incremental reads resolve a commit's own contribution via
+    // `manifests.last`. Old snapshots keep their own (uncompacted)
+    // lists, so time travel is unaffected.
+    val mergeMin = base.properties.getOrElse("manifest_merge_min", "8").toInt
+    val compactedParents =
+      if (parentManifests.size >= mergeMin) {
+        val (d, dl) = Meta.foldManifests(base.location, parentManifests)
+        List(Meta.writeManifest(base.location,
+          s"manifest-$snapId-compacted-${UUID.randomUUID.toString.take(8)}.json",
+          Manifest(d, dl, Nil, Nil)))
+      } else parentManifests
     val mPath = Meta.writeManifest(base.location,
       s"manifest-$snapId-${UUID.randomUUID.toString.take(8)}.json", manifest)
     val snap = Snapshot(snapId, parent, seq, System.currentTimeMillis(),
-      operation, parentManifests :+ mPath,
+      operation, compactedParents :+ mPath,
       schemaId = base.currentSchemaId,
       summary = summary ++ Map(
         "added-data-files" -> manifest.addedData.size.toString,
@@ -247,8 +264,16 @@ class LakeTable(val spark: SparkSession, val location: String) {
     * one commit. Source columns are exposed to `matchedCondition` and
     * `whenMatchedSet` with a `src_` prefix (`src_name` = source.name);
     * `whenMatchedSet = Some(Map.empty)` updates every shared column from
-    * the source. Executed as one full-outer-shaped join classification —
-    * the scalable plan (shuffle on the join key, AQE re-plans skew).
+    * the source. Executed as one join classification — shuffle on the
+    * join key, AQE re-plans skew.
+    *
+    * The target scan is pruned by the source's key bounding box: a merge
+    * touching 1% of the key space must not read the other 99% of a
+    * 100 TB table. One agg over the (cached) source yields per-key
+    * min/max; files whose stats cannot intersect that box contain no
+    * matchable row and are never read (MoR merge leaves their rows
+    * untouched regardless). The commit summary records
+    * `candidate-data-files` so plans are auditable.
     */
   def merge(source: DataFrame, keys: Seq[String],
       matchedCondition: Option[Column] = None,
@@ -261,12 +286,43 @@ class LakeTable(val spark: SparkSession, val location: String) {
     val seq = m.lastSequenceNumber + 1
     val target = m.currentSchema.struct
 
+    source.persist()
+    try {
+      val boundsAggs = keys.flatMap(k =>
+        Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
+      val b = source.agg(boundsAggs.head, boundsAggs.tail: _*).head()
+      val bounds = keys.map(k =>
+        (b.getAs[Any](s"_mn_$k"), b.getAs[Any](s"_mx_$k")))
+      // A null bound means the source is empty or that key is all-null —
+      // either way no target row can match.
+      val candidates =
+        if (bounds.exists { case (mn, mx) => mn == null || mx == null }) Nil
+        else Scan.pruneFiles(m, files, Some(
+          keys.zip(bounds).map { case (k, (mn, mx)) =>
+            col(k) >= lit(mn) && col(k) <= lit(mx)
+          }.reduce(_ && _)))
+      mergeClassified(m, source, keys, matchedCondition, whenMatchedSet,
+        whenNotMatchedInsert, branch, seq, target, candidates, files.size,
+        dels)
+    } finally source.unpersist()
+  }
+
+  private def mergeClassified(m: TableMetadata, source: DataFrame,
+      keys: Seq[String], matchedCondition: Option[Column],
+      whenMatchedSet: Option[Map[String, Column]],
+      whenNotMatchedInsert: Boolean, branch: String, seq: Long,
+      target: StructType, candidates: Seq[DataFileEntry], totalFiles: Int,
+      dels: List[DeleteFileEntry]): Option[Snapshot] = {
     val src = source.columns.foldLeft(source) { (d, c) =>
       d.withColumnRenamed(c, s"src_$c")
     }
-    val tgt = Scan.readEntries(spark, m, files, dels, withPath = true)
+    val tgt = Scan.readEntries(spark, m, candidates, dels)
     val joinCond = keys.map(k => tgt(k) === src(s"src_$k")).reduce(_ && _)
-    val joined = tgt.join(src, joinCond, "full_outer").cache()
+    // Unmatched target rows are never consulted (neither updated nor
+    // re-written): right_outer keeps every source row for the insert
+    // classification; inner suffices when inserts are off.
+    val joined = tgt.join(src, joinCond,
+      if (whenNotMatchedInsert) "right_outer" else "inner").cache()
     try {
       val isMatched = col(RowId).isNotNull &&
         keys.map(k => col(s"src_$k").isNotNull).reduce(_ && _)
@@ -330,7 +386,10 @@ class LakeTable(val spark: SparkSession, val location: String) {
         manifest = manifest.copy(addedData = manifest.addedData ++ entries)
       }
       if (manifest.addedData.isEmpty && manifest.addedDeletes.isEmpty) None
-      else Some(commitSnapshot(m, "overwrite", manifest, branch, rowsAssigned))
+      else Some(commitSnapshot(m, "overwrite", manifest, branch, rowsAssigned,
+        summary = Map(
+          "candidate-data-files" -> candidates.size.toString,
+          "total-data-files" -> totalFiles.toString)))
     } finally joined.unpersist()
   }
 

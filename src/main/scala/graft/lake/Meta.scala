@@ -248,14 +248,19 @@ object Meta {
     Serialization.read[Manifest](new String(
       Files.readAllBytes(Paths.get(location, rel)), StandardCharsets.UTF_8))
 
-  /** Resolve a snapshot's live file sets by folding its manifest chain. */
-  def liveFiles(meta: TableMetadata, s: Snapshot)
+  /** Fold a manifest chain into its net live file sets. */
+  def foldManifests(location: String, rels: Seq[String])
       : (List[DataFileEntry], List[DeleteFileEntry]) = {
-    val ms = s.manifests.map(readManifest(meta.location, _))
+    val ms = rels.map(readManifest(location, _))
     val removedData = ms.flatMap(_.removedDataPaths).toSet
     val removedDel = ms.flatMap(_.removedDeletePaths).toSet
     val data = ms.flatMap(_.addedData).filterNot(f => removedData(f.path))
     val dels = ms.flatMap(_.addedDeletes).filterNot(f => removedDel(f.path))
-    (data, dels)
+    (data.toList, dels.toList)
   }
+
+  /** Resolve a snapshot's live file sets by folding its manifest chain. */
+  def liveFiles(meta: TableMetadata, s: Snapshot)
+      : (List[DataFileEntry], List[DeleteFileEntry]) =
+    foldManifests(meta.location, s.manifests)
 }

@@ -72,11 +72,47 @@ object Similarity {
   }
 
   /** IVF coarse index: centroids fit once (sampled k-means, fixed seed),
-    * vectors carry their cell id. `assignments` is reusable — at scale
-    * you'd persist it bucketed by `cell`.
+    * vectors carry their cell id. `table` is set when the index is
+    * persisted ([[persistIvf]]/[[loadIvf]]) — probes then prune data
+    * FILES by cell instead of filtering cached partitions.
     */
   case class IvfIndex(centroids: Array[(Int, Array[Double])],
-      assignments: DataFrame)
+      assignments: DataFrame,
+      table: Option[graft.lake.LakeTable] = None)
+
+  /** Serialized centroid row (kept in the index table's properties —
+    * metadata-sized: nlist × dim doubles). Top-level shape for json4s.
+    */
+  case class IvfCentroid(cell: Int, c: Seq[Double])
+
+  private implicit val ivfFormats: org.json4s.Formats =
+    org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+
+  /** Persist the index as a lake table identity-partitioned by `cell`:
+    * the layout a 100 TB ANN store needs — each coarse cell is its own
+    * set of parquet files with partition stats, so an `nprobe`-cell
+    * probe reads `~nprobe/nlist` of the bytes, and the index outlives
+    * the JVM. Centroids ride along in the table properties.
+    */
+  def persistIvf(index: IvfIndex, location: String)
+      : graft.lake.LakeTable = {
+    val centJson = org.json4s.jackson.Serialization.write(
+      index.centroids.toList.map { case (i, c) => IvfCentroid(i, c.toSeq) })
+    graft.lake.LakeTable.create(index.assignments.sparkSession, location,
+      Right(index.assignments), partitioning = Seq("cell"),
+      properties = Map("graft.ivf.centroids" -> centJson,
+        "row-lineage" -> "false"),
+      replace = true)
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, location: String)
+      : IvfIndex = {
+    val t = graft.lake.LakeTable.forLocation(spark, location)
+    val cents = org.json4s.jackson.Serialization
+      .read[List[IvfCentroid]](t.properties("graft.ivf.centroids"))
+    IvfIndex(cents.map(ic => (ic.cell, ic.c.toArray)).toArray, t.read(),
+      Some(t))
+  }
 
   def buildIvf(vectors: DataFrame, nlist: Int, vecCol: String = "embedding",
       idCol: String = "vec_id", sampleFraction: Double = 1.0): IvfIndex = {
@@ -142,7 +178,18 @@ object Similarity {
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= nprobe)
         .select(col("query_id"), col("qvec"), col("cell")))
-    val scored = index.assignments.join(qx, Seq("cell"))
+    // Persisted index: resolve the probed cells first (bounded by nlist,
+    // a metadata-sized collect) and scan the lake table with an IN
+    // filter, so manifest pruning drops every non-probed cell's FILES.
+    // In-memory index: plain join against the assignment frame.
+    val scanBase = index.table match {
+      case Some(t) =>
+        val cells = qx.select(col("cell")).distinct().collect()
+          .map(_.getInt(0))
+        t.read(col("cell").isin(cells.toSeq: _*))
+      case None => index.assignments
+    }
+    val scored = scanBase.join(qx, Seq("cell"))
       .withColumn("cosine", cosine(col(vecCol), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))

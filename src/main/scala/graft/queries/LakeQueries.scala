@@ -375,8 +375,29 @@ object LakeQueries {
       """SELECT c_custkey AS custkey, c_name AS name,
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment,
                 '+33606060606' AS phone
-         FROM customer WHERE c_custkey < 50 ORDER BY custkey"""
-    // lake_snapshot_log, lake_row_lineage: engine-internal observables →
-    // rows-only check here; exact semantics asserted in LakeLifecycleSpec.
+         FROM customer WHERE c_custkey < 50 ORDER BY custkey""",
+    // The scenario's commit sequence is fully deterministic (ids are a
+    // monotone counter): create+append, append, update, delete.
+    "lake_snapshot_log" ->
+      """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+                CAST(parent_id AS BIGINT) AS parent_id, operation
+         FROM (VALUES (1, NULL, 'append'), (2, 1, 'append'),
+                      (3, 2, 'overwrite'), (4, 3, 'delete'))
+           AS t(snapshot_id, parent_id, operation)
+         ORDER BY snapshot_id""",
+    "lake_catalog_view" ->
+      """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+                is_current_ancestor
+         FROM (VALUES (1, 'append', true), (2, 'append', true))
+           AS t(snapshot_id, operation, is_current_ancestor)
+         ORDER BY snapshot_id""",
+    // Row ids are assigned in file order (customer.parquet is custkey-
+    // ordered, keys from 0), so lineage is a pure function of custkey;
+    // the custkey<5 UPDATE bumps those rows to sequence 2.
+    "lake_row_lineage" ->
+      """SELECT c_custkey AS custkey, CAST(c_custkey AS BIGINT) AS row_id,
+                CAST(CASE WHEN c_custkey < 5 THEN 2 ELSE 1 END AS BIGINT)
+                  AS last_seq
+         FROM customer WHERE c_custkey < 20 ORDER BY custkey"""
   )
 }

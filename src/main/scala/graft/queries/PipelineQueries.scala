@@ -65,22 +65,26 @@ object PipelineQueries {
   }
 
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** IVF ANN top-10 (16 cells, probe 4) — same queries; recall vs the
-    * brute-force baseline is asserted in PipelineSpec. The index (k-means
-    * fit + cell assignment) is built once per JVM and persisted — an ANN
-    * index is long-lived state that queries probe, not per-query work.
+    * brute-force baseline is asserted in PipelineSpec. The index
+    * (k-means fit + cell assignment) is built once and persisted as a
+    * cell-partitioned lake table — an ANN index is long-lived state
+    * that queries probe (with file-level cell pruning), not per-query
+    * work, and it survives JVM restart.
     */
   def simTopKIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val index = ivfCache.computeIfAbsent(d, _ => {
-      val idx = Similarity.buildIvf(emb, nlist = 16)
-      idx.assignments.persist()
-      idx
+    val loc = ivfCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-")
+        .resolve("index").toString
+      Similarity.persistIvf(Similarity.buildIvf(emb, nlist = 16), dir)
+      dir
     })
-    Similarity.ivfTopK(index, emb.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+    Similarity.ivfTopK(Similarity.loadIvf(s, loc), emb.filter(col("vec_id") < 5),
+      k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -169,6 +173,70 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY doc_id""",
+    // Exact set-similarity join: DuckDB recomputes the same 3-shingle
+    // Jaccard over all pairs — the prefix-filtered Spark plan must not
+    // lose (or invent) a single pair.
+    "dedup_ngram_pairs" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               >= 0.6
+         ORDER BY id_a, id_b""",
+    // MinHash LSH is approximate, but at verify scale its banded recall
+    // is total — hold it to the exact all-pairs answer so recall
+    // regressions fail loudly instead of shrinking the row count.
+    "dedup_minhash_pairs" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               >= 0.5
+         ORDER BY id_a, id_b""",
+    // Planted-twin scenario replayed in DuckDB float math: union base
+    // vectors with their jittered twins, all pairs with cosine >= 0.98.
+    "dedup_embedding_pairs" ->
+      """WITH u AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000,
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> embedding[i] * CAST(1.0 + ((i - 1) % 5) * 0.01
+                      AS FLOAT))
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding::DOUBLE[],
+                  b.embedding::DOUBLE[]), 6) AS cosine
+         FROM u a JOIN u b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                 b.embedding::DOUBLE[]) >= 0.98
+         ORDER BY id_a, id_b""",
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
                     FROM embeddings WHERE vec_id < 5)
@@ -263,8 +331,9 @@ object PipelineQueries {
                   AS frame_offset
          FROM documents, UNNEST([0,1,2,3]) AS t(i)
          WHERE doc_id % 3 = 2 ORDER BY blob_id, frame_idx"""
-    // dedup_*_pairs, sim_topk_ivf, text_langid: candidate sets /
-    // stub-features / learned profiles → rows-only here; recall and
+    // dedup_simhash_pairs (xxhash64 has no DuckDB analog), sim_topk_ivf
+    // (approximate by design — tail ranks differ from brute force),
+    // text_langid (learned profiles): rows-only here; bounds and
     // determinism asserted in PipelineSpec.
   )
 }

@@ -24,14 +24,37 @@ object StreamQueries {
     s.table(name).orderBy("hour_bucket", "event_type")
   }
 
-  /** Stateful gap sessionization (flatMapGroupsWithState): emitted
-    * (closed) sessions, deterministic columns; rows-only check here,
-    * exact batch-oracle equivalence asserted in StreamingSpec.
+  /** Stateful gap sessionization (flatMapGroupsWithState with event-time
+    * timeouts). A far-future sentinel event appended to the stream
+    * advances the final watermark past every open session's `last+gap`,
+    * so end-of-stream flushes ALL sessions — the streamed result equals
+    * the batch gaps-and-islands answer and is fully oracle-checked.
     */
   def streamSessions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val name = "graft_stream_sessions_" + Math.abs(d.hashCode)
-    val stream = EventStreams.readEvents(s, s"$d/events.parquet")
+    val eventsPath = s"$d/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("events-sess-")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(eventsPath).toAbsolutePath)
+    // sentinel: one event a day past the stream's end, for a user id the
+    // output filters back out
+    val maxTs = s.read.parquet(eventsPath).agg(max(col("ts"))).head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("events-sentinel-")
+    s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 86400L * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, dir.resolve("zz-sentinel.parquet"))
+
+    val stream = EventStreams.readEvents(s, dir.toString)
       .select(col("user_id"), col("event_time"), col("value"))
       .as[EventStreams.Event]
     val q = EventStreams.sessionize(stream, gapMs = 600000L)
@@ -39,6 +62,7 @@ object StreamQueries {
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     s.table(name)
+      .filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("sum_value"), 4).as("sum_value"))
       .orderBy("user_id", "session_start")
@@ -54,8 +78,27 @@ object StreamQueries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
                 event_type, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
-    // stream_sessions: closed-session subset is engine-defined → rows-only;
-    // exact equivalence to the batch window oracle is in StreamingSpec.
+         FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+    // 10-minute-gap sessionization as batch gaps-and-islands SQL — the
+    // sentinel-flushed stream emits every session, so the incremental
+    // stateful path is held to the exact batch answer.
+    "stream_sessions" ->
+      """WITH x AS (
+           SELECT user_id, CAST(date_trunc('microseconds', ts) AS TIMESTAMP)
+                    AS t, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         g AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS grp
+           FROM x)
+         SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+                CAST(count(*) AS INT) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM g GROUP BY user_id, grp ORDER BY user_id, session_start"""
   )
 }

@@ -65,36 +65,61 @@ object EventStreams {
     * stateful operator shape (KeyValueGroupedDataset) for logic window
     * functions can't express incrementally. State carries epoch-micros
     * (java.sql.Timestamp#getTime is ms-truncated — µs matter here).
+    *
+    * Sessions close two ways: a newer event for the same user beyond the
+    * gap, or an event-time TIMEOUT once the watermark passes the open
+    * session's `last + gap`. The timeout path is what bounds state at
+    * scale — with billions of users, `NoTimeout` would pin every user's
+    * final session in the state store forever — and it makes end-of-
+    * stream flushes possible (advance the watermark, collect everything).
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
-      : Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000L
     events
+      .withWatermark("event_time", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event],
          state: GroupState[List[SessionState]]) =>
-          val sorted = rows.toSeq.sortBy(e => toMicros(e.event_time))
-          var sessions = state.getOption.getOrElse(Nil)
-          val closed = scala.collection.mutable.ListBuffer[Session]()
-          sorted.foreach { e =>
-            val t = toMicros(e.event_time)
-            sessions match {
-              case cur :: rest if t - cur.last <= gapUs =>
-                sessions = cur.copy(last = t, n = cur.n + 1,
-                  sum = cur.sum + e.value) :: rest
-              case cur :: rest =>
-                closed += Session(userId, fromMicros(cur.start),
-                  fromMicros(cur.last), cur.n, cur.sum)
-                sessions = SessionState(t, t, 1, e.value) :: rest
-              case Nil =>
-                sessions = SessionState(t, t, 1, e.value) :: Nil
+          if (state.hasTimedOut) {
+            // Watermark passed last+gap: no event can extend the open
+            // session any more — emit it and drop the user's state.
+            val out = state.getOption.getOrElse(Nil).map(cur =>
+              Session(userId, fromMicros(cur.start), fromMicros(cur.last),
+                cur.n, cur.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.event_time))
+            var sessions = state.getOption.getOrElse(Nil)
+            val closed = scala.collection.mutable.ListBuffer[Session]()
+            sorted.foreach { e =>
+              val t = toMicros(e.event_time)
+              sessions match {
+                case cur :: rest if t - cur.last <= gapUs =>
+                  sessions = cur.copy(last = t, n = cur.n + 1,
+                    sum = cur.sum + e.value) :: rest
+                case cur :: rest =>
+                  closed += Session(userId, fromMicros(cur.start),
+                    fromMicros(cur.last), cur.n, cur.sum)
+                  sessions = SessionState(t, t, 1, e.value) :: rest
+                case Nil =>
+                  sessions = SessionState(t, t, 1, e.value) :: Nil
+              }
             }
+            state.update(sessions)
+            sessions.headOption.foreach { cur =>
+              // close the open session when the watermark passes its gap
+              // (must stay ahead of the current watermark or Spark rejects it)
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(cur.last, 1000L) + gapMs + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
-          state.update(sessions)
-          closed.iterator
       }
   }
 

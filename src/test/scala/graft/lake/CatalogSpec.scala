@@ -50,6 +50,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(ddl.contains("format_version = 3"))
   }
 
+  test("view resolution matches identifier tokens, not substrings") {
+    val cat = freshCatalog()
+    cat.createSchema("demo")
+    cat.createTable("demo.vorders", customers20)
+    cat.createTable("demo.vorders_2",
+      customers20.withColumn("custkey", col("custkey") + 1000))
+    Seq("vorders", "vorders_2").foreach(v =>
+      try s.catalog.dropTempView(v) catch { case _: Exception => () })
+    cat.createView("v_only_base", "SELECT count(*) AS n FROM vorders")
+    assert(cat.readView("v_only_base").head().getLong(0) ==
+      customers20.count())
+    assert(!s.catalog.tableExists("vorders_2"),
+      "a view over vorders must not register/read vorders_2")
+    // the reverse direction: vorders_2 token must not be satisfied by
+    // the substring-overlapping vorders
+    s.catalog.dropTempView("vorders")
+    cat.createView("v_only_2", "SELECT count(*) AS n FROM vorders_2")
+    assert(cat.readView("v_only_2").head().getLong(0) == customers20.count())
+    assert(!s.catalog.tableExists("vorders"),
+      "a view over vorders_2 must not register vorders")
+  }
+
   test("view over metadata tables — the script's history view (sql:85-96)") {
     val cat = freshCatalog()
     cat.createSchema("demo")

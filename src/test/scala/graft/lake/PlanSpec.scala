@@ -65,6 +65,38 @@ class PlanSpec extends AnyFunSuite {
       "survived a single-year predicate over year partitioning")
   }
 
+  test("narrow-source MERGE scans only key-range-overlapping files") {
+    val customers = s.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val loc = Files.createTempDirectory("plan-").resolve("t").toString
+    // several appends over disjoint key ranges → several files with
+    // disjoint custkey stats (sf0.001 has ~150 customers)
+    val t = LakeTable.create(s, loc,
+      Right(customers.filter(col("custkey") < 30)),
+      properties = Map("merge_mode" -> "merge-on-read"))
+    (1 to 4).foreach { i =>
+      t.append(customers.filter(
+        col("custkey") >= i * 30 && col("custkey") < (i + 1) * 30))
+    }
+    val totalFiles =
+      Meta.liveFiles(t.meta, t.meta.currentSnapshot.get)._1.size
+    assert(totalFiles >= 5)
+    // source touches only keys [60, 75) — one append's range
+    val snap = t.merge(
+      customers.filter(col("custkey") >= 60 && col("custkey") < 75)
+        .withColumn("bal", col("bal") + 1),
+      keys = Seq("custkey")).get
+    val cand = snap.summary("candidate-data-files").toInt
+    assert(cand < totalFiles && cand >= 1,
+      s"merge read $cand of $totalFiles files for a 1-range source")
+    // and the merge is still correct: updated rows present, rest intact
+    assert(t.read().count() == customers.filter(col("custkey") < 150).count())
+    assert(t.read(col("custkey") === 61).select("bal").head().getDouble(0) ==
+      customers.filter(col("custkey") === 61).select("bal").head()
+        .getDouble(0) + 1)
+  }
+
   test("IN-list prunes via bucket transform partitioning") {
     val customers = s.read.parquet(s"$sf/customer.parquet")
     val t = LakeTable.create(s,

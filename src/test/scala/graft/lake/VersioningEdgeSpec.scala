@@ -173,6 +173,32 @@ class VersioningEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest chain stays bounded across many commits") {
+    import s.implicits._
+    val t = base()
+    val firstSnap = t.meta.currentSnapshotId.get
+    val baseRows = t.read().count()
+    (1 to 50).foreach { i =>
+      t.append(Seq((1000L + i, s"row$i")).toDF("custkey", "name"))
+    }
+    val m = t.meta
+    val chain = m.currentSnapshot.get.manifests
+    val mergeMin = 8 // default manifest_merge_min
+    assert(chain.size <= mergeMin + 1,
+      s"manifest chain grew to ${chain.size} after 50 commits")
+    // compaction preserves the live set
+    assert(t.read().count() == baseRows + 50)
+    // old snapshots (their own manifest lists) still time-travel
+    assert(t.asOf(firstSnap).count() == baseRows)
+    // mid-history snapshot resolves too
+    val mid = m.snapshots(m.snapshots.size / 2)
+    assert(t.asOf(mid.snapshotId).count() > 0)
+    // CDC still attributes per-commit deltas after compaction kicked in
+    val lastTwo = m.snapshots.takeRight(2)
+    val diff = t.changes(lastTwo.head.snapshotId, lastTwo.last.snapshotId)
+    assert(diff.count() == 1, "one appended row between adjacent snapshots")
+  }
+
   test("sorted_by table property orders rows within data files") {
     val df = s.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"))

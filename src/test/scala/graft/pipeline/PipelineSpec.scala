@@ -92,6 +92,23 @@ class PipelineSpec extends AnyFunSuite {
         .select(col("neighbor")).distinct()),
         col("vec_id") === col("neighbor"), "left_semi").count()
     assert(probedRows <= embD.count())
+
+    // persisted index: same results read back from the lake table, and
+    // a probe's cell IN-filter prunes data files at the manifest level
+    val loc = java.nio.file.Files.createTempDirectory("ivf-")
+      .resolve("index").toString
+    val t = Similarity.persistIvf(index, loc)
+    val loaded = Similarity.loadIvf(s, loc)
+    val fromDisk = Similarity.ivfTopK(loaded, queries, k = 5, nprobe = 4)
+      .select("query_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == approx, "persisted index must answer identically")
+    val m = t.meta
+    val (files, _) = graft.lake.Meta.liveFiles(m, m.currentSnapshot.get)
+    val pruned = graft.lake.Scan.pruneFiles(m, files,
+      Some(col("cell").isin(0, 1, 2, 3)))
+    assert(pruned.size < files.size,
+      s"${pruned.size} of ${files.size} files for a 4/16-cell probe")
   }
 
   test("stub multimodal features are deterministic and shaped") {
