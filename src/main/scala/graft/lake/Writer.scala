@@ -31,26 +31,42 @@ object Writer {
   val LastUpdatedSeq = "_last_updated_seq"
   val lineageCols: Seq[String] = Seq(RowId, LastUpdatedSeq)
 
-  /** Attach fresh `_row_id` (from `firstRowId`, unique, stable for the
-    * life of the row — `sql:65-68,133-135`) and `_last_updated_seq`.
+  /** Attach fresh `_row_id` (from `firstRowId`, dense and unique, stable
+    * for the life of the row — `sql:65-68,133-135`) and
+    * `_last_updated_seq`.
     * Callers must pass lineage-free rows (append strips caller-supplied
     * lineage; rewrite paths that preserve ids write files directly).
-    * zipWithIndex costs one extra pass over the *written* batch only
-    * (never the whole table); Iceberg avoids it by deriving ids from
-    * file-order positions, we trade that pass for ids that survive
-    * arbitrary repartitioning.
+    *
+    * Stays entirely in the DataFrame world (no RDD round-trip, no
+    * whole-stage-codegen break): `monotonically_increasing_id` encodes
+    * (partition id << 33 | in-partition offset); one extra
+    * count-per-partition job (metadata-sized result) converts it to
+    * dense ids via prefix sums, joined back broadcast — same ordering
+    * and the same extra-pass cost zipWithIndex had, minus the Row
+    * materialization. The extra pass covers only the *written* batch,
+    * never the whole table.
     */
   def withLineage(df: DataFrame, firstRowId: Long, seq: Long): DataFrame = {
     require(!df.columns.contains(RowId),
       s"withLineage expects lineage-free input; found $RowId")
     val spark = df.sparkSession
-    val schema = df.schema
-      .add(RowId, LongType, nullable = false)
-      .add(LastUpdatedSeq, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (firstRowId + i) :+ seq)
-    }
-    spark.createDataFrame(rdd, schema)
+    import spark.implicits._
+    val pidCounts = df.groupBy(spark_partition_id().as("_pid"))
+      .count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = pidCounts.scanLeft(0L)(_ + _._2)
+    // broadcast pid→offset (one row per partition): a literal map would
+    // blow up analysis at 100k-task scale
+    val offDf = broadcast(
+      pidCounts.map(_._1).zip(offsets).toSeq.toDF("_pid", "_offset"))
+    df.withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast(IntegerType))
+      .join(offDf, Seq("_pid"), "left")
+      .withColumn(RowId,
+        lit(firstRowId) + col("_offset") +
+          col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .withColumn(LastUpdatedSeq, lit(seq).cast(LongType))
+      .select(df.columns.map(col).toSeq :+ col(RowId) :+ col(LastUpdatedSeq): _*)
   }
 
   /** Write `df` (already lineage-carrying, columns = file schema) as data
