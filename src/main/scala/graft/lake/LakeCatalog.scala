@@ -196,7 +196,9 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     // mentions as temp views, then let Spark SQL plan it. Mentions are
     // matched on whole identifier tokens, not substrings — a view over
     // `orders` must not also register (and read) `orders_2`.
-    val idents = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql).toSet
+    // maximal word-char runs, so digit-leading names ("2024_sales")
+    // still tokenize whole
+    val idents = "[A-Za-z0-9_]+".r.findAllIn(sql).toSet
     val metaKinds = Seq("snapshots", "history", "refs", "files",
       "partitions", "properties", "manifests", "entries",
       "metadata_log_entries")

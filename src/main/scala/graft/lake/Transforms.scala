@@ -189,6 +189,14 @@ object Transforms {
     case (v: Int, DateType) => Some(BigDecimal(v))
     case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
       Some(v.toString)
+    // Non-finite floats have no BigDecimal form — treat as "can't
+    // canonicalize" (no pruning) instead of throwing: merge/DML now
+    // synthesize literals from DATA (source key min/max), so NaN keys
+    // must degrade to a full scan, not abort the operation.
+    case (v: java.lang.Double, _: NumericType)
+        if v.isNaN || v.isInfinite => None
+    case (v: java.lang.Float, _: NumericType)
+        if v.isNaN || v.isInfinite => None
     case (v: Number, _: NumericType) => Some(BigDecimal(v.toString))
     case (v: java.math.BigDecimal, _) => Some(BigDecimal(v))
     case (v: String, StringType) => Some(v)

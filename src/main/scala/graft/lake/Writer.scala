@@ -62,6 +62,15 @@ object Writer {
     df.withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33).cast(IntegerType))
       .join(offDf, Seq("_pid"), "left")
+      // If the count job and the id-assignment job saw different
+      // partitionings (nondeterministic upstream), _offset comes back
+      // null — fail loudly: a silently-null row id would make the row
+      // immune to every later MoR delete/update keyed on it.
+      .withColumn("_offset",
+        when(col("_offset").isNotNull, col("_offset"))
+          .otherwise(raise_error(lit(
+            "withLineage: partition changed between counting and id " +
+              "assignment — input is nondeterministic")).cast(LongType)))
       .withColumn(RowId,
         lit(firstRowId) + col("_offset") +
           col("_mid").bitwiseAND(lit((1L << 33) - 1)))

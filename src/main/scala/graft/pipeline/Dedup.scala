@@ -260,15 +260,23 @@ object Dedup {
     // short prefix (n - ceil(2t/(1+t)·n) + 1) and probing with the
     // larger set's long prefix (n - ceil(t·n) + 1) — candidate
     // generation stays complete with ~half the blocking keys.
+    // ceil() guards: t/(1+t) and 2t/(1+t) are exact rationals computed
+    // in doubles — when the product rounds a hair ABOVE the true value
+    // (e.g. t=0.8: 9 * (0.8/1.8) → 4.0000000000000005), a bare ceil
+    // overshoots by one, shortening prefixes / raising alpha past the
+    // provable bound and silently dropping boundary pairs. Subtracting
+    // an epsilon far below the rationals' spacing restores exactness.
+    val eps = 1e-9
     def prefixed(len: Column) = sorted.select(col(idCol), col("n"),
       posexplode(slice(transform(col("sorted"), s => s("tok")), lit(1), len))
         .as(Seq("pos", "tok")))
     val probe = prefixed(
-      (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
+      (col("n") - ceil(col("n") * lit(threshold) - eps) + 1).cast("int"))
     val index = prefixed(
-      (col("n") - ceil(col("n") * lit(2 * threshold / (1 + threshold))) + 1)
-        .cast("int"))
-    val alpha = ceil((col("n_a") + col("n_b")) * lit(threshold / (1 + threshold)))
+      (col("n") - ceil(col("n") * lit(2 * threshold / (1 + threshold)) - eps)
+        + 1).cast("int"))
+    val alpha = ceil(
+      (col("n_a") + col("n_b")) * lit(threshold / (1 + threshold)) - eps)
     val candidates = index
       .select(col(idCol).as("id_a"), col("n").as("n_a"), col("pos").as("pos_a"),
         col("tok"))

@@ -98,8 +98,12 @@ object Similarity {
       : graft.lake.LakeTable = {
     val centJson = org.json4s.jackson.Serialization.write(
       index.centroids.toList.map { case (i, c) => IvfCentroid(i, c.toSeq) })
+    // Repartition on the partition key first: otherwise every input
+    // task emits a file per cell it contains (tasks × nlist tiny files
+    // instead of ~one file per cell), bloating per-probe metadata.
     graft.lake.LakeTable.create(index.assignments.sparkSession, location,
-      Right(index.assignments), partitioning = Seq("cell"),
+      Right(index.assignments.repartition(col("cell"))),
+      partitioning = Seq("cell"),
       properties = Map("graft.ivf.centroids" -> centJson,
         "row-lineage" -> "false"),
       replace = true)

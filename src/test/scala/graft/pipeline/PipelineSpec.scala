@@ -42,22 +42,27 @@ class PipelineSpec extends AnyFunSuite {
   test("prefix-filtered ngram join equals brute-force all-pairs Jaccard") {
     // ngramJaccard's contract is EXACT (complete candidate generation via
     // prefix filtering), so its output must equal the quadratic baseline.
+    // t=0.8 exercises the factors (t/(1+t) = 4/9, 2t/(1+t) = 8/9) whose
+    // double rounding lands ABOVE the exact rational — the class of
+    // thresholds where an unguarded ceil drops boundary pairs.
     val sets = docs.select(col("doc_id"),
       Dedup.shingles(col("text"), 3).as("sh"))
     val l = sets.select(col("doc_id").as("id_a"), col("sh").as("set_a"))
     val r = sets.select(col("doc_id").as("id_b"), col("sh").as("set_b"))
-    val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
-      .withColumn("j",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
-      .filter(col("j") >= 0.6)
-      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
-      .toSet
-    val found = Dedup.ngramJaccard(docs, k = 3, threshold = 0.6)
-      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
-      .toSet
-    assert(found == truth,
-      s"missing=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+    for (t <- Seq(0.6, 0.8)) {
+      val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .withColumn("j",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+            size(array_union(col("set_a"), col("set_b"))))
+        .filter(col("j") >= t)
+        .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .toSet
+      val found = Dedup.ngramJaccard(docs, k = 3, threshold = t)
+        .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .toSet
+      assert(found == truth, s"threshold=$t: " +
+        s"missing=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+    }
   }
 
   test("simhash pairs are symmetric-free and hamming-bounded") {
