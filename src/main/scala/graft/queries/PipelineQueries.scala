@@ -54,6 +54,52 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** End-to-end cluster dedup: duplicate pairs → connected components →
+    * keep the highest-quality representative per cluster. Pairs here are
+    * exact-text duplicates, so the DuckDB oracle can shortcut the
+    * transitive closure as GROUP BY text while the Spark side runs the
+    * real pair→component→keep-best machinery.
+    */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("text"), col("quality_score"))
+    val l = scored.select(col("doc_id").as("id_a"), col("text"))
+    val r = scored.select(col("doc_id").as("id_b"), col("text"))
+    val pairs = l.join(r, Seq("text")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    Dedup.dropDuplicatesByPairs(scored, pairs,
+        keepBest = Some("quality_score"))
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Int8 quantization round-trip: per-vector scale, worst elementwise
+    * reconstruction error, and cosine between the original and the
+    * dequantized vector — all scalar outputs so the DuckDB oracle can
+    * replay the identical float arithmetic.
+    */
+  def quantizeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    emb
+      .withColumn("scale", Quantize.scaleOf(col("embedding")))
+      .withColumn("codes", Quantize.quantize(col("embedding"), col("scale")))
+      .withColumn("deq", Quantize.dequantize(col("codes"), col("scale")))
+      .select(col("vec_id"),
+        // scale/deq are double already (Spark's `/` promotes float
+        // division to double) — keep the error fold in double too so
+        // the DuckDB oracle can mirror the arithmetic bit-for-bit
+        round(col("scale").cast("double"), 9).as("scale"),
+        round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("deq"),
+              (a, b) => abs(a - b)),
+            lit(0.0d), (acc, x) => greatest(acc, x)), 6)
+          .as("max_err"),
+        round(Similarity.cosine(col("embedding"), col("deq")), 6)
+          .as("cos_roundtrip"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-10 for the first 5 vectors as queries —
     * double-precision math on both engines so the oracle is exact.
     */
@@ -158,6 +204,8 @@ object PipelineQueries {
     "dedup_simhash_pairs"  -> dedupSimhash _,
     "dedup_ngram_pairs"    -> dedupNgram _,
     "dedup_embedding_pairs" -> dedupEmbedding _,
+    "dedup_keep_best"      -> dedupKeepBest _,
+    "quantize_roundtrip"   -> quantizeRoundtrip _,
     "sim_topk_bruteforce"  -> simTopK _,
     "sim_topk_ivf"         -> simTopKIvf _,
     "text_tokens"          -> textTokens _,
@@ -219,6 +267,62 @@ object PipelineQueries {
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                >= 0.5
          ORDER BY id_a, id_b""",
+    // Pairs here are exact-text duplicates, so the transitive closure
+    // the Spark side computes (pairs → min-label components → keep-best)
+    // collapses to GROUP BY text with an argmax over the quality score.
+    "dedup_keep_best" ->
+      """WITH q AS (
+           SELECT doc_id, text, CAST(round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0
+               END) +
+             (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)),
+                 '\s+'),
+                 w -> list_contains(['the','a','an','and','or','of','to','in',
+                   'is','it','that','for','on','with','as','at','by'], w)))
+                 ::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 ::DOUBLE
+               / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+             (CASE WHEN list_sum(list_transform(string_split_regex(
+                 trim(lower(text)), '\s+'), w -> length(w)))::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2) AS DOUBLE)
+             AS quality_score
+           FROM documents)
+         SELECT doc_id, quality_score FROM (
+           SELECT doc_id, quality_score,
+                  row_number() OVER (PARTITION BY text
+                    ORDER BY quality_score DESC, doc_id) AS rk
+           FROM q)
+         WHERE rk = 1 ORDER BY doc_id""",
+    // Identical double arithmetic replayed: scale = max|x|/127 promoted
+    // to double, codes = round-half-up int8, deq = codes * scale.
+    "quantize_roundtrip" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  CAST(greatest(list_max(list_transform(embedding,
+                      x -> abs(x))), CAST('1e-12' AS FLOAT)) AS DOUBLE)
+                    / 127.0 AS scale
+           FROM embeddings),
+         d AS (
+           SELECT vec_id, embedding, scale,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS TINYINT))
+                    AS codes
+           FROM s),
+         e AS (
+           SELECT vec_id, embedding, scale,
+                  list_transform(codes, c -> CAST(c AS DOUBLE) * scale) AS deq
+           FROM d)
+         SELECT vec_id, round(scale, 9) AS scale,
+                round(list_max(list_transform(range(1, len(embedding) + 1),
+                  i -> abs(CAST(embedding[i] AS DOUBLE) - deq[i]))), 6)
+                  AS max_err,
+                round(list_cosine_similarity(embedding::DOUBLE[], deq), 6)
+                  AS cos_roundtrip
+         FROM e ORDER BY vec_id""",
     // Planted-twin scenario replayed in DuckDB float math: union base
     // vectors with their jittered twins, all pairs with cosine >= 0.98.
     "dedup_embedding_pairs" ->
