@@ -89,16 +89,24 @@ object Dedup {
     val candidates = l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = df.select(col(idCol),
-      shingles(col(textCol), shingleK).as("sh_set"))
+    // Exact-Jaccard verification by counting shared hashed shingles per
+    // candidate (|A∩B| as a count aggregate, |A∪B| = n_a + n_b − |A∩B|)
+    // — candidate pairs never ship full shingle arrays through a
+    // shuffle, the same shape [[ngramJaccard]] uses.
+    val toks = df
+      .select(col(idCol), shingles(col(textCol), shingleK).as("sh_set"))
+      .select(col(idCol), size(col("sh_set")).as("n"),
+        explode(col("sh_set")).as("sh"))
+      .select(col(idCol), col("n"), xxhash64(col("sh")).as("tok"))
     candidates
-      .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("set_a")),
-        Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("set_b")),
-        Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+      .join(toks.select(col(idCol).as("id_a"), col("n").as("n_a"),
+        col("tok")), Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("n").as("n_b"),
+        col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
