@@ -192,11 +192,15 @@ class LakeTable(val spark: SparkSession, val location: String) {
     } else {
       // CoW: find files actually containing matches (metadata-sized
       // collect of file paths), rewrite only those without matched rows.
+      // Matching is by file NAME via a set lookup — an exists/endsWith
+      // scan would be O(files × hits) driver work at 100k-file scale.
       val withPath = Scan.readEntries(spark, m, candidates, dels, withPath = true)
-      val hitPaths = withPath.filter(matches(cond))
-        .select(Scan.GraftPath).distinct().collect().map(_.getString(0)).toSet
+      val hitNames = withPath.filter(matches(cond))
+        .select(Scan.GraftPath).distinct().collect()
+        .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+        .toSet
       val affected = candidates.filter(e =>
-        hitPaths.exists(_.endsWith(e.path.stripPrefix("data/"))))
+        hitNames.contains(e.path.stripPrefix("data/")))
       if (affected.isEmpty) return None
       val survivors = Scan.readEntries(spark, m, affected, dels)
         .filter(!matches(cond))
@@ -244,10 +248,12 @@ class LakeTable(val spark: SparkSession, val location: String) {
       } finally matched.unpersist()
     } else {
       val withPath = Scan.readEntries(spark, m, candidates, dels, withPath = true)
-      val hitPaths = withPath.filter(matches(cond))
-        .select(Scan.GraftPath).distinct().collect().map(_.getString(0)).toSet
+      val hitNames = withPath.filter(matches(cond))
+        .select(Scan.GraftPath).distinct().collect()
+        .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+        .toSet
       val affected = candidates.filter(e =>
-        hitPaths.exists(_.endsWith(e.path.stripPrefix("data/"))))
+        hitNames.contains(e.path.stripPrefix("data/")))
       if (affected.isEmpty) return None
       val all = Scan.readEntries(spark, m, affected, dels)
       val rewritten = applySet(all.filter(matches(cond)))

@@ -258,6 +258,26 @@ object LakeQueries {
       .orderBy("custkey")
   }
 
+  /** Incremental append consumption: rows added by append commits after
+    * a base snapshot — the cheap downstream-pipeline path (full
+    * row-level diffs incl. deletes → `lake_cdc_changes`).
+    */
+  def incrementalRead(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("increment", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 100)))
+      t0.setProperties(Map("graft.test.base" ->
+        t0.meta.currentSnapshotId.get.toString))
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") >= 100 && col("custkey") < 150))
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") >= 150 && col("custkey") < 200))
+      t0
+    }
+    t.readIncremental(t.properties("graft.test.base").toLong)
+      .orderBy("custkey")
+  }
+
   /** Catalog + stored view over metadata tables — the script's
     * snapshot-history view (`sql:85-96`), re-planned at read.
     */
@@ -292,6 +312,7 @@ object LakeQueries {
     "lake_branch_main"     -> branchMain _,
     "lake_branch_dev"      -> branchDev _,
     "lake_cdc_changes"     -> cdcChanges _,
+    "lake_incremental_read" -> incrementalRead _,
     "lake_optimize_invariance" -> optimizeInvariance _,
     "lake_zorder_compaction" -> zorderCompaction _,
     "lake_pruned_scan"     -> prunedScan _,
@@ -376,6 +397,11 @@ object LakeQueries {
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment,
                 '+33606060606' AS phone
          FROM customer WHERE c_custkey < 50 ORDER BY custkey""",
+    "lake_incremental_read" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey >= 100 AND c_custkey < 200
+         ORDER BY custkey""",
     // The scenario's commit sequence is fully deterministic (ids are a
     // monotone counter): create+append, append, update, delete.
     "lake_snapshot_log" ->

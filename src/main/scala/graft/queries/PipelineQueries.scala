@@ -54,6 +54,21 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Skew-salted two-phase aggregation over lineitem's 3-value
+    * returnflag — each hot group spread over 16 reducers in phase one,
+    * merged per key in phase two. The oracle is the plain GROUP BY: the
+    * salting must be answer-invariant.
+    */
+  def skewSaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedAggregate(
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+      key = "l_returnflag", saltFactor = 16,
+      partialAggs = Seq(sum(col("l_quantity")).as("psum"),
+        count(lit(1)).as("pcnt")),
+      finalAggs = Seq(round(sum(col("psum")), 2).as("sum_qty"),
+        sum(col("pcnt")).as("n_rows")))
+      .orderBy("l_returnflag")
+
   /** End-to-end cluster dedup: duplicate pairs → connected components →
     * keep the highest-quality representative per cluster. Pairs here are
     * exact-text duplicates, so the DuckDB oracle can shortcut the
@@ -206,6 +221,7 @@ object PipelineQueries {
     "dedup_embedding_pairs" -> dedupEmbedding _,
     "dedup_keep_best"      -> dedupKeepBest _,
     "quantize_roundtrip"   -> quantizeRoundtrip _,
+    "skew_salted_agg"      -> skewSaltedAgg _,
     "sim_topk_bruteforce"  -> simTopK _,
     "sim_topk_ivf"         -> simTopKIvf _,
     "text_tokens"          -> textTokens _,
@@ -267,6 +283,10 @@ object PipelineQueries {
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                >= 0.5
          ORDER BY id_a, id_b""",
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Pairs here are exact-text duplicates, so the transitive closure
     // the Spark side computes (pairs → min-label components → keep-best)
     // collapses to GROUP BY text with an argmax over the quality score.
