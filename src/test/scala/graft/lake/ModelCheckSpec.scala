@@ -45,7 +45,7 @@ class ModelCheckSpec extends AnyFunSuite {
     }
 
     (1 to nOps).foreach { i =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => // append
           val rows = freshRows(1 + rnd.nextInt(5))
           t.append(rows.toDF("id", "v", "tag"))
@@ -77,6 +77,15 @@ class ModelCheckSpec extends AnyFunSuite {
         case 4 => // optimize must never change results
           t.optimize(fileSizeThresholdBytes = 1L << 30)
           check(s"op$i optimize")
+        case 5 => // merge: upsert a random mix of existing and fresh ids
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(4))
+            .map(id => (id, 500L + rnd.nextInt(100),
+              s"s${rnd.nextInt(5)}"))
+          val srcRows = existing ++ freshRows(1 + rnd.nextInt(3))
+          t.merge(srcRows.toDF("id", "v", "tag"), Seq("id"))
+          model ++= srcRows.map(r => r._1 -> (r._2, r._3))
+          history += t.meta.currentSnapshotId.getOrElse(-1L) -> model
+          check(s"op$i merge upsert ${srcRows.map(_._1)}")
       }
     }
   }
