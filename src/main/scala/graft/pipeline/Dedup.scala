@@ -49,6 +49,38 @@ object Dedup {
   // x = xxhash64(shingle) mod P — shared with the sketch aggregate.
   private val P = graft.functions.MinHashAgg.P
 
+  /** (id, n, tok): per-doc distinct shingles, 64-bit hashed — the only
+    * representation similarity shuffles ever carry (never shingle
+    * strings or arrays). Hashing merges colliding shingles
+    * (~n²/2⁶⁵ chance corpus-wide).
+    */
+  private def hashedTokens(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), k).as("sh_set"))
+      .select(col(idCol), size(col("sh_set")).as("n"),
+        explode(col("sh_set")).as("sh"))
+      .select(col(idCol), col("n"), xxhash64(col("sh")).as("tok"))
+
+  /** Exact-Jaccard verification of candidate pairs by counting shared
+    * hashed tokens: |A∩B| as a count aggregate over a (id, tok) join,
+    * |A∪B| = n_a + n_b − |A∩B|. Candidates stay id-sized; the token
+    * table streams through twice (post-LSH candidate sets are small, so
+    * AQE broadcasts them).
+    */
+  private def verifyJaccard(candidates: DataFrame, toks: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
+    candidates
+      .join(toks.select(col(idCol).as("id_a"), col("n").as("n_a"),
+        col("tok")), Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("n").as("n_b"),
+        col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
   /** MinHash signature per id as one array column, computed by the
     * custom [[graft.functions.MinHashAgg]] TypedImperativeAggregate —
     * a single fixed-size buffer per group with map-side combine, instead
@@ -89,26 +121,8 @@ object Dedup {
     val candidates = l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // Exact-Jaccard verification by counting shared hashed shingles per
-    // candidate (|A∩B| as a count aggregate, |A∪B| = n_a + n_b − |A∩B|)
-    // — candidate pairs never ship full shingle arrays through a
-    // shuffle, the same shape [[ngramJaccard]] uses.
-    val toks = df
-      .select(col(idCol), shingles(col(textCol), shingleK).as("sh_set"))
-      .select(col(idCol), size(col("sh_set")).as("n"),
-        explode(col("sh_set")).as("sh"))
-      .select(col(idCol), col("n"), xxhash64(col("sh")).as("tok"))
-    candidates
-      .join(toks.select(col(idCol).as("id_a"), col("n").as("n_a"),
-        col("tok")), Seq("id_a"))
-      .join(toks.select(col(idCol).as("id_b"), col("n").as("n_b"),
-        col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(candidates, hashedTokens(df, textCol, idCol, shingleK),
+      idCol, jaccardThreshold)
   }
 
   /** Connected components over near-duplicate pairs via iterative
@@ -247,14 +261,9 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, threshold: Double = 0.6)
       : DataFrame = {
-    // (id, n, tok): per-doc distinct shingles, 64-bit hashed. Hashing
-    // merges colliding shingles (~n²/2⁶⁵ chance corpus-wide): prefixes
-    // only grow relative to the hashed universe, so completeness holds.
-    val toks = df
-      .select(col(idCol), shingles(col(textCol), k).as("sh_set"))
-      .select(col(idCol), size(col("sh_set")).as("n"),
-        explode(col("sh_set")).as("sh"))
-      .select(col(idCol), col("n"), xxhash64(col("sh")).as("tok"))
+    // Hashed tokens: prefixes only grow relative to the hashed
+    // universe (collisions merge shingles), so completeness holds.
+    val toks = hashedTokens(df, textCol, idCol, k)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     // Per-doc token list sorted rare-first (global (freq, tok) order).
     val sorted = toks.join(freq, Seq("tok"))
@@ -298,21 +307,9 @@ object Dedup {
       .filter(least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b"))
         >= alpha)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("n_a"), col("n_b"))
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    // |A∩B| by joining the candidates back to the hashed token lists —
-    // candidate sets are post-LSH-small, so AQE broadcasts them and the
-    // token table streams through twice without a data-sized shuffle.
-    candidates
-      .join(toks.select(col(idCol).as("id_a"), col("tok")), Seq("id_a"))
-      .join(toks.select(col(idCol).as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(candidates, toks, idCol, threshold)
   }
 
   /** Embedding near-duplicates: random-hyperplane LSH (deterministic

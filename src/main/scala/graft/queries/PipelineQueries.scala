@@ -79,9 +79,13 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
     val scored = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("text"), col("quality_score"))
-    val l = scored.select(col("doc_id").as("id_a"), col("text"))
-    val r = scored.select(col("doc_id").as("id_b"), col("text"))
-    val pairs = l.join(r, Seq("text")).filter(col("id_a") < col("id_b"))
+    // join on the 64-bit text hash, not the raw document bodies — the
+    // pair-generation shuffle stays metadata-sized (same collision odds
+    // the dedup operators already accept)
+    val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("th"))
+    val l = hashed.select(col("doc_id").as("id_a"), col("th"))
+    val r = hashed.select(col("doc_id").as("id_b"), col("th"))
+    val pairs = l.join(r, Seq("th")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     Dedup.dropDuplicatesByPairs(scored, pairs,
         keepBest = Some("quality_score"))
