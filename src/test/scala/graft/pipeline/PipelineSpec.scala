@@ -65,6 +65,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram join exactness holds on a random small-vocab corpus") {
+    // A 12-word vocabulary forces many borderline-similar pairs, the
+    // regime where prefix/positional-filter bugs surface as missing
+    // boundary pairs.
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    val corpus = (0L until 60L).map { i =>
+      val len = 4 + rnd.nextInt(12)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = corpus.select(col("doc_id"),
+      Dedup.shingles(col("text"), 2).as("sh"))
+    val l = sets.select(col("doc_id").as("id_a"), col("sh").as("set_a"))
+    val r = sets.select(col("doc_id").as("id_b"), col("sh").as("set_b"))
+    for (t <- Seq(0.5, 0.7, 0.85)) {
+      val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .withColumn("j",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+            size(array_union(col("set_a"), col("set_b"))))
+        .filter(col("j") >= t)
+        .select("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val found = Dedup.ngramJaccard(corpus, k = 2, threshold = t)
+        .select("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(found == truth, s"threshold=$t: " +
+        s"missing=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+    }
+  }
+
   test("simhash pairs are symmetric-free and hamming-bounded") {
     val pairs = Dedup.simhashPairs(docs).collect()
     pairs.foreach { p =>
