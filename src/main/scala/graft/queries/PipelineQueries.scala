@@ -54,6 +54,28 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** As-of (point-in-time) join: each event looks up the customer's
+    * most recent order at or before the event — union-sort shape, one
+    * shuffle, no range probe. Oracle = DuckDB's native ASOF JOIN.
+    */
+  def asofOrders(s: SparkSession, d: String): DataFrame = {
+    // dedupe the right side per (key, ts) so ties are deterministic on
+    // both engines
+    val ordersByTs = Tables.orders(s, d)
+      .groupBy(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ots"))
+      .agg(max(col("o_totalprice")).as("last_order_price"))
+    val events = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")).as("ets"))
+    graft.operators.AsOf.asofJoin(events, ordersByTs,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = col("ets"), rightTs = col("ots"),
+        valueCols = Seq("last_order_price"))
+      .select(col("event_id"), col("user_id"),
+        round(col("last_order_price"), 2).as("last_order_price"))
+      .orderBy("event_id")
+  }
+
   /** Skew-salted two-phase aggregation over lineitem's 3-value
     * returnflag — each hot group spread over 16 reducers in phase one,
     * merged per key in phase two. The oracle is the plain GROUP BY: the
@@ -226,6 +248,7 @@ object PipelineQueries {
     "dedup_keep_best"      -> dedupKeepBest _,
     "quantize_roundtrip"   -> quantizeRoundtrip _,
     "skew_salted_agg"      -> skewSaltedAgg _,
+    "asof_join_orders"     -> asofOrders _,
     "sim_topk_bruteforce"  -> simTopK _,
     "sim_topk_ivf"         -> simTopKIvf _,
     "text_tokens"          -> textTokens _,
@@ -291,6 +314,16 @@ object PipelineQueries {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "asof_join_orders" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                           max(o_totalprice) AS last_order_price
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id,
+                round(o.last_order_price, 2) AS last_order_price
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey
+          AND o.ots <= CAST(date_trunc('microseconds', e.ts) AS TIMESTAMP)
+         ORDER BY event_id""",
     // Pairs here are exact-text duplicates, so the transitive closure
     // the Spark side computes (pairs → min-label components → keep-best)
     // collapses to GROUP BY text with an argmax over the quality score.
