@@ -76,6 +76,30 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Range join: assign every event to the session interval containing
+    * it (sessions from the batch gaps-and-islands twin of the streaming
+    * operator) — bucketed equi-join, no nested-loop range scan. The
+    * oracle recomputes sessions in SQL and joins with BETWEEN.
+    */
+  def rangeJoinSessions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")).as("ets"))
+    val sessions = graft.streaming.EventStreams.sessionizeBatch(
+        Tables.events(s, d).select(col("user_id"),
+          graft.functions.TrinoFunctions.nanosToTimestamp(col("ts"))
+            .as("event_time"), col("value")),
+        gapMs = 600000L)
+      .select(col("user_id").as("s_user_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+    graft.operators.RangeJoin.pointInInterval(ev, sessions,
+        pointKey = "user_id", intervalKey = "s_user_id",
+        pointTs = col("ets"), startTs = col("session_start"),
+        endTs = col("session_end"))
+      .select(col("event_id"), col("user_id"), col("session_start"),
+        col("n_events").as("session_n_events"))
+      .orderBy("event_id")
+  }
+
   /** Skew-salted two-phase aggregation over lineitem's 3-value
     * returnflag — each hot group spread over 16 reducers in phase one,
     * merged per key in phase two. The oracle is the plain GROUP BY: the
@@ -249,6 +273,7 @@ object PipelineQueries {
     "quantize_roundtrip"   -> quantizeRoundtrip _,
     "skew_salted_agg"      -> skewSaltedAgg _,
     "asof_join_orders"     -> asofOrders _,
+    "range_join_sessions"  -> rangeJoinSessions _,
     "sim_topk_bruteforce"  -> simTopK _,
     "sim_topk_ivf"         -> simTopKIvf _,
     "text_tokens"          -> textTokens _,
@@ -324,6 +349,31 @@ object PipelineQueries {
            ON e.user_id = o.o_custkey
           AND o.ots <= CAST(date_trunc('microseconds', e.ts) AS TIMESTAMP)
          ORDER BY event_id""",
+    "range_join_sessions" ->
+      """WITH x AS (
+           SELECT user_id, CAST(date_trunc('microseconds', ts) AS TIMESTAMP)
+                    AS t,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         g AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS grp
+           FROM x),
+         sess AS (
+           SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+                  CAST(count(*) AS INT) AS n_events
+           FROM g GROUP BY user_id, grp)
+         SELECT e.event_id, e.user_id, s.session_start,
+                s.n_events AS session_n_events
+         FROM events e JOIN sess s
+           ON e.user_id = s.user_id
+          AND CAST(date_trunc('microseconds', e.ts) AS TIMESTAMP)
+              BETWEEN s.session_start AND s.session_end
+         ORDER BY e.event_id""",
     // Pairs here are exact-text duplicates, so the transitive closure
     // the Spark side computes (pairs → min-label components → keep-best)
     // collapses to GROUP BY text with an argmax over the quality score.
