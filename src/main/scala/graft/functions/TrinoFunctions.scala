@@ -81,7 +81,7 @@ object TrinoFunctions {
     * floor() — so subtract the remainder first, making the division an
     * exact integer at any scale. Inputs are non-negative epochs.
     */
-  private def floorDiv(c: Column, d: Long): Column =
+  def floorDiv(c: Column, d: Long): Column =
     ((c - pmod(c, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
 
   /** Nanosecond timestamps (Iceberg v3 `timestamp_ns`, `sql:185-187`).

@@ -23,35 +23,48 @@ object AsOf {
 
   /** @param valueCols right-side columns surfaced onto each left row
     *                   (null where no right row precedes it).
+    *
+    * All value columns come from ONE right row (they ride a single
+    * struct through the window, so a most-recent row with null fields
+    * is honored as-is — `ignoreNulls` skips left rows' marker nulls
+    * only, never resurrects an older right row). NULL keys and NULL
+    * right timestamps never match, per SQL comparison semantics.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: Column, rightTs: Column,
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val valueStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map { c =>
+        val f = right.schema(c)
+        org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          nullable = true)
+      })
     val l = left
       .withColumn("_k", col(leftKey))
       .withColumn("_ts", leftTs)
       .withColumn("_side", lit(1))
       .select(Seq(col("_k"), col("_ts"), col("_side")) ++
-        leftCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"_v_$c")): _*)
+        leftCols.map(col) :+
+        lit(null).cast(valueStructType).as("_v"): _*)
     val r = right
       .withColumn("_k", col(rightKey))
       .withColumn("_ts", rightTs)
       .withColumn("_side", lit(0))
+      // SQL semantics: a NULL key or NULL timestamp satisfies no
+      // comparison — such right rows can never be anyone's match
+      .filter(col("_k").isNotNull && col("_ts").isNotNull)
       .select(Seq(col("_k"), col("_ts"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("_v"): _*)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(Seq(col("_side")) ++ leftCols.map(col) ++
-        valueCols.map(c =>
-          last(col(s"_v_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("_last_v", last(col("_v"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"_last_v.$c").as(c)): _*)
   }
 }

@@ -23,11 +23,14 @@ object RangeJoin {
       pointKey: String, intervalKey: String,
       pointTs: Column, startTs: Column, endTs: Column,
       bucketWidthSec: Long = 3600L): DataFrame = {
-    val w = lit(bucketWidthSec * 1000000L)
-    val pts = points.withColumn("_p_bucket", floor(unix_micros(pointTs) / w))
+    // exact integer floor division — Column `/` is floating-point, and
+    // epoch-scale longs past 2^53 would silently mis-bucket
+    import graft.functions.TrinoFunctions.floorDiv
+    val w = bucketWidthSec * 1000000L
+    val pts = points.withColumn("_p_bucket", floorDiv(unix_micros(pointTs), w))
     val ivs = intervals.withColumn("_i_bucket",
-      explode(sequence(floor(unix_micros(startTs) / w),
-        floor(unix_micros(endTs) / w))))
+      explode(sequence(floorDiv(unix_micros(startTs), w),
+        floorDiv(unix_micros(endTs), w))))
     pts.join(ivs,
         pts(pointKey) === ivs(intervalKey) &&
           pts("_p_bucket") === ivs("_i_bucket"))

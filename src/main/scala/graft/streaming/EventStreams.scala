@@ -133,9 +133,13 @@ object EventStreams {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_time"))
     events
       .withColumn("prev", lag(col("event_time"), 1).over(w))
+      // gap test at MICROsecond precision — the stateful path compares
+      // epoch-micros, and a millisecond-truncated diff would sessionize
+      // boundary gaps differently from it (and from the DuckDB oracle)
       .withColumn("new_session",
         (col("prev").isNull ||
-          (unix_millis(col("event_time")) - unix_millis(col("prev"))) > gapMs)
+          (unix_micros(col("event_time")) - unix_micros(col("prev"))) >
+            gapMs * 1000L)
           .cast("int"))
       .withColumn("session_no",
         sum(col("new_session")).over(

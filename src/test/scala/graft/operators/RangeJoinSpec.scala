@@ -27,12 +27,15 @@ class RangeJoinSpec extends AnyFunSuite {
       (200L, 20L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
       (201L, 20L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00"))
     ).toDF("iid", "ik", "start", "end")
-    val got = RangeJoin.pointInInterval(points, intervals,
+    val rows = RangeJoin.pointInInterval(points, intervals,
         pointKey = "k", intervalKey = "ik",
         pointTs = col("pts"), startTs = col("start"), endTs = col("end"),
         bucketWidthSec = 3600L)
       .select("pid", "iid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 100L), (2L, 100L), (4L, 200L), (4L, 201L)))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // count BEFORE the set: each matching pair must surface exactly
+    // once, even though interval 100 spans 5 buckets
+    assert(rows.length == 4, s"expected 4 rows, got ${rows.toSeq}")
+    assert(rows.toSet == Set((1L, 100L), (2L, 100L), (4L, 200L), (4L, 201L)))
   }
 }
