@@ -78,29 +78,26 @@ object TextAnalysis {
       zip_with(zip_with(chars, sh1, (a, b) => concat(a, b)), sh2,
         (ab, c) => concat(ab, c)),
       lit(1), greatest(size(chars) - 2, lit(1)))
-    // One explode → one (doc, lang, tri) count aggregate feeds BOTH the
-    // profile fit and the scoring side (lang is functionally dependent
-    // on doc_id, so the group cardinality is unchanged). The old shape
-    // aggregated the exploded trigrams twice on different keys — two
-    // full shuffles of the corpus's trigrams instead of one (identical
-    // subtrees below both consumers also let Spark reuse the exchange).
-    val docTris = df
-      .select(col(idCol), col(labelCol), explode(tris).as("tri"))
-      .filter(length(col("tri")) === 3)
-      .groupBy(col(idCol), col(labelCol), col("tri"))
-      .agg(count(lit(1)).as("tf"))
+    def explodeTris(in: DataFrame) =
+      in.select(col(idCol), col(labelCol), explode(tris).as("tri"))
+        .filter(length(col("tri")) === 3)
 
-    // seed split: every 5th doc trains the profiles
+    // seed split: every 5th doc trains the profiles. The filter runs
+    // BEFORE the explode, so the profile branch pays for 20% of the
+    // corpus's trigrams, not a full second explode of all of it.
     val wRank = Window.partitionBy(col(labelCol))
       .orderBy(col("cnt").desc, col("tri"))
-    val profiles = docTris.filter(col(idCol) % 5 === 0)
+    val profiles = explodeTris(df.filter(col(idCol) % 5 === 0))
       .groupBy(col(labelCol), col("tri"))
-      .agg(sum(col("tf")).as("cnt"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= profileSize)
       .select(col(labelCol).as("profile_lang"), col("tri"),
         (lit(1.0) / (col("rank") + 10)).as("weight"))
 
+    val docTris = explodeTris(df)
+      .groupBy(col(idCol), col(labelCol), col("tri"))
+      .agg(count(lit(1)).as("tf"))
     val scores = docTris.join(broadcast(profiles), Seq("tri"))
       .groupBy(col(idCol), col("profile_lang"))
       .agg(sum(col("weight") * col("tf")).as("score"))
