@@ -173,6 +173,59 @@ class VersioningEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("merge with NaN keys degrades to a full scan instead of throwing") {
+    import s.implicits._
+    val t = LakeTable.create(s,
+      Files.createTempDirectory("nan-").resolve("t").toString,
+      Right(Seq((1.0, "a"), (2.0, "b")).toDF("k", "name")))
+    // a NaN source key makes max(k) = NaN: the derived pruning literal
+    // must be skipped (prune-nothing), not crash BigDecimal("NaN")
+    val snap = t.merge(
+      Seq((1.0, "a2"), (Double.NaN, "ghost")).toDF("k", "name"),
+      keys = Seq("k"))
+    assert(snap.isDefined)
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    // NaN never equals anything → the ghost row inserts; 1.0 updates
+    assert(got.count(_._2 == "a2") == 1)
+    assert(got.count(_._2 == "ghost") == 1)
+    assert(got.length == 3)
+  }
+
+  test("concurrent loads and commits never corrupt the version hint") {
+    import s.implicits._
+    val t = base()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    // readers hammer currentVersion (which opportunistically rewrites
+    // the hint) while writers race CAS commits with retry — the fixed
+    // atomicWrite must never lose a tmp file or publish a torn hint
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        try {
+          (1 to 15).foreach { j =>
+            if (i <= 2) { // writer with CAS retry
+              var done = false
+              while (!done) {
+                try {
+                  t.setProperties(Map(s"p$i-$j" -> "v"))
+                  commits.incrementAndGet(); done = true
+                } catch { case _: IllegalStateException => () }
+              }
+            } else { // reader
+              assert(Meta.currentVersion(t.location).isDefined)
+              t.read().count()
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent access failed: ${errors.peek()}")
+    assert(commits.get() == 30)
+    assert((1 to 2).forall(i => t.properties.contains(s"p$i-15")))
+  }
+
   test("manifest chain stays bounded across many commits") {
     import s.implicits._
     val t = base()
