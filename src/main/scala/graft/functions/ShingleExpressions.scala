@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass kernel behind [[HashedShingles]]: word boundaries, k-word
+  * shingle assembly, xxhash64 (seed 42, byte-identical to Spark's
+  * `xxhash64` over the shingle string), and dedup — one traversal of the
+  * UTF-8 bytes, zero intermediate arrays.
+  *
+  * Semantics replicated exactly from the composable form
+  * `array_distinct(slice(zip_with-chain(split(text, "\\s+")), …))`:
+  * words split on Java-regex `\s` characters, shingles joined by a
+  * single 0x20, fewer than k words collapse to ONE shingle of all
+  * words, the empty string yields the hash of the empty shingle.
+  */
+object ShingleKernel {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Distinct xxhash64 values of the k-word shingles of `s` (sorted —
+    * consumers treat the result as a set).
+    */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    // word [start, end) offsets — replicating Spark split(_, "\s+")
+    // exactly: a leading/trailing whitespace run contributes an EMPTY
+    // token (callers pass trim(lower(text)), but trim strips only
+    // 0x20, so \t/\n edges still reach us)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    if (bytes.length > 0 && isWs(bytes(0))) { starts.add(0); ends.add(0) }
+    var i = 0
+    while (i < bytes.length) {
+      if (!isWs(bytes(i)) && (i == 0 || isWs(bytes(i - 1))))
+        starts.add(i)
+      if (!isWs(bytes(i)) && (i + 1 == bytes.length || isWs(bytes(i + 1))))
+        ends.add(i + 1)
+      i += 1
+    }
+    if (bytes.length > 0 && isWs(bytes(bytes.length - 1))) {
+      starts.add(bytes.length); ends.add(bytes.length)
+    }
+    val nWords = starts.size
+    // split("", "\s+") yields [""]: zero words = one empty-string word
+    val m = math.min(k, math.max(nWords, 1))
+    val nShingles = math.max(nWords - k + 1, 1)
+    val hashes = new Array[Long](nShingles)
+    val buf = new Array[Byte](bytes.length + k) // words + separators
+    var sIdx = 0
+    while (sIdx < nShingles) {
+      var len = 0
+      var w = 0
+      while (w < m && sIdx + w < nWords) {
+        if (w > 0) { buf(len) = ' '; len += 1 }
+        val from = starts.get(sIdx + w)
+        val until = ends.get(sIdx + w)
+        System.arraycopy(bytes, from, buf, len, until - from)
+        len += until - from
+        w += 1
+      }
+      hashes(sIdx) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          len, 42L)
+      sIdx += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var distinct = 0
+    var j = 0
+    while (j < hashes.length) {
+      if (j == 0 || hashes(j) != hashes(j - 1)) {
+        hashes(distinct) = hashes(j); distinct += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      java.util.Arrays.copyOf(hashes, distinct))
+  }
+}
+
+/** `hashed_shingles(text, k)` → sorted distinct `array<long>` of the
+  * xxhash64 values of the text's k-word shingles. The composable
+  * equivalent (split → k shifted slices → zip_with concat →
+  * array_distinct → transform(xxhash64)) walks the word array ~2k times
+  * and allocates k+2 intermediate arrays per row; this is one fused
+  * byte-level pass. Input must already be `trim(lower(text))` — case
+  * and edge-whitespace normalization stay in (cheap, unicode-correct)
+  * built-ins.
+  */
+case class HashedShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if k >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_shingles expects a string column and k >= 1, got $other / k=$k")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HashedShingles = copy(child = newChild)
+}
+
+object ShingleExpressions {
+  import org.apache.spark.sql.graftshim
+
+  /** Column API: `hashedShingles(trim(lower(text)), k)`. */
+  def hashedShingles(normalizedText: Column, k: Int): Column =
+    graftshim.columnOf(HashedShingles(
+      graftshim.columnExpr(normalizedText), k))
+}

@@ -52,14 +52,16 @@ object Dedup {
   /** (id, n, tok): per-doc distinct shingles, 64-bit hashed — the only
     * representation similarity shuffles ever carry (never shingle
     * strings or arrays). Hashing merges colliding shingles
-    * (~n²/2⁶⁵ chance corpus-wide).
+    * (~n²/2⁶⁵ chance corpus-wide). Computed by the fused native
+    * [[graft.functions.HashedShingles]] kernel (one byte-level pass;
+    * hash values byte-identical to `xxhash64` over [[shingles]]).
     */
   private def hashedTokens(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame =
-    df.select(col(idCol), shingles(col(textCol), k).as("sh_set"))
-      .select(col(idCol), size(col("sh_set")).as("n"),
-        explode(col("sh_set")).as("sh"))
-      .select(col(idCol), col("n"), xxhash64(col("sh")).as("tok"))
+    df.select(col(idCol), graft.functions.ShingleExpressions
+        .hashedShingles(trim(lower(col(textCol))), k).as("toks"))
+      .select(col(idCol), size(col("toks")).as("n"),
+        explode(col("toks")).as("tok"))
 
   /** Exact-Jaccard verification of candidate pairs by counting shared
     * hashed tokens: |A∩B| as a count aggregate over a (id, tok) join,
@@ -88,10 +90,11 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleK: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
+    df.select(col(idCol), explode(graft.functions.ShingleExpressions
+        .hashedShingles(trim(lower(col(textCol))), shingleK)).as("sh"))
       .groupBy(col(idCol))
       .agg(graft.functions.MinHashAgg
-        .minhashSketch(xxhash64(col("sh")), numHashes).as("sig"))
+        .minhashSketch(col("sh"), numHashes).as("sig"))
 
   /** MinHash + banded LSH near-duplicate pairs with exact-Jaccard
     * verification of candidates (`id_a < id_b`).

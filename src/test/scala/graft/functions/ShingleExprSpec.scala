@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.pipeline.Dedup
+
+/** The native kernel must be observably identical to the composable
+  * HOF form: same distinct xxhash64 SET per document (the kernel sorts;
+  * the HOF keeps first-occurrence order), on real multilingual docs and
+  * on the n<k / empty / multi-space edges.
+  */
+class ShingleExprSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+
+  private def hofHashes(text: org.apache.spark.sql.Column, k: Int) =
+    sort_array(transform(Dedup.shingles(text, k), sh => xxhash64(sh)))
+
+  test("native hashed shingles == xxhash64 over HOF shingles (real docs)") {
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    for (k <- Seq(2, 3, 5)) {
+      val mismatches = docs.select(
+          hofHashes(col("text"), k).as("hof"),
+          ShingleExpressions.hashedShingles(trim(lower(col("text"))), k)
+            .as("native"))
+        .filter(col("hof") =!= col("native"))
+        .count()
+      assert(mismatches == 0, s"k=$k: $mismatches docs diverge")
+    }
+  }
+
+  test("edge cases: empty, single word, fewer words than k, runs of spaces") {
+    import s.implicits._
+    val edge = Seq("", "word", "two words", "a  b\t\tc", "  padded  ",
+      "exactly three words", "\n", "a b c d e").toDF("text")
+    val mism = edge.select(
+        hofHashes(col("text"), 3).as("hof"),
+        ShingleExpressions.hashedShingles(trim(lower(col("text"))), 3)
+          .as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(mism == 0)
+  }
+}
