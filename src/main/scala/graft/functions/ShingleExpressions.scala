@@ -82,6 +82,38 @@ object ShingleKernel {
     UnsafeArrayData.fromPrimitiveArray(
       java.util.Arrays.copyOf(hashes, distinct))
   }
+
+  /** xxhash64 of every n-CHARACTER gram (non-distinct, for tf counts):
+    * code-point boundaries located in one byte scan, each gram hashed
+    * in place from the original buffer — zero copies. Byte-identical to
+    * `xxhash64(substring)` because a char n-gram's UTF-8 bytes are
+    * contiguous. Strings shorter than n chars yield an empty array
+    * (the composable form's `length(tri) === 3` filter).
+    */
+  def chargrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) offs.add(i) // code-point start
+      i += 1
+    }
+    offs.add(bytes.length)
+    val nChars = offs.size - 1
+    val nGrams = math.max(nChars - n + 1, 0)
+    val hashes = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val from = offs.get(g)
+      val until = offs.get(g + n)
+      hashes(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(hashes)
+  }
 }
 
 /** `hashed_shingles(text, k)` → sorted distinct `array<long>` of the
@@ -121,6 +153,39 @@ case class HashedShingles(child: Expression, k: Int)
       : HashedShingles = copy(child = newChild)
 }
 
+/** `hashed_chargrams(text, n)` → `array<long>` of the xxhash64 values
+  * of every n-character gram (duplicates kept — downstream counts term
+  * frequencies). Replaces split-to-chars + k shifted zip_with concats +
+  * explode + length-filter + xxhash64 with one no-copy pass.
+  */
+case class HashedChargrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if n >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_chargrams expects a string column and n >= 1, got $other / n=$n")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.chargrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.chargrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HashedChargrams = copy(child = newChild)
+}
+
 object ShingleExpressions {
   import org.apache.spark.sql.graftshim
 
@@ -128,4 +193,9 @@ object ShingleExpressions {
   def hashedShingles(normalizedText: Column, k: Int): Column =
     graftshim.columnOf(HashedShingles(
       graftshim.columnExpr(normalizedText), k))
+
+  /** Column API: `hashedChargrams(normalizedText, n)`. */
+  def hashedChargrams(normalizedText: Column, n: Int): Column =
+    graftshim.columnOf(HashedChargrams(
+      graftshim.columnExpr(normalizedText), n))
 }

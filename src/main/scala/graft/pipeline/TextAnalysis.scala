@@ -68,19 +68,15 @@ object TextAnalysis {
       idCol: String = "doc_id", labelCol: String = "lang",
       profileSize: Int = 200): DataFrame = {
     val s = lower(regexp_replace(col(textCol), "\\s+", " "))
-    // Trigrams via zip_with over shifted char arrays — a per-position
-    // substr lambda measured ~16x slower under explode (28.7s vs 1.8s
-    // at sf0.1): per-element substring allocation dominates.
-    val chars = split(s, "")
-    val sh1 = slice(chars, lit(2), greatest(size(chars) - 1, lit(0)))
-    val sh2 = slice(chars, lit(3), greatest(size(chars) - 2, lit(0)))
-    val tris = slice(
-      zip_with(zip_with(chars, sh1, (a, b) => concat(a, b)), sh2,
-        (ab, c) => concat(ab, c)),
-      lit(1), greatest(size(chars) - 2, lit(1)))
+    // Trigrams as 64-bit hashes from the fused native
+    // [[graft.functions.HashedChargrams]] kernel — one no-copy pass per
+    // document, and every downstream shuffle/join key is a long.
+    // (History: per-position substr lambdas measured ~16x slower than
+    // zip_with over shifted arrays; the native kernel replaces even
+    // that with a single traversal.)
+    val tris = graft.functions.ShingleExpressions.hashedChargrams(s, 3)
     def explodeTris(in: DataFrame) =
       in.select(col(idCol), col(labelCol), explode(tris).as("tri"))
-        .filter(length(col("tri")) === 3)
 
     // seed split: every 5th doc trains the profiles. The filter runs
     // BEFORE the explode, so the profile branch pays for 20% of the

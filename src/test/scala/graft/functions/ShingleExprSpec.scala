@@ -30,6 +30,45 @@ class ShingleExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native chargrams == xxhash64 over HOF char trigrams (real docs)") {
+    // multiset equality (duplicates carry term frequencies)
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val chars = split(norm, "")
+    val sh1 = slice(chars, lit(2), greatest(size(chars) - 1, lit(0)))
+    val sh2 = slice(chars, lit(3), greatest(size(chars) - 2, lit(0)))
+    val hof = slice(
+      zip_with(zip_with(chars, sh1, (a, b) => concat(a, b)), sh2,
+        (ab, c) => concat(ab, c)),
+      lit(1), greatest(size(chars) - 2, lit(1)))
+    val mismatches = docs.select(
+        sort_array(transform(filter(hof, t => length(t) === 3),
+          t => xxhash64(t))).as("hof"),
+        sort_array(ShingleExpressions.hashedChargrams(norm, 3)).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(mismatches == 0)
+  }
+
+  test("chargram edges: unicode, shorter than n, exact n") {
+    import s.implicits._
+    val edge = Seq("", "ab", "abc", "日本語のテキスト", "añés mixé",
+      "x y").toDF("text")
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val chars = split(norm, "")
+    val sh1 = slice(chars, lit(2), greatest(size(chars) - 1, lit(0)))
+    val sh2 = slice(chars, lit(3), greatest(size(chars) - 2, lit(0)))
+    val hof = slice(
+      zip_with(zip_with(chars, sh1, (a, b) => concat(a, b)), sh2,
+        (ab, c) => concat(ab, c)),
+      lit(1), greatest(size(chars) - 2, lit(1)))
+    val mism = edge.select(
+        sort_array(transform(filter(hof, t => length(t) === 3),
+          t => xxhash64(t))).as("hof"),
+        sort_array(ShingleExpressions.hashedChargrams(norm, 3)).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(mism == 0)
+  }
+
   test("edge cases: empty, single word, fewer words than k, runs of spaces") {
     import s.implicits._
     val edge = Seq("", "word", "two words", "a  b\t\tc", "  padded  ",
