@@ -39,7 +39,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val metricLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The metric line must be the LAST stdout line: a tail-capturing
+    // harness otherwise sees only whatever shutdown logging follows it.
+    // Stop any streaming queries first (their state-store maintenance
+    // threads stack-trace noisily when the context dies under them),
+    // then stop the session, THEN print.
+    spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
     spark.stop()
+    println(metricLine)
+    Console.out.flush()
   }
 }

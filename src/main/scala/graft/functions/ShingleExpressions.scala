@@ -83,6 +83,34 @@ object ShingleKernel {
       java.util.Arrays.copyOf(hashes, distinct))
   }
 
+  /** Every n-CHARACTER gram as a string (non-distinct): same one-pass
+    * code-point scan as [[chargrams]], each gram an UTF8String wrapper
+    * over the original buffer — no per-gram byte copying. Equal to
+    * `transform(sequence(1, length-n+1), i -> substr(s, i, n))`, whose
+    * per-position lambda evaluation measured ~2x the whole langid query.
+    */
+  def chargramStrings(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) offs.add(i)
+      i += 1
+    }
+    offs.add(bytes.length)
+    val nChars = offs.size - 1
+    val nGrams = math.max(nChars - n + 1, 0)
+    val grams = new Array[AnyRef](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val from = offs.get(g)
+      val until = offs.get(g + n)
+      grams(g) = UTF8String.fromBytes(bytes, from, until - from)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(grams)
+  }
+
   /** xxhash64 of every n-CHARACTER gram (non-distinct, for tf counts):
     * code-point boundaries located in one byte scan, each gram hashed
     * in place from the original buffer — zero copies. Byte-identical to
@@ -186,6 +214,39 @@ case class HashedChargrams(child: Expression, n: Int)
       : HashedChargrams = copy(child = newChild)
 }
 
+/** `chargram_strings(text, n)` → `array<string>` of every n-character
+  * gram (duplicates kept). The string twin of [[HashedChargrams]], for
+  * consumers that need the gram text itself (e.g. an ANSI-replicable
+  * ordering); grams are zero-copy views over the input buffer.
+  */
+case class ChargramStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if n >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"chargram_strings expects a string column and n >= 1, got $other / n=$n")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.chargramStrings(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.chargramStrings($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ChargramStrings = copy(child = newChild)
+}
+
 object ShingleExpressions {
   import org.apache.spark.sql.graftshim
 
@@ -197,5 +258,10 @@ object ShingleExpressions {
   /** Column API: `hashedChargrams(normalizedText, n)`. */
   def hashedChargrams(normalizedText: Column, n: Int): Column =
     graftshim.columnOf(HashedChargrams(
+      graftshim.columnExpr(normalizedText), n))
+
+  /** Column API: `chargramStrings(normalizedText, n)`. */
+  def chargramStrings(normalizedText: Column, n: Int): Column =
+    graftshim.columnOf(ChargramStrings(
       graftshim.columnExpr(normalizedText), n))
 }

@@ -35,6 +35,21 @@ object AsOf {
       leftTs: Column, rightTs: Column,
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // surfacing a value column whose name a left column already uses
+    // would emit a duplicate output column — reject up front
+    val clash = valueCols.filter(leftCols.contains)
+    require(clash.isEmpty, "asofJoin value columns " +
+      s"${clash.mkString(", ")} collide with left columns; alias them " +
+      "on the right input first")
+    // internal working columns must not shadow either input's columns
+    val taken = (leftCols ++ right.columns).toSet
+    def fresh(base: String): String = {
+      var n = base; var i = 0
+      while (taken(n)) { n = s"${base}_$i"; i += 1 }
+      n
+    }
+    val (kC, tsC, sideC, vC, lastVC) =
+      (fresh("_k"), fresh("_ts"), fresh("_side"), fresh("_v"), fresh("_last_v"))
     val valueStructType = org.apache.spark.sql.types.StructType(
       valueCols.map { c =>
         val f = right.schema(c)
@@ -42,29 +57,29 @@ object AsOf {
           nullable = true)
       })
     val l = left
-      .withColumn("_k", col(leftKey))
-      .withColumn("_ts", leftTs)
-      .withColumn("_side", lit(1))
-      .select(Seq(col("_k"), col("_ts"), col("_side")) ++
+      .withColumn(kC, col(leftKey))
+      .withColumn(tsC, leftTs)
+      .withColumn(sideC, lit(1))
+      .select(Seq(col(kC), col(tsC), col(sideC)) ++
         leftCols.map(col) :+
-        lit(null).cast(valueStructType).as("_v"): _*)
+        lit(null).cast(valueStructType).as(vC): _*)
     val r = right
-      .withColumn("_k", col(rightKey))
-      .withColumn("_ts", rightTs)
-      .withColumn("_side", lit(0))
+      .withColumn(kC, col(rightKey))
+      .withColumn(tsC, rightTs)
+      .withColumn(sideC, lit(0))
       // SQL semantics: a NULL key or NULL timestamp satisfies no
       // comparison — such right rows can never be anyone's match
-      .filter(col("_k").isNotNull && col("_ts").isNotNull)
-      .select(Seq(col("_k"), col("_ts"), col("_side")) ++
+      .filter(col(kC).isNotNull && col(tsC).isNotNull)
+      .select(Seq(col(kC), col(tsC), col(sideC)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(valueCols.map(col): _*).as("_v"): _*)
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts"), col("_side"))
+        struct(valueCols.map(col): _*).as(vC): _*)
+    val w = Window.partitionBy(col(kC))
+      .orderBy(col(tsC), col(sideC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("_last_v", last(col("_v"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn(lastVC, last(col(vC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"_last_v.$c").as(c)): _*)
+        valueCols.map(c => col(s"$lastVC.$c").as(c)): _*)
   }
 }

@@ -45,6 +45,27 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
 
+  /** STAR edges (cluster-min id, member id) per exact-duplicate cluster
+    * — the pair representation to feed [[components]] for exact dups.
+    * An equal-hash self-join would emit C(c,2) pairs per cluster: a
+    * boilerplate text duplicated 1M times at corpus scale explodes one
+    * bucket into ~5×10¹¹ rows. The star (every member linked to the
+    * cluster's min id) has identical connected components at O(c) edges
+    * per cluster, built from one hash-aggregate plus one equi-join —
+    * both shuffles carry only (id, 64-bit text hash).
+    */
+  def exactDupPairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hashed = df.select(col(idCol), xxhash64(col(textCol)).as("th"))
+    val roots = hashed.groupBy(col("th"))
+      .agg(min(col(idCol)).as("id_a"), count(lit(1)).as("csize"))
+      .filter(col("csize") > 1)
+      .select(col("th"), col("id_a"))
+    hashed.join(roots, Seq("th"))
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
+  }
+
   // MinHash parameters: h_j(x) = (a_j * x + b_j) mod P over
   // x = xxhash64(shingle) mod P — shared with the sketch aggregate.
   private val P = graft.functions.MinHashAgg.P
@@ -129,18 +150,35 @@ object Dedup {
   }
 
   /** Connected components over near-duplicate pairs via iterative
-    * min-label propagation — the step that turns pairwise matches into
-    * dedup *clusters* (a ~ b, b ~ c ⇒ {a,b,c} keep one). Each iteration
-    * is one join + aggregate; near-dup components have tiny diameters,
-    * so few iterations converge; early-exits when no label changes.
+    * min-label propagation with pointer-doubling — the step that turns
+    * pairwise matches into dedup *clusters* (a ~ b, b ~ c ⇒ {a,b,c}
+    * keep one).
+    *
+    * Each iteration takes component(v) = min(component(v),
+    * min over neighbors, component(component(v))). The last term is the
+    * shortcut/pointer-doubling step: on a path graph the label gap
+    * doubles per iteration, so convergence is O(log diameter), not
+    * O(diameter) — a length-d chain of near-dups converges in ~log₂ d
+    * rounds instead of d. Convergence detection rides the SAME job that
+    * materializes the new labels (a count over the cached frame with the
+    * old label carried alongside), so each iteration is exactly one
+    * action: no separate join-and-count pass.
     */
   def components(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 16): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().cache()
+    // Lineage MUST be truncated each iteration (localCheckpoint): the
+    // update references `labels` three times (neighbor join, shortcut
+    // join, base), so the logical plan grows ~3^iter without truncation
+    // — Catalyst re-analysis and AQE plan stringification blow up long
+    // before the data does. (On a fault-tolerant cluster run, a
+    // reliable checkpoint dir upgrades this to `checkpoint()`; the
+    // algorithm is unchanged.)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -148,15 +186,25 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("neighbor_min"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("neighbor_min"),
-            col("component"))).as("component"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("id")).filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      // component(component(v)): labels re-keyed by id=component (every
+      // component value is some member's id; left join + coalesce keeps
+      // it total).
+      val grand = labels.select(col("id").as("old"),
+        col("component").as("grand"))
+      val next = labels.withColumnRenamed("component", "old")
+        .join(viaNeighbor, Seq("id"), "left")
+        .join(grand, Seq("old"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"),
+            coalesce(col("neighbor_min"), col("old")),
+            coalesce(col("grand"), col("old"))).as("component"))
+        // eager: materializes the iteration's labels once; the change
+        // check below is then a cheap in-memory scan with no extra join
+        // (the old label rides alongside), and old checkpoint RDDs are
+        // dropped by the ContextCleaner once unreferenced
+        .localCheckpoint(true)
+      val changed = next.filter(col("component") =!= col("old")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
@@ -202,12 +250,20 @@ object Dedup {
   /** 64-bit SimHash per document: sign-sum of word-hash bits, rebuilt
     * into a long; near-dup pairs via 4×16-bit band LSH + Hamming ≤ maxHamming
     * (pigeonhole: ≤3 differing bits ⇒ at least one equal band).
+    *
+    * Word hash = low 64 bits of md5 (signed, big-endian hex parse) — an
+    * ANSI-replicable primitive (DuckDB: `('0x'||substr(md5(w),17,16))
+    * ::UBIGINT`), chosen over xxhash64 deliberately so the whole
+    * sketch + banding + hamming pipeline is oracle-checkable end to
+    * end. Hash quality is equivalent for sketching purposes (md5 bits
+    * are uniform).
     */
   def simhash(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val words = df.select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h",
+        conv(substring(md5(col("w")), 17, 16), 16, -10).cast("long"))
     val bitSums = (0 until 64).map { k =>
       sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1))
         .as(s"bit_$k")

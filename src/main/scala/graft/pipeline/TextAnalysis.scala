@@ -68,31 +68,35 @@ object TextAnalysis {
       idCol: String = "doc_id", labelCol: String = "lang",
       profileSize: Int = 200): DataFrame = {
     val s = lower(regexp_replace(col(textCol), "\\s+", " "))
-    // Trigrams as 64-bit hashes from the fused native
+    // Doc-side trigrams as 64-bit hashes from the fused native
     // [[graft.functions.HashedChargrams]] kernel — one no-copy pass per
     // document, and every downstream shuffle/join key is a long.
     // (History: per-position substr lambdas measured ~16x slower than
     // zip_with over shifted arrays; the native kernel replaces even
     // that with a single traversal.)
     val tris = graft.functions.ShingleExpressions.hashedChargrams(s, 3)
-    def explodeTris(in: DataFrame) =
-      in.select(col(idCol), col(labelCol), explode(tris).as("tri"))
+    // Profile-side trigrams as RAW STRINGS: the profile rank tie-break
+    // (cnt desc, trigram) must order by a value an ANSI oracle can
+    // reproduce — the trigram text, not its xxhash64. This branch covers
+    // only the 20% training split (filtered BEFORE the explode), and its
+    // shuffle keys are 3-char strings — no heavier than the longs they
+    // replace. The join key back to the hashed doc side is
+    // xxhash64(trigram), byte-identical to the kernel's hashes.
+    val rawTris = graft.functions.ShingleExpressions.chargramStrings(s, 3)
 
-    // seed split: every 5th doc trains the profiles. The filter runs
-    // BEFORE the explode, so the profile branch pays for 20% of the
-    // corpus's trigrams, not a full second explode of all of it.
     val wRank = Window.partitionBy(col(labelCol))
-      .orderBy(col("cnt").desc, col("tri"))
-    val profiles = explodeTris(df.filter(col(idCol) % 5 === 0))
-      .groupBy(col(labelCol), col("tri"))
+      .orderBy(col("cnt").desc, col("tri_s"))
+    val profiles = df.filter(col(idCol) % 5 === 0)
+      .select(col(labelCol), explode(rawTris).as("tri_s"))
+      .groupBy(col(labelCol), col("tri_s"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= profileSize)
-      .select(col(labelCol).as("profile_lang"), col("tri"),
+      .select(col(labelCol).as("profile_lang"), xxhash64(col("tri_s")).as("tri"),
         (lit(1.0) / (col("rank") + 10)).as("weight"))
 
-    val docTris = explodeTris(df)
-      .groupBy(col(idCol), col(labelCol), col("tri"))
+    val docTris = df.select(col(idCol), explode(tris).as("tri"))
+      .groupBy(col(idCol), col("tri"))
       .agg(count(lit(1)).as("tf"))
     val scores = docTris.join(broadcast(profiles), Seq("tri"))
       .groupBy(col(idCol), col("profile_lang"))

@@ -125,14 +125,10 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
     val scored = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("text"), col("quality_score"))
-    // join on the 64-bit text hash, not the raw document bodies — the
-    // pair-generation shuffle stays metadata-sized (same collision odds
-    // the dedup operators already accept)
-    val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("th"))
-    val l = hashed.select(col("doc_id").as("id_a"), col("th"))
-    val r = hashed.select(col("doc_id").as("id_b"), col("th"))
-    val pairs = l.join(r, Seq("th")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // star edges over the 64-bit text hash (never the raw bodies, never
+    // all-pairs): O(c) edges per duplicate cluster — see
+    // Dedup.exactDupPairs for the scale argument
+    val pairs = Dedup.exactDupPairs(docs)
     Dedup.dropDuplicatesByPairs(scored, pairs,
         keepBest = Some("quality_score"))
       .select(col("doc_id"), col("quality_score"))
@@ -541,10 +537,75 @@ object PipelineQueries {
                 CAST(i * greatest(strlen(text) // 4, 1) AS INT)
                   AS frame_offset
          FROM documents, UNNEST([0,1,2,3]) AS t(i)
-         WHERE doc_id % 3 = 2 ORDER BY blob_id, frame_idx"""
-    // dedup_simhash_pairs (xxhash64 has no DuckDB analog), sim_topk_ivf
-    // (approximate by design — tail ranks differ from brute force),
-    // text_langid (learned profiles): rows-only here; bounds and
-    // determinism asserted in PipelineSpec.
+         WHERE doc_id % 3 = 2 ORDER BY blob_id, frame_idx""",
+    // Full simhash replay: word hash = low 64 bits of md5 (the operator
+    // uses the same primitive precisely so this oracle exists). The
+    // 4×16-bit banding is complete for hamming <= 3 by pigeonhole, so
+    // the oracle skips it and takes all pairs with hamming <= 3.
+    "dedup_simhash_pairs" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+             '\s+')) AS w
+           FROM documents),
+         h AS (
+           SELECT doc_id, ('0x' || substr(md5(w), 17, 16))::UBIGINT AS h
+           FROM w),
+         bits AS (
+           SELECT doc_id, k,
+                  sum(CASE WHEN ((h >> k) & 1) = 1 THEN 1 ELSE -1 END) AS s
+           FROM h, UNNEST(range(64)) AS t(k)
+           GROUP BY doc_id, k),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (1::UBIGINT << CAST(k AS INT))
+                    ELSE 0::UBIGINT END) AS UBIGINT) AS simhash
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY id_a, id_b""",
+    // Language-ID replay over RAW trigram strings — the operator's only
+    // non-ANSI piece is the xxhash64 trigram key, which is injective on
+    // this corpus (profile rank ties break on the trigram STRING on both
+    // engines).
+    "text_langid" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+                  lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
+           FROM documents),
+         tri AS (
+           SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS tri
+           FROM s, UNNEST(range(1, greatest(length(s) - 2, 0) + 1)) AS t(i)),
+         prof AS (
+           SELECT lang AS profile_lang, tri,
+                  1.0::DOUBLE / (rank + 10) AS weight
+           FROM (
+             SELECT lang, tri, count(*) AS cnt,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY count(*) DESC, tri) AS rank
+             FROM tri WHERE doc_id % 5 = 0
+             GROUP BY lang, tri)
+           WHERE rank <= 200),
+         tf AS (
+           SELECT doc_id, tri, count(*) AS tf
+           FROM tri GROUP BY doc_id, tri),
+         sc AS (
+           SELECT f.doc_id, p.profile_lang,
+                  sum(p.weight * f.tf) AS score
+           FROM tf f JOIN prof p USING (tri)
+           GROUP BY f.doc_id, p.profile_lang),
+         best AS (
+           SELECT doc_id, profile_lang AS predicted_lang,
+                  round(score, 4) AS lang_score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, profile_lang) AS rn
+           FROM sc)
+         SELECT b.doc_id, b.predicted_lang, b.lang_score,
+                b.predicted_lang = d.lang AS correct
+         FROM best b JOIN documents d USING (doc_id)
+         WHERE rn = 1 ORDER BY doc_id"""
+    // sim_topk_ivf stays rows-only: approximate by design — tail ranks
+    // differ from brute force; recall is asserted in PipelineSpec.
   )
 }

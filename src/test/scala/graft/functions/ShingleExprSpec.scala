@@ -69,6 +69,24 @@ class ShingleExprSpec extends AnyFunSuite {
     assert(mism == 0)
   }
 
+  test("chargram strings == substr HOF form (real docs + edges)") {
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"))
+    import s.implicits._
+    val edge = Seq("", "ab", "abc", "日本語のテキスト", "añés mixé",
+      "x y").toDF("text")
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val hof = when(length(norm) >= 3,
+      transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    for (df <- Seq(docs, edge)) {
+      val mism = df.select(hof.as("hof"),
+          ShingleExpressions.chargramStrings(norm, 3).as("native"))
+        .filter(col("hof") =!= col("native")).count()
+      assert(mism == 0)
+    }
+  }
+
   test("edge cases: empty, single word, fewer words than k, runs of spaces") {
     import s.implicits._
     val edge = Seq("", "word", "two words", "a  b\t\tc", "  padded  ",

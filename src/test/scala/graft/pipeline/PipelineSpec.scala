@@ -170,6 +170,98 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts == Set(4L))
   }
 
+  test("10k-copy duplicate cluster dedups without pair blow-up") {
+    // Adversarial fixture for the star-edge pair generation: one text
+    // duplicated 10k times. All-pairs generation would emit C(10k,2)
+    // ≈ 5×10⁷ pairs from this single bucket; the star form must emit
+    // exactly c-1 edges per cluster and keep one representative.
+    import s.implicits._
+    val corpus = ((0L until 10000L).map(i => (i, "same boilerplate text")) ++
+      Seq((20000L, "a unique document"), (20001L, "another unique one")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.exactDupPairs(corpus)
+    assert(pairs.count() == 9999L, "star edges: exactly c-1 per cluster")
+    val kept = Dedup.dropDuplicatesByPairs(corpus, pairs)
+    assert(kept.count() == 3L)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 20000L, 20001L),
+      "cluster representative must be the min id")
+  }
+
+  test("ngram join stays exact when one token appears in every doc") {
+    // Adversarial fixture for PPJoin's rare-token prefix blocking: a
+    // universal shingle would form one corpus-sized bucket under naive
+    // single-token blocking. Prefix filtering must keep the join exact
+    // (equal to brute force) — the universal token sorts LAST in the
+    // (freq, tok) order, so it only enters the short prefixes of
+    // near-identical docs, never a corpus-wide bucket.
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val corpus = (0L until 80L).map { i =>
+      val len = 3 + rnd.nextInt(8)
+      val words = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      // "common" in every doc, at a random position
+      val at = rnd.nextInt(words.size + 1)
+      (i, (words.take(at) ++ Seq("common") ++ words.drop(at)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = corpus.select(col("doc_id"),
+      Dedup.shingles(col("text"), 1).as("sh"))
+    val l = sets.select(col("doc_id").as("id_a"), col("sh").as("set_a"))
+    val r = sets.select(col("doc_id").as("id_b"), col("sh").as("set_b"))
+    val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("j",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("j") >= 0.6)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val found = Dedup.ngramJaccard(corpus, k = 1, threshold = 0.6)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(found == truth, s"missing=${(truth -- found).take(5)} " +
+      s"extra=${(found -- truth).take(5)}")
+  }
+
+  test("as-of join and sessionization stay correct under a 50% hot key") {
+    // One user owning half the events serializes that key's sort into a
+    // single task (inherent to per-key ordered semantics — documented);
+    // the results must still be exact.
+    import s.implicits._
+    val n = 4000
+    val events = (0 until n).map { i =>
+      val user = if (i % 2 == 0) 1L else (2L + i % 7)
+      (i.toLong, user, new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }.toDF("event_id", "user_id", "ets")
+    val orders = Seq((1L, new java.sql.Timestamp(1700000000000L), 10.0),
+      (1L, new java.sql.Timestamp(1700001000000L), 20.0),
+      (3L, new java.sql.Timestamp(1700000500000L), 30.0))
+      .toDF("o_custkey", "ots", "price")
+    val out = graft.operators.AsOf.asofJoin(events, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = col("ets"), rightTs = col("ots"),
+      valueCols = Seq("price")).collect()
+    assert(out.length == n)
+    out.foreach { row =>
+      val user = row.getAs[Long]("user_id")
+      val ets = row.getAs[java.sql.Timestamp]("ets").getTime
+      val expected: Option[Double] = user match {
+        case 1L => Some(if (ets >= 1700001000000L) 20.0 else 10.0)
+        case 3L => if (ets >= 1700000500000L) Some(30.0) else None
+        case _ => None
+      }
+      assert(Option(row.getAs[java.lang.Double]("price"))
+        .map(_.doubleValue) == expected,
+        s"user=$user ets=$ets got=${row.getAs[Any]("price")}")
+    }
+    val sess = graft.streaming.EventStreams.sessionizeBatch(
+      events.select(col("user_id"), col("ets").as("event_time"),
+        lit(1.0).as("value")), gapMs = 10000L)
+    // hot user 1: events every 2s, gap never exceeded → exactly 1 session
+    val hot = sess.filter(col("user_id") === 1L).collect()
+    assert(hot.length == 1 && hot.head.getAs[Int]("n_events") == n / 2)
+  }
+
   test("language id predicts for every doc with score > 0") {
     val out = TextAnalysis.languageId(docs)
     assert(out.count() == docs.count())

@@ -61,6 +61,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(comp(10L) == 10L && comp(11L) == 10L)
   }
 
+  test("path graph of length 64 collapses within log-bounded iterations") {
+    import s.implicits._
+    // Plain min-label propagation needs ~63 iterations for this chain;
+    // the pointer-doubling step must finish it in <= 8 (≈ log2(64) + 2).
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, maxIter = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 63L).forall(comp(_) == 0L),
+      s"chain not fully collapsed in 8 iterations: ${comp.toSeq.sorted.take(10)}")
+  }
+
   test("end-to-end dedup keeps one representative per cluster") {
     val docs = s.read.parquet(s"$sf/documents.parquet")
     val pairs = Dedup.minhashLsh(docs, numHashes = 32, bands = 16,
