@@ -191,6 +191,17 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       replace = true)
   }
 
+  /** Public SQL entry point: plan an arbitrary SELECT over the
+    * catalog's tables (and their `<table>_snapshots`-style metadata
+    * tables) by bare table name — the reference script's `SELECT`
+    * statements run verbatim modulo catalog prefixes. Registration is
+    * lazy and token-matched: only tables the query actually names are
+    * bound, each as its current-snapshot read (so time travel, branches
+    * and MoR deletes are all visible exactly as `table(n).read()` shows
+    * them).
+    */
+  def sql(query: String): DataFrame = execSql(query)
+
   private def execSql(sql: String): DataFrame = {
     // Register every catalog table (+ its metadata tables) the SQL
     // mentions as temp views, then let Spark SQL plan it. Mentions are

@@ -686,7 +686,11 @@ class LakeTable(val spark: SparkSession, val location: String) {
   }
 
   /** CALL remove_orphan_files (`sql:261`): files on disk no snapshot
-    * references, older than the threshold.
+    * references, older than the threshold. Covers data and delete files
+    * AND `metadata/manifest-*.json` — manifests are written BEFORE the
+    * commit CAS, so a losing concurrent commit (or a crash between
+    * write and commit) orphans them under metadata/ where they would
+    * otherwise accumulate forever.
     */
   def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
     val m = meta
@@ -695,11 +699,12 @@ class LakeTable(val spark: SparkSession, val location: String) {
       s.manifests.map(Meta.readManifest(location, _)).flatMap(mf =>
         mf.addedData.map(_.path) ++ mf.addedDeletes.map(_.path))
     }.toSet
+    val referencedManifests = m.snapshots.flatMap(_.manifests).toSet
+    import scala.jdk.CollectionConverters._
     val removed = Seq("data", "deletes").flatMap { dir =>
       val d = Paths.get(location, dir)
       if (!Files.exists(d)) Nil
       else {
-        import scala.jdk.CollectionConverters._
         Files.list(d).iterator().asScala.toSeq.flatMap { p =>
           val rel = s"$dir/${p.getFileName}"
           if (!referenced(rel) &&
@@ -709,7 +714,19 @@ class LakeTable(val spark: SparkSession, val location: String) {
         }
       }
     }
-    removed
+    val metaDir = Meta.metadataDir(location)
+    val removedManifests =
+      if (!Files.exists(metaDir)) Nil
+      else Files.list(metaDir).iterator().asScala.toSeq.flatMap { p =>
+        val name = p.getFileName.toString
+        val rel = s"metadata/$name"
+        if (name.startsWith("manifest-") && name.endsWith(".json") &&
+            !referencedManifests(rel) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+          Files.delete(p); Some(rel)
+        } else None
+      }
+    removed ++ removedManifests
   }
 }
 

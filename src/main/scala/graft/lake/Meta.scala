@@ -137,17 +137,33 @@ object Meta {
 
   def metadataDir(location: String): Path = Paths.get(location, "metadata")
 
-  private def atomicWrite(target: Path, content: String): Unit = {
-    // Unique temp file per call: a fixed sibling name would let two
-    // concurrent writers (e.g. two readers fast-forwarding the hint)
-    // consume each other's tmp — one move throws NoSuchFileException,
-    // or publishes a partially-written file.
+  /** Unique temp file per call: a fixed sibling name would let two
+    * concurrent writers (e.g. two readers fast-forwarding the hint)
+    * consume each other's tmp — one move throws NoSuchFileException,
+    * or publishes a partially-written file. createTempFile makes the
+    * file 0600 on POSIX, which would leak restrictive perms onto the
+    * PUBLISHED metadata (breaking other-user readers of a shared
+    * warehouse) — widen to the conventional 0644 before the content is
+    * written. A failed write deletes its tmp instead of leaking it.
+    */
+  private def writeTmp(target: Path, content: String): Path = {
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempFile(target.getParent,
       target.getFileName.toString, ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+    try {
+      try Files.setPosixFilePermissions(tmp,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+      catch { case _: UnsupportedOperationException => () } // non-POSIX FS
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      tmp
+    } catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
+  }
+
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = writeTmp(target, content)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
   }
 
   /** Exclusive atomic publish: fails if `target` already exists — the
@@ -157,10 +173,7 @@ object Meta {
     * EEXIST when the target exists.
     */
   private def atomicWriteExclusive(target: Path, content: String): Unit = {
-    Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent,
-      target.getFileName.toString, ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    val tmp = writeTmp(target, content)
     try {
       Files.createLink(target, tmp)
       Files.deleteIfExists(tmp)
@@ -169,6 +182,9 @@ object Meta {
         Files.deleteIfExists(tmp)
         throw new IllegalStateException(
           s"concurrent commit: $target already exists — reload and retry", e)
+      case e: Throwable =>
+        Files.deleteIfExists(tmp)
+        throw e
     }
   }
 

@@ -55,21 +55,29 @@ object Writer {
       .count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = pidCounts.scanLeft(0L)(_ + _._2)
-    // broadcast pid→offset (one row per partition): a literal map would
-    // blow up analysis at 100k-task scale
+    // broadcast pid→(offset, counted size) — one row per partition: a
+    // literal map would blow up analysis at 100k-task scale
     val offDf = broadcast(
-      pidCounts.map(_._1).zip(offsets).toSeq.toDF("_pid", "_offset"))
+      pidCounts.zip(offsets)
+        .map { case ((pid, cnt), off) => (pid, off, cnt) }
+        .toSeq.toDF("_pid", "_offset", "_cnt"))
     df.withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33).cast(IntegerType))
       .join(offDf, Seq("_pid"), "left")
-      // If the count job and the id-assignment job saw different
-      // partitionings (nondeterministic upstream), _offset comes back
-      // null — fail loudly: a silently-null row id would make the row
-      // immune to every later MoR delete/update keyed on it.
+      // Nondeterminism guard, per row: a partition id the count job never
+      // saw (null _offset) OR an in-partition offset at/past that
+      // partition's counted size both mean the input repartitioned
+      // between the two jobs — fail loudly, because either could mint a
+      // duplicate/overlapping id, and a bad row id makes the row immune
+      // to every later MoR delete/update keyed on it. (A partition that
+      // SHRANK between jobs passes — ids stay unique, merely non-dense,
+      // which lineage semantics tolerate.)
       .withColumn("_offset",
-        when(col("_offset").isNotNull, col("_offset"))
+        when(col("_offset").isNotNull &&
+            col("_mid").bitwiseAND(lit((1L << 33) - 1)) < col("_cnt"),
+          col("_offset"))
           .otherwise(raise_error(lit(
-            "withLineage: partition changed between counting and id " +
+            "withLineage: partitioning changed between counting and id " +
               "assignment — input is nondeterministic")).cast(LongType)))
       .withColumn(RowId,
         lit(firstRowId) + col("_offset") +

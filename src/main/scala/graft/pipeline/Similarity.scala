@@ -118,6 +118,31 @@ object Similarity {
       Some(t))
   }
 
+  /** Incrementally index newly-arrived vectors: assign each to its
+    * nearest EXISTING centroid and append to the cell-partitioned index
+    * table — a normal snapshot-isolated lake commit, so the next probe
+    * sees the new rows with the same file-level cell pruning. No re-fit:
+    * the quantizer only needs re-training on distribution drift, which
+    * the caller detects (e.g. rising mean assignment distance) and
+    * handles by rebuilding via [[buildIvf]]+[[persistIvf]]. This is the
+    * 100 TB maintenance path — appending a day's vectors touches only
+    * the new data, never the existing index files.
+    */
+  def refreshIvf(spark: org.apache.spark.sql.SparkSession, location: String,
+      newVectors: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): IvfIndex = {
+    val t = graft.lake.LakeTable.forLocation(spark, location)
+    val cents = org.json4s.jackson.Serialization
+      .read[List[IvfCentroid]](t.properties("graft.ivf.centroids"))
+      .map(ic => (ic.cell, ic.c.toArray)).toArray
+    val assigned = newVectors
+      .select(col(idCol), col(vecCol))
+      .transform(assignCells(cents, vecCol, idCol))
+    // same one-file-per-cell layout as persistIvf's initial write
+    t.append(assigned.repartition(col("cell")))
+    loadIvf(spark, location)
+  }
+
   def buildIvf(vectors: DataFrame, nlist: Int, vecCol: String = "embedding",
       idCol: String = "vec_id", sampleFraction: Double = 1.0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -173,7 +198,7 @@ object Similarity {
         .toDF("cell", "cvec"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("cell"))
-    val qx = broadcast(
+    val probes =
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
         .crossJoin(cents)
         .withColumn("dist",
@@ -181,17 +206,22 @@ object Similarity {
             (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= nprobe)
-        .select(col("query_id"), col("qvec"), col("cell")))
-    // Persisted index: resolve the probed cells first (bounded by nlist,
-    // a metadata-sized collect) and scan the lake table with an IN
-    // filter, so manifest pruning drops every non-probed cell's FILES.
-    // In-memory index: plain join against the assignment frame.
-    val scanBase = index.table match {
+        .select(col("query_id"), col("qvec"), col("cell"))
+    // Persisted index: the probe assignment is queries×nprobe rows —
+    // already small enough to broadcast by contract — so collect it ONCE
+    // and reuse it both for the cell IN-filter (manifest pruning drops
+    // every non-probed cell's FILES) and, rebuilt as a local relation,
+    // for the scan join. The previous shape re-executed the centroid
+    // cross-join + window twice (once for the cells collect, once in the
+    // join). In-memory index: plain join against the assignment frame.
+    val (scanBase, qx) = index.table match {
       case Some(t) =>
-        val cells = qx.select(col("cell")).distinct().collect()
-          .map(_.getInt(0))
-        t.read(col("cell").isin(cells.toSeq: _*))
-      case None => index.assignments
+        val localProbes = probes.collect()
+        val cells = localProbes.map(_.getAs[Int]("cell")).distinct.toSeq
+        val qxLocal = broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(localProbes: _*), probes.schema))
+        (t.read(col("cell").isin(cells: _*)), qxLocal)
+      case None => (index.assignments, broadcast(probes))
     }
     val scored = scanBase.join(qx, Seq("cell"))
       .withColumn("cosine", cosine(col(vecCol), col("qvec")))

@@ -301,7 +301,34 @@ object LakeQueries {
     cat.readView("v_hist").orderBy("snapshot_id")
   }
 
+  /** The federation aggregate (`sql:286-295`) through the PUBLIC SQL
+    * entry point: TPC-H inputs CTAS'd into catalog-managed lake tables
+    * once, then `catalog.sql(...)` plans the reference's SELECT text
+    * (bare table names) over their current snapshots. Oracled against
+    * the same SQL in DuckDB — and it must hash-match `q_federation_agg`,
+    * proving the SQL surface and the DataFrame surface agree.
+    */
+  def sqlFederation(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("sqlfed", d) { loc =>
+      val cat = new graft.lake.LakeCatalog(s,
+        java.nio.file.Files.createTempDirectory("sqlfed-").toString)
+      cat.createSchema("tpch")
+      cat.createTable("tpch.nation", Tables.nation(s, d))
+      cat.createTable("tpch.orders", Tables.orders(s, d))
+      val t0 = cat.createTable("tpch.customer", Tables.customer(s, d))
+      t0.setProperties(Map("graft.test.cat" -> cat.warehouse))
+      t0
+    }
+    val cat = new graft.lake.LakeCatalog(s, t.properties("graft.test.cat"))
+    cat.sql(
+      """SELECT n_name AS nation, round(sum(o_totalprice), 2) AS total_price
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY n_name ORDER BY total_price, nation""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_federation"     -> sqlFederation _,
     "lake_catalog_view"    -> catalogViewHistory _,
     "lake_ctas_select"     -> ctasSelect _,
     "lake_mor_update"      -> morUpdate _,
@@ -326,6 +353,11 @@ object LakeQueries {
     * match proves write+read round-trip semantics, not shared code.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_sql_federation" ->
+      """SELECT n_name AS nation, round(sum(o_totalprice), 2) AS total_price
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY n_name ORDER BY total_price, nation""",
     "lake_ctas_select" ->
       """SELECT c_custkey AS custkey, c_name AS name,
                 c_mktsegment AS mktsegment, n_name AS nation

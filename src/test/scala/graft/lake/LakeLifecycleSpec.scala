@@ -221,6 +221,19 @@ class LakeLifecycleSpec extends AnyFunSuite {
     val removed = t.removeOrphanFiles(olderThanMs = -1000) // future cutoff
     assert(removed.contains("data/orphan.parquet"))
     assert(!Files.exists(orphan))
+    // a manifest written before a LOSING commit CAS is orphaned under
+    // metadata/ — must be collected too, but never a referenced one
+    val orphanManifest = java.nio.file.Paths.get(t.location, "metadata",
+      "manifest-999-deadbeef.json")
+    Files.write(orphanManifest, "{}".getBytes)
+    val referenced = t.meta.snapshots.flatMap(_.manifests).toSet
+    val removed2 = t.removeOrphanFiles(olderThanMs = -1000)
+    assert(removed2.contains("metadata/manifest-999-deadbeef.json"))
+    assert(!Files.exists(orphanManifest))
+    assert(referenced.forall(rel =>
+      Files.exists(java.nio.file.Paths.get(t.location, rel))),
+      "live manifests must survive orphan collection")
+    assert(t.read().count() == 5)
   }
 
   test("schema evolution: add w/ default, rename, drop (sql:166-189)") {

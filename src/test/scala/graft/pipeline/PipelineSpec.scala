@@ -148,6 +148,31 @@ class PipelineSpec extends AnyFunSuite {
       s"${pruned.size} of ${files.size} files for a 4/16-cell probe")
   }
 
+  test("IVF refresh indexes appended vectors without re-fit") {
+    val embD = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val loc = java.nio.file.Files.createTempDirectory("ivf-refresh-")
+      .resolve("index").toString
+    Similarity.persistIvf(Similarity.buildIvf(embD, nlist = 16), loc)
+    val queries = embD.filter(col("vec_id") < 5)
+    // exact twins of the queries, appended AFTER the index was built —
+    // identical embeddings land in the same cell as their originals, so
+    // a probe must surface them (cosine 1.0, directly behind/beside the
+    // original under the id tie-break)
+    val twins = queries.select((col("vec_id") + 900000L).as("vec_id"),
+      col("embedding"))
+    val before = Similarity.ivfTopK(Similarity.loadIvf(s, loc), queries,
+      k = 3, nprobe = 4)
+      .filter(col("neighbor") >= 900000L).count()
+    assert(before == 0L)
+    val refreshed = Similarity.refreshIvf(s, loc, twins)
+    val hits = Similarity.ivfTopK(refreshed, queries, k = 3, nprobe = 4)
+      .filter(col("neighbor") === col("query_id") + 900000L)
+      .count()
+    assert(hits == 5L,
+      "every query's appended twin must be found by the refreshed index")
+  }
+
   test("stub multimodal features are deterministic and shaped") {
     val blobs = Multimodal.blobTable(docs.limit(50))
     val f1 = Multimodal.extractFeatures(blobs, dim = 16)
