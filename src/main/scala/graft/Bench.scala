@@ -45,9 +45,10 @@ object Bench {
     // harness otherwise sees only whatever shutdown logging follows it.
     // Stop any streaming queries first (their state-store maintenance
     // threads stack-trace noisily when the context dies under them),
-    // then stop the session, THEN print.
+    // then stop the session, THEN print. Shutdown failures must never
+    // eat the metric — the whole point is that this line always lands.
     spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
     println(metricLine)
     Console.out.flush()
   }

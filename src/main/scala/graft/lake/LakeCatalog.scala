@@ -213,18 +213,34 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     val metaKinds = Seq("snapshots", "history", "refs", "files",
       "partitions", "properties", "manifests", "entries",
       "metadata_log_entries")
-    listTables.foreach { n =>
+    val bindings = listTables.flatMap { n =>
       val short = n.split("\\.").last
       val needsBase = idents.contains(short)
       val metaRefs = metaKinds.filter(mt => idents.contains(s"${short}_$mt"))
       if (needsBase || metaRefs.nonEmpty) {
         val t = table(n)
-        if (needsBase) t.read().createOrReplaceTempView(short)
-        metaRefs.foreach(mt =>
-          MetaTables(t, mt).createOrReplaceTempView(s"${short}_$mt"))
-      }
+        (if (needsBase) Seq(short -> t.read()) else Nil) ++
+          metaRefs.map(mt => s"${short}_$mt" -> MetaTables(t, mt))
+      } else Nil
     }
-    spark.sql(sql)
+    // The bindings are scoped to THIS call: clobbering a session temp
+    // view the user created (createOrReplaceTempView) — or leaving our
+    // views behind to shadow names for later spark.sql calls — would
+    // leak the binding outside catalog.sql. Resolution is eager in
+    // spark.sql, so dropping the views after planning is safe for the
+    // returned (lazy) DataFrame.
+    val created = scala.collection.mutable.Buffer[String]()
+    try {
+      bindings.foreach { case (name, df) =>
+        if (spark.catalog.tableExists(name))
+          throw new IllegalStateException(s"catalog.sql: the session " +
+            s"already has a table or view named '$name', which this query " +
+            "would bind to the catalog table — drop or rename it first")
+        df.createTempView(name)
+        created += name
+      }
+      spark.sql(sql)
+    } finally created.foreach(spark.catalog.dropTempView(_))
   }
 
   def listTables: Seq[String] = {

@@ -687,10 +687,12 @@ class LakeTable(val spark: SparkSession, val location: String) {
 
   /** CALL remove_orphan_files (`sql:261`): files on disk no snapshot
     * references, older than the threshold. Covers data and delete files
-    * AND `metadata/manifest-*.json` — manifests are written BEFORE the
-    * commit CAS, so a losing concurrent commit (or a crash between
-    * write and commit) orphans them under metadata/ where they would
-    * otherwise accumulate forever.
+    * plus metadata-dir debris: `manifest-*.json` no snapshot references
+    * (manifests are written BEFORE the commit CAS, so a losing
+    * concurrent commit orphans them) and `*.tmp` siblings left by a
+    * writer that died between createTempFile and the atomic publish.
+    * Live files never end in `.tmp` (the publish renames/links away
+    * immediately), and the mtime cutoff protects in-flight writers.
     */
   def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
     val m = meta
@@ -701,32 +703,33 @@ class LakeTable(val spark: SparkSession, val location: String) {
     }.toSet
     val referencedManifests = m.snapshots.flatMap(_.manifests).toSet
     import scala.jdk.CollectionConverters._
-    val removed = Seq("data", "deletes").flatMap { dir =>
-      val d = Paths.get(location, dir)
+    // list() streams hold a directory fd until closed — never rely on GC
+    def listDir(d: java.nio.file.Path): Seq[java.nio.file.Path] =
       if (!Files.exists(d)) Nil
       else {
-        Files.list(d).iterator().asScala.toSeq.flatMap { p =>
-          val rel = s"$dir/${p.getFileName}"
-          if (!referenced(rel) &&
-              Files.getLastModifiedTime(p).toMillis < cutoff) {
-            Files.delete(p); Some(rel)
-          } else None
-        }
+        val s = Files.list(d)
+        try s.iterator().asScala.toSeq finally s.close()
       }
-    }
-    val metaDir = Meta.metadataDir(location)
-    val removedManifests =
-      if (!Files.exists(metaDir)) Nil
-      else Files.list(metaDir).iterator().asScala.toSeq.flatMap { p =>
-        val name = p.getFileName.toString
-        val rel = s"metadata/$name"
-        if (name.startsWith("manifest-") && name.endsWith(".json") &&
-            !referencedManifests(rel) &&
+    val removed = Seq("data", "deletes").flatMap { dir =>
+      listDir(Paths.get(location, dir)).flatMap { p =>
+        val rel = s"$dir/${p.getFileName}"
+        if (!referenced(rel) &&
             Files.getLastModifiedTime(p).toMillis < cutoff) {
           Files.delete(p); Some(rel)
         } else None
       }
-    removed ++ removedManifests
+    }
+    val removedMeta = listDir(Meta.metadataDir(location)).flatMap { p =>
+      val name = p.getFileName.toString
+      val rel = s"metadata/$name"
+      val orphanManifest = name.startsWith("manifest-") &&
+        name.endsWith(".json") && !referencedManifests(rel)
+      if ((orphanManifest || name.endsWith(".tmp")) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff) {
+        Files.delete(p); Some(rel)
+      } else None
+    }
+    removed ++ removedMeta
   }
 }
 

@@ -131,15 +131,12 @@ object Similarity {
   def refreshIvf(spark: org.apache.spark.sql.SparkSession, location: String,
       newVectors: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): IvfIndex = {
-    val t = graft.lake.LakeTable.forLocation(spark, location)
-    val cents = org.json4s.jackson.Serialization
-      .read[List[IvfCentroid]](t.properties("graft.ivf.centroids"))
-      .map(ic => (ic.cell, ic.c.toArray)).toArray
+    val idx = loadIvf(spark, location)
     val assigned = newVectors
       .select(col(idCol), col(vecCol))
-      .transform(assignCells(cents, vecCol, idCol))
+      .transform(assignCells(idx.centroids, vecCol, idCol))
     // same one-file-per-cell layout as persistIvf's initial write
-    t.append(assigned.repartition(col("cell")))
+    idx.table.get.append(assigned.repartition(col("cell")))
     loadIvf(spark, location)
   }
 
