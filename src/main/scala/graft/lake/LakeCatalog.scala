@@ -243,6 +243,11 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     } finally created.foreach(spark.catalog.dropTempView(_))
   }
 
+  def listViews: Seq[String] = {
+    val s = state
+    (s.views.keys ++ s.mviews.keys).toSeq.distinct.sorted
+  }
+
   def listTables: Seq[String] = {
     import scala.jdk.CollectionConverters._
     val s = state
