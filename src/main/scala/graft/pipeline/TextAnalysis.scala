@@ -109,6 +109,33 @@ object TextAnalysis {
         round(col("score"), 4).as("lang_score"))
   }
 
+  /** TF-IDF top-`topK` terms per document (smooth idf:
+    * ln((N+1)/(df+1)) + 1, scikit-style). One explode → (doc, term) tf
+    * hash-agg → vocabulary-sized df agg → shuffle join on term →
+    * per-doc top-k window. The document count rides a broadcast 1-row
+    * aggregate, keeping the whole thing one lazy plan. Terms stay raw
+    * strings here (the analytics output IS the term); a pipeline using
+    * tf-idf only as a feature would hash them like the dedup operators.
+    */
+  def tfIdf(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", topK: Int = 5): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val tf = words.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = broadcast(df.agg(count(lit(1)).as("n_docs")))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(n)
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("term"), round(col("tfidf"), 6).as("tfidf"),
+        col("rk").cast("int").as("rk"))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
   private val Ipv4Re =

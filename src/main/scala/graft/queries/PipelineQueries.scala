@@ -238,6 +238,25 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-5 terms per doc (smooth idf, deterministic ties). */
+  def textTfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfIdf(Tables.documents(s, d))
+      .orderBy("doc_id", "rk")
+
+  /** Deterministic 80/10/10 train/valid/test assignment by salted md5
+    * of the doc id — stable across runs and cluster sizes.
+    */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    Sampling.assignSplits(Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  /** Per-source capping: keep the 50 longest docs per source domain
+    * (two-phase salted ranking — exact, hot-domain-safe).
+    */
+  def sampleDomainCap(s: SparkSession, d: String): DataFrame =
+    Sampling.capPerDomain(Tables.documents(s, d), k = 50)
+      .orderBy("source", "rk")
+
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d))
@@ -275,6 +294,9 @@ object PipelineQueries {
     "text_tokens"          -> textTokens _,
     "text_quality"         -> textQuality _,
     "text_langid"          -> textLangId _,
+    "text_tfidf"           -> textTfidf _,
+    "sample_split"         -> sampleSplit _,
+    "sample_domain_cap"    -> sampleDomainCap _,
     "text_fingerprint"     -> textFingerprint _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
@@ -565,6 +587,49 @@ object PipelineQueries {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY id_a, id_b""",
+    // Smooth-idf TF-IDF replayed: identical double math, identical
+    // (tfidf desc, term) tie-break.
+    "text_tfidf" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+             '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+         df AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, term,
+                round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6)
+                  AS tfidf,
+                CAST(rk AS INT) AS rk
+         FROM (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1))
+                      + 1) DESC, tf.term) AS rk
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         WHERE rk <= 5 ORDER BY doc_id, rk""",
+    // The split hash is low-60-bits-of-md5 — positive in a signed long,
+    // so Spark's pmod and DuckDB's unsigned % agree exactly.
+    "sample_split" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, CAST(bucket AS INT) AS bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
+    "sample_domain_cap" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 50 ORDER BY source, rk""",
     // Language-ID replay over RAW trigram strings — the operator's only
     // non-ANSI piece is the xxhash64 trigram key, which is injective on
     // this corpus (profile rank ties break on the trigram STRING on both

@@ -287,6 +287,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(hot.length == 1 && hot.head.getAs[Int]("n_events") == n / 2)
   }
 
+  test("two-phase domain cap is exact for any salt count") {
+    // the oracle checks salts=16 against the plain single-window form;
+    // this pins the equivalence across salt granularities
+    val plain = Sampling.capPerDomain(docs, k = 20, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    for (ss <- Seq(4, 32)) {
+      val salted = Sampling.capPerDomain(docs, k = 20, salts = ss)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(salted == plain, s"salts=$ss diverged")
+    }
+  }
+
+  test("split assignment is deterministic, banded, and salt-shiftable") {
+    val a = Sampling.assignSplits(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.assignSplits(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b, "same salt => identical assignment")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > counts("test") && counts("train") > counts("valid"),
+      s"80/10/10 bands should dominate: $counts")
+    val shifted = Sampling.assignSplits(docs, salt = "other").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(shifted != a, "a different salt must re-roll assignments")
+  }
+
   test("language id predicts for every doc with score > 0") {
     val out = TextAnalysis.languageId(docs)
     assert(out.count() == docs.count())
