@@ -115,6 +115,29 @@ object PipelineQueries {
         sum(col("pcnt")).as("n_rows")))
       .orderBy("l_returnflag")
 
+  private val dedupIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental dedup: docs with `doc_id % 5 == 4` arrive as a NEW
+    * batch probed against a persisted LSH index of the other 80% — the
+    * daily-ingest shape (corpus never re-shingled). The oracle is the
+    * exact all-pairs Jaccard restricted to pairs touching the batch,
+    * so banded recall and the old/new pair orientation are both held
+    * exact.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = dedupIdxCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-")
+        .resolve("index").toString
+      IncrementalDedup.build(docs.filter(col("doc_id") % 5 =!= 4), dir)
+      dir
+    })
+    IncrementalDedup.nearDupPairs(IncrementalDedup.load(s, loc),
+        docs.filter(col("doc_id") % 5 === 4), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end cluster dedup: duplicate pairs → connected components →
     * keep the highest-quality representative per cluster. Pairs here are
     * exact-text duplicates, so the DuckDB oracle can shortcut the
@@ -283,6 +306,7 @@ object PipelineQueries {
     "dedup_minhash_pairs"  -> dedupMinhash _,
     "dedup_simhash_pairs"  -> dedupSimhash _,
     "dedup_ngram_pairs"    -> dedupNgram _,
+    "dedup_incremental"    -> dedupIncremental _,
     "dedup_embedding_pairs" -> dedupEmbedding _,
     "dedup_keep_best"      -> dedupKeepBest _,
     "quantize_roundtrip"   -> quantizeRoundtrip _,
@@ -349,6 +373,32 @@ object PipelineQueries {
                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
                   6) AS jaccard
          FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               >= 0.5
+         ORDER BY id_a, id_b""",
+    // Exact all-pairs Jaccard restricted to pairs touching the batch
+    // (doc_id % 5 = 4): corpus-vs-batch pairs keep (old, new) order,
+    // in-batch pairs keep (min, max).
+    "dedup_incremental" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) AS jaccard
+         FROM s a JOIN s b
+           ON b.doc_id % 5 = 4
+          AND ((a.doc_id % 5 <> 4 AND a.doc_id <> b.doc_id)
+               OR (a.doc_id % 5 = 4 AND a.doc_id < b.doc_id))
          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                >= 0.5

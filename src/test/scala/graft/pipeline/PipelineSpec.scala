@@ -287,6 +287,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(hot.length == 1 && hot.head.getAs[Int]("n_events") == n / 2)
   }
 
+  test("incremental dedup index: append admits a batch, later probes see it") {
+    import s.implicits._
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch1 = docs.filter(col("doc_id") % 5 === 4)
+    val loc = java.nio.file.Files.createTempDirectory("dedupidx-")
+      .resolve("index").toString
+    IncrementalDedup.build(corpus, loc)
+    val idx = IncrementalDedup.load(s, loc)
+    // orientation contract: id_b is always a batch doc
+    val p1 = IncrementalDedup.nearDupPairs(idx, batch1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    p1.foreach { case (_, b) => assert(b % 5 == 4) }
+    // admit batch1, then probe twins of two corpus docs and one batch1
+    // doc — the new batch must pair with BOTH generations of the index
+    IncrementalDedup.append(idx, batch1)
+    val twinIds = docs.filter(col("doc_id").isin(0L, 5L, 4L))
+    val batch2 = twinIds.select((col("doc_id") + 700000L).as("doc_id"),
+      col("text"))
+    val p2 = IncrementalDedup
+      .nearDupPairs(IncrementalDedup.load(s, loc), batch2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 700000L), (5L, 700005L), (4L, 700004L)).subsetOf(p2),
+      s"exact twins must be found against both index generations: $p2")
+  }
+
   test("two-phase domain cap is exact for any salt count") {
     // the oracle checks salts=16 against the plain single-window form;
     // this pins the equivalence across salt granularities
