@@ -109,6 +109,48 @@ object TextAnalysis {
         round(col("score"), 4).as("lang_score"))
   }
 
+  /** Word n-grams WITH duplicates (the repetition metrics need
+    * multiplicities; [[Dedup.shingles]] dedups). Same shifted-zip_with
+    * shape and same short-text convention: fewer than n words collapse
+    * to one gram of all words.
+    */
+  private def ngramsAll(text: Column, n: Int): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    val joined = (1 until n).foldLeft(words) { (acc, shift) =>
+      zip_with(acc, slice(words, lit(shift + 1),
+        greatest(size(words) - shift, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    slice(joined, lit(1), greatest(size(words) - (n - 1), lit(1)))
+  }
+
+  /** Intra-document repetition (the Gopher-style quality rule): the
+    * fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same doc. Pure per-row HOFs — no shuffle, scales linearly.
+    */
+  def repetition(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 10): DataFrame = {
+    val grams = ngramsAll(col(textCol), n)
+    val total = size(grams)
+    val distinct = size(array_distinct(grams))
+    df.select(col(idCol), total.as("n_grams"), distinct.as("n_distinct"),
+      round(lit(1.0) - distinct.cast("double") /
+        greatest(total, lit(1)).cast("double"), 4).as("dup_gram_frac"))
+  }
+
+  /** Corpus-wide most-repeated n-grams by document frequency — the
+    * boilerplate detector (navigation chrome, license headers). One
+    * explode of per-doc DISTINCT grams → gram hash-agg → top-k. The
+    * output IS the gram text, so grams ride the shuffle as strings; a
+    * 100 TB run caps the explode with a per-doc gram limit first.
+    */
+  def commonNgrams(df: DataFrame, textCol: String = "text", n: Int = 5,
+      topK: Int = 20): DataFrame =
+    df.select(explode(array_distinct(ngramsAll(col(textCol), n))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(topK)
+
   /** TF-IDF top-`topK` terms per document (smooth idf:
     * ln((N+1)/(df+1)) + 1, scikit-style). One explode → (doc, term) tf
     * hash-agg → vocabulary-sized df agg → shuffle join on term →

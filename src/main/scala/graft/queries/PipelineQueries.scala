@@ -261,6 +261,15 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Intra-doc duplicate 10-gram fraction (Gopher-style repetition). */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  /** Corpus-wide top-20 most common 5-grams (boilerplate detector). */
+  def textCommonNgrams(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.commonNgrams(Tables.documents(s, d))
+
   /** TF-IDF top-5 terms per doc (smooth idf, deterministic ties). */
   def textTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfIdf(Tables.documents(s, d))
@@ -319,6 +328,8 @@ object PipelineQueries {
     "text_quality"         -> textQuality _,
     "text_langid"          -> textLangId _,
     "text_tfidf"           -> textTfidf _,
+    "text_repetition"      -> textRepetition _,
+    "text_common_ngrams"   -> textCommonNgrams _,
     "sample_split"         -> sampleSplit _,
     "sample_domain_cap"    -> sampleDomainCap _,
     "text_fingerprint"     -> textFingerprint _,
@@ -660,6 +671,38 @@ object PipelineQueries {
                       + 1) DESC, tf.term) AS rk
            FROM tf JOIN df USING (term) CROSS JOIN n)
          WHERE rk <= 5 ORDER BY doc_id, rk""",
+    // Same short-text convention as the shingle oracles: fewer than n
+    // words collapse to one gram of all words.
+    "text_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_transform(range(1, greatest(len(words) - 9, 1) + 1),
+                    i -> array_to_string(words[i:least(i+9, len(words))], ' '))
+                    AS grams
+           FROM w)
+         SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+                CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+                round(1.0::DOUBLE - len(list_distinct(grams))::DOUBLE /
+                  greatest(len(grams), 1), 4) AS dup_gram_frac
+         FROM g ORDER BY doc_id""",
+    "text_common_ngrams" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(words[i:least(i+4, len(words))], ' '))))
+               AS gram
+           FROM w)
+         SELECT gram, count(*) AS doc_freq
+         FROM g GROUP BY gram
+         ORDER BY doc_freq DESC, gram LIMIT 20""",
     // The split hash is low-60-bits-of-md5 — positive in a signed long,
     // so Spark's pmod and DuckDB's unsigned % agree exactly.
     "sample_split" ->

@@ -84,12 +84,56 @@ object StreamQueries {
       .orderBy("user_id", "session_start")
   }
 
+  private val dedupDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A stream dir where every event arrives TWICE (two links to the
+    * same parquet) — the at-least-once delivery a dedup stage exists
+    * for.
+    */
+  private def dedupStreamDir(d: String): String =
+    dedupDirCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("events-dup-")
+      val src = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
+      java.nio.file.Files.createSymbolicLink(dir.resolve("a.parquet"), src)
+      java.nio.file.Files.createSymbolicLink(dir.resolve("b.parquet"), src)
+      dir.toString
+    })
+
+  /** Exactly-once projection of an at-least-once stream:
+    * `dropDuplicatesWithinWatermark` on the event id — dedup state is
+    * EXPIRED once the watermark passes (the operator that stays bounded
+    * at 100 TB, unlike plain streaming dropDuplicates whose state grows
+    * with every id ever seen). Every event is delivered twice here; the
+    * oracle is the plain batch table, so the stream must emit each
+    * exactly once.
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_dedup_" + Math.abs(d.hashCode)
+    val stream = EventStreams.readEvents(s, dedupStreamDir(d))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_counts" -> streamHourly _,
-    "stream_sessions" -> streamSessions _
+    "stream_sessions" -> streamSessions _,
+    "stream_dedup" -> streamDedup _
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every event arrives twice in the stream; the oracle is the plain
+    // table — exactly-once or the row counts diverge
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+         FROM events ORDER BY event_id""",
     "stream_hourly_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
                 event_type, count(*) AS n_events,
