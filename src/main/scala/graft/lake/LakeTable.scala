@@ -154,7 +154,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
     * belongs to the table (re-appending rows read with meta columns must
     * get FRESH ids, or MoR deletes keyed on row id would hit imposters).
     */
-  def append(df: DataFrame, branch: String = "main"): Snapshot = {
+  def append(df: DataFrame, branch: String = "main",
+      summary: Map[String, String] = Map.empty): Snapshot = {
     val m = meta
     val cleaned = df.drop(RowId, LastUpdatedSeq,
       Scan.RowIdCol, Scan.LastSeqCol,
@@ -168,7 +169,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
       m.currentSchemaId, seq, sortedBy(m))
     val rows = entries.map(_.recordCount).sum
     commitSnapshot(m, "append",
-      Manifest(entries.toList, Nil, Nil, Nil), branch, rows)
+      Manifest(entries.toList, Nil, Nil, Nil), branch, rows, summary)
   }
 
   /** DELETE FROM … WHERE (`sql:137,228,240`). MoR writes a deletion

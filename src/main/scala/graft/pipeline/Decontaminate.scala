@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ShingleExpressions
+
+/** Benchmark decontamination: find training documents that share word
+  * n-grams with a held-out benchmark set — the overlap scan every
+  * pretraining pipeline runs before a corpus ships (a train doc that
+  * contains a benchmark answer span inflates eval scores).
+  *
+  * Scale shape: the corpus side explodes to 64-bit hashed grams (the
+  * [[graft.functions.HashedShingles]] single-pass kernel — no string
+  * materialization); the benchmark side reduces to a DISTINCT hashed-gram
+  * set first. Real benchmarks are MBs against a 100 TB corpus, so the
+  * gram set broadcasts and the corpus never shuffles — the join is a
+  * map-side semi probe, one corpus scan total.
+  */
+object Decontaminate {
+
+  /** Per-corpus-doc count of distinct `k`-grams also present anywhere in
+    * `benchmark`. Docs with zero overlap are absent (the common case —
+    * the output is the contamination report, not the corpus).
+    *
+    * Short-text convention matches the shingle oracles: a doc with fewer
+    * than `k` words contributes one gram of all its words.
+    */
+  def ngramOverlap(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol),
+      explode(ShingleExpressions
+        .hashedShingles(trim(lower(col(textCol))), k)).as("_gram"))
+    val benchGrams = broadcast(grams(benchmark).select("_gram").distinct())
+    grams(corpus)
+      .join(benchGrams, "_gram")
+      .groupBy(col(idCol))
+      // grams are already per-doc distinct (HashedShingles dedups), so a
+      // plain count is a distinct count — no count_distinct re-shuffle.
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

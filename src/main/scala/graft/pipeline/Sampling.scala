@@ -33,6 +33,32 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its md5 bucket
+    * (same arithmetic as [[assignSplits]]) falls under its stratum's
+    * percentage — per-language downsampling rates, the dial that
+    * rebalances a web-crawl language mix. Pure per-row predicate: no
+    * shuffle, no state, stable under retries and cluster resizes, and
+    * a stratum's sample is a SUBSET of any higher rate's sample (nested
+    * samples — rate changes don't churn the kept set).
+    */
+  def stratifiedSample(df: DataFrame, rates: Map[String, Int],
+      defaultPct: Int = 100, stratumCol: String = "lang",
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "rates are percentages")
+    val h = conv(substring(
+      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 18, 15),
+      16, 10).cast("long")
+    val bucket = pmod(h, lit(100))
+    // rates is a compile-time-small map → a folded CASE chain, codegen'd.
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+      .select(col(idCol), col(stratumCol), bucket.cast("int").as("bucket"))
+  }
+
   /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id
     * tiebreak) — domain capping. TWO-PHASE so a hot domain cannot
     * serialize onto one task: phase one ranks within (domain, salt)

@@ -165,6 +165,27 @@ object Similarity {
     * plan that survives 100× scale (a giant unrolled argmin expression
     * does not: it blows up analysis/codegen at nlist×dim literals).
     */
+  /** Nearest-centroid assignment by cosine against a centroid TABLE
+    * `(cell, centroid vector)` — the building block of semantic
+    * clustering and cluster-balanced sampling. Centroid sets are
+    * metadata-sized (k × dim), so they broadcast; the corpus streams
+    * once, and the per-row argmax is a `max(struct(...))` hash
+    * aggregate: each vector's k scored copies collapse map-side to one
+    * row BEFORE the shuffle (vs a ranking window, which would
+    * shuffle-sort all k copies). Ties break to the lowest cell id.
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      cellCol: String = "cell", centVecCol: String = "cvec"): DataFrame = {
+    val scored = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids.select(col(cellCol), col(centVecCol))))
+      .withColumn("_cos", cosine(col(vecCol), col(centVecCol)))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("_cos"), (-col(cellCol)).as("_negcell"))).as("_m"))
+      .select(col(idCol), (-col("_m._negcell")).as(cellCol),
+        round(col("_m._cos"), 6).as("cosine"))
+  }
+
   private def assignCells(centroids: Array[(Int, Array[Double])],
       vecCol: String, idCol: String)(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession

@@ -168,6 +168,62 @@ object CoreQueries {
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** GROUP BY ROLLUP — hierarchical subtotals (per (flag, status), per
+    * flag, grand total) in ONE aggregation: Catalyst expands the
+    * grouping sets and the partial/final HashAggregate shape still
+    * applies, so all three levels cost one shuffle, not three scans.
+    */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .rollup(col("returnflag"), col("linestatus"))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("returnflag").asc_nulls_first,
+        col("linestatus").asc_nulls_first)
+
+  /** Running total per customer — the cumulative window frame
+    * (UNBOUNDED PRECEDING → CURRENT ROW). One shuffle on the partition
+    * key; within a partition the frame is computed in one sorted pass.
+    */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("orderdate"), col("orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        col("o_orderdate").as("orderdate"),
+        col("o_totalprice").as("totalprice"))
+      .withColumn("running_spend", round(sum(col("totalprice")).over(w), 2))
+      .select(col("custkey"), col("orderkey"),
+        round(col("totalprice"), 2).as("totalprice"), col("running_spend"))
+      .orderBy(col("custkey"), col("orderkey"))
+  }
+
+  /** Exact percentiles per group (`percentile`, not the approx sketch):
+    * linear-interpolated quantiles of event values per type. The exact
+    * form is the oracle-able baseline; at 100 TB the same query swaps in
+    * `percentile_approx` (bounded-memory sketch) — asserted within
+    * tolerance of this exact plan in CoreQueriesSpec.
+    */
+  def valuePercentiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p75"),
+        round(element_at(col("ps"), 4), 6).as("p95"),
+        col("n"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_federation_agg"    -> federationAgg _,
     "q_euro_customers"    -> euroCustomers _,
@@ -178,7 +234,10 @@ object CoreQueries {
     "q_customer_order_counts" -> customerOrderCounts _,
     "q_top_orders_per_status" -> topOrdersPerStatus _,
     "q_events_hourly"     -> eventsHourly _,
-    "q_events_json"       -> eventsJsonExtract _
+    "q_events_json"       -> eventsJsonExtract _,
+    "q_rollup_revenue"    -> rollupRevenue _,
+    "q_running_total"     -> runningTotal _,
+    "q_value_percentiles" -> valuePercentiles _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -243,6 +302,31 @@ object CoreQueries {
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                 max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_rollup_revenue" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY returnflag NULLS FIRST, linestatus NULLS FIRST""",
+    "q_running_total" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                round(o_totalprice, 2) AS totalprice,
+                round(sum(o_totalprice) OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_spend
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY custkey, orderkey""",
+    "q_value_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6)  AS p50,
+                round(quantile_cont(value, 0.75), 6) AS p75,
+                round(quantile_cont(value, 0.95), 6) AS p95,
+                count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

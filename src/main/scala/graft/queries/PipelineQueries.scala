@@ -289,6 +289,53 @@ object PipelineQueries {
     Sampling.capPerDomain(Tables.documents(s, d), k = 50)
       .orderBy("source", "rk")
 
+  /** Stratified downsampling: English (the dominant stratum) kept at
+    * 30%, German at 60%, everything else in full — deterministic md5
+    * buckets, no shuffle.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, d),
+      rates = Map("en" -> 30, "de" -> 60))
+      .orderBy("doc_id")
+
+  /** Blocklist filtering: drop three source domains via a broadcast
+    * anti-join — the blocklist rides to every executor; the corpus
+    * never shuffles.
+    */
+  def filterBlocklist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val block = Seq("src3", "src7", "src11").toDF("source")
+    Tables.documents(s, d)
+      .join(broadcast(block), Seq("source"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: train-split docs sharing any distinct
+    * 8-gram with the held-out test split (the md5-bucket split doubles
+    * as the benchmark stand-in).
+    */
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val splits = Sampling.assignSplits(Tables.documents(s, d))
+      .select(col("doc_id"), col("bucket"))
+    val docs = Tables.documents(s, d).join(splits, "doc_id")
+    Decontaminate.ngramOverlap(
+      corpus = docs.filter(col("bucket") < 80),
+      benchmark = docs.filter(col("bucket") >= 90), k = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Nearest-centroid assignment by cosine: first 8 vectors act as the
+    * centroid table; every vector maps to its best cell (semantic
+    * clustering's inner step, broadcast + map-side argmax).
+    */
+  def embeddingCentroidAssign(s: SparkSession, d: String): DataFrame =
+    Similarity.assignToCentroids(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+      .orderBy("vec_id")
+
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d))
@@ -332,6 +379,10 @@ object PipelineQueries {
     "text_common_ngrams"   -> textCommonNgrams _,
     "sample_split"         -> sampleSplit _,
     "sample_domain_cap"    -> sampleDomainCap _,
+    "sample_stratified"    -> sampleStratified _,
+    "filter_blocklist"     -> filterBlocklist _,
+    "text_decontaminate"   -> textDecontaminate _,
+    "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "text_fingerprint"     -> textFingerprint _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
@@ -716,6 +767,52 @@ object PipelineQueries {
                      WHEN bucket < 90 THEN 'valid'
                      ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    "sample_stratified" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
+         FROM h
+         WHERE bucket < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60
+                                  ELSE 100 END
+         ORDER BY doc_id""",
+    "filter_blocklist" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE source NOT IN ('src3', 'src7', 'src11') ORDER BY doc_id""",
+    // Same 8-gram short-text convention as the shingle oracles; the
+    // Spark side counts 64-bit hashed grams, the oracle counts the gram
+    // strings — equal unless xxhash64 collides within a doc's grams.
+    "text_decontaminate" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 AS bucket,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, bucket, unnest(list_distinct(
+             list_transform(range(1, greatest(len(words) - 7, 1) + 1),
+               i -> array_to_string(words[i:least(i+7, len(words))], ' '))))
+               AS gram
+           FROM s),
+         bench AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90)
+         SELECT g.doc_id, count(*) AS n_shared
+         FROM g JOIN bench USING (gram) WHERE g.bucket < 80
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "embedding_centroid_assign" ->
+      """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+                    FROM embeddings WHERE vec_id < 8)
+         SELECT vec_id, cell, cosine FROM (
+           SELECT e.vec_id, c.cell,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[],
+                    c.cvec), 6) AS cosine,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                      c.cvec) DESC, c.cell) AS rk
+           FROM embeddings e, c)
+         WHERE rk = 1 ORDER BY vec_id""",
     "sample_domain_cap" ->
       """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
            SELECT doc_id, source,

@@ -122,16 +122,48 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  private val ingestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+
+  /** Streaming ingestion into a lake table: `foreachBatch` → one
+    * batch-id-stamped append snapshot per micro-batch (exactly-once
+    * table commits, [[graft.streaming.StreamIngest]]), then the table
+    * read back. Oracle is the plain batch table: ingest must neither
+    * drop nor duplicate a row.
+    */
+  def streamLakeIngest(s: SparkSession, d: String): DataFrame = {
+    val t = ingestCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-ingest-")
+      val stream = EventStreams.readEvents(s, s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val table = graft.lake.LakeTable.create(s,
+        base.resolve("table").toString, Left(stream.schema))
+      graft.streaming.StreamIngest.ingestAvailable(stream, table,
+        "events_ingest", base.resolve("ckpt").toString)
+      table
+    })
+    t.read()
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_counts" -> streamHourly _,
     "stream_sessions" -> streamSessions _,
-    "stream_dedup" -> streamDedup _
+    "stream_dedup" -> streamDedup _,
+    "stream_lake_ingest" -> streamLakeIngest _
   )
 
   val oracleSql: Map[String, String] = Map(
     // every event arrives twice in the stream; the oracle is the plain
     // table — exactly-once or the row counts diverge
     "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+         FROM events ORDER BY event_id""",
+    // the whole stream must land in the lake table exactly once
+    "stream_lake_ingest" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events ORDER BY event_id""",
     "stream_hourly_counts" ->

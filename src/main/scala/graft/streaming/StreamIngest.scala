@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.lake.LakeTable
+
+/** Streaming ingestion into a lake table: `foreachBatch` → one append
+  * snapshot per micro-batch, stamped with the batch id.
+  *
+  * Structured Streaming's `foreachBatch` contract is at-least-once — a
+  * batch is REPLAYED if the sink commits but the driver dies before the
+  * checkpoint advances. The stamp turns that into exactly-once table
+  * state: before committing, the sink reads the table's already-ingested
+  * batch ids for this query (snapshot summaries are metadata — no data
+  * scan) and skips a batch it has already durably committed. This is the
+  * standard idempotent-sink pattern (Iceberg/Delta streaming writers do
+  * exactly this) and the only part of end-to-end exactly-once the engine
+  * must supply; source replay is the checkpoint's job.
+  *
+  * At scale each micro-batch is one snapshot-isolated commit: readers
+  * never see a torn batch, CDC/incremental readers consume batch
+  * boundaries for free, and manifest-list compaction (LakeTable) keeps
+  * the metadata chain bounded under a high-frequency trigger.
+  */
+object StreamIngest {
+
+  /** Summary key carrying `<queryName>:<batchId>` on ingest snapshots. */
+  val BatchStamp = "graft.streaming.batch"
+
+  private def stamp(queryName: String, batchId: Long) = s"$queryName:$batchId"
+
+  /** Already-committed batch ids for `queryName` (all branches' history
+    * — summaries live on snapshots, which rollback keeps reachable).
+    */
+  def committedBatches(table: LakeTable, queryName: String): Set[Long] =
+    table.meta.snapshots.flatMap(_.summary.get(BatchStamp))
+      .collect { case s if s.startsWith(queryName + ":") =>
+        s.substring(queryName.length + 1).toLong }
+      .toSet
+
+  /** Start `stream` appending into `table`, drain everything currently
+    * available, and stop. Returns the number of micro-batches that
+    * actually committed (replays and empty batches are skipped).
+    */
+  def ingestAvailable(stream: DataFrame, table: LakeTable,
+      queryName: String, checkpointDir: String): Long = {
+    var committed = 0L
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!committedBatches(table, queryName).contains(batchId)
+            && !batch.isEmpty) {
+          table.append(batch,
+            summary = Map(BatchStamp -> stamp(queryName, batchId)))
+          committed += 1
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+}

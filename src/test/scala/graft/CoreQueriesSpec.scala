@@ -55,6 +55,38 @@ class CoreQueriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("rollup computes all grouping levels in one aggregation") {
+    val df = graft.queries.CoreQueries.rollupRevenue(spark, sf)
+    val rows = df.collect()
+    // grand-total row: both grouping columns null, n_items = table size
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(grand.head.getLong(3) == total)
+    // per-flag subtotals sum their leaf rows
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val flagTotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    flagTotals.foreach { ft =>
+      val leafSum = leaves.filter(_.getString(0) == ft.getString(0))
+        .map(_.getLong(3)).sum
+      assert(ft.getLong(3) == leafSum)
+    }
+  }
+
+  test("percentile_approx tracks the exact percentile (100 TB swap-in)") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val both = events.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("exact"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(e - a) <= math.max(1e-6, math.abs(e) * 0.01),
+        s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
 }
 
 class TrinoFunctionsSpec extends AnyFunSuite {

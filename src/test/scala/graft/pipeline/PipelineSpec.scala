@@ -338,6 +338,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(shifted != a, "a different salt must re-roll assignments")
   }
 
+  test("stratified samples are nested across rates and hit their bands") {
+    def kept(rate: Int) = Sampling.stratifiedSample(docs,
+      rates = Map("en" -> rate)).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k30 = kept(30); val k60 = kept(60)
+    assert(k30.subsetOf(k60), "a lower rate must sample a subset")
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(k30.size / en - 0.30) < 0.15, s"${k30.size}/$en")
+    // non-configured strata pass through untouched
+    val out = Sampling.stratifiedSample(docs, rates = Map("en" -> 0))
+    assert(out.filter(col("lang") === "en").count() == 0)
+    assert(out.filter(col("lang") =!= "en").count() ==
+      docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("decontamination flags exactly the docs sharing a benchmark gram") {
+    import s.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark 8-gram "quick brown fox jumps over the lazy dog"
+      (10L, "witnesses saw a quick brown fox jumps over the lazy dog yesterday"),
+      // shares words but no 8-gram run
+      (11L, "the quick brown fox sat still near the lazy dog tonight"),
+      (12L, "entirely unrelated text about streaming shuffles and parquet files"))
+      .toDF("doc_id", "text")
+    val hits = Decontaminate.ngramOverlap(corpus, bench, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.keySet == Set(10L), s"got $hits")
+    assert(hits(10L) >= 1)
+  }
+
+  test("centroid assignment: exact member maps to its own centroid") {
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val assigned = Similarity.assignToCentroids(emb, cents)
+    assert(assigned.count() == emb.count(), "every vector gets one cell")
+    // a centroid member's best match is itself: cosine 1 with its cell
+    val self = assigned.filter(col("vec_id") < 8).collect()
+    self.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0), s"vec ${r.getLong(0)} -> ${r.getLong(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
+  }
+
   test("language id predicts for every doc with score > 0") {
     val out = TextAnalysis.languageId(docs)
     assert(out.count() == docs.count())

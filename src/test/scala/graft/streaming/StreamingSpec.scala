@@ -103,4 +103,37 @@ class StreamingSpec extends AnyFunSuite {
           s"${(expectedClosed -- gotRows).take(3)}")
     } finally q.stop()
   }
+
+  test("lake ingest commits each micro-batch once and skips replays") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-test-")
+    // two files, one per micro-batch
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet").toAbsolutePath
+    val streamDir = base.resolve("stream")
+    java.nio.file.Files.createDirectory(streamDir)
+    java.nio.file.Files.createSymbolicLink(streamDir.resolve("a.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(streamDir.resolve("b.parquet"), src)
+    def stream = s.readStream
+      .schema(s.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val table = graft.lake.LakeTable.create(s,
+      base.resolve("table").toString, Left(stream.schema))
+    val n = StreamIngest.ingestAvailable(stream, table, "t",
+      base.resolve("ckpt").toString)
+    assert(n == 2, s"expected 2 micro-batches, got $n")
+    val perFile = s.read.parquet(src.toString).count()
+    assert(table.read().count() == 2 * perFile)
+    assert(StreamIngest.committedBatches(table, "t") == Set(0L, 1L))
+    // a fresh checkpoint replays batch ids 0 and 1 from scratch — the
+    // batch stamps must reject both, leaving the table unchanged
+    val n2 = StreamIngest.ingestAvailable(stream, table, "t",
+      base.resolve("ckpt2").toString)
+    assert(n2 == 0, s"replayed batches must be skipped, committed $n2")
+    assert(table.read().count() == 2 * perFile)
+    // a different query name is a different stream: it appends
+    val n3 = StreamIngest.ingestAvailable(stream, table, "t2",
+      base.resolve("ckpt3").toString)
+    assert(n3 == 2 && table.read().count() == 4 * perFile)
+  }
 }
