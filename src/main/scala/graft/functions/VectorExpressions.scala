@@ -84,6 +84,137 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmax-cosine against a FIXED centroid matrix in one fused pass:
+  * `struct(cell, cosine)` of the nearest centroid per input vector.
+  *
+  * The matrix is plan-local state (`addReferenceObj`) — it ships to
+  * executors with the serialized plan, i.e. broadcast semantics without
+  * a join. That turns nearest-centroid assignment from
+  * crossJoin(k) → SortAggregate(max(struct)) — a k× row expansion plus
+  * a per-partition sort, struct maxes aren't hash-aggregable — into a
+  * plain codegen'd projection: one row in, one row out, no shuffle at
+  * all. Centroid sets are metadata-sized by definition (k × dim
+  * doubles, same stance as the IVF centroids in table properties).
+  *
+  * Arithmetic is EXACTLY [[CosineSimilarity]]'s (`dot/(√nx·√ny)`, norms
+  * not pre-normalized) so results replay in an ANSI oracle; ties break
+  * to the lowest cell id (cells are scanned in ascending id order and
+  * replace only on a strictly greater cosine). Zero-norm vectors and
+  * empty centroid sets yield null.
+  */
+case class NearestCentroid(child: Expression,
+    cells: Array[Int], centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _)
+        if cells.length == centroids.length && cells.nonEmpty =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "nearest_centroid needs a non-empty cell/centroid list of equal length")
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<double> input, got $t")
+    }
+
+  /** √(Σc²) per centroid, computed once (exactly `sqrt(ny)` of
+    * [[CosineSimilarity]] — the shared factor across rows).
+    */
+  private lazy val cnorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var nx = 0.0
+    var i = 0
+    val nd = x.numElements()
+    while (i < nd) { val xi = x.getDouble(i); nx += xi * xi; i += 1 }
+    val snx = math.sqrt(nx)
+    var bestCell = -1; var bestCos = 0.0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(nd, cent.length)
+      var dot = 0.0; i = 0
+      while (i < n) { dot += x.getDouble(i) * cent(i); i += 1 }
+      val denom = snx * cnorms(c)
+      if (denom != 0.0) {
+        val cos = dot / denom
+        if (bestCell < 0 || cos > bestCos) { bestCell = cells(c); bestCos = cos }
+      }
+      c += 1
+    }
+    if (bestCell < 0) null
+    else InternalRow(bestCell, bestCos)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+    val cnormsRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    val rowClass = classOf[org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val nd = ctx.freshName("nd"); val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx"); val snx = ctx.freshName("snx")
+      val dot = ctx.freshName("dot"); val denom = ctx.freshName("denom")
+      val cos = ctx.freshName("cos")
+      val bestCell = ctx.freshName("bestCell")
+      val bestCos = ctx.freshName("bestCos")
+      val cent = ctx.freshName("cent")
+      val vals = ctx.freshName("vals")
+      s"""
+        int $nd = $a.numElements();
+        double $nx = 0.0;
+        for (int $i = 0; $i < $nd; $i++) {
+          double v = $a.getDouble($i); $nx += v * v;
+        }
+        double $snx = java.lang.Math.sqrt($nx);
+        int $bestCell = -1; double $bestCos = 0.0;
+        for (int $c = 0; $c < $centsRef.length; $c++) {
+          double[] $cent = $centsRef[$c];
+          int $n = java.lang.Math.min($nd, $cent.length);
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += $a.getDouble($i) * $cent[$i];
+          }
+          double $denom = $snx * $cnormsRef[$c];
+          if ($denom != 0.0) {
+            double $cos = $dot / $denom;
+            if ($bestCell < 0 || $cos > $bestCos) {
+              $bestCell = $cellsRef[$c]; $bestCos = $cos;
+            }
+          }
+        }
+        if ($bestCell < 0) {
+          ${ev.isNull} = true;
+        } else {
+          Object[] $vals = new Object[2];
+          $vals[0] = java.lang.Integer.valueOf($bestCell);
+          $vals[1] = java.lang.Double.valueOf($bestCos);
+          ${ev.value} = new $rowClass($vals);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCentroid = copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim
 
@@ -91,4 +222,14 @@ object VectorExpressions {
   def cosineNative(a: Column, b: Column): Column =
     graftshim.columnOf(CosineSimilarity(
       graftshim.columnExpr(a), graftshim.columnExpr(b)))
+
+  /** Column API for [[NearestCentroid]]: cells sorted ascending so the
+    * lowest-id tie-break is positional.
+    */
+  def nearestCentroidNative(vec: Column,
+      centroids: Seq[(Int, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    graftshim.columnOf(NearestCentroid(graftshim.columnExpr(vec),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
 }

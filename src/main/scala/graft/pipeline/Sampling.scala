@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -19,14 +19,24 @@ object Sampling {
     * in a signed long, so signed/unsigned modulo agree — the same
     * arithmetic is expressible in ANSI SQL for the oracle.
     */
+  /** The split bucket as an inline column expression — callers needing
+    * the bucket on an existing plan use this directly instead of
+    * computing [[assignSplits]] and joining back by id (which would
+    * co-shuffle the corpus against itself; the bucket is a pure
+    * function of the id).
+    */
+  def bucketCol(id: Column, salt: String = "graft"): Column = {
+    val h = conv(substring(
+      md5(concat(lit(salt), lit(":"), id.cast("string"))), 18, 15),
+      16, 10).cast("long")
+    pmod(h, lit(100))
+  }
+
   def assignSplits(df: DataFrame, idCol: String = "doc_id",
       salt: String = "graft", trainPct: Int = 80, validPct: Int = 10)
       : DataFrame = {
     require(trainPct + validPct <= 100, "percentile bands exceed 100")
-    val h = conv(substring(
-      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 18, 15),
-      16, 10).cast("long")
-    val bucket = pmod(h, lit(100))
+    val bucket = bucketCol(col(idCol), salt)
     df.select(col(idCol), bucket.cast("int").as("bucket"),
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + validPct, "valid")
@@ -46,10 +56,7 @@ object Sampling {
       idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
     require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
       "rates are percentages")
-    val h = conv(substring(
-      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 18, 15),
-      16, 10).cast("long")
-    val bucket = pmod(h, lit(100))
+    val bucket = bucketCol(col(idCol), salt)
     // rates is a compile-time-small map → a folded CASE chain, codegen'd.
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
       case (acc, (stratum, pct)) =>

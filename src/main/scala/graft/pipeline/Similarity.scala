@@ -168,22 +168,27 @@ object Similarity {
   /** Nearest-centroid assignment by cosine against a centroid TABLE
     * `(cell, centroid vector)` — the building block of semantic
     * clustering and cluster-balanced sampling. Centroid sets are
-    * metadata-sized (k × dim), so they broadcast; the corpus streams
-    * once, and the per-row argmax is a `max(struct(...))` hash
-    * aggregate: each vector's k scored copies collapse map-side to one
-    * row BEFORE the shuffle (vs a ranking window, which would
-    * shuffle-sort all k copies). Ties break to the lowest cell id.
+    * metadata-sized by definition (k × dim doubles), so they are
+    * collected once and folded into a native argmax kernel
+    * ([[graft.functions.NearestCentroid]]) that ships with the plan:
+    * the corpus streams through a pure codegen'd projection — one fused
+    * loop per row, no join, no aggregate, NO shuffle. (The naive form —
+    * crossJoin×k then max(struct) — expands every row k× and falls back
+    * to SortAggregate, since struct maxes aren't hash-aggregable.)
+    * Ties break to the lowest cell id.
     */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
       cellCol: String = "cell", centVecCol: String = "cvec"): DataFrame = {
-    val scored = vectors.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids.select(col(cellCol), col(centVecCol))))
-      .withColumn("_cos", cosine(col(vecCol), col(centVecCol)))
-    scored.groupBy(col(idCol))
-      .agg(max(struct(col("_cos"), (-col(cellCol)).as("_negcell"))).as("_m"))
-      .select(col(idCol), (-col("_m._negcell")).as(cellCol),
-        round(col("_m._cos"), 6).as("cosine"))
+    val cents = centroids
+      .select(col(cellCol).cast("int"), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val best = graft.functions.VectorExpressions.nearestCentroidNative(
+      col(vecCol).cast("array<double>"), cents.toSeq)
+    vectors.select(col(idCol), best.as("_m"))
+      .select(col(idCol), col("_m.cell").cast("long").as(cellCol),
+        round(col("_m.cosine"), 6).as("cosine"))
   }
 
   private def assignCells(centroids: Array[(Int, Array[Double])],

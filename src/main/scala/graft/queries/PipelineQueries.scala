@@ -316,9 +316,11 @@ object PipelineQueries {
     * as the benchmark stand-in).
     */
   def textDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val splits = Sampling.assignSplits(Tables.documents(s, d))
-      .select(col("doc_id"), col("bucket"))
-    val docs = Tables.documents(s, d).join(splits, "doc_id")
+    // the bucket is a pure function of doc_id — computed inline, NOT
+    // via assignSplits+join (which would co-shuffle the corpus with
+    // itself just to attach a hash of its own key)
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket", Sampling.bucketCol(col("doc_id")))
     Decontaminate.ngramOverlap(
       corpus = docs.filter(col("bucket") < 80),
       benchmark = docs.filter(col("bucket") >= 90), k = 8)

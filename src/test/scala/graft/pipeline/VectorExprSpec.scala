@@ -33,6 +33,46 @@ class VectorExprSpec extends AnyFunSuite {
       "generated code — expression fell back to interpreted eval")
   }
 
+  test("nearest-centroid kernel: argmax matches per-pair cosine, codegens") {
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val fused = Similarity.assignToCentroids(emb, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // reference: score every (vector, centroid) pair with the pairwise
+    // kernel and take the argmax with the same tie-break
+    val pairs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cents.select(col("cell"),
+        col("cvec").cast("array<double>").as("w"))))
+      .select(col("vec_id"), col("cell"),
+        Similarity.cosine(col("v"), col("w")).as("c"))
+      .collect().groupBy(_.getLong(0))
+    val expected = pairs.map { case (vid, rows) =>
+      val best = rows.maxBy(r => (r.getDouble(2), -r.getLong(1)))
+      vid -> (best.getLong(1), math.rint(best.getDouble(2) * 1e6) / 1e6)
+    }
+    assert(fused == expected)
+    // pure projection: no exchange, and the fused loop is in the
+    // generated code of a single WholeStageCodegen stage
+    val qe = Similarity.assignToCentroids(emb, cents).queryExecution
+    assert(!qe.executedPlan.toString.contains("Exchange"),
+      "nearest-centroid assignment must not shuffle")
+    val gen = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("Found 1 WholeStageCodegen"), gen.take(500))
+  }
+
+  test("nearest-centroid ties break to the lowest cell id") {
+    import s.implicits._
+    val v = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // two identical centroids (cells 7 and 3) — both cosine 1
+    val cents = Seq((7, Array(2.0f, 0.0f)), (3, Array(2.0f, 0.0f)))
+      .toDF("cell", "cvec")
+    val r = Similarity.assignToCentroids(v, cents).collect().head
+    assert(r.getLong(1) == 3L && math.abs(r.getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("null/zero handling: zero vector yields null, mismatched dims ok") {
     import s.implicits._
     val df = Seq(
