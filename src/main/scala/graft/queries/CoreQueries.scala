@@ -224,6 +224,19 @@ object CoreQueries {
         col("n"))
       .orderBy(col("event_type"))
 
+  /** Distinct-user reach per event type — exact `count(DISTINCT)`
+    * (two-phase: dedup shuffle on (type, user), then count). The
+    * oracle-able baseline; at 100 TB the same query swaps in
+    * `approx_count_distinct` (HLL++ sketch, one mergeable pass, no
+    * second shuffle) — asserted within its rsd in CoreQueriesSpec.
+    */
+  def distinctUsers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_federation_agg"    -> federationAgg _,
     "q_euro_customers"    -> euroCustomers _,
@@ -237,7 +250,8 @@ object CoreQueries {
     "q_events_json"       -> eventsJsonExtract _,
     "q_rollup_revenue"    -> rollupRevenue _,
     "q_running_total"     -> runningTotal _,
-    "q_value_percentiles" -> valuePercentiles _
+    "q_value_percentiles" -> valuePercentiles _,
+    "q_distinct_users"    -> distinctUsers _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -327,6 +341,10 @@ object CoreQueries {
                 round(quantile_cont(value, 0.75), 6) AS p75,
                 round(quantile_cont(value, 0.95), 6) AS p95,
                 count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

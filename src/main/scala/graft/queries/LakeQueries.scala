@@ -327,8 +327,58 @@ object LakeQueries {
          GROUP BY n_name ORDER BY total_price, nation""")
   }
 
+  /** Write-audit-publish: the branch workflow production lake pipelines
+    * run around every batch load. Stage on an isolated branch, validate
+    * the STAGED table state (not just the batch — audit sees the merge
+    * of new data with history), fast-forward main only if the audit
+    * passes, tag the published state. A second, poisoned batch fails
+    * its audit and is rolled back — main must never see it. The final
+    * main state is the oracle; readers during the whole flow only ever
+    * saw published snapshots.
+    */
+  private def wapScenario(s: SparkSession, d: String): graft.lake.LakeTable =
+    scenario("wap", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") <= 1000)))
+      // round 1: stage a clean batch → audit passes → publish + tag
+      t0.createBranch("audit")
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") > 1000 && col("custkey") <= 1200),
+        branch = "audit")
+      val staged = t0.readRef("audit")
+      val bad = staged.filter(col("custkey").isNull ||
+        col("name").isNull).count()
+      require(bad == 0, s"audit failed: $bad invalid staged rows")
+      t0.fastForward("main", "audit")
+      t0.createTag("published-v1", t0.meta.refs("main").snapshotId)
+      // round 2: a poisoned batch fails the audit → roll the audit
+      // branch back to main's head; main is untouched by construction.
+      // (The batch re-stages existing keys with a nulled column —
+      // non-empty at every SF; it never survives to main anyway.)
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") < 50)
+        .withColumn("name", lit(null).cast("string")),
+        branch = "audit")
+      val bad2 = t0.readRef("audit").filter(col("name").isNull).count()
+      require(bad2 > 0, "poisoned batch should fail its audit")
+      t0.rollback(t0.meta.refs("main").snapshotId, branch = "audit")
+      t0
+    }
+
+  def wapPublish(s: SparkSession, d: String): DataFrame =
+    wapScenario(s, d).read().orderBy("custkey")
+
+  /** Tag read — `FOR VERSION AS OF 'published-v1'`: the immutable named
+    * snapshot the WAP flow published. Same oracle as main (the tag IS
+    * the published state), but through the ref-resolution scan path.
+    */
+  def tagRead(s: SparkSession, d: String): DataFrame =
+    wapScenario(s, d).readRef("published-v1").orderBy("custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_federation"     -> sqlFederation _,
+    "lake_wap_publish"     -> wapPublish _,
+    "lake_tag_read"        -> tagRead _,
     "lake_catalog_view"    -> catalogViewHistory _,
     "lake_ctas_select"     -> ctasSelect _,
     "lake_mor_update"      -> morUpdate _,
@@ -364,6 +414,16 @@ object LakeQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'EUROPE' ORDER BY custkey""",
+    // main = base + the one audited-clean batch; the poisoned batch
+    // (1200, 1300] must be invisible
+    "lake_wap_publish" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey <= 1200 ORDER BY custkey""",
+    "lake_tag_read" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey <= 1200 ORDER BY custkey""",
     "lake_mor_update" ->
       """SELECT c_custkey AS custkey, c_name AS name,
                 CASE WHEN c_custkey < 10 THEN 1000.0 ELSE c_acctbal END

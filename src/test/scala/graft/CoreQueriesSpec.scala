@@ -74,6 +74,20 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct tracks the exact count (100 TB swap-in)") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val both = events.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val (e, a) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(e - a) <= math.max(1.0, e * 0.06),
+        s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+
   test("percentile_approx tracks the exact percentile (100 TB swap-in)") {
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet(s"$sf/events.parquet")
