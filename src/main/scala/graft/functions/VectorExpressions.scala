@@ -96,11 +96,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * all. Centroid sets are metadata-sized by definition (k × dim
   * doubles, same stance as the IVF centroids in table properties).
   *
-  * Arithmetic is EXACTLY [[CosineSimilarity]]'s (`dot/(√nx·√ny)`, norms
-  * not pre-normalized) so results replay in an ANSI oracle; ties break
-  * to the lowest cell id (cells are scanned in ascending id order and
-  * replace only on a strictly greater cosine). Zero-norm vectors and
-  * empty centroid sets yield null.
+  * Arithmetic is EXACTLY [[CosineSimilarity]]'s (`dot/(√nx·√ny)`, both
+  * norms truncated to the common prefix length) so results replay in an
+  * ANSI oracle and the kernel is a drop-in for the crossJoin form even
+  * on ragged dimensions. All centroids must share one dimensionality
+  * (enforced at analysis; rows shorter than it hit a slow path that
+  * recomputes the truncated centroid norm). Zero-norm inputs yield
+  * cell with cosine from the remaining centroids only if some
+  * denominator is nonzero, else null; empty centroid sets are REJECTED
+  * at analysis time, not mapped to null.
   */
 case class NearestCentroid(child: Expression,
     cells: Array[Int], centroids: Array[Array[Double]])
@@ -115,11 +119,13 @@ case class NearestCentroid(child: Expression,
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _)
-        if cells.length == centroids.length && cells.nonEmpty =>
+        if cells.length == centroids.length && cells.nonEmpty &&
+          centroids.forall(_.length == centroids(0).length) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          "nearest_centroid needs a non-empty cell/centroid list of equal length")
+          "nearest_centroid needs a non-empty cell/centroid list of equal " +
+            "length with uniform centroid dimensionality")
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"nearest_centroid expects array<double> input, got $t")
@@ -136,19 +142,30 @@ case class NearestCentroid(child: Expression,
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val nd = x.numElements()
+    val dim = centroids(0).length
+    // CosineSimilarity parity: BOTH norms truncate to n = min(nd, dim).
+    val n = math.min(nd, dim)
     var nx = 0.0
     var i = 0
-    val nd = x.numElements()
-    while (i < nd) { val xi = x.getDouble(i); nx += xi * xi; i += 1 }
+    while (i < n) { val xi = x.getDouble(i); nx += xi * xi; i += 1 }
     val snx = math.sqrt(nx)
     var bestCell = -1; var bestCos = 0.0
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
-      val n = math.min(nd, cent.length)
       var dot = 0.0; i = 0
       while (i < n) { dot += x.getDouble(i) * cent(i); i += 1 }
-      val denom = snx * cnorms(c)
+      // fast path: full precomputed centroid norm; short inputs (rare)
+      // recompute it over the common prefix
+      val cn =
+        if (nd >= dim) cnorms(c)
+        else {
+          var s = 0.0; i = 0
+          while (i < n) { s += cent(i) * cent(i); i += 1 }
+          math.sqrt(s)
+        }
+      val denom = snx * cn
       if (denom != 0.0) {
         val cos = dot / denom
         if (bestCell < 0 || cos > bestCos) { bestCell = cells(c); bestCos = cos }
@@ -171,27 +188,38 @@ case class NearestCentroid(child: Expression,
       val nd = ctx.freshName("nd"); val n = ctx.freshName("n")
       val nx = ctx.freshName("nx"); val snx = ctx.freshName("snx")
       val dot = ctx.freshName("dot"); val denom = ctx.freshName("denom")
-      val cos = ctx.freshName("cos")
+      val cos = ctx.freshName("cos"); val cn = ctx.freshName("cn")
+      val s2 = ctx.freshName("s2")
       val bestCell = ctx.freshName("bestCell")
       val bestCos = ctx.freshName("bestCos")
       val cent = ctx.freshName("cent")
       val vals = ctx.freshName("vals")
       s"""
         int $nd = $a.numElements();
+        int $n = java.lang.Math.min($nd, $centsRef[0].length);
         double $nx = 0.0;
-        for (int $i = 0; $i < $nd; $i++) {
+        for (int $i = 0; $i < $n; $i++) {
           double v = $a.getDouble($i); $nx += v * v;
         }
         double $snx = java.lang.Math.sqrt($nx);
         int $bestCell = -1; double $bestCos = 0.0;
         for (int $c = 0; $c < $centsRef.length; $c++) {
           double[] $cent = $centsRef[$c];
-          int $n = java.lang.Math.min($nd, $cent.length);
           double $dot = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             $dot += $a.getDouble($i) * $cent[$i];
           }
-          double $denom = $snx * $cnormsRef[$c];
+          double $cn;
+          if ($nd >= $cent.length) {
+            $cn = $cnormsRef[$c];
+          } else {
+            double $s2 = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $s2 += $cent[$i] * $cent[$i];
+            }
+            $cn = java.lang.Math.sqrt($s2);
+          }
+          double $denom = $snx * $cn;
           if ($denom != 0.0) {
             double $cos = $dot / $denom;
             if ($bestCell < 0 || $cos > $bestCos) {
@@ -228,6 +256,9 @@ object VectorExpressions {
     */
   def nearestCentroidNative(vec: Column,
       centroids: Seq[(Int, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "nearest_centroid: empty centroid set")
+    require(centroids.forall(_._2.length == centroids.head._2.length),
+      "nearest_centroid: centroids must share one dimensionality")
     val sorted = centroids.sortBy(_._1)
     graftshim.columnOf(NearestCentroid(graftshim.columnExpr(vec),
       sorted.map(_._1).toArray, sorted.map(_._2).toArray))

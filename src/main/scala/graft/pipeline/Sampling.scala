@@ -11,19 +11,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
-  /** Deterministic split assignment: bucket = low-60-bits-of-md5 of
-    * `salt:id` mod 100, split by percentile band. Properties the
-    * pipeline needs: stable across runs/cluster sizes (pure function of
-    * the id), uniform (md5), and salt-shiftable (a new salt re-rolls
-    * the assignment). 60 bits (15 hex chars) keeps the value positive
-    * in a signed long, so signed/unsigned modulo agree — the same
-    * arithmetic is expressible in ANSI SQL for the oracle.
-    */
-  /** The split bucket as an inline column expression — callers needing
-    * the bucket on an existing plan use this directly instead of
-    * computing [[assignSplits]] and joining back by id (which would
-    * co-shuffle the corpus against itself; the bucket is a pure
-    * function of the id).
+  /** The md5 bucket as an inline column: low-60-bits-of-md5 of
+    * `salt:id` mod 100. Stable across runs/cluster sizes (pure function
+    * of the id), uniform (md5), salt-shiftable (a new salt re-rolls).
+    * 60 bits (15 hex chars) keeps the value positive in a signed long,
+    * so signed/unsigned modulo agree — the same arithmetic is
+    * expressible in ANSI SQL for the oracle. Callers needing the bucket
+    * on an existing plan use this directly instead of computing
+    * [[assignSplits]] and joining back by id (which would co-shuffle
+    * the corpus against itself).
     */
   def bucketCol(id: Column, salt: String = "graft"): Column = {
     val h = conv(substring(
@@ -32,6 +28,10 @@ object Sampling {
     pmod(h, lit(100))
   }
 
+  /** Deterministic train/valid/test assignment: [[bucketCol]] split by
+    * percentile band — the reproducible-splits knob of a pretraining
+    * mix pipeline.
+    */
   def assignSplits(df: DataFrame, idCol: String = "doc_id",
       salt: String = "graft", trainPct: Int = 80, validPct: Int = 10)
       : DataFrame = {
@@ -62,8 +62,10 @@ object Sampling {
       case (acc, (stratum, pct)) =>
         when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
     }
-    df.filter(bucket < rate)
-      .select(col(idCol), col(stratumCol), bucket.cast("int").as("bucket"))
+    // Keep ALL columns: the sample IS the training input — projecting
+    // ids only would force consumers to join back to the corpus by id
+    // (the self-co-shuffle bucketCol exists to avoid).
+    df.filter(bucket < rate).withColumn("bucket", bucket.cast("int"))
   }
 
   /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id

@@ -184,6 +184,7 @@ object Similarity {
       .select(col(cellCol).cast("int"), col(centVecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "assignToCentroids: centroid table is empty")
     val best = graft.functions.VectorExpressions.nearestCentroidNative(
       col(vecCol).cast("array<double>"), cents.toSeq)
     vectors.select(col(idCol), best.as("_m"))

@@ -415,7 +415,7 @@ object LakeQueries {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'EUROPE' ORDER BY custkey""",
     // main = base + the one audited-clean batch; the poisoned batch
-    // (1200, 1300] must be invisible
+    // (custkey < 50 re-staged with a nulled name) must be invisible
     "lake_wap_publish" ->
       """SELECT c_custkey AS custkey, c_name AS name,
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment

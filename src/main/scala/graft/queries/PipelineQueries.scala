@@ -296,6 +296,7 @@ object PipelineQueries {
   def sampleStratified(s: SparkSession, d: String): DataFrame =
     Sampling.stratifiedSample(Tables.documents(s, d),
       rates = Map("en" -> 30, "de" -> 60))
+      .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
 
   /** Blocklist filtering: drop three source domains via a broadcast
@@ -780,9 +781,12 @@ object PipelineQueries {
          WHERE bucket < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60
                                   ELSE 100 END
          ORDER BY doc_id""",
+    // IS NULL OR: anti-join semantics KEEP null-source rows (a bare
+    // NOT IN would drop them — NULL NOT IN (...) is NULL)
     "filter_blocklist" ->
       """SELECT doc_id, source, n_chars FROM documents
-         WHERE source NOT IN ('src3', 'src7', 'src11') ORDER BY doc_id""",
+         WHERE source IS NULL OR source NOT IN ('src3', 'src7', 'src11')
+         ORDER BY doc_id""",
     // Same 8-gram short-text convention as the shingle oracles; the
     // Spark side counts 64-bit hashed grams, the oracle counts the gram
     // strings — equal unless xxhash64 collides within a doc's grams.

@@ -92,13 +92,8 @@ object StreamQueries {
     * for.
     */
   private def dedupStreamDir(d: String): String =
-    dedupDirCache.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("events-dup-")
-      val src = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
-      java.nio.file.Files.createSymbolicLink(dir.resolve("a.parquet"), src)
-      java.nio.file.Files.createSymbolicLink(dir.resolve("b.parquet"), src)
-      dir.toString
-    })
+    dedupDirCache.computeIfAbsent(d, _ =>
+      EventStreams.streamDir(s"$d/events.parquet", copies = 2))
 
   /** Exactly-once projection of an at-least-once stream:
     * `dropDuplicatesWithinWatermark` on the event id — dedup state is

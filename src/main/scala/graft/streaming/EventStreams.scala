@@ -13,22 +13,36 @@ import graft.functions.TrinoFunctions
   */
 object EventStreams {
 
+  /** A directory the streaming file source can monitor: a bare parquet
+    * FILE is wrapped in a fresh temp dir via symlink(s); a dataset
+    * directory passes through. `copies > 1` links the file that many
+    * times — each link is its own source file, simulating
+    * at-least-once/duplicated delivery for dedup tests.
+    */
+  def streamDir(path: String, copies: Int = 1): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isRegularFile(p)) {
+      val d = java.nio.file.Files.createTempDirectory("events-stream-")
+      (1 to copies).foreach { i =>
+        d.resolve(if (copies == 1) p.getFileName.toString
+          else s"copy$i-${p.getFileName}") match {
+          case link => java.nio.file.Files.createSymbolicLink(
+            link, p.toAbsolutePath)
+        }
+      }
+      d.toString
+    } else {
+      require(copies == 1, s"cannot duplicate a dataset directory: $path")
+      path
+    }
+  }
+
   /** The events table as a stream: ns-epoch `ts` surfaces as `event_time`
     * (µs truncation explicit, `iceberg_trino_sqldemo.sql:185-187` gap).
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    // The streaming file source monitors a directory; wrap a bare
-    // parquet file in a temp dir via symlink so both layouts work.
-    val p = java.nio.file.Paths.get(path)
-    val dir =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("events-stream-")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(p.getFileName), p.toAbsolutePath)
-        d.toString
-      } else path
-    spark.readStream.schema(schema).parquet(dir)
+    spark.readStream.schema(schema).parquet(streamDir(path))
       .withColumn("event_time", TrinoFunctions.nanosToTimestamp(col("ts")))
   }
 

@@ -30,11 +30,17 @@ object StreamIngest {
 
   /** Already-committed batch ids for `queryName` (all branches' history
     * — summaries live on snapshots, which rollback keeps reachable).
+    * The batch id is everything after the LAST ':' — query names may
+    * themselves contain ':' (`a` must not claim `a:v2`'s stamps).
     */
   def committedBatches(table: LakeTable, queryName: String): Set[Long] =
     table.meta.snapshots.flatMap(_.summary.get(BatchStamp))
-      .collect { case s if s.startsWith(queryName + ":") =>
-        s.substring(queryName.length + 1).toLong }
+      .flatMap { s =>
+        val cut = s.lastIndexOf(':')
+        if (cut == queryName.length && s.substring(0, cut) == queryName)
+          s.substring(cut + 1).toLongOption
+        else None
+      }
       .toSet
 
   /** Start `stream` appending into `table`, drain everything currently
@@ -44,14 +50,19 @@ object StreamIngest {
   def ingestAvailable(stream: DataFrame, table: LakeTable,
       queryName: String, checkpointDir: String): Long = {
     var committed = 0L
+    // One metadata read up front; this writer is the only one stamping
+    // `queryName`, so tracking its own commits locally avoids an O(#
+    // snapshots) metadata load + parse per micro-batch.
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(table, queryName)
     val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!committedBatches(table, queryName).contains(batchId)
-            && !batch.isEmpty) {
+        if (!seen.contains(batchId) && !batch.isEmpty) {
           table.append(batch,
             summary = Map(BatchStamp -> stamp(queryName, batchId)))
+          seen += batchId
           committed += 1
         }
       }

@@ -107,15 +107,12 @@ class StreamingSpec extends AnyFunSuite {
   test("lake ingest commits each micro-batch once and skips replays") {
     val base = java.nio.file.Files.createTempDirectory("ingest-test-")
     // two files, one per micro-batch
-    val src = java.nio.file.Paths.get(s"$sf/events.parquet").toAbsolutePath
-    val streamDir = base.resolve("stream")
-    java.nio.file.Files.createDirectory(streamDir)
-    java.nio.file.Files.createSymbolicLink(streamDir.resolve("a.parquet"), src)
-    java.nio.file.Files.createSymbolicLink(streamDir.resolve("b.parquet"), src)
+    val src = s"$sf/events.parquet"
+    val streamDir = EventStreams.streamDir(src, copies = 2)
     def stream = s.readStream
-      .schema(s.read.parquet(src.toString).schema)
+      .schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
+      .parquet(streamDir)
       .select(col("event_id"), col("user_id"), col("value"))
     val table = graft.lake.LakeTable.create(s,
       base.resolve("table").toString, Left(stream.schema))
@@ -131,9 +128,12 @@ class StreamingSpec extends AnyFunSuite {
       base.resolve("ckpt2").toString)
     assert(n2 == 0, s"replayed batches must be skipped, committed $n2")
     assert(table.read().count() == 2 * perFile)
-    // a different query name is a different stream: it appends
-    val n3 = StreamIngest.ingestAvailable(stream, table, "t2",
+    // a different query name is a different stream — even one that has
+    // the first as a ':'-prefix (stamp parsing anchors on the LAST ':')
+    val n3 = StreamIngest.ingestAvailable(stream, table, "t:v2",
       base.resolve("ckpt3").toString)
     assert(n3 == 2 && table.read().count() == 4 * perFile)
+    assert(StreamIngest.committedBatches(table, "t") == Set(0L, 1L))
+    assert(StreamIngest.committedBatches(table, "t:v2") == Set(0L, 1L))
   }
 }
