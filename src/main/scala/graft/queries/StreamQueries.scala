@@ -144,11 +144,30 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** Stream-stream interval join (views ⋈ same-user clicks within 4 h),
+    * both sides watermarked, state evicted by the time-range bound.
+    * Inner join: every match is emitted once regardless of watermark
+    * progress, so the completed stream equals the batch interval join —
+    * the DuckDB oracle.
+    */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_ijoin_" + Math.abs(d.hashCode)
+    val events = EventStreams.readEvents(s, s"$d/events.parquet")
+    val joined = EventStreams.intervalJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "click"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("user_id", "view_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_counts" -> streamHourly _,
     "stream_sessions" -> streamSessions _,
     "stream_dedup" -> streamDedup _,
-    "stream_lake_ingest" -> streamLakeIngest _
+    "stream_lake_ingest" -> streamLakeIngest _,
+    "stream_interval_join" -> streamIntervalJoin _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -161,6 +180,13 @@ object StreamQueries {
     "stream_lake_ingest" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events ORDER BY event_id""",
+    "stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+         FROM events v JOIN events c
+           ON v.user_id = c.user_id
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+         WHERE v.event_type = 'view' AND c.event_type = 'click'
+         ORDER BY v.user_id, view_id, click_id""",
     "stream_hourly_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
                 event_type, count(*) AS n_events,

@@ -137,6 +137,34 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * clicks within `window` after it. The join-state shape that works
+    * at 100 TB: BOTH sides are watermarked and the join condition
+    * carries an explicit event-time range, so Spark evicts buffered
+    * rows once the watermark passes `view_time + window` — state is
+    * bounded by (delay + window) × arrival rate, not by stream length.
+    * (An equi-join without the time-range bound would buffer both
+    * streams forever.)
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+      window: String = "4 hours", watermarkDelay: String = "1 hour")
+      : DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_time").as("view_time"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_time", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("click_user"),
+        col("event_time").as("click_time"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_time", watermarkDelay)
+    v.join(c, expr(
+      s"""user_id = click_user AND
+          click_time >= view_time AND
+          click_time <= view_time + interval $window"""))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** Batch reference implementation of the same sessionization (window
     * functions over the complete data) — the oracle for the stateful
     * streaming path.
