@@ -178,6 +178,28 @@ object TextAnalysis {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Per-group vocabulary: top-`topK` words by total occurrence count
+    * within each `groupCol` value (per-language token frequency — the
+    * input to tokenizer/vocab training). One explode → (group, word)
+    * hash-agg (map-side combined wordcount, the shuffle carries
+    * aggregated counts) → per-group top-k ranking window over the
+    * vocabulary-sized aggregate — the window never sees corpus-scale
+    * rows. Ties break lexicographically.
+    */
+  def vocabulary(df: DataFrame, textCol: String = "text",
+      groupCol: String = "lang", topK: Int = 10): DataFrame = {
+    val words = df.select(col(groupCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+    val counts = words.groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col("word"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col(groupCol), col("rk").cast("int").as("rk"),
+        col("word"), col("n"))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
   private val Ipv4Re =

@@ -270,6 +270,11 @@ object PipelineQueries {
   def textCommonNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.commonNgrams(Tables.documents(s, d))
 
+  /** Per-language top-10 vocabulary by occurrence count. */
+  def textVocabulary(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(s, d))
+      .orderBy("lang", "rk")
+
   /** TF-IDF top-5 terms per doc (smooth idf, deterministic ties). */
   def textTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfIdf(Tables.documents(s, d))
@@ -378,6 +383,7 @@ object PipelineQueries {
     "text_quality"         -> textQuality _,
     "text_langid"          -> textLangId _,
     "text_tfidf"           -> textTfidf _,
+    "text_vocabulary"      -> textVocabulary _,
     "text_repetition"      -> textRepetition _,
     "text_common_ngrams"   -> textCommonNgrams _,
     "sample_split"         -> sampleSplit _,
@@ -770,6 +776,17 @@ object PipelineQueries {
                      WHEN bucket < 90 THEN 'valid'
                      ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    "text_vocabulary" ->
+      """WITH w AS (
+           SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS word
+           FROM documents),
+         c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2)
+         SELECT lang, CAST(rk AS INT) AS rk, word, n FROM (
+           SELECT lang, word, n, row_number() OVER
+             (PARTITION BY lang ORDER BY n DESC, word) AS rk
+           FROM c)
+         WHERE rk <= 10 ORDER BY lang, rk""",
     "sample_stratified" ->
       """WITH h AS (
            SELECT doc_id, lang,
