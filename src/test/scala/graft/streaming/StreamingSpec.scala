@@ -104,6 +104,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join matches a click to a view from an earlier batch") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    case class Ev(user_id: Long, event_time: java.sql.Timestamp,
+      event_id: Long)
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def df(m: MemoryStream[(Long, java.sql.Timestamp, Long)]) =
+      m.toDF().toDF("user_id", "event_time", "event_id")
+    val q = EventStreams.intervalJoin(df(views), df(clicks))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ijoin_xbatch").start()
+    try {
+      // batch 1: only the view arrives — no output yet
+      views.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+      q.processAllAvailable()
+      assert(s.table("ijoin_xbatch").count() == 0)
+      // batch 2: a click 2h later (inside the 4h window) joins the
+      // buffered view; one outside the window does not
+      clicks.addData((1L, ts("2024-01-01 12:00:00"), 200L),
+        (1L, ts("2024-01-01 15:00:01"), 201L))
+      q.processAllAvailable()
+      val got = s.table("ijoin_xbatch").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 100L, 200L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("lake ingest commits each micro-batch once and skips replays") {
     val base = java.nio.file.Files.createTempDirectory("ingest-test-")
     // two files, one per micro-batch
