@@ -344,6 +344,21 @@ object PipelineQueries {
         .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
       .orderBy("vec_id")
 
+  /** Cluster-balanced sampling: nearest-centroid assignment (native
+    * kernel, no shuffle) composed with the exact two-phase per-group
+    * cap — keep the 10 vectors closest to each of the 8 centroids. The
+    * embedding-space diversity sample of a curation pipeline: no single
+    * semantic cluster dominates the kept set.
+    */
+  def sampleClusterBalanced(s: SparkSession, d: String): DataFrame =
+    Sampling.capPerDomain(
+      Similarity.assignToCentroids(
+        Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("cvec"))),
+      domainCol = "cell", orderCol = "cosine", idCol = "vec_id", k = 10)
+      .orderBy("cell", "rk")
+
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d))
@@ -392,6 +407,7 @@ object PipelineQueries {
     "filter_blocklist"     -> filterBlocklist _,
     "text_decontaminate"   -> textDecontaminate _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
+    "sample_cluster_balanced" -> sampleClusterBalanced _,
     "text_fingerprint"     -> textFingerprint _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
@@ -836,6 +852,26 @@ object PipelineQueries {
                       c.cvec) DESC, c.cell) AS rk
            FROM embeddings e, c)
          WHERE rk = 1 ORDER BY vec_id""",
+    // assignment (rank 1 per vector) then a per-cell top-10 by the
+    // ROUNDED cosine (the Spark side caps on the rounded output column)
+    "sample_cluster_balanced" ->
+      """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+                    FROM embeddings WHERE vec_id < 8),
+         assign AS (
+           SELECT vec_id, cell, cosine FROM (
+             SELECT e.vec_id, c.cell,
+                    round(list_cosine_similarity(e.embedding::DOUBLE[],
+                      c.cvec), 6) AS cosine,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                        c.cvec) DESC, c.cell) AS rk
+             FROM embeddings e, c)
+           WHERE rk = 1)
+         SELECT vec_id, cell, CAST(rk AS INT) AS rk FROM (
+           SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+             ORDER BY cosine DESC, vec_id) AS rk
+           FROM assign)
+         WHERE rk <= 10 ORDER BY cell, rk""",
     "sample_domain_cap" ->
       """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
            SELECT doc_id, source,
