@@ -22,15 +22,24 @@ object Decontaminate {
     * `benchmark`. Docs with zero overlap are absent (the common case —
     * the output is the contamination report, not the corpus).
     *
+    * `broadcastBenchmark = true` (default) is the real-benchmark régime:
+    * the gram set is MBs, the corpus never shuffles. Pass `false` when
+    * "benchmark" is itself corpus-scale (e.g. cross-corpus overlap
+    * analysis) — the join then shuffles both sides on the 64-bit gram
+    * hash instead of materializing one side per executor.
+    *
     * Short-text convention matches the shingle oracles: a doc with fewer
     * than `k` words contributes one gram of all its words.
     */
   def ngramOverlap(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      broadcastBenchmark: Boolean = true): DataFrame = {
     def grams(df: DataFrame): DataFrame = df.select(col(idCol),
       explode(ShingleExpressions
         .hashedShingles(trim(lower(col(textCol))), k)).as("_gram"))
-    val benchGrams = broadcast(grams(benchmark).select("_gram").distinct())
+    val benchDistinct = grams(benchmark).select("_gram").distinct()
+    val benchGrams =
+      if (broadcastBenchmark) broadcast(benchDistinct) else benchDistinct
     grams(corpus)
       .join(benchGrams, "_gram")
       .groupBy(col(idCol))
