@@ -359,6 +359,37 @@ object PipelineQueries {
       domainCol = "cell", orderCol = "cosine", idCol = "vec_id", k = 10)
       .orderBy("cell", "rk")
 
+  /** The full curation chain as ONE lazy plan — what a user actually
+    * runs to prepare a training corpus: exact dedup (first occurrence
+    * per text hash — one hash shuffle), blocklist anti-join (broadcast),
+    * quality gate (per-row HOFs, score ≥ 0.8), stratified downsampling
+    * (per-row predicate), then per-(lang, source) accounting of kept
+    * docs and tokens. Everything between the dedup shuffle and the
+    * final aggregate is shuffle-free, so the chain costs two exchanges
+    * total at any scale. Oracled end to end as a single DuckDB CTE.
+    */
+  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_th")).orderBy(col("doc_id"))
+    val deduped = Tables.documents(s, d)
+      .withColumn("_th", md5(col("text")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_th", "_rn")
+    val block = Seq("src3", "src7", "src11").toDF("source")
+    val allowed = deduped.join(broadcast(block), Seq("source"), "left_anti")
+    val quality = TextAnalysis.qualityScore(allowed)
+      .filter(col("quality_score") >= 0.8)
+    val sampled = Sampling.stratifiedSample(quality,
+      rates = Map("en" -> 30, "de" -> 60))
+    sampled
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+      .orderBy("lang", "source")
+  }
+
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d))
@@ -408,6 +439,7 @@ object PipelineQueries {
     "text_decontaminate"   -> textDecontaminate _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
+    "pipeline_curate"      -> pipelineCurate _,
     "text_fingerprint"     -> textFingerprint _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
@@ -792,6 +824,47 @@ object PipelineQueries {
                      WHEN bucket < 90 THEN 'valid'
                      ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    // the whole curation chain replayed as one CTE: dedup → blocklist →
+    // quality ≥ 0.8 → stratified sample → per-(lang, source) accounting
+    "pipeline_curate" ->
+      """WITH dedup AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY md5(text)
+               ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+         allowed AS (
+           SELECT * FROM dedup
+           WHERE source IS NULL OR source NOT IN ('src3','src7','src11')),
+         quality AS (
+           SELECT * FROM allowed
+           WHERE round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000
+                   THEN 0.3 ELSE 0 END) +
+             (CASE WHEN len(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     w -> list_contains(['the','a','an','and','or','of',
+                       'to','in','is','it','that','for','on','with','as',
+                       'at','by'], w)))::DOUBLE
+                   / greatest(len(string_split_regex(trim(lower(text)),
+                       '\s+')), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                   / greatest(length(text), 1) <= 0.2
+                   THEN 0.2 ELSE 0 END) +
+             (CASE WHEN list_sum(list_transform(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     w -> length(w)))::DOUBLE
+                   / greatest(len(string_split_regex(trim(lower(text)),
+                       '\s+')), 1) BETWEEN 2.0 AND 12.0
+                   THEN 0.2 ELSE 0 END), 2) >= 0.8),
+         sampled AS (
+           SELECT * FROM quality
+           WHERE ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                   18, 15))::UBIGINT % 100
+             < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60 ELSE 100 END)
+         SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens
+         FROM sampled GROUP BY 1, 2 ORDER BY lang, source""",
     "text_vocabulary" ->
       """WITH w AS (
            SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+'))
