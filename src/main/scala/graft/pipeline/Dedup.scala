@@ -45,6 +45,25 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
 
+  /** Keep the FIRST occurrence (min id) of every distinct text, full
+    * rows — the dedup stage of a curation chain. Skew-safe at any
+    * cluster size: a hash-aggregate picks each cluster's min id
+    * (map-side partials collapse duplicate texts BEFORE the shuffle, so
+    * a 1M-copy boilerplate cluster contributes one row per task), then
+    * a semi-join by id recovers the surviving rows. A ranking window
+    * over the text hash would instead serialize every duplicate cluster
+    * onto a single task. md5 (128-bit) rather than xxhash64: at corpus
+    * scale 64-bit birthday collisions (~4B distinct texts) would
+    * silently drop distinct documents; dedup exactness is the contract.
+    */
+  def keepFirstExact(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = df.select(md5(col(textCol)).as("_th"), col(idCol))
+      .groupBy(col("_th")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** STAR edges (cluster-min id, member id) per exact-duplicate cluster
     * — the pair representation to feed [[components]] for exact dups.
     * An equal-hash self-join would emit C(c,2) pairs per cluster: a

@@ -360,23 +360,17 @@ object PipelineQueries {
       .orderBy("cell", "rk")
 
   /** The full curation chain as ONE lazy plan — what a user actually
-    * runs to prepare a training corpus: exact dedup (first occurrence
-    * per text hash — one hash shuffle), blocklist anti-join (broadcast),
-    * quality gate (per-row HOFs, score ≥ 0.8), stratified downsampling
-    * (per-row predicate), then per-(lang, source) accounting of kept
-    * docs and tokens. Everything between the dedup shuffle and the
-    * final aggregate is shuffle-free, so the chain costs two exchanges
-    * total at any scale. Oracled end to end as a single DuckDB CTE.
+    * runs to prepare a training corpus: skew-safe exact dedup
+    * ([[Dedup.keepFirstExact]]: hash-agg + semi-join, no per-cluster
+    * task serialization), blocklist anti-join (broadcast), quality gate
+    * (per-row HOFs, score ≥ 0.8), stratified downsampling (per-row
+    * predicate), then per-(lang, source) accounting of kept docs and
+    * tokens. Three exchanges total at any scale (dedup agg, dedup
+    * semi-join, final agg). Oracled end to end as a single DuckDB CTE.
     */
   def pipelineCurate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_th")).orderBy(col("doc_id"))
-    val deduped = Tables.documents(s, d)
-      .withColumn("_th", md5(col("text")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_th", "_rn")
+    val deduped = Dedup.keepFirstExact(Tables.documents(s, d))
     val block = Seq("src3", "src7", "src11").toDF("source")
     val allowed = deduped.join(broadcast(block), Seq("source"), "left_anti")
     val quality = TextAnalysis.qualityScore(allowed)

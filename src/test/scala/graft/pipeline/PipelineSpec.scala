@@ -211,6 +211,14 @@ class PipelineSpec extends AnyFunSuite {
     val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 20000L, 20001L),
       "cluster representative must be the min id")
+    // keepFirstExact (the curation-chain stage) must agree — and it
+    // carries no per-cluster window, so the 10k cluster collapses in
+    // map-side partial aggregation
+    val first = Dedup.keepFirstExact(corpus)
+    assert(first.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 20000L, 20001L))
+    assert(!first.queryExecution.executedPlan.toString.contains("Window"),
+      "keepFirstExact must not use a ranking window")
   }
 
   test("ngram join stays exact when one token appears in every doc") {
