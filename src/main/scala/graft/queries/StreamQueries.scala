@@ -162,12 +162,71 @@ object StreamQueries {
     s.table(name).orderBy("user_id", "view_id", "click_id")
   }
 
+  private val ijoinDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Events + a far-future sentinel VIEW and CLICK (distinct negative
+    * users, so they can't join each other): the sentinels push both
+    * streams' final watermarks past every view's join window, which is
+    * what makes the OUTER join emit its null-padded rows — an unmatched
+    * left row is only released once the watermark proves no match can
+    * still arrive.
+    */
+  private def ijoinStreamDir(s: SparkSession, d: String): String =
+    ijoinDirCache.computeIfAbsent(d, _ => {
+      val eventsPath = s"$d/events.parquet"
+      val dir = java.nio.file.Files.createTempDirectory("events-ijoin-")
+      java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(eventsPath).toAbsolutePath)
+      val maxTs = s.read.parquet(eventsPath).agg(max(col("ts")))
+        .head().getLong(0)
+      val tmp = java.nio.file.Files.createTempDirectory("ijoin-sentinel-")
+      import s.implicits._
+      Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "view", 0.0,
+          null.asInstanceOf[String]),
+        (-2L, maxTs + 86400L * 1000000000L, -2L, "click", 0.0,
+          null.asInstanceOf[String]))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, dir.resolve("zz-sentinel.parquet"))
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      dir.toString
+    })
+
+  /** LEFT OUTER stream-stream interval join: views with no click inside
+    * the window must still appear, null-padded — which streaming can
+    * only emit after the watermark passes `view_time + window` (state
+    * bounded the same way as the inner join; the sentinel advances the
+    * final watermark so end-of-stream flushes every pending view).
+    * Oracled against the batch LEFT JOIN.
+    */
+  def streamIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_ijoin_outer_" + Math.abs(d.hashCode)
+    val events = EventStreams.readEvents(s, ijoinStreamDir(s, d))
+    val joined = EventStreams.intervalJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "click"),
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_counts" -> streamHourly _,
     "stream_sessions" -> streamSessions _,
     "stream_dedup" -> streamDedup _,
     "stream_lake_ingest" -> streamLakeIngest _,
-    "stream_interval_join" -> streamIntervalJoin _
+    "stream_interval_join" -> streamIntervalJoin _,
+    "stream_interval_join_outer" -> streamIntervalJoinOuter _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -186,6 +245,13 @@ object StreamQueries {
            ON v.user_id = c.user_id
           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
          WHERE v.event_type = 'view' AND c.event_type = 'click'
+         ORDER BY v.user_id, view_id, click_id""",
+    "stream_interval_join_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON v.user_id = c.user_id
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
          ORDER BY v.user_id, view_id, click_id""",
     "stream_hourly_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,

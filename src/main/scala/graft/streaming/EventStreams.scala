@@ -147,8 +147,8 @@ object EventStreams {
     * streams forever.)
     */
   def intervalJoin(views: DataFrame, clicks: DataFrame,
-      window: String = "4 hours", watermarkDelay: String = "1 hour")
-      : DataFrame = {
+      window: String = "4 hours", watermarkDelay: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("user_id"), col("event_time").as("view_time"),
         col("event_id").as("view_id"))
@@ -161,7 +161,7 @@ object EventStreams {
     v.join(c, expr(
       s"""user_id = click_user AND
           click_time >= view_time AND
-          click_time <= view_time + interval $window"""))
+          click_time <= view_time + interval $window"""), joinType)
       .select(col("user_id"), col("view_id"), col("click_id"))
   }
 
