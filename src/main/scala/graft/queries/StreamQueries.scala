@@ -39,33 +39,17 @@ object StreamQueries {
     * leak — inside every timed pass.
     */
   private def sessionStreamDir(s: SparkSession, d: String): String =
-    sessionDirCache.computeIfAbsent(d, _ => {
-      val eventsPath = s"$d/events.parquet"
-      val dir = java.nio.file.Files.createTempDirectory("events-sess-")
-      java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(eventsPath).toAbsolutePath)
+    sessionDirCache.computeIfAbsent(d, _ =>
       // sentinel: one event a day past the stream's end, for a user id
       // the output filters back out
-      val maxTs = s.read.parquet(eventsPath).agg(max(col("ts")))
-        .head().getLong(0)
-      val tmp = java.nio.file.Files.createTempDirectory("events-sentinel-")
-      s.range(1).select(
+      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxTs =>
+        s.range(1).select(
           lit(-1L).as("event_id"),
           lit(maxTs + 86400L * 1000000000L).as("ts"),
           lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"),
           lit(0.0).as("value"),
-          lit(null).cast("string").as("props"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, dir.resolve("zz-sentinel.parquet"))
-      java.nio.file.Files.walk(tmp)
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      dir.toString
-    })
+          lit(null).cast("string").as("props"))))
 
   def streamSessions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -173,30 +157,15 @@ object StreamQueries {
     * still arrive.
     */
   private def ijoinStreamDir(s: SparkSession, d: String): String =
-    ijoinDirCache.computeIfAbsent(d, _ => {
-      val eventsPath = s"$d/events.parquet"
-      val dir = java.nio.file.Files.createTempDirectory("events-ijoin-")
-      java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(eventsPath).toAbsolutePath)
-      val maxTs = s.read.parquet(eventsPath).agg(max(col("ts")))
-        .head().getLong(0)
-      val tmp = java.nio.file.Files.createTempDirectory("ijoin-sentinel-")
-      import s.implicits._
-      Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "view", 0.0,
-          null.asInstanceOf[String]),
-        (-2L, maxTs + 86400L * 1000000000L, -2L, "click", 0.0,
-          null.asInstanceOf[String]))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, dir.resolve("zz-sentinel.parquet"))
-      java.nio.file.Files.walk(tmp)
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      dir.toString
-    })
+    ijoinDirCache.computeIfAbsent(d, _ =>
+      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxTs => {
+        import s.implicits._
+        Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "view", 0.0,
+            null.asInstanceOf[String]),
+          (-2L, maxTs + 86400L * 1000000000L, -2L, "click", 0.0,
+            null.asInstanceOf[String]))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      }))
 
   /** LEFT OUTER stream-stream interval join: views with no click inside
     * the window must still appear, null-padded — which streaming can

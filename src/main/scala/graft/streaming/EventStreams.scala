@@ -37,6 +37,33 @@ object EventStreams {
     }
   }
 
+  /** [[streamDir]] plus a sentinel parquet sorting AFTER the event file:
+    * `sentinel(maxTs)` builds the far-future row(s) that advance the
+    * stream's final watermark past every pending window/timeout — the
+    * end-of-stream flush trick shared by sessionization and outer
+    * joins. The sentinel file is named to arrive last so single-batch
+    * file sources still see it at max event-time.
+    */
+  def streamDirWithSentinel(spark: SparkSession, eventsPath: String,
+      sentinel: Long => DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-sentinel-")
+    val p = java.nio.file.Paths.get(eventsPath)
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve(p.getFileName), p.toAbsolutePath)
+    val maxTs = spark.read.parquet(eventsPath).agg(max(col("ts")))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("sentinel-build-")
+    sentinel(maxTs).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, dir.resolve("zz-sentinel.parquet"))
+    java.nio.file.Files.walk(tmp)
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    dir.toString
+  }
+
   /** The events table as a stream: ns-epoch `ts` surfaces as `event_time`
     * (µs truncation explicit, `iceberg_trino_sqldemo.sql:185-187` gap).
     */
