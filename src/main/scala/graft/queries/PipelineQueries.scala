@@ -370,10 +370,15 @@ object PipelineQueries {
     */
   def pipelineCurate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val deduped = Dedup.keepFirstExact(Tables.documents(s, d))
+    // blocklist BEFORE dedup: a blocked-source copy holding the min id
+    // must not shadow (and thereby delete) an allowed-source duplicate
+    // of the same text — and the cheap anti-join shrinks the dedup
+    // shuffle's input
     val block = Seq("src3", "src7", "src11").toDF("source")
-    val allowed = deduped.join(broadcast(block), Seq("source"), "left_anti")
-    val quality = TextAnalysis.qualityScore(allowed)
+    val allowed = Tables.documents(s, d)
+      .join(broadcast(block), Seq("source"), "left_anti")
+    val deduped = Dedup.keepFirstExact(allowed)
+    val quality = TextAnalysis.qualityScore(deduped)
       .filter(col("quality_score") >= 0.8)
     val sampled = Sampling.stratifiedSample(quality,
       rates = Map("en" -> 30, "de" -> 60))
@@ -381,7 +386,9 @@ object PipelineQueries {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
-      .orderBy("lang", "source")
+      // nulls LAST to match ANSI/DuckDB ascending order (null sources
+      // are in-contract for the blocklist stage)
+      .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
   }
 
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
@@ -821,16 +828,16 @@ object PipelineQueries {
     // the whole curation chain replayed as one CTE: dedup → blocklist →
     // quality ≥ 0.8 → stratified sample → per-(lang, source) accounting
     "pipeline_curate" ->
-      """WITH dedup AS (
+      """WITH allowed AS (
+           SELECT * FROM documents
+           WHERE source IS NULL OR source NOT IN ('src3','src7','src11')),
+         dedup AS (
            SELECT * FROM (
              SELECT *, row_number() OVER (PARTITION BY md5(text)
                ORDER BY doc_id) AS rn
-             FROM documents) WHERE rn = 1),
-         allowed AS (
-           SELECT * FROM dedup
-           WHERE source IS NULL OR source NOT IN ('src3','src7','src11')),
+             FROM allowed) WHERE rn = 1),
          quality AS (
-           SELECT * FROM allowed
+           SELECT * FROM dedup
            WHERE round(
              (CASE WHEN length(text) BETWEEN 100 AND 20000
                    THEN 0.3 ELSE 0 END) +

@@ -376,6 +376,11 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(hits.keySet == Set(10L), s"got $hits")
     assert(hits(10L) >= 1)
+    // the corpus-scale (shuffle-join) régime must agree exactly
+    val shuffled = Decontaminate.ngramOverlap(corpus, bench, k = 8,
+      broadcastBenchmark = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(shuffled == hits)
   }
 
   test("centroid assignment: exact member maps to its own centroid") {

@@ -108,8 +108,6 @@ class StreamingSpec extends AnyFunSuite {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = s.sqlContext
-    case class Ev(user_id: Long, event_time: java.sql.Timestamp,
-      event_id: Long)
     def ts(t: String) = java.sql.Timestamp.valueOf(t)
     val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
