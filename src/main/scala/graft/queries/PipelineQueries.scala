@@ -194,6 +194,29 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The same top-k scored through the SQL surface: `cosine_similarity`
+    * is injected by [[graft.functions.GraftExtensions]]
+    * (SparkSessionExtensions), so SQL text resolves the native codegen
+    * kernel like a built-in. Must hash-match `sim_topk_bruteforce` —
+    * proving the SQL and Column surfaces share one execution path.
+    */
+  def simTopKSql(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+    val scored = emb.crossJoin(q).selectExpr(
+      "query_id", "vec_id",
+      """cosine_similarity(cast(embedding as array<double>),
+         cast(qvec as array<double>)) as cos""")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -425,6 +448,7 @@ object PipelineQueries {
     "asof_join_orders"     -> asofOrders _,
     "range_join_sessions"  -> rangeJoinSessions _,
     "sim_topk_bruteforce"  -> simTopK _,
+    "sim_topk_sql"         -> simTopKSql _,
     "sim_topk_ivf"         -> simTopKIvf _,
     "text_tokens"          -> textTokens _,
     "text_quality"         -> textQuality _,
@@ -637,6 +661,20 @@ object PipelineQueries {
                  b.embedding::DOUBLE[]) >= 0.98
          ORDER BY id_a, id_b""",
     "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                    FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, CAST(rank AS INT) AS rank, neighbor, cosine FROM (
+           SELECT q.query_id, e.vec_id AS neighbor,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6)
+                    AS cosine,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
+                      DESC, e.vec_id) AS rank
+           FROM embeddings e, q)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // identical oracle to sim_topk_bruteforce: the SQL-surface variant
+    // must produce byte-identical results
+    "sim_topk_sql" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
                     FROM embeddings WHERE vec_id < 5)
          SELECT query_id, CAST(rank AS INT) AS rank, neighbor, cosine FROM (

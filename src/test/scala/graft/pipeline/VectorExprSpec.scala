@@ -73,6 +73,27 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && math.abs(r.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("extensions expose the native kernels to SQL text") {
+    // cosine_similarity / hashed_shingles resolve via GraftExtensions
+    // (spark.sql.extensions) — same Expression, so results must equal
+    // the Column API exactly
+    val one = s.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(2.0d, 0.0d)) c")
+      .head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-15)
+    val viaSql = s.sql(
+      "SELECT hashed_shingles(' a b c ', 2) sh").head().getSeq[Long](0)
+    val viaCol = s.range(1).select(
+      graft.functions.ShingleExpressions
+        .hashedShingles(lit(" a b c "), 2).as("sh"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaCol)
+    // non-literal size argument is rejected with a clear error
+    val err = intercept[Exception](
+      s.sql("SELECT hashed_shingles('x', cast(rand()*3 as int))").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("null/zero handling: zero vector yields null, mismatched dims ok") {
     import s.implicits._
     val df = Seq(
