@@ -182,19 +182,29 @@ object TextAnalysis {
     * within each `groupCol` value (per-language token frequency — the
     * input to tokenizer/vocab training). One explode → (group, word)
     * hash-agg (map-side combined wordcount, the shuffle carries
-    * aggregated counts) → per-group top-k ranking window over the
-    * vocabulary-sized aggregate — the window never sees corpus-scale
-    * rows. Ties break lexicographically.
+    * aggregated counts) → TWO-PHASE top-k, because a plain per-group
+    * ranking window would sort a language's entire vocabulary (millions
+    * of terms at corpus scale) on one task: phase one ranks within
+    * (group, hash(word) % salts) subgroups and keeps k per subgroup;
+    * phase two ranks the surviving k·salts candidates per group.
+    * Provably exact — a group's global top-k is contained in the union
+    * of its per-salt top-k. Ties break lexicographically.
     */
   def vocabulary(df: DataFrame, textCol: String = "text",
-      groupCol: String = "lang", topK: Int = 10): DataFrame = {
+      groupCol: String = "lang", topK: Int = 10, salts: Int = 16)
+      : DataFrame = {
     val words = df.select(col(groupCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
     val counts = words.groupBy(col(groupCol), col("word"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col(groupCol))
+      .withColumn("_salt", pmod(xxhash64(col("word")), lit(salts)))
+    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
       .orderBy(col("n").desc, col("word"))
-    counts.withColumn("rk", row_number().over(w))
+    val candidates = counts.withColumn("_rk1", row_number().over(w1))
+      .filter(col("_rk1") <= topK)
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col("word"))
+    candidates.withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= topK)
       .select(col(groupCol), col("rk").cast("int").as("rk"),
         col("word"), col("n"))

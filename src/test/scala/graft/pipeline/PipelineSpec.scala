@@ -332,6 +332,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase vocabulary top-k is exact for any salt count") {
+    val plain = TextAnalysis.vocabulary(docs, salts = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    for (ss <- Seq(4, 32)) {
+      val salted = TextAnalysis.vocabulary(docs, salts = ss)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(salted == plain, s"salts=$ss diverged")
+    }
+  }
+
   test("split assignment is deterministic, banded, and salt-shiftable") {
     val a = Sampling.assignSplits(docs).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
