@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
@@ -13,40 +13,62 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   * `GraftSql`. Injection happens at session build; the functions then
   * resolve and codegen exactly like built-ins — no UDF wrapping, no
   * registry mutation at call sites.
+  *
+  * [[GraftExtensions.register]] covers sessions NOT built through the
+  * extension point (an external driver's own session, or `getOrCreate`
+  * returning a pre-existing session, which silently drops the
+  * extensions config): it installs the same builders into the live
+  * session's function registry, idempotently.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) =>
+      require(v == v.toInt, s"$fn: size argument $v out of Int range")
+      v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: the size argument must be an integer literal, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_similarity"),
+  /** The injected (identifier, info, builder) triples — one source of
+    * truth for both the build-time extension and live registration.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity(a, b)")
         CosineSimilarity(args(0), args(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("hashed_shingles"),
+      }),
+    (new FunctionIdentifier("hashed_shingles"),
       new ExpressionInfo(classOf[HashedShingles].getName,
         "hashed_shingles"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "hashed_shingles(text, k)")
         HashedShingles(args(0), intArg(args(1), "hashed_shingles"))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("hashed_chargrams"),
+      }),
+    (new FunctionIdentifier("hashed_chargrams"),
       new ExpressionInfo(classOf[HashedChargrams].getName,
         "hashed_chargrams"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "hashed_chargrams(text, n)")
         HashedChargrams(args(0), intArg(args(1), "hashed_chargrams"))
       }))
-  }
+
+  /** Install the functions into an already-built session (idempotent —
+    * re-registration overwrites with identical builders).
+    */
+  def register(session: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      session.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
 }

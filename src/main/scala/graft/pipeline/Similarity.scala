@@ -53,6 +53,21 @@ object Similarity {
     Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Per-query ranking tail — top-k by (cosine desc, id asc), rounded
+    * output — shared by [[bruteForceTopK]] and the SQL-surface scoring
+    * path so the two cannot drift. `scored` must carry `query_id`,
+    * `idCol`, and a double `cosine`.
+    */
+  def rankTopK(scored: DataFrame, k: Int, idCol: String = "vec_id")
+      : DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").as("rank"),
+        col(idCol).as("neighbor"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact cosine top-k for each query vector (queries small →
     * broadcast; fact side streams once).
     */
@@ -63,12 +78,7 @@ object Similarity {
     val scored = vectors.select(col(idCol), col(vecCol))
       .crossJoin(q)
       .withColumn("cosine", cosine(col(vecCol), col("qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").as("rank"), col(idCol).as("neighbor"),
-        round(col("cosine"), 6).as("cosine"))
+    rankTopK(scored, k, idCol)
   }
 
   /** IVF coarse index: centroids fit once (sampled k-means, fixed seed),

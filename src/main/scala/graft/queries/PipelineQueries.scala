@@ -201,20 +201,20 @@ object PipelineQueries {
     * proving the SQL and Column surfaces share one execution path.
     */
   def simTopKSql(s: SparkSession, d: String): DataFrame = {
+    // defensive: an externally-built session (or getOrCreate returning a
+    // pre-existing one) silently drops spark.sql.extensions — install
+    // the functions into the live registry so this query works on ANY
+    // session, like every other registry entry
+    if (!s.catalog.functionExists("cosine_similarity"))
+      graft.functions.GraftExtensions.register(s)
     val emb = Tables.embeddings(s, d)
     val q = broadcast(emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
     val scored = emb.crossJoin(q).selectExpr(
       "query_id", "vec_id",
       """cosine_similarity(cast(embedding as array<double>),
-         cast(qvec as array<double>)) as cos""")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("vec_id").as("neighbor"), round(col("cos"), 6).as("cosine"))
-      .orderBy("query_id", "rank")
+         cast(qvec as array<double>)) as cosine""")
+    Similarity.rankTopK(scored, k = 10).orderBy("query_id", "rank")
   }
 
   private val ivfCache =
@@ -471,6 +471,19 @@ object PipelineQueries {
     "multimodal_frames"    -> multimodalFrames _
   )
 
+  private val SimTopKOracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                  FROM embeddings WHERE vec_id < 5)
+       SELECT query_id, CAST(rank AS INT) AS rank, neighbor, cosine FROM (
+         SELECT q.query_id, e.vec_id AS neighbor,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6)
+                  AS cosine,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
+                    DESC, e.vec_id) AS rank
+         FROM embeddings e, q)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
@@ -660,32 +673,10 @@ object PipelineQueries {
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                  b.embedding::DOUBLE[]) >= 0.98
          ORDER BY id_a, id_b""",
-    "sim_topk_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-                    FROM embeddings WHERE vec_id < 5)
-         SELECT query_id, CAST(rank AS INT) AS rank, neighbor, cosine FROM (
-           SELECT q.query_id, e.vec_id AS neighbor,
-                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6)
-                    AS cosine,
-                  row_number() OVER (PARTITION BY q.query_id
-                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
-                      DESC, e.vec_id) AS rank
-           FROM embeddings e, q)
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-    // identical oracle to sim_topk_bruteforce: the SQL-surface variant
-    // must produce byte-identical results
-    "sim_topk_sql" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-                    FROM embeddings WHERE vec_id < 5)
-         SELECT query_id, CAST(rank AS INT) AS rank, neighbor, cosine FROM (
-           SELECT q.query_id, e.vec_id AS neighbor,
-                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6)
-                    AS cosine,
-                  row_number() OVER (PARTITION BY q.query_id
-                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
-                      DESC, e.vec_id) AS rank
-           FROM embeddings e, q)
-         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // ONE string for both keys: the SQL-surface variant must produce
+    // byte-identical results to the Column-API plan by construction
+    "sim_topk_bruteforce" -> SimTopKOracle,
+    "sim_topk_sql" -> SimTopKOracle,
     "text_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
