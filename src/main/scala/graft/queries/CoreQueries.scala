@@ -237,6 +237,37 @@ object CoreQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** GROUPING SETS with disjoint sets — unlike ROLLUP's nested prefixes,
+    * each input row lands in exactly the requested groupings; still ONE
+    * Expand + one hash-agg shuffle.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderstatus").as("orderstatus"),
+        col("o_orderpriority").as("orderpriority"),
+        col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("orderstatus")), Seq(col("orderpriority"))),
+        col("orderstatus"), col("orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("orderstatus").asc_nulls_last,
+        col("orderpriority").asc_nulls_last)
+
+  /** Semi-join at fact scale — `EXISTS`: customers having at least one
+    * URGENT order. left_semi keeps the probe side unduplicated (no
+    * post-join distinct) and ships only the join key from the build
+    * side.
+    */
+  def urgentCustomers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_mktsegment").as("mktsegment"))
+      .orderBy(col("custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_federation_agg"    -> federationAgg _,
     "q_euro_customers"    -> euroCustomers _,
@@ -251,7 +282,9 @@ object CoreQueries {
     "q_rollup_revenue"    -> rollupRevenue _,
     "q_running_total"     -> runningTotal _,
     "q_value_percentiles" -> valuePercentiles _,
-    "q_distinct_users"    -> distinctUsers _
+    "q_distinct_users"    -> distinctUsers _,
+    "q_grouping_sets"     -> groupingSets _,
+    "q_urgent_customers"  -> urgentCustomers _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -345,6 +378,21 @@ object CoreQueries {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus AS orderstatus,
+                o_orderpriority AS orderpriority,
+                round(sum(o_totalprice), 2) AS total, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY orderstatus NULLS LAST, orderpriority NULLS LAST""",
+    "q_urgent_customers" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_mktsegment AS mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+         ORDER BY custkey"""
   )
 }
