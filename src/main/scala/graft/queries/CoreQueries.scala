@@ -268,6 +268,21 @@ object CoreQueries {
         col("c_mktsegment").as("mktsegment"))
       .orderBy(col("custkey"))
 
+  /** Conditional aggregation — `count_if` / FILTER-style aggregates in
+    * one pass over the fact table (no per-condition re-scan; all
+    * conditions fold into a single partial/final hash-agg).
+    */
+  def conditionalAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy((col("user_id") % 10).as("user_decile"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("event_type") === "purchase").as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 4).as("purchase_value"),
+        round(avg(when(col("value") > 50, col("value"))), 4)
+          .as("avg_high_value"))
+      .orderBy(col("user_decile"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_federation_agg"    -> federationAgg _,
     "q_euro_customers"    -> euroCustomers _,
@@ -284,7 +299,8 @@ object CoreQueries {
     "q_value_percentiles" -> valuePercentiles _,
     "q_distinct_users"    -> distinctUsers _,
     "q_grouping_sets"     -> groupingSets _,
-    "q_urgent_customers"  -> urgentCustomers _
+    "q_urgent_customers"  -> urgentCustomers _,
+    "q_conditional_agg"   -> conditionalAgg _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -393,6 +409,15 @@ object CoreQueries {
          WHERE EXISTS (SELECT 1 FROM orders o
                        WHERE o.o_custkey = c.c_custkey
                          AND o.o_orderpriority = '1-URGENT')
-         ORDER BY custkey"""
+         ORDER BY custkey""",
+    "q_conditional_agg" ->
+      """SELECT user_id % 10 AS user_decile, count(*) AS n,
+                count(*) FILTER (WHERE event_type = 'purchase')
+                  AS n_purchases,
+                round(sum(CASE WHEN event_type = 'purchase' THEN value
+                               ELSE 0.0 END), 4) AS purchase_value,
+                round(avg(value) FILTER (WHERE value > 50), 4)
+                  AS avg_high_value
+         FROM events GROUP BY 1 ORDER BY user_decile"""
   )
 }
