@@ -46,8 +46,48 @@ class GraftSql(val cat: LakeCatalog) {
 
   // ---- statement dispatch --------------------------------------------
 
+  /** A statement plus a literal-masked shadow copy: every character
+    * inside a single-quoted string is replaced by `_` (same length,
+    * quotes kept, `''` escapes handled). Dispatch regexes run against
+    * the MASKED text — so a literal containing `WHERE`, `VALUES`,
+    * parens or `AND` can never split a statement in the wrong place —
+    * while capture groups are extracted from the ORIGINAL by position,
+    * preserving literal content for the statement handlers.
+    */
+  private case class Stmt(orig: String) {
+    val masked: String = {
+      val out = orig.toCharArray
+      var i = 0
+      var inStr = false
+      while (i < out.length) {
+        val c = out(i)
+        if (!inStr) { if (c == '\'') inStr = true }
+        else if (c == '\'') {
+          if (i + 1 < out.length && out(i + 1) == '\'') {
+            out(i) = '_'; out(i + 1) = '_'; i += 1
+          } else inStr = false
+        } else out(i) = '_'
+        i += 1
+      }
+      new String(out)
+    }
+  }
+
+  /** Anchored statement-shape matcher over [[Stmt]]: matches the masked
+    * text, yields groups from the original.
+    */
+  private class Shape(p: String) {
+    private val r = java.util.regex.Pattern.compile("(?is)" + p)
+    def unapplySeq(s: Stmt): Option[Seq[String]] = {
+      val m = r.matcher(s.masked)
+      if (!m.matches()) None
+      else Some((1 to m.groupCount()).map(i =>
+        if (m.start(i) < 0) null else s.orig.substring(m.start(i), m.end(i))))
+    }
+  }
+
   private object Rx {
-    def re(p: String) = ("(?is)" + p).r
+    def re(p: String) = new Shape(p)
     val setSession = re("""SET\s+SESSION\b.*""")
     val createSchema =
       re("""CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)(?:\s+WITH\s*\((.*)\))?""")
@@ -105,7 +145,7 @@ class GraftSql(val cat: LakeCatalog) {
   def execute(statement: String): DataFrame = {
     val stmt = stripComments(statement).trim.stripSuffix(";").trim
     if (stmt.isEmpty) return spark.emptyDataFrame
-    stmt match {
+    Stmt(stmt) match {
       case Rx.setSession() => spark.emptyDataFrame
       case Rx.createSchema(name, props) =>
         val location = Option(props).flatMap(p =>
@@ -221,7 +261,7 @@ class GraftSql(val cat: LakeCatalog) {
         spark.emptyDataFrame
       case Rx.select() => select(stmt)
       case other => throw new IllegalArgumentException(
-        s"unsupported statement: ${other.linesIterator.next()}")
+        s"unsupported statement: ${other.orig.linesIterator.next()}")
     }
   }
 
@@ -245,7 +285,16 @@ class GraftSql(val cat: LakeCatalog) {
     val created = scala.collection.mutable.Buffer[String]()
     try {
       resolved.foreach { case (n, df) =>
-        if (!spark.catalog.tableExists(n)) { df.createTempView(n); created += n }
+        // A pre-existing session view with a bound name would silently
+        // shadow the catalog table (the query would read the user's
+        // temp view, not the lake table). Fail loudly instead — same
+        // contract as LakeCatalog.execSql. GraftSql's own `_src_*`
+        // source views never appear in `binds`, so anything found here
+        // is a genuine conflict.
+        if (spark.catalog.tableExists(n))
+          throw new IllegalStateException(
+            s"session object `$n` shadows a catalog binding — drop or rename it")
+        df.createTempView(n); created += n
       }
       spark.sql(sqlText)
     } finally created.foreach(spark.catalog.dropTempView(_))
@@ -319,16 +368,22 @@ class GraftSql(val cat: LakeCatalog) {
         val (sc, tn) = (arg("schema_name"), arg("table_name"))
         val (from, to) =
           (arg("start_snapshot_id").toLong, arg("end_snapshot_id").toLong)
-        val view = s"_chg_$tn"
+        // range in the view name: one statement may diff two ranges over
+        // the SAME table — a per-table name would silently collapse both
+        // references onto whichever binding was registered last
+        val view = s"_chg_${tn}_${from}_$to"
         binds(view) = () => cat.table(s"$sc.$tn").changes(from, to)
         view
       })
-    // t FOR VERSION AS OF <snapshot id | 'branch'> -> versioned view
+    // t FOR VERSION AS OF <snapshot id | 'branch'> -> versioned view.
+    // Version in the view name: the standard snapshot-compare shape
+    // reads the same table at two versions in one statement; keying by
+    // table alone would rewrite both references to one binding.
     s = "(?i)(\\w+)\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+|'\\w+')".r
       .replaceAllIn(s, m => {
         val t = m.group(1)
-        val view = s"_ver_$t"
         val ver = m.group(2)
+        val view = s"_ver_${t}_" + ver.replaceAll("\\W", "")
         binds(view) = () =>
           if (ver.startsWith("'")) table(t).readRef(stripQuotes(ver))
           else table(t).asOf(ver.toLong)
@@ -336,16 +391,37 @@ class GraftSql(val cat: LakeCatalog) {
       })
     // bare catalog tables, their metadata tables, and stored views
     val idents = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(s).toSet
-    val withMetaCols = s.contains("`$")
     val metaKinds = Seq("snapshots", "history", "refs", "files",
       "partitions", "properties", "manifests", "entries",
       "metadata_log_entries")
+    val referenced = cat.listTables.filter(n =>
+      idents.contains(n.split("\\.").last))
+    // Meta-column reads are scoped to the table(s) that actually
+    // reference a `$...` column — a statement-global flip would leak
+    // $-columns into every other table's star expansion (schema drift
+    // on t2.* while reading t1's lineage). A qualified `q.`$...``
+    // attributes to table q directly or through a FROM/JOIN alias; an
+    // unqualified `$...` attributes to the sole referenced base table
+    // (with several tables it is ambiguous and fails resolution loudly).
+    val metaQualifiers =
+      "(\\w+)\\s*\\.\\s*`\\$".r.findAllMatchIn(s).map(_.group(1)).toSet
+    val anyMetaRef = s.contains("`$")
+    def wantsMeta(short: String): Boolean = anyMetaRef && (
+      metaQualifiers.contains(short) ||
+      metaQualifiers.exists(q => q != short &&
+        (s"(?i)\\b$short\\s+(?:AS\\s+)?$q\\b").r.findFirstIn(s).isDefined) ||
+      (metaQualifiers.isEmpty && referenced.size == 1))
+    referenced.foreach { n =>
+      val short = n.split("\\.").last
+      binds.getOrElseUpdate(short, () =>
+        if (wantsMeta(short)) cat.table(n).readWithMetaColumns()
+        else cat.table(n).read())
+    }
+    // metadata tables bind independently of the base table being
+    // referenced (`"t$snapshots"` rewrites to the single ident
+    // `t_snapshots` — `t` itself never appears)
     cat.listTables.foreach { n =>
       val short = n.split("\\.").last
-      if (idents.contains(short))
-        binds.getOrElseUpdate(short, () =>
-          if (withMetaCols) cat.table(n).readWithMetaColumns()
-          else cat.table(n).read())
       metaKinds.filter(mt => idents.contains(s"${short}_$mt")).foreach(mt =>
         binds.getOrElseUpdate(s"${short}_$mt",
           () => cat.table(n).metaTable(mt)))
@@ -371,21 +447,32 @@ class GraftSql(val cat: LakeCatalog) {
     }
   }
 
-  /** Upsert-shaped MERGE: equi-keys from ON; passthrough
-    * `SET c = src.c` clauses map to a full-row update, constant/expr
-    * assignments to a column map; `WHEN NOT MATCHED THEN INSERT` with a
-    * passthrough VALUES list maps to insert-all. Anything beyond that
-    * shape is rejected loudly rather than silently misread.
+  /** Upsert-shaped MERGE: equi-keys from ON; the SET list and the
+    * matched condition are rewritten onto [[LakeTable.merge]]'s joined-
+    * frame convention — target-alias references become bare target
+    * columns, source-alias references become `src_`-prefixed columns —
+    * so `SET c = l.c` (take source), `SET c = b.c` (keep target) and
+    * mixed expressions (`b.name != l.name`) all mean what they say.
+    * `WHEN NOT MATCHED THEN INSERT` maps to insert-all. Anything beyond
+    * that shape is rejected loudly rather than silently misread.
     */
   private def executeMerge(tgt: String, tgtAlias: Option[String],
       src: String, srcAlias: Option[String], on: String, whens: String)
       : Unit = {
     val sourceDf = sources.get(src).map(spark.table)
       .getOrElse(cat.table(resolve(src)).read())
-    val aliases = (tgtAlias.toSeq ++ srcAlias.toSeq)
-    def stripAliases(e: String): String =
-      aliases.foldLeft(e)((acc, a) =>
-        acc.replaceAll(s"(?i)\\b$a\\.", ""))
+    val tgtNames = (tgtAlias.toSeq :+ tgt.split("\\.").last).distinct
+    val srcNames = (srcAlias.toSeq :+ src.split("\\.").last).distinct
+    def quoted(a: String) = java.util.regex.Pattern.quote(a)
+    // Alias resolution BEFORE stripping (stripping both sides first
+    // cannot distinguish `c = l.c` from `c = b.c`): source refs map to
+    // the joined frame's src_ prefix, target refs to bare columns.
+    def resolveRefs(e: String): String = {
+      val s1 = srcNames.foldLeft(e)((acc, a) =>
+        acc.replaceAll(s"(?i)\\b${quoted(a)}\\.(\\w+)", "src_$1"))
+      tgtNames.foldLeft(s1)((acc, a) =>
+        acc.replaceAll(s"(?i)\\b${quoted(a)}\\.", ""))
+    }
     val keys = splitTopLevel(
       on.trim.stripPrefix("(").stripSuffix(")"), '&') // AND handled below
       .flatMap(_.split("(?i)\\bAND\\b")).map(_.trim).filter(_.nonEmpty)
@@ -402,16 +489,16 @@ class GraftSql(val cat: LakeCatalog) {
         .r.findFirstMatchIn(whens)
     val notMatched = "(?i)WHEN\\s+NOT\\s+MATCHED".r.findFirstIn(whens).isDefined
     val whenMatchedSet = matched.map { m =>
-      val assignments = splitTopLevel(m.group(2).trim, ',').map { a =>
+      splitTopLevel(m.group(2).trim, ',').map { a =>
         val Array(c, e) = a.split("=", 2)
-        stripAliases(c.trim).trim -> stripAliases(e.trim).trim
-      }
-      if (assignments.forall { case (c, e) => c == e }) Map.empty[String, Column]
-      else assignments.map { case (c, e) => c -> expr(rewrite(e)) }.toMap
+        val colName = tgtNames.foldLeft(c.trim)((acc, a0) =>
+          acc.replaceAll(s"(?i)^${quoted(a0)}\\.", "")).trim
+        colName -> expr(rewrite(resolveRefs(e.trim)))
+      }.toMap
     }
     val matchedCondition =
       matched.flatMap(m => Option(m.group(1)))
-        .map(c => expr(rewrite(stripAliases(c))))
+        .map(c => expr(rewrite(resolveRefs(c))))
     cat.table(resolve(tgt)).merge(sourceDf, keys,
       matchedCondition = matchedCondition,
       whenMatchedSet = whenMatchedSet,

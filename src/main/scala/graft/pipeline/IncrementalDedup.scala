@@ -96,6 +96,11 @@ object IncrementalDedup {
         col("doc_id").as("id_a"))
       .join(newBands.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("id_b")), Seq("band_idx", "band_hash"))
+      // a re-run batch (or a crash between nearDupPairs and append) has
+      // its docs in the index already: without this guard every such doc
+      // pairs with itself at jaccard 1.0 and gets dropped as its own
+      // duplicate downstream
+      .filter(col("id_a") =!= col("id_b"))
     val vsBatch = newBands.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("id_a"))
       .join(newBands.select(col("band_idx"), col("band_hash"),
@@ -106,9 +111,13 @@ object IncrementalDedup {
       .distinct()
     // token sets: fresh for the batch, candidate-filtered from the index
     val newToks = tokensOf(batch, textCol, idCol, index.shingleK)
+    // anti-join before the union: a doc present in BOTH the index and
+    // the batch (operator re-run) would otherwise contribute its token
+    // rows twice, inflating `inter` for every pair it appears in
     val oldToks = index.tokens.read().join(
       candidates.select(col("id_a").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
+      .join(newToks.select("doc_id"), Seq("doc_id"), "left_anti")
     val toks = oldToks.unionByName(newToks)
       .select(col("doc_id").as(idCol), col("n"),
         explode(col("toks")).as("tok"))

@@ -278,6 +278,119 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(viaSql == viaDf, "SQL text and DataFrame plans must agree")
   }
 
+  test("adversarial string literals cannot misroute statement dispatch") {
+    val gs = freshSql()
+    gs.execute("CREATE OR REPLACE TABLE adv AS SELECT * FROM tpch.tiny.nation")
+    // literal containing paren + WHERE inside an INSERT VALUES list
+    gs.execute(
+      """INSERT INTO adv (n_nationkey, n_name, n_regionkey)
+         VALUES (991, 'a WHERE b)', 0)""")
+    assert(gs.execute("SELECT * FROM adv WHERE n_nationkey = 991")
+      .head().getString(1) == "a WHERE b)")
+    // SET value containing ' WHERE ' — the non-greedy SET/WHERE split
+    // must not cut inside the literal
+    gs.execute(
+      """UPDATE adv SET n_name = 'x WHERE y AND z' WHERE n_nationkey = 991""")
+    assert(gs.execute("SELECT n_name FROM adv WHERE n_nationkey = 991")
+      .head().getString(0) == "x WHERE y AND z")
+    // DELETE predicate with a literal containing AND/parens
+    gs.execute("DELETE FROM adv WHERE n_name = 'x WHERE y AND z'")
+    assert(gs.execute("SELECT * FROM adv").count() == 25)
+    // literal containing '' escape plus VALUES keyword
+    gs.execute(
+      """INSERT INTO adv (n_nationkey, n_name, n_regionkey)
+         VALUES (992, 'it''s VALUES (''deep'')', 4)""")
+    assert(gs.execute("SELECT n_name FROM adv WHERE n_nationkey = 992")
+      .head().getString(0) == "it's VALUES ('deep')")
+  }
+
+  test("snapshot-compare: one statement reads two versions of one table") {
+    val gs = freshSql()
+    gs.execute("CREATE OR REPLACE TABLE sc AS SELECT * FROM tpch.tiny.nation")
+    gs.execute("INSERT INTO sc (n_nationkey, n_name, n_regionkey) VALUES (990, 'ATLANTIS', 0)")
+    val snaps = gs.execute(
+      """SELECT snapshot_id FROM "sc$snapshots" ORDER BY committed_at""")
+      .collect().map(_.getLong(0))
+    // each FOR VERSION AS OF reference must get its OWN binding — a
+    // per-table binding would silently read one version on both sides
+    val diff = gs.execute(
+      s"""SELECT count(*) AS added FROM sc FOR VERSION AS OF ${snaps.last}
+          WHERE n_nationkey NOT IN
+            (SELECT n_nationkey FROM sc FOR VERSION AS OF ${snaps.head})""")
+    assert(diff.head().getLong(0) == 1L)
+    val counts = gs.execute(
+      s"""SELECT (SELECT count(*) FROM sc FOR VERSION AS OF ${snaps.head}) AS a,
+                 (SELECT count(*) FROM sc FOR VERSION AS OF ${snaps.last}) AS b""")
+      .head()
+    assert(counts.getLong(0) == 25L && counts.getLong(1) == 26L)
+  }
+
+  test("pre-existing session view with a catalog table's name fails loudly") {
+    val gs = freshSql()
+    gs.execute("CREATE OR REPLACE TABLE shadowed AS SELECT * FROM tpch.tiny.nation")
+    s.range(3).createOrReplaceTempView("shadowed")
+    try {
+      intercept[IllegalStateException](gs.execute("SELECT * FROM shadowed"))
+    } finally s.catalog.dropTempView("shadowed")
+    assert(gs.execute("SELECT * FROM shadowed").count() == 25)
+  }
+
+  test("meta-column read is scoped to the referencing table only") {
+    val gs = freshSql()
+    gs.execute("CREATE OR REPLACE TABLE mt1 AS SELECT * FROM tpch.tiny.nation")
+    gs.execute("CREATE OR REPLACE TABLE mt2 AS SELECT * FROM tpch.tiny.region")
+    // t1's lineage read must not leak $-columns into t2's star expansion
+    val out = gs.execute(
+      """SELECT a."$row_id", b.*
+         FROM mt1 a JOIN mt2 b ON a.n_regionkey = b.r_regionkey""")
+    assert(out.columns.count(_.startsWith("$")) == 1,
+      s"only the qualified $$row_id should appear, got ${out.columns.mkString(",")}")
+    assert(out.columns.toSet
+      .intersect(Set("$path", "$partition", "$file_modified_time")).isEmpty,
+      "mt2.* must not gain meta columns")
+    assert(out.count() == 25)
+  }
+
+  test("MERGE distinguishes keep-target from take-source assignments") {
+    val gs = freshSql()
+    gs.execute(
+      """CREATE OR REPLACE TABLE mtgt AS
+         SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS bal
+         FROM pg.demo.customer WHERE c_custkey < 50""")
+    gs.execute(
+      """CREATE OR REPLACE TABLE mland AS
+         SELECT c_custkey AS custkey, concat('L-', c_name) AS name,
+                c_acctbal + 100.0 AS bal
+         FROM pg.demo.customer WHERE c_custkey < 50""")
+    // SET name = l.name (take source), bal = b.bal (KEEP target) — the
+    // keep-target side must not be silently treated as source passthrough
+    gs.execute(
+      """MERGE INTO mtgt AS b USING mland AS l
+         ON (b.custkey = l.custkey)
+         WHEN MATCHED THEN UPDATE SET name = l.name, bal = b.bal""")
+    val rows = gs.execute("SELECT * FROM mtgt").collect()
+    assert(rows.forall(_.getString(1).startsWith("L-")), "name from source")
+    val orig = gs.execute("SELECT custkey, bal FROM mland").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1) - 100.0)).toMap
+    assert(rows.forall(r => math.abs(r.getDouble(2) - orig(r.getLong(0))) < 1e-9),
+      "bal must keep the TARGET value")
+    // matched condition referencing both sides must compare tgt vs src:
+    // alias-stripping both sides collapses it to `name != name` (always
+    // false, merge becomes a no-op). Make the condition TRUE everywhere
+    // and assert the update actually happened.
+    gs.execute("UPDATE mland SET name = 'RENAMED' WHERE custkey >= 0")
+    gs.execute(
+      """MERGE INTO mtgt AS b USING mland AS l
+         ON (b.custkey = l.custkey)
+         WHEN MATCHED AND b.name != l.name THEN UPDATE SET bal = l.bal""")
+    val after = gs.execute("SELECT custkey, bal FROM mtgt").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val land = gs.execute("SELECT custkey, bal FROM mland").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == land,
+      "tgt.name != src.name is true for every row -> bal taken from source")
+  }
+
   test("multi-statement script execution") {
     val gs = freshSql()
     val results = gs.executeScript(

@@ -342,6 +342,31 @@ class PipelineSpec extends AnyFunSuite {
       s"exact twins must be found against both index generations: $p2")
   }
 
+  test("re-run batch against its own index yields no self-pairs") {
+    // Crash-recovery shape: a batch admitted to the index, then probed
+    // AGAIN (operator re-run after a failure between probe and append).
+    // Without the id_a != id_b guard every doc pairs with itself at
+    // jaccard 1.0 and is dropped as its own duplicate; without the
+    // token-union dedupe, duplicated token rows inflate `inter`.
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val loc = java.nio.file.Files.createTempDirectory("dedupidx-rerun-")
+      .resolve("index").toString
+    IncrementalDedup.build(corpus, loc)
+    val idx = IncrementalDedup.load(s, loc)
+    val firstRun = IncrementalDedup.nearDupPairs(idx, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    IncrementalDedup.append(idx, batch)
+    val rerun = IncrementalDedup
+      .nearDupPairs(IncrementalDedup.load(s, loc), batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rerun.forall { case (a, b, _) => a != b },
+      s"self-pairs must be filtered: ${rerun.filter(t => t._1 == t._2)}")
+    assert(rerun == firstRun,
+      "a re-run probe must reproduce the first run's pairs exactly " +
+        s"(first=$firstRun rerun=$rerun)")
+  }
+
   test("two-phase domain cap is exact for any salt count") {
     // the oracle checks salts=16 against the plain single-window form;
     // this pins the equivalence across salt granularities
