@@ -311,6 +311,16 @@ class GraftSql(val cat: LakeCatalog) {
         "(?![\\w.])", view)
     }
     s = rewriteQuotedIdents(s)
+    // the reference script's `SELECT ... ASC ORDER BY name` typo
+    // (`sql:44`): a dangling ASC directly before ORDER BY is dropped
+    // (SURVEY §2.5 L1 — treat as plain ORDER BY)
+    s = "(?i)\\bASC\\s+(ORDER\\s+BY)".r.replaceAllIn(s, "$1")
+    // MySQL-style date_format patterns (Trino dialect, `sql:87`) ->
+    // Java patterns for Spark's codegen'd date_format
+    s = "(?i)(date_format\\s*\\([^,()]+,\\s*)'([^']*%[^']*)'".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + "'" +
+          graft.functions.TrinoFunctions.mysqlToJavaPattern(m.group(2)) + "'"))
     // JSON '...' literal -> parse_json (variant column convention)
     s = "(?i)JSON\\s*('(?:[^'])*')".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(s"parse_json(${m.group(1)})"))
@@ -630,7 +640,7 @@ class GraftSql(val cat: LakeCatalog) {
       line.substring(0, cut)
     }.mkString("\n")
 
-  private def splitStatements(script: String): Seq[String] =
+  private[lake] def splitStatements(script: String): Seq[String] =
     splitTopLevel(stripComments(script).replace("\n", " \n"), ';')
       .filter(_.trim.nonEmpty)
 }

@@ -97,6 +97,39 @@ class PlanSpec extends AnyFunSuite {
         .getDouble(0) + 1)
   }
 
+  test("curation chain: ≤3 shuffle exchanges, blocklist broadcast pinned") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val thr = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // AQE off so the static plan (what a fresh cluster plans from
+      // stats alone) is what we pin, not a runtime re-plan
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = graft.queries.PipelineQueries.pipelineCurate(s, sf)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // 1: dedup's hash-agg (map-side combine collapses duplicate texts
+      //    before the wire); 2: accounting groupBy(lang, source);
+      // 3: final ORDER BY range exchange
+      assert(shuffles.size <= 3,
+        s"${shuffles.size} exchanges:\n${plan.toString.take(3000)}")
+      // The blocklist anti-join must ride an EXPLICIT broadcast hint:
+      // with the auto-threshold disabled entirely (the "source table
+      // grew past the threshold" scenario) the plan must still
+      // broadcast the 3-row blocklist, never sort-merge the corpus.
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pinned = graft.queries.PipelineQueries.pipelineCurate(s, sf)
+        .queryExecution.executedPlan.toString
+      assert(pinned.contains("BroadcastHashJoin") &&
+        pinned.contains("LeftAnti"),
+        "blocklist must stay a broadcast anti-join with auto-broadcast off")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+  }
+
   test("IN-list prunes via bucket transform partitioning") {
     val customers = s.read.parquet(s"$sf/customer.parquet")
     val t = LakeTable.create(s,

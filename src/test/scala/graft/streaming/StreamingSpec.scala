@@ -164,4 +164,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamIngest.committedBatches(table, "t") == Set(0L, 1L))
     assert(StreamIngest.committedBatches(table, "t:v2") == Set(0L, 1L))
   }
+
+  test("interval-join state stays bounded under a hot user over many " +
+      "watermark intervals") {
+    // The 100 TB claim, checked not argued: both-sides watermarks plus
+    // the explicit time-range join bound must keep join state at
+    // ~(delay + window) × rate even when ONE user owns 50% of all
+    // events and the stream spans dozens of watermark advances. An
+    // unbounded equi-join would accumulate every buffered row.
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ijoin-bound-")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val hours = 24
+    for (h <- 0 until hours) {
+      val rows = (0 until 60).flatMap { m =>
+        val t = base + (h * 3600L + m * 60L) * 1000L
+        Seq(
+          // hot user 1: a view + click every minute = 50% of volume
+          (1L, new java.sql.Timestamp(t), s"v-1-$h-$m", "view"),
+          (1L, new java.sql.Timestamp(t + 30000L), s"c-1-$h-$m", "click"),
+          ((100 + m).toLong, new java.sql.Timestamp(t), s"v-u$m-$h", "view"),
+          ((100 + m).toLong, new java.sql.Timestamp(t + 30000L),
+            s"c-u$m-$h", "click"))
+      }
+      // one file per hour, moved into place with an ordered name so
+      // maxFilesPerTrigger=1 yields one micro-batch per hour of data
+      val tmp = java.nio.file.Files.createTempDirectory("ijoin-chunk-")
+      rows.toDF("user_id", "event_time", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, dir.resolve(f"chunk-$h%03d.parquet"))
+    }
+    val schema = s.read.parquet(dir.toString).schema
+    val events = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val joined = EventStreams.intervalJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "click"),
+      window = "10 minutes", watermarkDelay = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ijoin_bound").start()
+    val (stateMax, batches) =
+      try {
+        q.processAllAvailable()
+        (q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max,
+          q.recentProgress.length)
+      } finally q.stop()
+    assert(batches > 10, s"need many watermark advances, got $batches batches")
+    val totalRows = hours * 60L * 4L
+    assert(stateMax < totalRows / 4,
+      s"join state reached $stateMax of $totalRows streamed rows — " +
+        "eviction is not keeping up with the watermark")
+    // and the join still produced the hot user's matches
+    assert(s.table("ijoin_bound").filter(col("user_id") === 1L).count() > 0)
+  }
 }
