@@ -385,6 +385,17 @@ class GraftSql(val cat: LakeCatalog) {
         binds(view) = () => cat.table(s"$sc.$tn").changes(from, to)
         view
       })
+    // t FOR TIMESTAMP AS OF TIMESTAMP '...' -> wall-clock time travel
+    // (runs before the FOR VERSION rewrite; keyed by the instant so two
+    // timestamps over one table bind independently)
+    s = "(?i)(\\w+)\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+TIMESTAMP\\s*'([^']+)'".r
+      .replaceAllIn(s, m => {
+        val t = m.group(1)
+        val ms = parseUtcMillis(m.group(2))
+        val view = s"_tst_${t}_$ms"
+        binds(view) = () => table(t).asOfTime(ms)
+        view
+      })
     // t FOR VERSION AS OF <snapshot id | 'branch'> -> versioned view.
     // Version in the view name: the standard snapshot-compare shape
     // reads the same table at two versions in one statement; keying by
@@ -582,6 +593,13 @@ class GraftSql(val cat: LakeCatalog) {
         .map(m => k -> stripQuotes(m.group(1)))
     }.toMap
     (partitioning, scalarProps)
+  }
+
+  /** `'2026-01-01 12:00:00[.fff][ UTC]'` -> epoch millis (UTC). */
+  private def parseUtcMillis(x: String): Long = {
+    val cleaned = x.trim.replaceAll("(?i)\\s+(UTC|Z)$", "")
+    java.time.LocalDateTime.parse(cleaned.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
   private def parseDuration(d: String): Long = {

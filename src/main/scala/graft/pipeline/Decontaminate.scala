@@ -47,4 +47,47 @@ object Decontaminate {
       // plain count is a distinct count — no count_distinct re-shuffle.
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** [[ngramOverlap]] with the benchmark gram set compressed into a
+    * Bloom filter that ships WITH THE PLAN: the corpus-side probe is a
+    * pure codegen'd filter — no broadcast relation, no join, no shuffle
+    * of the gram stream before the per-doc count. This is the régime
+    * for benchmark sets too large to broadcast as an exact hash set: at
+    * 10 bits/gram a 10⁹-gram suite is a ~1.2 GB sketch (one copy per
+    * executor, streamed rows never move) where the exact set would be
+    * tens of GB.
+    *
+    * False positives only INFLATE `n_shared` (never miss a real
+    * overlap) at rate ~(1-e^(-kn/m))^k; the default sizing keeps it
+    * below 1e-12 for test-scale benchmarks — callers size `numBits`
+    * ~10× their gram count. Built from Spark's own
+    * `BloomFilterAggregate`/`BloomFilterMightContain` (the runtime
+    * join-filter machinery) via the graftshim Column bridge.
+    */
+  def ngramOverlapBloom(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      numBits: Long = 1L << 24): DataFrame = {
+    import org.apache.spark.sql.graftshim
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol),
+      explode(ShingleExpressions
+        .hashedShingles(trim(lower(col(textCol))), k)).as("_gram"))
+    val benchGrams = grams(benchmark).select("_gram").distinct()
+    val est = math.max(benchGrams.count(), 1L)
+    val sketch = benchGrams.agg(graftshim.columnOf(
+        new BloomFilterAggregate(
+          graftshim.columnExpr(col("_gram")),
+          graftshim.columnExpr(lit(est)),
+          graftshim.columnExpr(lit(numBits))).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = graftshim.columnOf(BloomFilterMightContain(
+      graftshim.columnExpr(lit(sketch)),
+      graftshim.columnExpr(col("_gram"))))
+    grams(corpus)
+      .filter(mightContain)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -283,6 +283,45 @@ object CoreQueries {
           .as("avg_high_value"))
       .orderBy(col("user_decile"))
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window` —
+    * batch form compiles to one shuffle on user_id + a sort-merge of
+    * overlapping windows, the built-in counterpart of the stateful
+    * `EventStreams.sessionize`. Semantics differ from the stateful
+    * operator at the exact boundary: a window is [first, last + gap)
+    * and merging requires OVERLAP, so a gap of exactly `gap` starts a
+    * new session — the oracle mirrors that with `>=`.
+    */
+  def sessionWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("event_time", nanosToTimestamp(col("ts")))
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "10 minutes").as("w"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Set operators (UNION / INTERSECT / EXCEPT) — each compiles to the
+    * scale-right plan: UNION+distinct is one hash-agg shuffle,
+    * INTERSECT/EXCEPT become left_semi/left_anti hash joins (no
+    * row-payload shuffle beyond the key).
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val wealthy = c.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    val buyers = orders(s, d).select(col("o_custkey").as("custkey"))
+    val overdrawn = c.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    building.union(wealthy).distinct()
+      .intersect(buyers)
+      .except(overdrawn)
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_federation_agg"    -> federationAgg _,
     "q_euro_customers"    -> euroCustomers _,
@@ -300,7 +339,9 @@ object CoreQueries {
     "q_distinct_users"    -> distinctUsers _,
     "q_grouping_sets"     -> groupingSets _,
     "q_urgent_customers"  -> urgentCustomers _,
-    "q_conditional_agg"   -> conditionalAgg _
+    "q_conditional_agg"   -> conditionalAgg _,
+    "q_session_window"    -> sessionWindows _,
+    "q_set_ops"           -> setOps _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -418,6 +459,39 @@ object CoreQueries {
                                ELSE 0.0 END), 4) AS purchase_value,
                 round(avg(value) FILTER (WHERE value > 50), 4)
                   AS avg_high_value
-         FROM events GROUP BY 1 ORDER BY user_decile"""
+         FROM events GROUP BY 1 ORDER BY user_decile""",
+    // session_window semantics: merge on OVERLAP (strict), window end =
+    // last event + gap — gaps-and-islands with `>=` and a shifted end
+    "q_session_window" ->
+      """WITH x AS (
+           SELECT user_id,
+                  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS t,
+                  value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         g AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS grp
+           FROM x)
+         SELECT user_id, min(t) AS session_start,
+                max(t) + INTERVAL 10 MINUTE AS session_end,
+                CAST(count(*) AS INT) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""",
+    "q_set_ops" ->
+      """SELECT custkey FROM (
+           SELECT c_custkey AS custkey FROM customer
+           WHERE c_mktsegment = 'BUILDING'
+           UNION
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         INTERSECT
+         SELECT o_custkey FROM orders
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_acctbal < 0
+         ORDER BY custkey"""
   )
 }

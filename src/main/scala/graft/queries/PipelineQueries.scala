@@ -381,6 +381,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The same decontamination answered through the Bloom-sketch probe:
+    * must produce EXACTLY the exact-set answer (the sketch is sized so
+    * false positives are ~1e-12 on this corpus — the oracle is the same
+    * SQL as `text_decontaminate`, so any fp would hash-mismatch).
+    */
+  def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket", Sampling.bucketCol(col("doc_id")))
+    Decontaminate.ngramOverlapBloom(
+      corpus = docs.filter(col("bucket") < 80),
+      benchmark = docs.filter(col("bucket") >= 90), k = 8)
+      .orderBy("doc_id")
+  }
+
   /** Nearest-centroid assignment by cosine: first 8 vectors act as the
     * centroid table; every vector maps to its best cell (semantic
     * clustering's inner step, broadcast + map-side argmax).
@@ -488,6 +502,7 @@ object PipelineQueries {
     "sample_stratified"    -> sampleStratified _,
     "filter_blocklist"     -> filterBlocklist _,
     "text_decontaminate"   -> textDecontaminate _,
+    "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
@@ -496,6 +511,24 @@ object PipelineQueries {
     "multimodal_features"  -> multimodalFeatures _,
     "multimodal_frames"    -> multimodalFrames _
   )
+
+  private val DecontaminateOracle =
+    """WITH s AS (
+         SELECT doc_id,
+                ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                  18, 15))::UBIGINT % 100 AS bucket,
+                string_split_regex(trim(lower(text)), '\s+') AS words
+         FROM documents),
+       g AS (
+         SELECT doc_id, bucket, unnest(list_distinct(
+           list_transform(range(1, greatest(len(words) - 7, 1) + 1),
+             i -> array_to_string(words[i:least(i+7, len(words))], ' '))))
+             AS gram
+         FROM s),
+       bench AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90)
+       SELECT g.doc_id, count(*) AS n_shared
+       FROM g JOIN bench USING (gram) WHERE g.bucket < 80
+       GROUP BY g.doc_id ORDER BY g.doc_id"""
 
   private val SimTopKOracle =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
@@ -961,23 +994,10 @@ object PipelineQueries {
     // Same 8-gram short-text convention as the shingle oracles; the
     // Spark side counts 64-bit hashed grams, the oracle counts the gram
     // strings — equal unless xxhash64 collides within a doc's grams.
-    "text_decontaminate" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
-                    18, 15))::UBIGINT % 100 AS bucket,
-                  string_split_regex(trim(lower(text)), '\s+') AS words
-           FROM documents),
-         g AS (
-           SELECT doc_id, bucket, unnest(list_distinct(
-             list_transform(range(1, greatest(len(words) - 7, 1) + 1),
-               i -> array_to_string(words[i:least(i+7, len(words))], ' '))))
-               AS gram
-           FROM s),
-         bench AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90)
-         SELECT g.doc_id, count(*) AS n_shared
-         FROM g JOIN bench USING (gram) WHERE g.bucket < 80
-         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    // ONE string for both keys: the Bloom-sketch probe must reproduce
+    // the exact-set overlap bit for bit (fp-free at this sizing)
+    "text_decontaminate" -> DecontaminateOracle,
+    "text_decontaminate_bloom" -> DecontaminateOracle,
     "embedding_centroid_assign" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
                     FROM embeddings WHERE vec_id < 8)

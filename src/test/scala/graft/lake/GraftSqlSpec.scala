@@ -391,6 +391,32 @@ class GraftSqlSpec extends AnyFunSuite {
       "tgt.name != src.name is true for every row -> bal taken from source")
   }
 
+  test("FOR TIMESTAMP AS OF reads the snapshot current at that instant") {
+    val gs = freshSql()
+    gs.execute("CREATE OR REPLACE TABLE tt AS SELECT * FROM tpch.tiny.nation")
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    gs.execute("INSERT INTO tt (n_nationkey, n_name, n_regionkey) VALUES (990, 'ATLANTIS', 0)")
+    def fmt(ms: Long) = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    assert(gs.execute(
+      s"SELECT * FROM tt FOR TIMESTAMP AS OF TIMESTAMP '${fmt(mid)} UTC'")
+      .count() == 25, "pre-insert instant must see the CTAS snapshot")
+    assert(gs.execute(
+      s"""SELECT * FROM tt FOR TIMESTAMP AS OF
+          TIMESTAMP '${fmt(System.currentTimeMillis())}'""").count() == 26)
+    // two instants over ONE table in one statement bind independently
+    val both = gs.execute(
+      s"""SELECT
+            (SELECT count(*) FROM tt FOR TIMESTAMP AS OF TIMESTAMP '${fmt(mid)}') AS a,
+            (SELECT count(*) FROM tt FOR TIMESTAMP AS OF
+               TIMESTAMP '${fmt(System.currentTimeMillis())}') AS b""").head()
+    assert(both.getLong(0) == 25L && both.getLong(1) == 26L)
+  }
+
   test("multi-statement script execution") {
     val gs = freshSql()
     val results = gs.executeScript(
