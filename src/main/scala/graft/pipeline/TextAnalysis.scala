@@ -95,12 +95,17 @@ object TextAnalysis {
       .select(col(labelCol).as("profile_lang"), xxhash64(col("tri_s")).as("tri"),
         (lit(1.0) / (col("rank") + 10)).as("weight"))
 
-    val docTris = df.select(col(idCol), explode(tris).as("tri"))
-      .groupBy(col(idCol), col("tri"))
-      .agg(count(lit(1)).as("tf"))
-    val scores = docTris.join(broadcast(profiles), Seq("tri"))
+    // The broadcast profile join FILTERS the exploded trigram stream
+    // before anything shuffles (≤ langs × profileSize distinct tris
+    // survive), and the per-(doc,tri) tf aggregation is folded into the
+    // per-(doc,lang) sum — Σ weight over raw occurrences ≡
+    // Σ weight·tf over distinct tris — so the only wide exchange
+    // carries (doc, lang, partial sum): at most #langs rows per doc
+    // after map-side combine, instead of every distinct trigram.
+    val scores = df.select(col(idCol), explode(tris).as("tri"))
+      .join(broadcast(profiles), Seq("tri"))
       .groupBy(col(idCol), col("profile_lang"))
-      .agg(sum(col("weight") * col("tf")).as("score"))
+      .agg(sum(col("weight")).as("score"))
     val wBest = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("profile_lang"))
     scores.withColumn("rn", row_number().over(wBest))
