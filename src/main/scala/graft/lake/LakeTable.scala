@@ -286,7 +286,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
       matchedCondition: Option[Column] = None,
       whenMatchedSet: Option[Map[String, Column]] = Some(Map.empty),
       whenNotMatchedInsert: Boolean = true,
-      branch: String = "main"): Option[Snapshot] = {
+      branch: String = "main",
+      summary: Map[String, String] = Map.empty): Option[Snapshot] = {
     val m = meta
     require(Scan.rowLineageEnabled(m), "merge requires row lineage")
     val (files, dels) = liveOf(m, branch)
@@ -310,7 +311,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
           }.reduce(_ && _)))
       mergeClassified(m, source, keys, matchedCondition, whenMatchedSet,
         whenNotMatchedInsert, branch, seq, target, candidates, files.size,
-        dels)
+        dels, summary)
     } finally source.unpersist()
   }
 
@@ -319,7 +320,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
       whenMatchedSet: Option[Map[String, Column]],
       whenNotMatchedInsert: Boolean, branch: String, seq: Long,
       target: StructType, candidates: Seq[DataFileEntry], totalFiles: Int,
-      dels: List[DeleteFileEntry]): Option[Snapshot] = {
+      dels: List[DeleteFileEntry],
+      extraSummary: Map[String, String] = Map.empty): Option[Snapshot] = {
     val src = source.columns.foldLeft(source) { (d, c) =>
       d.withColumnRenamed(c, s"src_$c")
     }
@@ -394,7 +396,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
       }
       if (manifest.addedData.isEmpty && manifest.addedDeletes.isEmpty) None
       else Some(commitSnapshot(m, "overwrite", manifest, branch, rowsAssigned,
-        summary = Map(
+        summary = extraSummary ++ Map(
           "candidate-data-files" -> candidates.size.toString,
           "total-data-files" -> totalFiles.toString)))
     } finally joined.unpersist()

@@ -128,6 +128,59 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  private val upsertCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+
+  /** Streaming UPSERT into a lake table: the target is seeded with a
+    * STALE copy of half the events (value = -999), then the full event
+    * stream — delivered TWICE (at-least-once) — merges in, keyed by
+    * event_id. Exactly-once + update semantics are both observable in
+    * the oracle: every stale value must be overwritten (update path) and
+    * no row may appear twice (idempotent stamps + in-batch dedup).
+    */
+  def streamLakeUpsert(s: SparkSession, d: String): DataFrame = {
+    val t = upsertCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-upsert-")
+      val batch = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val stale = batch.filter(col("event_id") % 2 === 0)
+        .withColumn("value", lit(-999.0))
+      val table = graft.lake.LakeTable.create(s,
+        base.resolve("table").toString, Right(stale))
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(EventStreams.streamDir(s"$d/events.parquet", copies = 2))
+      graft.streaming.StreamIngest.upsertAvailable(stream, table,
+        keys = Seq("event_id"), "events_upsert",
+        base.resolve("ckpt").toString)
+      table
+    })
+    t.read()
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+  }
+
+  /** Stream-static enrichment join: the event stream joined to a STATIC
+    * dimension (customer) — no state store at all (the static side is
+    * re-planned per micro-batch; broadcast keeps the stream side from
+    * shuffling). The standard "attach dimensions on ingest" shape.
+    */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_enrich_" + Math.abs(d.hashCode)
+    val dims = broadcast(s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("mktsegment")))
+    val events = EventStreams.readEvents(s, s"$d/events.parquet")
+    val q = events.join(dims, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("mktsegment"),
+        round(col("value"), 4).as("value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("event_id")
+  }
+
   /** Stream-stream interval join (views ⋈ same-user clicks within 4 h),
     * both sides watermarked, state evicted by the time-range bound.
     * Inner join: every match is emitted once regardless of watermark
@@ -194,6 +247,8 @@ object StreamQueries {
     "stream_sessions" -> streamSessions _,
     "stream_dedup" -> streamDedup _,
     "stream_lake_ingest" -> streamLakeIngest _,
+    "stream_lake_upsert" -> streamLakeUpsert _,
+    "stream_enrich" -> streamEnrich _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_outer" -> streamIntervalJoinOuter _
   )
@@ -208,6 +263,17 @@ object StreamQueries {
     "stream_lake_ingest" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events ORDER BY event_id""",
+    // upsert: every seeded stale row (-999) must be overwritten by the
+    // stream, every unseeded row inserted, nothing duplicated — the
+    // final table is exactly the plain events table
+    "stream_lake_upsert" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+         FROM events ORDER BY event_id""",
+    "stream_enrich" ->
+      """SELECT event_id, e.user_id, c_mktsegment AS mktsegment,
+                round(value, 4) AS value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY event_id""",
     "stream_interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
          FROM events v JOIN events c

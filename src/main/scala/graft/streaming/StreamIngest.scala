@@ -43,6 +43,42 @@ object StreamIngest {
       }
       .toSet
 
+  /** Start `stream` UPSERTING into `table` by `keys` — one MERGE per
+    * micro-batch (matched rows updated from the stream, unmatched
+    * inserted), with the same batch-stamp idempotency as
+    * [[ingestAvailable]]. This is the CDC-materialization shape: a
+    * change stream keyed by primary key keeps a lake table current,
+    * and an at-least-once replay of a batch is rejected by its stamp
+    * before any work runs. Rows are deduplicated per key WITHIN each
+    * batch first (MERGE correctly refuses multi-matches): duplicate
+    * deliveries are identical by contract, so any representative wins;
+    * a true multi-version CDC feed would pre-reduce by its sequence
+    * column instead.
+    *
+    * At scale each micro-batch MERGE prunes target files by the batch's
+    * key bounding box (LakeTable.merge) — a batch touching a narrow key
+    * range never rewrites the rest of a 100 TB table.
+    */
+  def upsertAvailable(stream: DataFrame, table: LakeTable, keys: Seq[String],
+      queryName: String, checkpointDir: String): Long = {
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(table, queryName)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seen.contains(batchId) && !batch.isEmpty) {
+          val snap = table.merge(batch.dropDuplicates(keys), keys,
+            summary = Map(BatchStamp -> stamp(queryName, batchId)))
+          if (snap.nonEmpty) { seen += batchId; committed += 1 }
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Start `stream` appending into `table`, drain everything currently
     * available, and stop. Returns the number of micro-batches that
     * actually committed (replays and empty batches are skipped).

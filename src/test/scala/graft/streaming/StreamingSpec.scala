@@ -165,6 +165,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamIngest.committedBatches(table, "t:v2") == Set(0L, 1L))
   }
 
+  test("streaming upsert: updates stale rows, idempotent under replay") {
+    val base = java.nio.file.Files.createTempDirectory("upsert-test-")
+    val src = s"$sf/events.parquet"
+    val batch = s.read.parquet(src)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // target seeded entirely stale; each event delivered twice, split
+    // over two micro-batches
+    val stale = batch.withColumn("value", lit(-1.0))
+    val table = graft.lake.LakeTable.create(s,
+      base.resolve("table").toString, Right(stale))
+    def stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(EventStreams.streamDir(src, copies = 2))
+      .select(col("event_id"), col("user_id"), col("value"))
+    val n = StreamIngest.upsertAvailable(stream, table, Seq("event_id"),
+      "u", base.resolve("ckpt").toString)
+    assert(n == 2, s"expected 2 merge commits, got $n")
+    val want = batch.orderBy("event_id").collect().toSeq
+    assert(table.read().orderBy("event_id")
+      .select("event_id", "user_id", "value").collect().toSeq == want,
+      "every stale row updated, nothing duplicated")
+    // fresh checkpoint replays both batch ids — stamps must reject them
+    val n2 = StreamIngest.upsertAvailable(stream, table, Seq("event_id"),
+      "u", base.resolve("ckpt2").toString)
+    assert(n2 == 0, s"replayed merges must be skipped, committed $n2")
+    assert(table.read().count() == want.size)
+  }
+
   test("interval-join state stays bounded under a hot user over many " +
       "watermark intervals") {
     // The 100 TB claim, checked not argued: both-sides watermarks plus
