@@ -114,6 +114,26 @@ object TextAnalysis {
         round(col("score"), 4).as("lang_score"))
   }
 
+  /** Adjacent-symbol-pair frequencies — the counting step of one BPE
+    * tokenizer-training iteration, distributed: explode words →
+    * explode in-word adjacent char pairs → pair hash-agg. The shuffle
+    * carries (2-char pair, partial count) after map-side combine —
+    * ~constant width regardless of corpus size — and the global top-k
+    * compiles to TakeOrderedAndProject (per-partition heap + driver
+    * merge, no full sort). A full BPE trainer loops this job, merging
+    * the argmax pair into the symbol table between iterations.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String = "text",
+      topK: Int = 30): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
   /** Word n-grams WITH duplicates (the repetition metrics need
     * multiplicities; [[Dedup.shingles]] dedups). Same shifted-zip_with
     * shape and same short-text convention: fewer than n words collapse

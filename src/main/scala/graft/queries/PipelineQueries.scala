@@ -381,6 +381,12 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE-training pair counts: the most frequent adjacent character
+    * pairs across the corpus (one merge-selection iteration).
+    */
+  def textBpePairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpePairCounts(Tables.documents(s, d))
+
   /** The same decontamination answered through the Bloom-sketch probe:
     * must produce EXACTLY the exact-set answer (the sketch is sized so
     * false positives are ~1e-12 on this corpus — the oracle is the same
@@ -503,6 +509,7 @@ object PipelineQueries {
     "filter_blocklist"     -> filterBlocklist _,
     "text_decontaminate"   -> textDecontaminate _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
+    "text_bpe_pairs"       -> textBpePairs _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
@@ -998,6 +1005,16 @@ object PipelineQueries {
     // the exact-set overlap bit for bit (fp-free at this sizing)
     "text_decontaminate" -> DecontaminateOracle,
     "text_decontaminate_bloom" -> DecontaminateOracle,
+    "text_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(1, length(w)),
+             i -> substr(w, CAST(i AS INT), 2))) AS pair
+           FROM w WHERE length(w) >= 2)
+         SELECT pair, count(*) AS n
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""",
     "embedding_centroid_assign" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
                     FROM embeddings WHERE vec_id < 8)

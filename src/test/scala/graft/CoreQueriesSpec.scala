@@ -74,6 +74,23 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("set operators compile to joins/aggregates, never nested loops") {
+    val plan = graft.queries.CoreQueries.setOps(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      "INTERSECT/EXCEPT must become semi/anti joins:\n" + plan.take(2000))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a full sort") {
+    // a global ORDER BY + LIMIT must compile to per-partition heaps +
+    // driver merge — a full range-exchange sort is the 100 TB trap
+    val plan = graft.queries.PipelineQueries.textBpePairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("approx_count_distinct tracks the exact count (100 TB swap-in)") {
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet(s"$sf/events.parquet")
