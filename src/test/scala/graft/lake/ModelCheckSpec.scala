@@ -98,6 +98,82 @@ class ModelCheckSpec extends AnyFunSuite {
     runModelCheckPublic("copy-on-write", seed = 2002, nOps = 18)
   }
 
+  /** Branch-epoch model check (write-audit-publish shape): each epoch
+    * creates `dev` from main's head, runs random DML against the BRANCH
+    * — asserting after every op that dev tracks its model AND main is
+    * byte-untouched (isolation) — then fast-forwards main and asserts
+    * convergence. Ancestry stays legal by construction (main never
+    * advances mid-epoch), which is exactly the WAP protocol.
+    */
+  def runBranchModelCheck(mode: String, seed: Long, epochs: Int): Unit = {
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val loc = Files.createTempDirectory(s"branch-model-$mode-")
+      .resolve("t").toString
+    var nextId = 0L
+    def freshRows(n: Int): Seq[(Long, Long, String)] =
+      (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        (id, rnd.nextInt(100).toLong, s"s${rnd.nextInt(5)}")
+      }
+    val init = freshRows(15)
+    val t = LakeTable.create(s, loc, Right(init.toDF("id", "v", "tag")),
+      properties = Map("merge_mode" -> mode))
+    var mainModel = init.map(r => r._1 -> (r._2, r._3)).toMap
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "tag").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+    (1 to epochs).foreach { e =>
+      t.createBranch("dev")
+      var devModel = mainModel
+      (1 to 1 + rnd.nextInt(4)).foreach { i =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            val rows = freshRows(1 + rnd.nextInt(4))
+            t.append(rows.toDF("id", "v", "tag"), branch = "dev")
+            devModel ++= rows.map(r => r._1 -> (r._2, r._3))
+          case 1 =>
+            val m = 2 + rnd.nextInt(4); val r0 = rnd.nextInt(m)
+            t.delete(col("v") % m === r0, branch = "dev")
+            devModel = devModel.filterNot { case (_, (v, _)) => v % m == r0 }
+          case 2 =>
+            val cut = rnd.nextInt(100); val add = 1 + rnd.nextInt(9)
+            t.update(col("v") < cut, Map("v" -> (col("v") + add)),
+              branch = "dev")
+            devModel = devModel.map { case (k, (v, tag)) =>
+              k -> (if (v < cut) (v + add, tag) else (v, tag))
+            }
+          case 3 =>
+            val existing = rnd.shuffle(devModel.keys.toSeq)
+              .take(rnd.nextInt(3))
+              .map(id => (id, 700L + rnd.nextInt(50), s"s${rnd.nextInt(5)}"))
+            val srcRows = existing ++ freshRows(1 + rnd.nextInt(2))
+            t.merge(srcRows.toDF("id", "v", "tag"), Seq("id"),
+              branch = "dev")
+            devModel ++= srcRows.map(r => r._1 -> (r._2, r._3))
+        }
+        assert(snap(t.readRef("dev")) == devModel,
+          s"epoch $e op $i: dev diverged from model (seed=$seed)")
+        assert(snap(t.read()) == mainModel,
+          s"epoch $e op $i: branch DML leaked onto main (seed=$seed)")
+      }
+      t.fastForward("main", "dev")
+      mainModel = devModel
+      assert(snap(t.read()) == mainModel,
+        s"epoch $e: fast-forward did not converge main onto dev")
+      t.dropBranch("dev")
+    }
+  }
+
+  test("random branch DML: isolation + fast-forward (merge-on-read)") {
+    runBranchModelCheck("merge-on-read", seed = 4004, epochs = 3)
+  }
+
+  test("random branch DML: isolation + fast-forward (copy-on-write)") {
+    runBranchModelCheck("copy-on-write", seed = 5005, epochs = 3)
+  }
+
   test("random predicates: pruned scan ≡ brute-force filter") {
     val rnd = new scala.util.Random(3003)
     val orders = s.read.parquet(s"$sf/orders.parquet")
