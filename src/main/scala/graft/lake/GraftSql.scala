@@ -92,6 +92,10 @@ class GraftSql(val cat: LakeCatalog) {
     val createSchema =
       re("""CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)(?:\s+WITH\s*\((.*)\))?""")
     val showCreateSchema = re("""SHOW\s+CREATE\s+SCHEMA\s+([\w."]+)""")
+    val dropSchema =
+      re("""DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w."]+)""")
+    val showSchemas = re("""SHOW\s+SCHEMAS""")
+    val showTables = re("""SHOW\s+TABLES(?:\s+FROM\s+([\w."]+))?""")
     val use = re("""USE\s+([\w."]+)""")
     val ctas =
       re("""CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.]+)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT.*)""")
@@ -160,6 +164,16 @@ class GraftSql(val cat: LakeCatalog) {
         oneString("Create Schema", cat.showCreateSchema(lastSegment(name)))
       case Rx.use(name) =>
         currentSchema = lastSegment(name); spark.emptyDataFrame
+      case Rx.dropSchema(ifExists, name) =>
+        val existed = cat.dropSchema(lastSegment(name))
+        require(existed || ifExists != null, s"no schema $name")
+        spark.emptyDataFrame
+      case Rx.showSchemas() =>
+        oneStringCol("Schema", cat.listSchemas)
+      case Rx.showTables(from) =>
+        val sc = Option(from).map(lastSegment).getOrElse(currentSchema)
+        oneStringCol("Table", cat.listTables
+          .filter(_.startsWith(s"$sc.")).map(_.split("\\.").last))
       case Rx.ctas(orReplace, name, props, sel) =>
         val (partitioning, properties) = parseTableProps(Option(props))
         cat.createTable(resolve(name), select(sel), partitioning, properties,
@@ -557,6 +571,12 @@ class GraftSql(val cat: LakeCatalog) {
     val sp = spark
     import sp.implicits._
     Seq(value).toDF(colName)
+  }
+
+  private def oneStringCol(colName: String, values: Seq[String]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    values.toDF(colName)
   }
 
   private def sqlType(t: String): DataType =

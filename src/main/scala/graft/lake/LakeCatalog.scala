@@ -63,6 +63,24 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   def schemaLocation(name: String): String =
     state.schemas.getOrElse(name, s"$warehouse/$name")
 
+  def listSchemas: Seq[String] = state.schemas.keys.toSeq.sorted
+
+  /** DROP SCHEMA [IF EXISTS] (`sql:4`, commented but declared surface).
+    * Refuses a non-empty schema — same contract as Trino without
+    * CASCADE: dropping data must be explicit, table by table.
+    */
+  def dropSchema(name: String): Boolean = {
+    val existed = state.schemas.contains(name)
+    if (existed) {
+      val tables = listTables.filter(_.startsWith(s"$name."))
+      require(tables.isEmpty,
+        s"schema $name is not empty (${tables.take(3).mkString(", ")}); " +
+          "drop its tables first")
+      save(state.copy(schemas = state.schemas - name))
+    }
+    existed
+  }
+
   // ---- tables ---------------------------------------------------------
 
   def tableLocation(name: String): String =

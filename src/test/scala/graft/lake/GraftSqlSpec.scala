@@ -391,6 +391,26 @@ class GraftSqlSpec extends AnyFunSuite {
       "tgt.name != src.name is true for every row -> bal taken from source")
   }
 
+  test("SHOW SCHEMAS / SHOW TABLES / DROP SCHEMA") {
+    val gs = freshSql()
+    assert(gs.execute("SHOW SCHEMAS").collect().map(_.getString(0))
+      .contains("demo"))
+    gs.execute("CREATE OR REPLACE TABLE st1 AS SELECT * FROM tpch.tiny.nation")
+    gs.execute("CREATE OR REPLACE TABLE st2 AS SELECT * FROM tpch.tiny.region")
+    val tables = gs.execute("SHOW TABLES").collect().map(_.getString(0)).toSet
+    assert(Set("st1", "st2").subsetOf(tables))
+    assert(gs.execute("SHOW TABLES FROM lake.demo").collect()
+      .map(_.getString(0)).toSet == tables)
+    // a non-empty schema refuses to drop (no implicit CASCADE)
+    intercept[IllegalArgumentException](gs.execute("DROP SCHEMA demo"))
+    gs.execute("CREATE SCHEMA IF NOT EXISTS scratch_schema")
+    gs.execute("DROP SCHEMA scratch_schema")
+    assert(!gs.execute("SHOW SCHEMAS").collect().map(_.getString(0))
+      .contains("scratch_schema"))
+    gs.execute("DROP SCHEMA IF EXISTS scratch_schema") // idempotent
+    intercept[IllegalArgumentException](gs.execute("DROP SCHEMA scratch_schema"))
+  }
+
   test("FOR TIMESTAMP AS OF reads the snapshot current at that instant") {
     val gs = freshSql()
     gs.execute("CREATE OR REPLACE TABLE tt AS SELECT * FROM tpch.tiny.nation")
