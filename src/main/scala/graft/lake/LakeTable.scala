@@ -147,6 +147,47 @@ class LakeTable(val spark: SparkSession, val location: String) {
   /** Null-safe "row matches": DML predicates treat null as no-match. */
   private def matches(cond: Column): Column = coalesce(cond, lit(false))
 
+  /** Optimistic-concurrency retry: re-run `body` when its commit loses
+    * the metadata CAS to a concurrent writer (the Iceberg commit loop).
+    * The retry unit is FULL RE-EXECUTION, not manifest rebase: each
+    * attempt reloads current metadata, so row-lineage ids are assigned
+    * from the advanced watermark (no collision with the winner's rows),
+    * DML predicates re-evaluate against the winner's committed rows,
+    * and scan pruning sees the winner's files — the outcome is exactly
+    * that of running the operation strictly AFTER the winner (serial
+    * semantics; no lost updates, no double-applied deletes). Data files
+    * written by a losing attempt are never referenced by any snapshot;
+    * `removeOrphanFiles` collects them. Only the dedicated conflict
+    * type retries — invariant failures (ancestry checks, multi-match
+    * MERGE) that also extend IllegalStateException still fail fast.
+    */
+  private def withCommitRetry[A](opName: String)(body: => A): A = {
+    // Default is higher than Iceberg's 4: its retry unit is a cheap
+    // metadata rebase, ours re-runs the data job, so one attempt spans
+    // several winner commits under contention and a writer can lose
+    // many rounds before landing. Tune with `commit_num_retries`.
+    val maxRetries =
+      try meta.properties.getOrElse("commit_num_retries", "12").toInt
+      catch { case _: Exception => 12 }
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Meta.CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"$opName: gave up after $maxRetries commit-conflict " +
+                s"retries at $location", e)
+          // jittered, capped exponential backoff de-synchronizes a
+          // herd of writers without parking anyone for minutes
+          val base = math.min(2000L, 25L << math.min(attempt, 6))
+          Thread.sleep(scala.util.Random.nextLong(base) + 5)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---- DML (SURVEY §2.6) ---------------------------------------------
 
   /** INSERT INTO — append rows, new `append` snapshot (`sql:103-106`).
@@ -155,7 +196,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
     * get FRESH ids, or MoR deletes keyed on row id would hit imposters).
     */
   def append(df: DataFrame, branch: String = "main",
-      summary: Map[String, String] = Map.empty): Snapshot = {
+      summary: Map[String, String] = Map.empty): Snapshot =
+      withCommitRetry("INSERT") {
     val m = meta
     val cleaned = df.drop(RowId, LastUpdatedSeq,
       Scan.RowIdCol, Scan.LastSeqCol,
@@ -175,7 +217,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
   /** DELETE FROM … WHERE (`sql:137,228,240`). MoR writes a deletion
     * vector; CoW rewrites only the files that contain matches.
     */
-  def delete(cond: Column, branch: String = "main"): Option[Snapshot] = {
+  def delete(cond: Column, branch: String = "main"): Option[Snapshot] =
+      withCommitRetry("DELETE") {
     val m = meta
     val (files, dels) = liveOf(m, branch)
     val candidates = Scan.pruneFiles(m, files, Some(cond))
@@ -217,7 +260,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
     * `$last_updated_sequence_number` (v3 row lineage, `sql:133-135`).
     */
   def update(cond: Column, set: Map[String, Column],
-      branch: String = "main"): Option[Snapshot] = {
+      branch: String = "main"): Option[Snapshot] =
+      withCommitRetry("UPDATE") {
     val m = meta
     require(Scan.rowLineageEnabled(m), "update requires row lineage")
     val (files, dels) = liveOf(m, branch)
@@ -287,7 +331,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
       whenMatchedSet: Option[Map[String, Column]] = Some(Map.empty),
       whenNotMatchedInsert: Boolean = true,
       branch: String = "main",
-      summary: Map[String, String] = Map.empty): Option[Snapshot] = {
+      summary: Map[String, String] = Map.empty): Option[Snapshot] =
+      withCommitRetry("MERGE") {
     val m = meta
     require(Scan.rowLineageEnabled(m), "merge requires row lineage")
     val (files, dels) = liveOf(m, branch)
@@ -405,7 +450,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
   // ---- versioning (SURVEY §2.8) --------------------------------------
 
   /** CREATE BRANCH (`sql:234`). */
-  def createBranch(name: String, from: String = "main"): Unit = {
+  def createBranch(name: String, from: String = "main"): Unit =
+      withCommitRetry("CREATE BRANCH") {
     val m = meta
     require(!m.refs.contains(name), s"ref $name exists")
     val head = m.refs.getOrElse(from,
@@ -413,13 +459,14 @@ class LakeTable(val spark: SparkSession, val location: String) {
     Meta.commit(m.copy(refs = m.refs + (name -> Ref(head.snapshotId, "branch"))))
   }
 
-  def dropBranch(name: String): Unit = {
+  def dropBranch(name: String): Unit = withCommitRetry("DROP BRANCH") {
     val m = meta
     require(name != "main", "cannot drop main")
     Meta.commit(m.copy(refs = m.refs - name))
   }
 
-  def createTag(name: String, snapshotId: Long): Unit = {
+  def createTag(name: String, snapshotId: Long): Unit =
+      withCommitRetry("CREATE TAG") {
     val m = meta
     Meta.commit(m.copy(refs = m.refs + (name -> Ref(snapshotId, "tag"))))
   }
@@ -427,7 +474,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
   /** CALL rollback_to_snapshot (`sql:218`): moves the branch head; the
     * abandoned snapshots stay readable until expiration.
     */
-  def rollback(snapshotId: Long, branch: String = "main"): Unit = {
+  def rollback(snapshotId: Long, branch: String = "main"): Unit =
+      withCommitRetry("ROLLBACK") {
     val m = meta
     require(m.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
     Meta.commit(m.copy(refs = m.refs + (branch -> Ref(snapshotId, "branch"))))
@@ -436,7 +484,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
   /** ALTER BRANCH … FAST FORWARD TO … (`sql:249`) — target must be an
     * ancestor of source's head.
     */
-  def fastForward(target: String, source: String): Unit = {
+  def fastForward(target: String, source: String): Unit =
+      withCommitRetry("FAST FORWARD") {
     val m = meta
     val tgt = m.refs(target).snapshotId
     val srcHead = m.refs(source).snapshotId
@@ -447,7 +496,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
 
   // ---- DDL: schema & partition evolution (SURVEY §2.7) ---------------
 
-  private def evolveSchema(f: StructType => StructType): Unit = {
+  private def evolveSchema(f: StructType => StructType): Unit =
+      withCommitRetry("ALTER TABLE") {
     val m = meta
     val next = SchemaInfo(m.currentSchemaId + 1,
       f(m.currentSchema.struct).json)
@@ -491,13 +541,15 @@ class LakeTable(val spark: SparkSession, val location: String) {
   /** ALTER TABLE SET partitioning (`sql:193,201`): a new spec version;
     * existing files keep their spec (`$partitions` shows both).
     */
-  def setPartitioning(fields: Seq[String]): Unit = {
+  def setPartitioning(fields: Seq[String]): Unit =
+      withCommitRetry("SET PARTITIONING") {
     val m = meta
     val spec = LakeTable.parseSpec(fields, m.specs.map(_.specId).max + 1)
     Meta.commit(m.copy(specs = m.specs :+ spec, defaultSpecId = spec.specId))
   }
 
-  def setProperties(props: Map[String, String]): Unit = {
+  def setProperties(props: Map[String, String]): Unit =
+      withCommitRetry("SET PROPERTIES") {
     val m = meta
     Meta.commit(m.copy(properties = m.properties ++ props))
   }
@@ -620,7 +672,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
       filePredicate: Option[(String, Long) => Boolean] = None,
       clusterBy: Seq[String] = Nil,
       targetFileCount: Option[Int] = None,
-      branch: String = "main"): Option[Snapshot] = {
+      branch: String = "main"): Option[Snapshot] =
+      withCommitRetry("OPTIMIZE") {
     val m = meta
     val (files, dels) = liveOf(m, branch)
     val selected = files.filter { f =>
@@ -659,7 +712,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
     * threshold that no ref's history needs, and physically delete files
     * only they referenced.
     */
-  def expireSnapshots(olderThanMs: Long): Unit = {
+  def expireSnapshots(olderThanMs: Long): Unit =
+      withCommitRetry("EXPIRE SNAPSHOTS") {
     val m = meta
     val cutoff = System.currentTimeMillis() - olderThanMs
     // Iceberg semantics: expiration drops *history* — only ref heads and

@@ -30,6 +30,18 @@ import org.json4s.jackson.Serialization
   */
 object Meta {
 
+  /** An optimistic commit lost its CAS: either the metadata was loaded
+    * at a version that is no longer current, or two writers raced the
+    * same base and this one lost the exclusive publish. Retry = reload,
+    * re-apply, commit (see [[LakeTable]]'s `withCommitRetry`). Subtype
+    * of IllegalStateException so callers matching the old contract are
+    * unchanged; a dedicated type so retry loops can't accidentally
+    * swallow unrelated invariant failures (e.g. fast-forward ancestry
+    * violations) that also surface as IllegalStateException.
+    */
+  class CommitConflictException(msg: String, cause: Throwable = null)
+      extends IllegalStateException(msg, cause)
+
   /** One field of a partition spec. `transform`: identity | year | month |
     * day | bucket[N] | truncate[W] (hidden partitioning, `sql:13,21,193`).
     */
@@ -180,7 +192,7 @@ object Meta {
     } catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
-        throw new IllegalStateException(
+        throw new CommitConflictException(
           s"concurrent commit: $target already exists — reload and retry", e)
       case e: Throwable =>
         Files.deleteIfExists(tmp)
@@ -241,7 +253,7 @@ object Meta {
   def commit(meta: TableMetadata): Int = {
     val cur = currentVersion(meta.location).getOrElse(0)
     if (cur != meta.baseVersion)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"stale metadata: loaded v${meta.baseVersion} but table is at " +
           s"v$cur (${meta.location}) — reload and retry")
     val next = meta.baseVersion + 1

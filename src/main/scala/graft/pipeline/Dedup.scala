@@ -266,6 +266,56 @@ object Dedup {
     }
   }
 
+  /** Corpus-level duplicated-line removal (the CCNet/Dolma boilerplate
+    * strip): a line whose normalized text appears in `minDocFreq` or
+    * more DISTINCT documents is dropped from every document; survivors
+    * are reassembled in original order. This is dedup at sub-document
+    * granularity — navigation chrome, cookie banners and license
+    * headers repeat across pages whose bodies are unique, so
+    * document-level dedup never catches them.
+    *
+    * Scale shape: lines ride every shuffle as (doc_id, pos, 64-bit
+    * line hash); the doc-frequency aggregate map-side-combines the
+    * (hash, doc) distinct, so a banner on 100M pages contributes one
+    * row per task, not 100M; the drop is an anti-join against the
+    * (small) over-threshold hash set, which AQE broadcasts. Reassembly
+    * sorts each document's kept lines inside one aggregate buffer —
+    * per-doc cost, never a global sort. xxhash64 is used only to key
+    * the frequency count (the line TEXT never shuffles twice);
+    * a 64-bit collision merges two lines' counts, acceptable at
+    * ~n²/2⁶⁵ for the same reason [[minhashLsh]] hashes shingles.
+    *
+    * Output: (id, n_lines, n_kept, clean_text) — accounting plus the
+    * cleaned document.
+    */
+  def removeDuplicateLines(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", delim: String = "\n",
+      minDocFreq: Int = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(trim(lower(col("line")))))
+    // doc frequency = distinct docs containing the normalized line
+    val dupSet = lines.select(col("lh"), col(idCol)).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDocFreq)
+      .select(col("lh"))
+    val kept = lines.join(dupSet, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s("line")),
+          delim).as("clean_text"))
+    // left join back: a document whose every line was boilerplate must
+    // surface as (n_kept = 0, empty text), not vanish from accounting
+    df.select(col(idCol), size(split(col(textCol), delim)).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** 64-bit SimHash per document: sign-sum of word-hash bits, rebuilt
     * into a long; near-dup pairs via 4×16-bit band LSH + Hamming ≤ maxHamming
     * (pigeonhole: ≤3 differing bits ⇒ at least one equal band).

@@ -68,6 +68,45 @@ object Sampling {
     df.filter(bucket < rate).withColumn("bucket", bucket.cast("int"))
   }
 
+  /** Temperature-based source mixing — the data-mixing knob of a
+    * pretraining pipeline: sample sources proportionally to
+    * count^(1/T) instead of raw count, so with temperature T > 1
+    * (here the fixed T = 2, i.e. sqrt weights) rare sources are
+    * upweighted and the head domain stops dominating the token budget.
+    *
+    * Math: with per-source counts n_s, target mix p_s = √n_s / Σ√n_t
+    * and total budget B = `targetFraction`·N, source s keeps
+    * min(1, B·p_s / n_s) of its rows. Selection is the same
+    * deterministic [[bucketCol]] predicate the split/stratify operators
+    * use — retry-stable, cluster-size-independent, and a lower budget's
+    * sample is a subset of a higher one's.
+    *
+    * Scale shape: one tiny per-source count aggregate (map-side
+    * combined), its scalar total attached via a broadcast 1-row
+    * aggregate, keep fractions joined back by broadcast — the corpus
+    * itself never shuffles; the keep decision is a per-row predicate.
+    * sqrt (not pow) deliberately: IEEE-754 requires sqrt be correctly
+    * rounded, so the oracle's arithmetic is bit-identical.
+    */
+  def temperatureSample(df: DataFrame, targetFraction: Double = 0.5,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      salt: String = "graft-temp"): DataFrame = {
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("n_s"))
+    val totals = counts.agg(sum(sqrt(col("n_s"))).as("z"),
+      sum(col("n_s")).as("n"))
+    val fracs = counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          lit(targetFraction) * col("n") * sqrt(col("n_s")) / col("z")
+            / col("n_s")).as("keep_frac"))
+    df.join(broadcast(fracs), Seq(sourceCol))
+      .filter(bucketCol(col(idCol), salt).cast("double")
+        < col("keep_frac") * 100)
+      .select(col(idCol), col(sourceCol),
+        round(col("keep_frac"), 6).as("keep_frac"))
+  }
+
   /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id
     * tiebreak) — domain capping. TWO-PHASE so a hot domain cannot
     * serialize onto one task: phase one ranks within (domain, salt)

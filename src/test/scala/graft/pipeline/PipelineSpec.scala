@@ -463,4 +463,63 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
   }
+
+  test("duplicated-line removal: cross-doc lines drop, order survives") {
+    import s.implicits._
+    val df = Seq(
+      (1L, "unique alpha\nSHARED BANNER\nunique beta"),
+      (2L, "shared banner\nunique gamma"), // dup detection is normalized
+      (3L, "only here\nand here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateLines(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((3, 2, "unique alpha\nunique beta")))
+    assert(out(2L) == ((2, 1, "unique gamma")))
+    assert(out(3L) == ((2, 2, "only here\nand here")))
+    // a doc that is ALL boilerplate stays in the accounting, emptied
+    val allDup = Seq((1L, "x\ny"), (2L, "x\ny")).toDF("doc_id", "text")
+    val emptied = Dedup.removeDuplicateLines(allDup).collect()
+    emptied.foreach { r =>
+      assert(r.getInt(2) == 0 && r.getString(3) == "") }
+    // within-doc repetition alone is NOT boilerplate (df counts docs)
+    val intra = Seq((1L, "same\nsame"), (2L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.removeDuplicateLines(intra).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(kept(1L) == 2 && kept(2L) == 1)
+  }
+
+  test("minhash clusters are transitive: a~b, b~c land in one component") {
+    import s.implicits._
+    // three texts pairwise-similar in a chain; LSH finds (1,2) and (2,3)
+    // at least — components must fuse them regardless
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = t1.replace("kappa", "lambda")
+    val t3 = t2.replace("alpha", "omega")
+    val df = Seq((1L, t1), (2L, t2), (3L, t3), (4L, "totally different words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, numHashes = 32, bands = 16,
+      shingleK = 3, jaccardThreshold = 0.3).select("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.get(1L).toSet ++ comp.get(2L) ++ comp.get(3L) == Set(1L),
+      s"chain must collapse to min-label 1, got $comp")
+    assert(!comp.contains(4L), "singletons stay out of the pair graph")
+  }
+
+  test("temperature sampling: rare strata upweighted, budget ~met") {
+    val out = Sampling.temperatureSample(docs, targetFraction = 0.5,
+      sourceCol = "lang")
+    val fracs = out.groupBy(col("lang"))
+      .agg(first(col("keep_frac")).as("f"), count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // en dominates the corpus → lowest keep fraction; all fracs in (0,1]
+    assert(fracs("en") == fracs.values.min)
+    assert(fracs.values.forall(f => f > 0 && f <= 1))
+    // overall kept volume lands near the target budget (md5 buckets are
+    // 1%-granular, so allow a loose band)
+    val total = docs.count().toDouble
+    assert(math.abs(out.count() / total - 0.5) < 0.1,
+      s"kept ${out.count()} of $total")
+  }
 }
