@@ -100,6 +100,17 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Ordered funnel: earliest view → click → purchase chain per user
+    * (each step strictly after the previous one), plus funnel depth —
+    * drop-off analytics over the events table. k min-aggregations, no
+    * per-user event collection.
+    */
+  def funnelConversion(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnel(
+      Tables.events(s, d), steps = Seq("view", "click", "purchase"),
+      tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")))
+      .orderBy("user_id")
+
   /** Skew-salted two-phase aggregation over lineitem's 3-value
     * returnflag — each hot group spread over 16 reducers in phase one,
     * merged per key in phase two. The oracle is the plain GROUP BY: the
@@ -533,6 +544,7 @@ object PipelineQueries {
     "dedup_keep_best"      -> dedupKeepBest _,
     "quantize_roundtrip"   -> quantizeRoundtrip _,
     "skew_salted_agg"      -> skewSaltedAgg _,
+    "funnel_conversion"    -> funnelConversion _,
     "asof_join_orders"     -> asofOrders _,
     "range_join_sessions"  -> rangeJoinSessions _,
     "sim_topk_bruteforce"  -> simTopK _,
@@ -756,6 +768,29 @@ object PipelineQueries {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Greedy-earliest funnel: t_i = min event time of step i strictly
+    // after t_{i-1}; LEFT joins keep the drop-offs with null times.
+    "funnel_conversion" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS t
+           FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.t) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.t > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.t) AS t3
+                FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                GROUP BY e.user_id)
+         SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+                CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+                  + (s3.t3 IS NOT NULL)::INT AS INT) AS depth
+         FROM s1 LEFT JOIN s2 USING (user_id)
+                 LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
     "asof_join_orders" ->
       """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
                            max(o_totalprice) AS last_order_price
