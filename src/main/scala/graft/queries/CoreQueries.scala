@@ -204,6 +204,43 @@ object CoreQueries {
       .orderBy(col("custkey"), col("orderkey"))
   }
 
+  /** Event-time rolling window: per user, the 1-hour trailing sum and
+    * count of event values — RANGE frame over epoch seconds, so the
+    * frame is defined by TIME, not row position (gap-robust, unlike a
+    * ROWS frame). One shuffle on the user key; epoch-second ordering is
+    * floor-truncated identically in the oracle (`date_trunc('second')`)
+    * so frame boundaries agree engine-to-engine.
+    */
+  def rollingWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      nanosToTimestamp(col("ts")).as("ets"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ets").cast("long"))
+      .rangeBetween(-3600, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("rolling_value_1h"),
+        count(lit(1)).over(w).as("rolling_events_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; active-user counts per (cohort week, week offset) — the
+    * retention triangle. Two shuffles (first-event agg, cohort agg);
+    * the distinct-user count map-side-combines on (cohort, offset,
+    * user) before the final exchange.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      date_trunc("week", nanosToTimestamp(col("ts"))).cast("date").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Exact percentiles per group (`percentile`, not the approx sketch):
     * linear-interpolated quantiles of event values per type. The exact
     * form is the oracle-able baseline; at 100 TB the same query swaps in
@@ -335,6 +372,8 @@ object CoreQueries {
     "q_events_json"       -> eventsJsonExtract _,
     "q_rollup_revenue"    -> rollupRevenue _,
     "q_running_total"     -> runningTotal _,
+    "q_rolling_window"    -> rollingWindow _,
+    "q_retention_cohorts" -> retentionCohorts _,
     "q_value_percentiles" -> valuePercentiles _,
     "q_distinct_users"    -> distinctUsers _,
     "q_grouping_sets"     -> groupingSets _,
@@ -424,6 +463,30 @@ object CoreQueries {
                   AS running_spend
          FROM orders WHERE o_custkey <= 200
          ORDER BY custkey, orderkey""",
+    // Frame boundaries are epoch SECONDS in both engines (Spark's
+    // timestamp→long cast floors to seconds; date_trunc('second')
+    // replicates that), so the 1-hour RANGE frame admits identical rows.
+    "q_rolling_window" ->
+      """SELECT event_id, user_id,
+                round(sum(value) OVER w, 2) AS rolling_value_1h,
+                count(*) OVER w AS rolling_events_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+                           CAST(date_trunc('week', ts) AS DATE) AS wk
+                    FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_week
+               FROM e GROUP BY user_id)
+         SELECT f.cohort_week,
+                CAST(datediff('day', f.cohort_week, e.wk) / 7 AS INT)
+                  AS week_offset,
+                count(DISTINCT e.user_id) AS active_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_value_percentiles" ->
       """SELECT event_type,
                 round(quantile_cont(value, 0.25), 6) AS p25,

@@ -130,6 +130,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling never shuffles the corpus") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+      val plan = graft.pipeline.Sampling
+        .temperatureSample(docs, targetFraction = 0.5, sourceCol = "lang")
+        .queryExecution.executedPlan
+      // exchanges exist only under the metadata-sized per-stratum
+      // count/total aggregates; the corpus side of the keep-fraction
+      // join must be a broadcast probe over the raw scan. One corpus
+      // scan feeds the counts (aggregated to ~|strata| rows before any
+      // wire) — the corpus ROWS themselves never ride an exchange, so
+      // every shuffle in the plan must sit below a broadcast-exchange
+      // build side.
+      val straying = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot { e =>
+          plan.exists {
+            case b: org.apache.spark.sql.execution.exchange
+                .BroadcastExchangeExec => b.exists(_ eq e)
+            case _ => false
+          }
+        }
+      assert(straying.isEmpty,
+        s"corpus-side shuffle:\n${straying.mkString("\n").take(2000)}")
+      assert(plan.toString.contains("BroadcastHashJoin"))
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("funnel plan: partial min-agg, no window, no per-user sort") {
+    val ev = s.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")).as("t"))
+    val plan = graft.operators.Funnel.funnel(ev,
+        Seq("view", "click", "purchase"), tsCol = col("t"))
+      .queryExecution.executedPlan.toString
+    // each step's min must map-side-combine (partial_min before the
+    // exchange) — the property that makes a hot user a non-event
+    assert(plan.contains("partial_min"), plan.take(2000))
+    // and the funnel must never materialize per-user event order
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      "funnel must not use a window over per-user events")
+  }
+
   test("IN-list prunes via bucket transform partitioning") {
     val customers = s.read.parquet(s"$sf/customer.parquet")
     val t = LakeTable.create(s,
