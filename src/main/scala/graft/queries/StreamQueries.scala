@@ -68,6 +68,27 @@ object StreamQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Streaming ordered funnel (buffer-until-sealed automaton in
+    * flatMapGroupsWithState): the same sentinel-flushed stream as
+    * sessionization; the completed stream must equal the batch
+    * `funnel_conversion` answer reshaped to (user, step, time) rows.
+    */
+  def streamFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val name = "graft_stream_funnel_" + Math.abs(d.hashCode)
+    val stream = EventStreams.readEvents(s, sessionStreamDir(s, d))
+      .select(col("user_id"), col("event_time"), col("event_type"))
+      .as[EventStreams.FEvent]
+    val q = EventStreams.funnelStream(stream,
+        steps = Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "step")
+  }
+
   private val dedupDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -245,6 +266,7 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_counts" -> streamHourly _,
     "stream_sessions" -> streamSessions _,
+    "stream_funnel" -> streamFunnel _,
     "stream_dedup" -> streamDedup _,
     "stream_lake_ingest" -> streamLakeIngest _,
     "stream_lake_upsert" -> streamLakeUpsert _,
@@ -288,6 +310,30 @@ object StreamQueries {
            ON v.user_id = c.user_id
           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
          ORDER BY v.user_id, view_id, click_id""",
+    // the batch greedy-earliest funnel (see funnel_conversion),
+    // reshaped to one row per completed step — the stream's append-mode
+    // output format
+    "stream_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS t
+           FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.t) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.t > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.t) AS t3
+                FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                GROUP BY e.user_id)
+         SELECT user_id, CAST(1 AS INT) AS step, t1 AS step_time FROM s1
+         UNION ALL
+         SELECT user_id, CAST(2 AS INT), t2 FROM s2
+         UNION ALL
+         SELECT user_id, CAST(3 AS INT), t3 FROM s3
+         ORDER BY user_id, step""",
     "stream_hourly_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
                 event_type, count(*) AS n_events,

@@ -164,6 +164,81 @@ object EventStreams {
       }
   }
 
+  case class FEvent(user_id: Long, event_time: java.sql.Timestamp,
+      event_type: String)
+  case class FunnelBuf(buffer: List[(Long, String)], times: List[Long])
+  case class FunnelHit(user_id: Long, step: Int,
+      step_time: java.sql.Timestamp)
+
+  /** Streaming ordered funnel — the stateful twin of
+    * [[graft.operators.Funnel.funnel]]. The funnel automaton (fill step
+    * j's time with the first event strictly after step j-1's) is
+    * ORDER-SENSITIVE, and micro-batches deliver events out of order —
+    * so events BUFFER in state until the watermark seals their prefix,
+    * which is then folded through the automaton in event-time order;
+    * only sealed events mutate funnel times, because an earlier event
+    * can no longer arrive for them. State is therefore bounded by the
+    * watermark delay × per-user step-event rate (the buffer holds only
+    * the unsealed tail; non-step event types never enter it), and the
+    * filled times vector is k longs. Completion rows emit on event-time
+    * timeout once the watermark proves the buffer can't change —
+    * end-of-stream via the same sentinel-flush trick as sessionization.
+    */
+  def funnelStream(events: Dataset[FEvent], steps: Seq[String],
+      watermarkDelay: String = "10 seconds"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+
+    // greedy-earliest fold: evs MUST be event-time ascending
+    def fold(times: Array[Long], evs: Seq[(Long, String)]): Unit =
+      evs.foreach { case (t, tp) =>
+        val j = stepIdx(tp)
+        if (times(j) < 0L &&
+            (j == 0 || (times(j - 1) >= 0L && times(j - 1) < t)))
+          times(j) = t
+      }
+
+    def emit(userId: Long, times: Array[Long]): Iterator[FunnelHit] =
+      times.zipWithIndex.takeWhile(_._1 >= 0L).iterator.map {
+        case (t, j) => FunnelHit(userId, j + 1, fromMicros(t))
+      }
+
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FEvent],
+         state: GroupState[FunnelBuf]) =>
+          val st = state.getOption
+            .getOrElse(FunnelBuf(Nil, List.fill(k)(-1L)))
+          if (state.hasTimedOut) {
+            // timeout fired past the buffer's max event time: everything
+            // is sealed — fold the remainder and emit the final funnel
+            val times = st.times.toArray
+            fold(times, st.buffer.sorted)
+            state.remove()
+            emit(userId, times)
+          } else {
+            val buf = st.buffer ++ rows
+              .filter(e => stepIdx.contains(e.event_type))
+              .map(e => (toMicros(e.event_time), e.event_type))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (sealedEvs, pending) = buf.sorted.partition(_._1 <= wmUs)
+            val times = st.times.toArray
+            fold(times, sealedEvs)
+            state.update(FunnelBuf(pending, times.toList))
+            val maxPendingMs =
+              if (pending.isEmpty) 0L
+              else Math.floorDiv(pending.map(_._1).max, 1000L)
+            state.setTimeoutTimestamp(math.max(maxPendingMs + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream interval join: each view joined to the same user's
     * clicks within `window` after it. The join-state shape that works
     * at 100 TB: BOTH sides are watermarked and the join condition

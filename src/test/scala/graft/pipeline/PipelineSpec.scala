@@ -489,6 +489,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(1L) == 2 && kept(2L) == 1)
   }
 
+  test("duplicated-line removal survives a 5k-doc boilerplate banner") {
+    import s.implicits._
+    // one banner in every doc — the hot-line case: the doc-frequency
+    // aggregate must collapse it map-side, not fan out 5k² anything
+    val n = 5000
+    val df = s.range(n).select(col("id").as("doc_id"),
+      concat(lit("COOKIE BANNER\nbody text "), col("id")).as("text"))
+    val out = Dedup.removeDuplicateLines(df)
+    assert(out.count() == n)
+    assert(out.filter(col("n_kept") =!= 1).count() == 0,
+      "every doc keeps exactly its unique body line")
+    assert(out.filter(col("clean_text").startsWith("body text")).count() == n)
+  }
+
   test("minhash clusters are transitive: a~b, b~c land in one component") {
     import s.implicits._
     // three texts pairwise-similar in a chain; LSH finds (1,2) and (2,3)

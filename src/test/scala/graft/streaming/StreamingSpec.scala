@@ -61,6 +61,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel folds out-of-order arrivals in event-time order") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(uid: Long, t: String, tp: String) =
+      EventStreams.FEvent(uid, java.sql.Timestamp.valueOf(t), tp)
+    implicit val sq = s.sqlContext
+    val src = MemoryStream[EventStreams.FEvent]
+    val q = EventStreams.funnelStream(src.toDS(),
+        steps = Seq("view", "click", "purchase"),
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("xbatch_funnel").start()
+    try {
+      // batch 1: click + purchase arrive BEFORE the view (late/reordered
+      // delivery) — a process-on-arrival automaton would reject both
+      src.addData(ev(1, "2024-01-01 10:05:00", "click"),
+        ev(1, "2024-01-01 10:08:00", "purchase"),
+        ev(2, "2024-01-01 10:05:00", "click")) // never views: non-member
+      q.processAllAvailable()
+      // batch 2: the view, earlier in event time, still inside the
+      // watermark delay — must slot BEFORE the buffered click
+      src.addData(ev(1, "2024-01-01 10:01:00", "view"))
+      q.processAllAvailable()
+      assert(s.table("xbatch_funnel").count() == 0, "nothing sealed yet")
+      // far-future noise advances the watermark past everything; the
+      // event-time timeout then folds each buffer in order and emits
+      src.addData(ev(-9, "2024-01-02 12:00:00", "noise"))
+      q.processAllAvailable()
+      src.addData(ev(-9, "2024-01-03 12:00:00", "noise"))
+      q.processAllAvailable()
+      val hits = s.table("xbatch_funnel").filter(col("user_id") > 0)
+        .orderBy("user_id", "step").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(2).toString.take(19)))
+      assert(hits.toSeq == Seq(
+        (1L, 1, "2024-01-01 10:01:00"),
+        (1L, 2, "2024-01-01 10:05:00"),
+        (1L, 3, "2024-01-01 10:08:00")),
+        s"got ${hits.toSeq} — user 2 (no view) must emit nothing")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window oracle") {
     import s.implicits._
     val batchEvents = s.read.parquet(s"$sf/events.parquet")
