@@ -81,6 +81,42 @@ object Similarity {
     rankTopK(scored, k, idCol)
   }
 
+  /** Matryoshka two-stage retrieval: coarse top-`candidates` on the
+    * first `prefixDim` dimensions, exact full-dimension re-rank of the
+    * shortlist — the retrieval pattern matryoshka-trained embeddings
+    * exist for (prefixes of the vector are themselves valid lower-dim
+    * embeddings). Deterministic end to end (both rankings tie-break on
+    * id), so unlike IVF this approximate-index shape is fully
+    * DuckDB-oracle-able.
+    *
+    * Scale shape: stage 1 is the only corpus-wide pass and touches
+    * `prefixDim/dim` of the float payload — at warehouse scale the
+    * prefix lives as its own narrow column (or table), so the coarse
+    * scan reads a quarter of the bytes; stage 2 re-scores only
+    * |queries|·candidates rows. Both stages share [[rankTopK]]'s
+    * two-phase-safe ranking; queries broadcast, the corpus never
+    * shuffles — only the id-sized shortlist does.
+    */
+  def matryoshkaTopK(vectors: DataFrame, queries: DataFrame, k: Int = 10,
+      prefixDim: Int = 16, candidates: Int = 50,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val coarse = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .withColumn("coarse", cosine(slice(col(vecCol), 1, prefixDim),
+        slice(col("qvec"), 1, prefixDim)))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col(idCol))
+    val shortlist = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+    val rescored = shortlist
+      .withColumn("cosine", cosine(col(vecCol), col("qvec")))
+      .select(col("query_id"), col(idCol), col("cosine"))
+    rankTopK(rescored, k, idCol)
+  }
+
   /** IVF coarse index: centroids fit once (sampled k-means, fixed seed),
     * vectors carry their cell id. `table` is set when the index is
     * persisted ([[persistIvf]]/[[loadIvf]]) — probes then prune data

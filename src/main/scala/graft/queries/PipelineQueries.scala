@@ -412,6 +412,16 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Matryoshka two-stage ANN: coarse top-50 on the 16-dim prefix,
+    * exact 64-dim re-rank to top-10 — deterministic, so the whole
+    * two-stage pipeline is hash-checked against the same shape in SQL.
+    */
+  def simTopKMatryoshka(s: SparkSession, d: String): DataFrame =
+    Similarity.matryoshkaTopK(
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 5))
+      .orderBy("query_id", "rank")
+
   /** Nearest-centroid assignment by cosine: first 8 vectors act as the
     * centroid table; every vector maps to its best cell (semantic
     * clustering's inner step, broadcast + map-side argmax).
@@ -551,6 +561,7 @@ object PipelineQueries {
     "sim_topk_sql"         -> simTopKSql _,
     "sim_topk_ivf"         -> simTopKIvf _,
     "sim_topk_ivf_recall"  -> simTopKIvfRecall _,
+    "sim_topk_matryoshka"  -> simTopKMatryoshka _,
     "text_tokens"          -> textTokens _,
     "text_quality"         -> textQuality _,
     "text_langid"          -> textLangId _,
@@ -608,7 +619,29 @@ object PipelineQueries {
          FROM embeddings e, q)
        WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  // the full two-stage matryoshka pipeline replayed in SQL: identical
+  // prefix-coarse shortlist (ties on vec_id), identical full-dim rerank
+  private val MatryoshkaOracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                  FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS v,
+                    q.qvec,
+                    list_cosine_similarity((e.embedding::DOUBLE[])[1:16],
+                      q.qvec[1:16]) AS coarse
+             FROM embeddings e, q),
+       s AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY coarse DESC, vec_id) AS crank FROM c)
+       SELECT query_id, CAST(rank AS INT) AS rank, neighbor, cosine FROM (
+         SELECT query_id, vec_id AS neighbor,
+                round(list_cosine_similarity(v, qvec), 6) AS cosine,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY list_cosine_similarity(v, qvec) DESC, vec_id)
+                  AS rank
+         FROM s WHERE crank <= 50)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+
   val oracleSql: Map[String, String] = Map(
+    "sim_topk_matryoshka" -> MatryoshkaOracle,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY doc_id""",

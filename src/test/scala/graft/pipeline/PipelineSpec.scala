@@ -455,6 +455,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka two-stage recall vs full-dim brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mat = Similarity.matryoshkaTopK(emb, queries)
+      .select("query_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & mat).size.toDouble / exact.size
+    // 16 of 64 dims on unstructured synthetic embeddings: the coarse
+    // stage keeps 10% of the corpus, so recall well above chance is the
+    // functional bar (matryoshka-TRAINED embeddings concentrate meaning
+    // in the prefix; these don't)
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
   test("language id predicts for every doc with score > 0") {
     val out = TextAnalysis.languageId(docs)
     assert(out.count() == docs.count())
