@@ -111,6 +111,21 @@ object PipelineQueries {
       tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")))
       .orderBy("user_id")
 
+  /** Hourly resample + forward fill over 20 users' event values: one
+    * row per (user, hour tick) across each user's span; empty hours
+    * carry the last observed value and are flagged. Deterministic
+    * within-bucket "last" via (ts, event_id) max_by.
+    */
+  def resampleForwardFill(s: SparkSession, d: String): DataFrame =
+    graft.operators.Resample.forwardFillGrid(
+      Tables.events(s, d).filter(col("user_id") < 20),
+      keyCol = "user_id",
+      tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")),
+      valueCol = "value", tieCol = "event_id")
+      .select(col("user_id"), col("bucket"),
+        round(col("filled_value"), 4).as("filled_value"), col("is_gap"))
+      .orderBy("user_id", "bucket")
+
   /** Skew-salted two-phase aggregation over lineitem's 3-value
     * returnflag — each hot group spread over 16 reducers in phase one,
     * merged per key in phase two. The oracle is the plain GROUP BY: the
@@ -555,6 +570,7 @@ object PipelineQueries {
     "quantize_roundtrip"   -> quantizeRoundtrip _,
     "skew_salted_agg"      -> skewSaltedAgg _,
     "funnel_conversion"    -> funnelConversion _,
+    "resample_forward_fill" -> resampleForwardFill _,
     "asof_join_orders"     -> asofOrders _,
     "range_join_sessions"  -> rangeJoinSessions _,
     "sim_topk_bruteforce"  -> simTopK _,
@@ -801,6 +817,35 @@ object PipelineQueries {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // last-observation-per-bucket (ties by ts desc, event_id desc),
+    // per-user hourly grid over the observed span, forward fill
+    "resample_forward_fill" ->
+      """WITH e AS (
+           SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS b,
+                  value, ts, event_id
+           FROM events WHERE user_id < 20),
+         lastb AS (
+           SELECT user_id, b, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, b
+               ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+           WHERE rn = 1),
+         span AS (SELECT user_id, min(b) AS mn, max(b) AS mx
+                  FROM e GROUP BY user_id),
+         grid AS (SELECT user_id,
+                         unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                           AS b
+                  FROM span),
+         joined AS (
+           SELECT g.user_id, g.b, l.value,
+                  (l.value IS NULL)::INT AS is_gap
+           FROM grid g LEFT JOIN lastb l USING (user_id, b))
+         SELECT user_id, b AS bucket,
+                round(last_value(value IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                  AS filled_value,
+                is_gap
+         FROM joined ORDER BY user_id, bucket""",
     // Greedy-earliest funnel: t_i = min event time of step i strictly
     // after t_{i-1}; LEFT joins keep the drop-offs with null times.
     "funnel_conversion" ->
