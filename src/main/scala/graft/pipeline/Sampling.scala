@@ -100,11 +100,12 @@ object Sampling {
         least(lit(1.0),
           lit(targetFraction) * col("n") * sqrt(col("n_s")) / col("z")
             / col("n_s")).as("keep_frac"))
+    // All columns kept (plus the rate that admitted the row): the
+    // sample IS the training input — same contract as stratifiedSample.
     df.join(broadcast(fracs), Seq(sourceCol))
       .filter(bucketCol(col(idCol), salt).cast("double")
         < col("keep_frac") * 100)
-      .select(col(idCol), col(sourceCol),
-        round(col("keep_frac"), 6).as("keep_frac"))
+      .withColumn("keep_frac", round(col("keep_frac"), 6))
   }
 
   /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id

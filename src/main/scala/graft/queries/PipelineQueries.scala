@@ -536,7 +536,37 @@ object PipelineQueries {
   def sampleTemperature(s: SparkSession, d: String): DataFrame =
     Sampling.temperatureSample(Tables.documents(s, d),
       targetFraction = 0.5, sourceCol = "lang")
+      .select(col("doc_id"), col("lang"), col("keep_frac"))
       .orderBy("doc_id")
+
+  /** The production-shaped curation chain with NEAR-duplicate
+    * clustering: blocklist anti-join → MinHash-LSH pairs → connected
+    * components → keep the highest-quality copy per cluster → quality
+    * gate (≥ 0.8) → √count temperature mix over languages →
+    * per-(lang, source) accounting. Composes five oracled operators
+    * into ONE end-to-end answer the oracle replays exactly (exact
+    * all-pairs Jaccard + recursive-CTE closure + the same quality,
+    * bucket and mix arithmetic) — the flagship "would you trust this
+    * pipeline" check.
+    */
+  def pipelineCurateNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val block = Seq("src3", "src7", "src11").toDF("source")
+    val allowed = Tables.documents(s, d)
+      .join(broadcast(block), Seq("source"), "left_anti")
+    val scored = TextAnalysis.qualityScore(allowed)
+    val pairs = Dedup.minhashLsh(allowed, numHashes = 32, bands = 16,
+      shingleK = 3, jaccardThreshold = 0.5).select("id_a", "id_b")
+    val deduped = Dedup.dropDuplicatesByPairs(scored, pairs,
+      keepBest = Some("quality_score"))
+    val gated = deduped.filter(col("quality_score") >= 0.8)
+    val mixed = Sampling.temperatureSample(gated, targetFraction = 0.5,
+      sourceCol = "lang")
+    mixed.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+      .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+  }
 
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -595,6 +625,7 @@ object PipelineQueries {
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
+    "pipeline_curate_neardup" -> pipelineCurateNearDup _,
     "dedup_lines"          -> dedupLines _,
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
     "sample_temperature"   -> sampleTemperature _,
@@ -1209,6 +1240,81 @@ object PipelineQueries {
                 CAST(sum(len(string_split_regex(trim(text), '\s+')))
                   AS BIGINT) AS n_tokens
          FROM sampled GROUP BY 1, 2 ORDER BY lang, source""",
+    // The five-stage chain replayed exactly: blocklist, exact all-pairs
+    // Jaccard graph + recursive-CTE closure (the LSH's banded recall is
+    // total at this sf — any miss hash-mismatches), per-cluster argmax
+    // by (quality desc, id), quality gate, √count temperature mix.
+    "pipeline_curate_neardup" ->
+      """WITH RECURSIVE allowed AS (
+           SELECT * FROM documents
+           WHERE source IS NULL OR source NOT IN ('src3','src7','src11')),
+         q AS (
+           SELECT doc_id, lang, source, text, CAST(round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0
+               END) +
+             (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)),
+                 '\s+'),
+                 w -> list_contains(['the','a','an','and','or','of','to','in',
+                   'is','it','that','for','on','with','as','at','by'], w)))
+                 ::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 ::DOUBLE
+               / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+             (CASE WHEN list_sum(list_transform(string_split_regex(
+                 trim(lower(text)), '\s+'), w -> length(w)))::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2) AS DOUBLE)
+             AS quality_score
+           FROM allowed),
+         w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                 AS words
+               FROM allowed),
+         sh AS (SELECT doc_id, list_distinct(
+                  list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                    i -> array_to_string(words[i:least(i+2, len(words))],
+                      ' ')))
+                  AS sh
+                FROM w),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                     >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM e
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         losers AS (
+           SELECT id AS doc_id FROM (
+             SELECT c.id, row_number() OVER (PARTITION BY c.component
+               ORDER BY q.quality_score DESC, c.id) AS rk
+             FROM comp c JOIN q ON q.doc_id = c.id)
+           WHERE rk > 1),
+         gated AS (
+           SELECT * FROM q
+           WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+             AND quality_score >= 0.8),
+         c2 AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s
+                FROM gated GROUP BY lang),
+         t AS (SELECT sum(sqrt(n_s)) AS z, sum(n_s) AS n FROM c2),
+         f AS (SELECT lang, least(1.0, 0.5 * n * sqrt(n_s) / z / n_s)
+                 AS keep_frac
+               FROM c2, t),
+         mixed AS (
+           SELECT g.* FROM gated g JOIN f USING (lang)
+           WHERE CAST(('0x' || substr(md5('graft-temp:' ||
+                   CAST(g.doc_id AS VARCHAR)), 18, 15))::UBIGINT % 100
+                   AS DOUBLE)
+                 < keep_frac * 100)
+         SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens
+         FROM mixed GROUP BY 1, 2 ORDER BY lang, source""",
     "text_vocabulary" ->
       """WITH w AS (
            SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+'))
