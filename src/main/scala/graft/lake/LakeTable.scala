@@ -166,7 +166,9 @@ class LakeTable(val spark: SparkSession, val location: String) {
     // metadata rebase, ours re-runs the data job, so one attempt spans
     // several winner commits under contention and a writer can lose
     // many rounds before landing. Tune with `commit_num_retries`.
-    val maxRetries =
+    // lazy: the property read costs a metadata load, which the
+    // no-conflict fast path (every uncontended commit) must not pay.
+    lazy val maxRetries =
       try meta.properties.getOrElse("commit_num_retries", "12").toInt
       catch { case _: Exception => 12 }
     var attempt = 0

@@ -291,9 +291,12 @@ object Dedup {
   def removeDuplicateLines(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", delim: String = "\n",
       minDocFreq: Int = 2): DataFrame = {
+    // delim is a LITERAL: split() takes a regex, array_join a string —
+    // quote it so the two agree for metachar delimiters (e.g. "|")
+    val delimRe = java.util.regex.Pattern.quote(delim)
     val lines = df
       .select(col(idCol),
-        posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+        posexplode(split(col(textCol), delimRe)).as(Seq("pos", "line")))
       .withColumn("lh", xxhash64(trim(lower(col("line")))))
     // doc frequency = distinct docs containing the normalized line
     val dupSet = lines.select(col("lh"), col(idCol)).distinct()
@@ -309,7 +312,7 @@ object Dedup {
           delim).as("clean_text"))
     // left join back: a document whose every line was boilerplate must
     // surface as (n_kept = 0, empty text), not vanish from accounting
-    df.select(col(idCol), size(split(col(textCol), delim)).as("n_lines"))
+    df.select(col(idCol), size(split(col(textCol), delimRe)).as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),

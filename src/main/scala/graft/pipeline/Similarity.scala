@@ -89,29 +89,36 @@ object Similarity {
     * id), so unlike IVF this approximate-index shape is fully
     * DuckDB-oracle-able.
     *
-    * Scale shape: stage 1 is the only corpus-wide pass and touches
-    * `prefixDim/dim` of the float payload — at warehouse scale the
-    * prefix lives as its own narrow column (or table), so the coarse
-    * scan reads a quarter of the bytes; stage 2 re-scores only
-    * |queries|·candidates rows. Both stages share [[rankTopK]]'s
-    * two-phase-safe ranking; queries broadcast, the corpus never
-    * shuffles — only the id-sized shortlist does.
+    * Scale shape: stage 1 is the only corpus-wide pass; it PROJECTS
+    * the prefix before anything leaves the scan, so the coarse-ranking
+    * exchange carries only (query_id, id, coarse) — the full vectors
+    * never ride a shuffle (at warehouse scale the prefix additionally
+    * lives as its own narrow column, so the scan reads a quarter of
+    * the bytes). Stage 2 broadcasts the id-sized shortlist
+    * (|queries|·candidates rows) back onto the corpus, re-attaches the
+    * broadcast query vectors, and re-scores — the corpus side streams,
+    * never shuffles.
     */
   def matryoshkaTopK(vectors: DataFrame, queries: DataFrame, k: Int = 10,
       prefixDim: Int = 16, candidates: Int = 50,
       vecCol: String = "embedding", idCol: String = "vec_id")
       : DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec")))
-    val coarse = vectors.select(col(idCol), col(vecCol))
-      .crossJoin(q)
-      .withColumn("coarse", cosine(slice(col(vecCol), 1, prefixDim),
-        slice(col("qvec"), 1, prefixDim)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val qPref = broadcast(q.select(col("query_id"),
+      slice(col("qvec"), 1, prefixDim).as("_qpref")))
+    val coarse = vectors
+      .select(col(idCol), slice(col(vecCol), 1, prefixDim).as("_pref"))
+      .crossJoin(qPref)
+      .select(col("query_id"), col(idCol),
+        cosine(col("_pref"), col("_qpref")).as("coarse"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse").desc, col(idCol))
     val shortlist = coarse.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= candidates)
-    val rescored = shortlist
+      .select(col("query_id"), col(idCol))
+    val rescored = vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", cosine(col(vecCol), col("qvec")))
       .select(col("query_id"), col(idCol), col("cosine"))
     rankTopK(rescored, k, idCol)

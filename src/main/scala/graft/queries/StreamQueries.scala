@@ -68,19 +68,41 @@ object StreamQueries {
       .orderBy("user_id", "session_start")
   }
 
+  private val funnelDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Funnel streams finalize a user when the watermark passes
+    * `t1 + window`, so the end-of-stream sentinel must clear every
+    * deadline: window + 1 day past the last event (the session
+    * sentinel's +1 day would leave every funnel pending).
+    */
+  private def funnelStreamDir(s: SparkSession, d: String,
+      windowMs: Long): String =
+    funnelDirCache.computeIfAbsent(d, _ =>
+      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxTs =>
+        s.range(1).select(
+          lit(-1L).as("event_id"),
+          lit(maxTs + (windowMs + 86400L * 1000L) * 1000000L).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))))
+
   /** Streaming ordered funnel (buffer-until-sealed automaton in
-    * flatMapGroupsWithState): the same sentinel-flushed stream as
-    * sessionization; the completed stream must equal the batch
-    * `funnel_conversion` answer reshaped to (user, step, time) rows.
+    * flatMapGroupsWithState): conversion window 45 days ⊇ the data's
+    * 30-day span, so the completed stream must equal the unwindowed
+    * batch `funnel_conversion` answer reshaped to (user, step, time).
     */
   def streamFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val windowMs = 45L * 86400 * 1000
     val name = "graft_stream_funnel_" + Math.abs(d.hashCode)
-    val stream = EventStreams.readEvents(s, sessionStreamDir(s, d))
+    val stream = EventStreams
+      .readEvents(s, funnelStreamDir(s, d, windowMs))
       .select(col("user_id"), col("event_time"), col("event_type"))
       .as[EventStreams.FEvent]
     val q = EventStreams.funnelStream(stream,
-        steps = Seq("view", "click", "purchase"))
+        steps = Seq("view", "click", "purchase"), windowMs = windowMs)
       .writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()

@@ -171,31 +171,45 @@ object EventStreams {
       step_time: java.sql.Timestamp)
 
   /** Streaming ordered funnel — the stateful twin of
-    * [[graft.operators.Funnel.funnel]]. The funnel automaton (fill step
-    * j's time with the first event strictly after step j-1's) is
-    * ORDER-SENSITIVE, and micro-batches deliver events out of order —
-    * so events BUFFER in state until the watermark seals their prefix,
-    * which is then folded through the automaton in event-time order;
-    * only sealed events mutate funnel times, because an earlier event
-    * can no longer arrive for them. State is therefore bounded by the
-    * watermark delay × per-user step-event rate (the buffer holds only
-    * the unsealed tail; non-step event types never enter it), and the
-    * filled times vector is k longs. Completion rows emit on event-time
-    * timeout once the watermark proves the buffer can't change —
-    * end-of-stream via the same sentinel-flush trick as sessionization.
+    * [[graft.operators.Funnel.funnel]] with a CONVERSION WINDOW (the
+    * production semantics: the funnel must complete within `window` of
+    * step 1; equality with the unwindowed batch funnel holds whenever
+    * the window covers the data's span). The automaton (fill step j
+    * with the first event strictly after step j-1, within the window)
+    * is ORDER-SENSITIVE, and micro-batches deliver events out of order
+    * — so step events BUFFER in state until the watermark seals their
+    * event-time prefix, which is folded in order; sealed events that
+    * can't fold (a click with no view yet) are DEAD — any future view
+    * carries a later event time — and are dropped, never re-examined.
+    *
+    * A user's funnel finalizes (emits + clears state) only when the
+    * watermark passes `t1 + window` — NOT when the buffer momentarily
+    * drains: a user quiet for longer than the watermark delay must not
+    * be cut off mid-funnel (the bug a buffer-drain timeout would
+    * reintroduce; on-time events arriving after it could never
+    * complete the funnel and a second view would emit a duplicate
+    * entry). Users who never reach step 1 clear state as soon as their
+    * buffer drains dead. State is bounded: the unsealed tail of step
+    * events plus k longs per in-flight funnel, each held at most
+    * `window` past its entry. End-of-stream flush = a sentinel whose
+    * event time clears every `t1 + window` deadline.
     */
   def funnelStream(events: Dataset[FEvent], steps: Seq[String],
-      watermarkDelay: String = "10 seconds"): Dataset[FunnelHit] = {
+      windowMs: Long, watermarkDelay: String = "10 seconds")
+      : Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
+    val windowUs = windowMs * 1000L
 
-    // greedy-earliest fold: evs MUST be event-time ascending
+    // greedy-earliest fold: evs MUST be event-time ascending; steps
+    // beyond the first count only inside the conversion window
     def fold(times: Array[Long], evs: Seq[(Long, String)]): Unit =
       evs.foreach { case (t, tp) =>
         val j = stepIdx(tp)
         if (times(j) < 0L &&
-            (j == 0 || (times(j - 1) >= 0L && times(j - 1) < t)))
+            (j == 0 || (times(j - 1) >= 0L && times(j - 1) < t &&
+              t <= times(0) + windowUs)))
           times(j) = t
       }
 
@@ -213,26 +227,35 @@ object EventStreams {
          state: GroupState[FunnelBuf]) =>
           val st = state.getOption
             .getOrElse(FunnelBuf(Nil, List.fill(k)(-1L)))
-          if (state.hasTimedOut) {
-            // timeout fired past the buffer's max event time: everything
-            // is sealed — fold the remainder and emit the final funnel
-            val times = st.times.toArray
-            fold(times, st.buffer.sorted)
+          val newEvs =
+            if (state.hasTimedOut) Nil
+            else rows.filter(e => stepIdx.contains(e.event_type))
+              .map(e => (toMicros(e.event_time), e.event_type)).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (sealedEvs, pending) =
+            (st.buffer ++ newEvs).sorted.partition(_._1 <= wmUs)
+          val times = st.times.toArray
+          fold(times, sealedEvs)
+          val t1 = times(0)
+          if (t1 >= 0L && wmUs > t1 + windowUs) {
+            // conversion window closed: the funnel is final whatever
+            // still sits in the buffer (all of it is beyond the window)
             state.remove()
             emit(userId, times)
+          } else if (t1 < 0L && pending.isEmpty) {
+            // never entered the funnel and nothing unsealed remains:
+            // dead clicks were dropped by the fold — clear the state so
+            // non-entrants don't pin the store forever
+            state.remove()
+            Iterator.empty
           } else {
-            val buf = st.buffer ++ rows
-              .filter(e => stepIdx.contains(e.event_type))
-              .map(e => (toMicros(e.event_time), e.event_type))
-            val wmUs = state.getCurrentWatermarkMs() * 1000L
-            val (sealedEvs, pending) = buf.sorted.partition(_._1 <= wmUs)
-            val times = st.times.toArray
-            fold(times, sealedEvs)
             state.update(FunnelBuf(pending, times.toList))
-            val maxPendingMs =
-              if (pending.isEmpty) 0L
-              else Math.floorDiv(pending.map(_._1).max, 1000L)
-            state.setTimeoutTimestamp(math.max(maxPendingMs + 1,
+            // wake when the deadline (if entered) or the buffer's tail
+            // (if not) is sealed; always strictly ahead of the watermark
+            val deadlineMs =
+              if (t1 >= 0L) Math.floorDiv(t1 + windowUs, 1000L)
+              else pending.map(p => Math.floorDiv(p._1, 1000L)).max
+            state.setTimeoutTimestamp(math.max(deadlineMs + 1,
               state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }

@@ -109,10 +109,42 @@ class ConcurrencySpec extends AnyFunSuite {
   test("retry exhaustion surfaces the conflict instead of spinning") {
     import s.implicits._
     val t = fresh()
+    // with retries DISABLED, simultaneous writers must produce at least
+    // one 'gave up' failure (all load the same base; one CAS wins) —
+    // this drives the real withCommitRetry exhaustion path, not a
+    // hand-rolled Meta.commit
     t.setProperties(Map("commit_num_retries" -> "0"))
+    val writers = 6
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers)
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gaveUp = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try {
+            LakeTable.forLocation(s, t.location)
+              .append(Seq((3000L + w, s"x$w")).toDF("custkey", "name"))
+            ok.incrementAndGet()
+          } catch {
+            case e: IllegalStateException => gaveUp.add(e.getMessage)
+          }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers hung")
+    assert(!gaveUp.isEmpty,
+      "six zero-retry writers racing one base must conflict at least once")
+    gaveUp.forEach(m => assert(
+      m.contains("gave up after 0 commit-conflict retries"), m))
+    // exactly the winners landed — losers left no partial commit
+    assert(t.read(col("custkey") >= 3000L).count() == ok.get())
+    // and the raw CAS still reports the typed conflict
     val stale = t.meta
     t.setProperties(Map("k" -> "v"))
-    // a raw commit on stale metadata is a conflict, not retried here
     val e = intercept[IllegalStateException] { Meta.commit(stale) }
     assert(e.isInstanceOf[Meta.CommitConflictException])
     assert(e.getMessage.contains("stale metadata"))
@@ -137,17 +169,26 @@ class ConcurrencySpec extends AnyFunSuite {
   test("lost attempt's files are orphans and get collected") {
     import s.implicits._
     val t = fresh()
-    // simulate a losing attempt: write data files + a manifest against
-    // the current base, then let another writer commit first; the
-    // loser's artifacts are referenced by no snapshot
-    val before = t.meta
     t.append(Seq((700L, "winner")).toDF("custkey", "name"))
-    intercept[IllegalStateException] { Meta.commit(before) }
-    // the conflict left no metadata damage; orphan collection removes
-    // nothing newer than the cutoff (files are too fresh), then
-    // everything once the cutoff is zero
-    val removedFresh = t.removeOrphanFiles(olderThanMs = 3600 * 1000L)
-    assert(removedFresh.isEmpty)
-    assert(t.read().count() == 11)
+    // plant a losing attempt's on-disk residue: a data file and a
+    // manifest that no snapshot references (exactly what a writer that
+    // lost the CAS after writing leaves behind)
+    val live = t.meta.currentSnapshot
+      .map(snap => Meta.liveFiles(t.meta, snap)._1.head.path).get
+    val loc = java.nio.file.Paths.get(t.location)
+    val orphanData = loc.resolve("data/orphan-residue.parquet")
+    Files.copy(loc.resolve(live), orphanData)
+    Meta.writeManifest(t.location, "manifest-999-lost.json",
+      Meta.Manifest(Nil, Nil, Nil, Nil))
+    // a 1-hour cutoff protects the fresh residue (in-flight writers)…
+    assert(t.removeOrphanFiles(olderThanMs = 3600 * 1000L).isEmpty)
+    assert(Files.exists(orphanData))
+    // …and a zero cutoff collects BOTH residue files, nothing live
+    Thread.sleep(10)
+    val removed = t.removeOrphanFiles(olderThanMs = 1L)
+    assert(removed.exists(_.contains("orphan-residue.parquet")), removed)
+    assert(removed.exists(_.contains("manifest-999-lost.json")), removed)
+    assert(!Files.exists(orphanData))
+    assert(t.read().count() == 11, "live data untouched")
   }
 }

@@ -70,6 +70,7 @@ class StreamingSpec extends AnyFunSuite {
     val src = MemoryStream[EventStreams.FEvent]
     val q = EventStreams.funnelStream(src.toDS(),
         steps = Seq("view", "click", "purchase"),
+        windowMs = 7L * 86400 * 1000,
         watermarkDelay = "1 hour")
       .writeStream.outputMode("append")
       .format("memory").queryName("xbatch_funnel").start()
@@ -85,11 +86,11 @@ class StreamingSpec extends AnyFunSuite {
       src.addData(ev(1, "2024-01-01 10:01:00", "view"))
       q.processAllAvailable()
       assert(s.table("xbatch_funnel").count() == 0, "nothing sealed yet")
-      // far-future noise advances the watermark past everything; the
-      // event-time timeout then folds each buffer in order and emits
-      src.addData(ev(-9, "2024-01-02 12:00:00", "noise"))
+      // noise pushing the watermark past every t1 + window (Jan 8); the
+      // deadline timeout then folds each buffer in order and emits
+      src.addData(ev(-9, "2024-01-10 12:00:00", "noise"))
       q.processAllAvailable()
-      src.addData(ev(-9, "2024-01-03 12:00:00", "noise"))
+      src.addData(ev(-9, "2024-01-20 12:00:00", "noise"))
       q.processAllAvailable()
       val hits = s.table("xbatch_funnel").filter(col("user_id") > 0)
         .orderBy("user_id", "step").collect()
@@ -100,6 +101,50 @@ class StreamingSpec extends AnyFunSuite {
         (1L, 2, "2024-01-01 10:05:00"),
         (1L, 3, "2024-01-01 10:08:00")),
         s"got ${hits.toSeq} — user 2 (no view) must emit nothing")
+    } finally q.stop()
+  }
+
+  test("funnel user quiet beyond the watermark delay still completes") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(uid: Long, t: String, tp: String) =
+      EventStreams.FEvent(uid, java.sql.Timestamp.valueOf(t), tp)
+    implicit val sq = s.sqlContext
+    val src = MemoryStream[EventStreams.FEvent]
+    val q = EventStreams.funnelStream(src.toDS(),
+        steps = Seq("view", "click", "purchase"),
+        windowMs = 7L * 86400 * 1000,
+        watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quiet_funnel").start()
+    try {
+      // view arrives; OTHER traffic pushes the watermark far past it —
+      // user 1's buffer drains and they go quiet for >> the delay
+      src.addData(ev(1, "2024-01-01 10:00:00", "view"),
+        ev(-9, "2024-01-01 10:30:00", "noise"))
+      q.processAllAvailable()
+      src.addData(ev(-9, "2024-01-01 11:00:00", "noise"))
+      q.processAllAvailable()
+      // a buffer-drain timeout would have finalized user 1 at depth 1
+      // here; the deadline (t1 + 7 days) must keep the funnel open
+      assert(s.table("quiet_funnel").filter(col("user_id") > 0).count()
+        == 0, "funnel finalized prematurely")
+      // the on-time continuation completes the funnel...
+      src.addData(ev(1, "2024-01-01 12:00:00", "click"),
+        ev(1, "2024-01-01 12:30:00", "purchase"))
+      q.processAllAvailable()
+      // ...and the deadline flush emits all three steps
+      src.addData(ev(-9, "2024-01-09 12:00:00", "noise"))
+      q.processAllAvailable()
+      src.addData(ev(-9, "2024-01-20 12:00:00", "noise"))
+      q.processAllAvailable()
+      val hits = s.table("quiet_funnel").filter(col("user_id") > 0)
+        .orderBy("step").collect().map(r => (r.getInt(1),
+          r.getTimestamp(2).toString.take(19)))
+      assert(hits.toSeq == Seq(
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 12:00:00"),
+        (3, "2024-01-01 12:30:00")), hits.toSeq.toString)
     } finally q.stop()
   }
 
