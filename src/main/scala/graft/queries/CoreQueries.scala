@@ -204,6 +204,53 @@ object CoreQueries {
       .orderBy(col("custkey"), col("orderkey"))
   }
 
+  /** TPC-H Q3 (shipping priority), adapted to this schema's columns:
+    * revenue of BUILDING-segment orders placed before the cutoff with
+    * lines shipped after it. Three-way join where only lineitem is
+    * fact-sized — customer/orders dims broadcast; the revenue agg
+    * map-side-combines on l_orderkey.
+    */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "1997-06-01"
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = orders(s, d).filter(col("o_orderdate") < lit(cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit(cutoff).cast("date"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local supplier volume): revenue by nation for EUROPE
+    * customers buying from same-nation suppliers in one order year.
+    * The join tree keeps lineitem as the only data-sized input; all
+    * five dimension sides broadcast.
+    */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   /** Event-time rolling window: per user, the 1-hour trailing sum and
     * count of event values — RANGE frame over epoch seconds, so the
     * frame is defined by TIME, not row position (gap-robust, unlike a
@@ -374,6 +421,8 @@ object CoreQueries {
     "q_running_total"     -> runningTotal _,
     "q_rolling_window"    -> rollingWindow _,
     "q_retention_cohorts" -> retentionCohorts _,
+    "q_shipping_priority" -> shippingPriority _,
+    "q_supplier_volume"   -> localSupplierVolume _,
     "q_value_percentiles" -> valuePercentiles _,
     "q_distinct_users"    -> distinctUsers _,
     "q_grouping_sets"     -> groupingSets _,
@@ -463,6 +512,30 @@ object CoreQueries {
                   AS running_spend
          FROM orders WHERE o_custkey <= 200
          ORDER BY custkey, orderkey""",
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                  AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < DATE '1997-06-01'
+           AND l_shipdate > DATE '1997-06-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+    "q_supplier_volume" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                  AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE'
+           AND o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     // Frame boundaries are epoch SECONDS in both engines (Spark's
     // timestamp→long cast floors to seconds; date_trunc('second')
     // replicates that), so the 1-hour RANGE frame admits identical rows.
