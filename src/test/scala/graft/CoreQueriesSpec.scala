@@ -50,6 +50,18 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("Q5 join tree broadcasts every dimension — fact side never " +
+      "sort-merges") {
+    val plan = graft.queries.CoreQueries.localSupplierVolume(spark, sf)
+      .queryExecution.executedPlan.toString
+    // five dimension joins (orders/customer/supplier/nation/region):
+    // all must hash-broadcast against the streaming lineitem side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      "a dimension join fell back to sort-merge — the fact table " +
+        "would shuffle at 100 TB")
+  }
+
   test("aggregation uses partial (map-side) hash aggregate") {
     val plan = graft.queries.CoreQueries.federationAgg(spark, sf)
       .queryExecution.executedPlan.toString
