@@ -89,15 +89,18 @@ object Similarity {
     * id), so unlike IVF this approximate-index shape is fully
     * DuckDB-oracle-able.
     *
-    * Scale shape: stage 1 is the only corpus-wide pass; it PROJECTS
-    * the prefix before anything leaves the scan, so the coarse-ranking
-    * exchange carries only (query_id, id, coarse) — the full vectors
-    * never ride a shuffle (at warehouse scale the prefix additionally
-    * lives as its own narrow column, so the scan reads a quarter of
-    * the bytes). Stage 2 broadcasts the id-sized shortlist
-    * (|queries|·candidates rows) back onto the corpus, re-attaches the
-    * broadcast query vectors, and re-scores — the corpus side streams,
-    * never shuffles.
+    * Scale shape: two corpus SCANS, zero corpus SHUFFLES. Stage 1
+    * projects the prefix before anything leaves the scan, so the
+    * coarse-ranking exchange carries only (query_id, id, coarse) — at
+    * warehouse scale the prefix lives as its own narrow column, so
+    * this pass reads a quarter of the bytes. Stage 2 re-scans the
+    * corpus (full vector column) probing the BROADCAST id-sized
+    * shortlist (|queries|·candidates rows) and re-scores; the second
+    * scan is the price of never shuffling vector payloads — with the
+    * shortlist hit rate ~0, it is I/O-bound on the id column unless
+    * vectors are read, which column pruning limits to matching rows'
+    * row-groups at best; a deployment wanting one pass instead keys
+    * the shortlist join off a persisted id-partitioned vector table.
     */
   def matryoshkaTopK(vectors: DataFrame, queries: DataFrame, k: Int = 10,
       prefixDim: Int = 16, candidates: Int = 50,

@@ -221,13 +221,18 @@ object CoreQueries {
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("rev"))
+    // ORDER on the UNROUNDED sum: with a LIMIT, ordering on the
+    // 2-decimal rounding would let a cross-engine 1-ulp difference at
+    // a .005 boundary change top-10 MEMBERSHIP, not just row order
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"),
         col("o_orderpriority"))
-      .agg(round(sum(col("rev")), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .agg(sum(col("rev")).as("_rev"))
+      .orderBy(col("_rev").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"), round(col("_rev"), 2).as("revenue"))
   }
 
   /** TPC-H Q5 (local supplier volume): revenue by nation for EUROPE
@@ -522,7 +527,8 @@ object CoreQueries {
            AND o_orderdate < DATE '1997-06-01'
            AND l_shipdate > DATE '1997-06-01'
          GROUP BY 1, 2, 3
-         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         ORDER BY sum(l_extendedprice * (1.0 - l_discount)) DESC,
+                  o_orderdate, l_orderkey
          LIMIT 10""",
     "q_supplier_volume" ->
       """SELECT n_name,

@@ -78,7 +78,10 @@ object StreamQueries {
     */
   private def funnelStreamDir(s: SparkSession, d: String,
       windowMs: Long): String =
-    funnelDirCache.computeIfAbsent(d, _ =>
+    // cache key carries the window: the sentinel's timestamp is a
+    // function of it, and a reused shorter-window sentinel would leave
+    // every funnel pending (silent empty result)
+    funnelDirCache.computeIfAbsent(s"$d#$windowMs", _ =>
       EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxTs =>
         s.range(1).select(
           lit(-1L).as("event_id"),

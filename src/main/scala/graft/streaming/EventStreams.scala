@@ -182,17 +182,23 @@ object EventStreams {
     * can't fold (a click with no view yet) are DEAD — any future view
     * carries a later event time — and are dropped, never re-examined.
     *
-    * A user's funnel finalizes (emits + clears state) only when the
-    * watermark passes `t1 + window` — NOT when the buffer momentarily
-    * drains: a user quiet for longer than the watermark delay must not
-    * be cut off mid-funnel (the bug a buffer-drain timeout would
-    * reintroduce; on-time events arriving after it could never
-    * complete the funnel and a second view would emit a duplicate
-    * entry). Users who never reach step 1 clear state as soon as their
-    * buffer drains dead. State is bounded: the unsealed tail of step
-    * events plus k longs per in-flight funnel, each held at most
-    * `window` past its entry. End-of-stream flush = a sentinel whose
-    * event time clears every `t1 + window` deadline.
+    * A user's funnel finalizes (emits) only when the watermark passes
+    * `t1 + window` — NOT when the buffer momentarily drains: a user
+    * quiet for longer than the watermark delay must not be cut off
+    * mid-funnel (the bug a buffer-drain timeout would reintroduce).
+    * Funnels are EPOCHED: an event beyond the open funnel's window is
+    * retained — never consumed by or discarded with the closing epoch
+    * — and seeds the user's next funnel once the epoch closes, so
+    * re-entry output depends on event times (given the watermark
+    * schedule), not on which micro-batch a re-entry event happened to
+    * arrive in. Within an epoch, a sealed event that cannot fill a
+    * step is dead in EVERY epoch (any later epoch's step 1 starts
+    * after it) and is dropped. Users who never reach step 1 clear
+    * state as soon as their buffer drains dead. State is bounded: the
+    * buffer holds only events past the open epoch's deadline or the
+    * watermark — (window + delay) × per-user step-event rate — plus k
+    * longs. End-of-stream flush = a sentinel whose event time clears
+    * every `t1 + window` deadline.
     */
   def funnelStream(events: Dataset[FEvent], steps: Seq[String],
       windowMs: Long, watermarkDelay: String = "10 seconds")
@@ -201,22 +207,6 @@ object EventStreams {
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
     val windowUs = windowMs * 1000L
-
-    // greedy-earliest fold: evs MUST be event-time ascending; steps
-    // beyond the first count only inside the conversion window
-    def fold(times: Array[Long], evs: Seq[(Long, String)]): Unit =
-      evs.foreach { case (t, tp) =>
-        val j = stepIdx(tp)
-        if (times(j) < 0L &&
-            (j == 0 || (times(j - 1) >= 0L && times(j - 1) < t &&
-              t <= times(0) + windowUs)))
-          times(j) = t
-      }
-
-    def emit(userId: Long, times: Array[Long]): Iterator[FunnelHit] =
-      times.zipWithIndex.takeWhile(_._1 >= 0L).iterator.map {
-        case (t, j) => FunnelHit(userId, j + 1, fromMicros(t))
-      }
 
     events
       .withWatermark("event_time", watermarkDelay)
@@ -232,33 +222,57 @@ object EventStreams {
             else rows.filter(e => stepIdx.contains(e.event_type))
               .map(e => (toMicros(e.event_time), e.event_type)).toList
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (sealedEvs, pending) =
-            (st.buffer ++ newEvs).sorted.partition(_._1 <= wmUs)
-          val times = st.times.toArray
-          fold(times, sealedEvs)
-          val t1 = times(0)
-          if (t1 >= 0L && wmUs > t1 + windowUs) {
-            // conversion window closed: the funnel is final whatever
-            // still sits in the buffer (all of it is beyond the window)
-            state.remove()
-            emit(userId, times)
-          } else if (t1 < 0L && pending.isEmpty) {
-            // never entered the funnel and nothing unsealed remains:
-            // dead clicks were dropped by the fold — clear the state so
+
+          var buf = (st.buffer ++ newEvs).sorted
+          var times = st.times.toArray
+          val out = List.newBuilder[FunnelHit]
+          // epoch loop: consume sealed in-window events into the open
+          // automaton; on deadline passage emit, reset, and let the
+          // RETAINED tail (events beyond the closed window) seed the
+          // next epoch — possibly several epochs per invocation
+          var advanced = true
+          while (advanced) {
+            val keep = List.newBuilder[(Long, String)]
+            buf.foreach { case ev @ (t, tp) =>
+              // the deadline moves WITHIN a pass: the event that sets
+              // t1 re-bounds the window for everything after it
+              val deadline =
+                if (times(0) >= 0L) times(0) + windowUs else Long.MaxValue
+              if (t > wmUs || t > deadline) keep += ev // unsealed / next epoch
+              else {
+                // greedy-earliest fold (buf is event-time ascending);
+                // a sealed in-window event that fills nothing is dead
+                val j = stepIdx(tp)
+                if (times(j) < 0L &&
+                    (j == 0 || (times(j - 1) >= 0L && times(j - 1) < t)))
+                  times(j) = t
+              }
+            }
+            buf = keep.result()
+            if (times(0) >= 0L && wmUs > times(0) + windowUs) {
+              out ++= times.zipWithIndex.takeWhile(_._1 >= 0L).map {
+                case (t, j) => FunnelHit(userId, j + 1, fromMicros(t))
+              }
+              times = Array.fill(k)(-1L) // next epoch folds the tail
+            } else advanced = false
+          }
+
+          if (times(0) < 0L && buf.isEmpty) {
+            // not in a funnel and nothing retained — clear the state so
             // non-entrants don't pin the store forever
             state.remove()
-            Iterator.empty
           } else {
-            state.update(FunnelBuf(pending, times.toList))
+            state.update(FunnelBuf(buf, times.toList))
             // wake when the deadline (if entered) or the buffer's tail
             // (if not) is sealed; always strictly ahead of the watermark
             val deadlineMs =
-              if (t1 >= 0L) Math.floorDiv(t1 + windowUs, 1000L)
-              else pending.map(p => Math.floorDiv(p._1, 1000L)).max
+              if (times(0) >= 0L)
+                Math.floorDiv(times(0) + windowUs, 1000L)
+              else buf.map(p => Math.floorDiv(p._1, 1000L)).max
             state.setTimeoutTimestamp(math.max(deadlineMs + 1,
               state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
           }
+          out.result().iterator
       }
   }
 

@@ -136,8 +136,12 @@ class ConcurrencySpec extends AnyFunSuite {
     start.countDown()
     pool.shutdown()
     assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers hung")
-    assert(!gaveUp.isEmpty,
-      "six zero-retry writers racing one base must conflict at least once")
+    // a fully serialized schedule (possible on a loaded box) produces
+    // no conflict — nothing to assert then, but don't fail spuriously
+    if (gaveUp.isEmpty) {
+      assert(ok.get() == writers)
+      cancel("writers serialized without a CAS conflict this run")
+    }
     gaveUp.forEach(m => assert(
       m.contains("gave up after 0 commit-conflict retries"), m))
     // exactly the winners landed — losers left no partial commit

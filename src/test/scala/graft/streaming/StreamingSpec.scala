@@ -148,6 +148,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel re-entry: a second epoch's events arriving EARLY still " +
+      "form a second funnel") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(uid: Long, t: String, tp: String) =
+      EventStreams.FEvent(uid, java.sql.Timestamp.valueOf(t), tp)
+    implicit val sq = s.sqlContext
+    val src = MemoryStream[EventStreams.FEvent]
+    val q = EventStreams.funnelStream(src.toDS(),
+        steps = Seq("view", "click", "purchase"),
+        windowMs = 3600 * 1000L, // 1-hour conversion window
+        watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("epoch_funnel").start()
+    try {
+      // BOTH epochs' events in one batch: the second funnel's events
+      // sit in the buffer while epoch 1 is still open — they must be
+      // retained through its close, not discarded with it
+      src.addData(
+        ev(1, "2024-01-01 10:00:00", "view"),
+        ev(1, "2024-01-01 10:10:00", "click"),
+        ev(1, "2024-01-01 10:20:00", "purchase"),
+        ev(1, "2024-01-01 12:00:00", "view"), // past 11:00 deadline
+        ev(1, "2024-01-01 12:05:00", "click"),
+        ev(1, "2024-01-01 12:10:00", "purchase"))
+      q.processAllAvailable()
+      src.addData(ev(-9, "2024-01-01 14:00:00", "noise"))
+      q.processAllAvailable()
+      src.addData(ev(-9, "2024-01-01 16:00:00", "noise"))
+      q.processAllAvailable()
+      val hits = s.table("epoch_funnel").filter(col("user_id") > 0)
+        .orderBy("step_time").collect()
+        .map(r => (r.getInt(1), r.getTimestamp(2).toString.take(19)))
+      assert(hits.toSeq == Seq(
+        (1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:10:00"),
+        (3, "2024-01-01 10:20:00"),
+        (1, "2024-01-01 12:00:00"), (2, "2024-01-01 12:05:00"),
+        (3, "2024-01-01 12:10:00")), hits.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window oracle") {
     import s.implicits._
     val batchEvents = s.read.parquet(s"$sf/events.parquet")
