@@ -235,6 +235,27 @@ object TextAnalysis {
         col("word"), col("n"))
   }
 
+  /** Per-document character entropy (bits/char) — the compressibility
+    * proxy quality filters use: machine-generated or repetitive text
+    * scores low, encrypted/binary-ish noise scores near log2(alphabet).
+    * One explode → (doc, char) count agg (map-side combined; at most
+    * |alphabet| rows per doc survive) → per-doc Shannon sum. The join
+    * back for totals stays co-partitioned on doc_id.
+    */
+  def charEntropy(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val chars = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("."), lit(0)))
+        .as("ch"))
+    val cnt = chars.groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val tot = cnt.groupBy(col(idCol)).agg(sum(col("n")).as("tot"))
+    cnt.join(tot, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(round(sum(-(col("n") / col("tot")) * log2(col("n") / col("tot"))),
+        6).as("char_entropy"))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
   private val Ipv4Re =

@@ -256,6 +256,21 @@ object CoreQueries {
         2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H Q13 shape (customer distribution): histogram of customers
+    * by order count, zero-order customers included via the left join.
+    * Both aggregations map-side-combine; the histogram is tiny.
+    */
+  def customerDistribution(s: SparkSession, d: String): DataFrame = {
+    val counts = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    customer(s, d)
+      .join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
   /** Event-time rolling window: per user, the 1-hour trailing sum and
     * count of event values — RANGE frame over epoch seconds, so the
     * frame is defined by TIME, not row position (gap-robust, unlike a
@@ -428,6 +443,7 @@ object CoreQueries {
     "q_retention_cohorts" -> retentionCohorts _,
     "q_shipping_priority" -> shippingPriority _,
     "q_supplier_volume"   -> localSupplierVolume _,
+    "q_customer_distribution" -> customerDistribution _,
     "q_value_percentiles" -> valuePercentiles _,
     "q_distinct_users"    -> distinctUsers _,
     "q_grouping_sets"     -> groupingSets _,
@@ -542,6 +558,15 @@ object CoreQueries {
            AND o_orderdate >= DATE '1996-01-01'
            AND o_orderdate < DATE '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_customer_distribution" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+           SELECT coalesce(o.n_orders, 0) AS n_orders
+           FROM customer c LEFT JOIN (
+             SELECT o_custkey, count(*) AS n_orders
+             FROM orders GROUP BY o_custkey) o
+             ON c.c_custkey = o.o_custkey)
+         GROUP BY n_orders
+         ORDER BY n_customers DESC, n_orders DESC""",
     // Frame boundaries are epoch SECONDS in both engines (Spark's
     // timestamp→long cast floors to seconds; date_trunc('second')
     // replicates that), so the 1-hour RANGE frame admits identical rows.

@@ -568,6 +568,12 @@ object PipelineQueries {
       .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
   }
 
+  /** Character entropy per document — the compressibility quality
+    * proxy.
+    */
+  def textCharEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(s, d)).orderBy("doc_id")
+
   /** Content fingerprint: md5 of normalized text (oracle-checked). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d))
@@ -630,6 +636,7 @@ object PipelineQueries {
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
     "sample_temperature"   -> sampleTemperature _,
     "text_fingerprint"     -> textFingerprint _,
+    "text_char_entropy"    -> textCharEntropy _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
     "multimodal_frames"    -> multimodalFrames _
@@ -1064,6 +1071,21 @@ object PipelineQueries {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                   AS content_md5
          FROM documents ORDER BY doc_id""",
+    // Shannon entropy over the per-doc character distribution; both
+    // engines sum -(p·log2 p) over the same (doc, char) counts, rounded
+    // to 6 (the checker compares floats at 1e-9 rel)
+    "text_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '.'))
+             AS c
+           FROM documents),
+         cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n
+                 FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(n) AS tot FROM cnt GROUP BY 1)
+         SELECT doc_id,
+                round(sum(-(n / tot) * log2(n / tot)), 6) AS char_entropy
+         FROM cnt JOIN tot USING (doc_id)
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_pii_mask" ->
       """WITH planted AS (
            SELECT doc_id,
