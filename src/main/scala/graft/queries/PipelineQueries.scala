@@ -111,6 +111,14 @@ object PipelineQueries {
       tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")))
       .orderBy("user_id")
 
+  /** The funnel chart: how many users reached each step — one row of
+    * per-step reach counts rolled up from the funnel.
+    */
+  def funnelReach(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.conversion(
+      Tables.events(s, d), steps = Seq("view", "click", "purchase"),
+      tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")))
+
   /** Hourly resample + forward fill over 20 users' event values: one
     * row per (user, hour tick) across each user's span; empty hours
     * carry the last observed value and are flagged. Deterministic
@@ -606,6 +614,7 @@ object PipelineQueries {
     "quantize_roundtrip"   -> quantizeRoundtrip _,
     "skew_salted_agg"      -> skewSaltedAgg _,
     "funnel_conversion"    -> funnelConversion _,
+    "funnel_reach"         -> funnelReach _,
     "resample_forward_fill" -> resampleForwardFill _,
     "asof_join_orders"     -> asofOrders _,
     "range_join_sessions"  -> rangeJoinSessions _,
@@ -855,6 +864,24 @@ object PipelineQueries {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "funnel_reach" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS t
+           FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.t) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.t > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.t) AS t3
+                FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM s1) AS reached_view,
+                (SELECT count(*) FROM s2) AS reached_click,
+                (SELECT count(*) FROM s3) AS reached_purchase""",
     // last-observation-per-bucket (ties by ts desc, event_id desc),
     // per-user hourly grid over the observed span, forward fill
     "resample_forward_fill" ->
