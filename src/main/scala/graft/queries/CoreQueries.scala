@@ -271,6 +271,27 @@ object CoreQueries {
       .orderBy(col("n_customers").desc, col("n_orders").desc)
   }
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * line quantity tops the threshold, with their customers. The
+    * HAVING aggregate map-side-combines; the LIMIT orders on stored
+    * columns (bit-identical across engines), and quantity sums are
+    * integer-valued doubles, so the > threshold cut has no FP boundary.
+    */
+  def largeVolumeCustomers(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("total_qty"), 2).as("total_qty"),
+        col("o_totalprice").as("_ord"))
+      .orderBy(col("_ord").desc, col("o_orderkey"))
+      .limit(20)
+      .drop("_ord")
+  }
+
   /** Event-time rolling window: per user, the 1-hour trailing sum and
     * count of event values — RANGE frame over epoch seconds, so the
     * frame is defined by TIME, not row position (gap-robust, unlike a
@@ -444,6 +465,7 @@ object CoreQueries {
     "q_shipping_priority" -> shippingPriority _,
     "q_supplier_volume"   -> localSupplierVolume _,
     "q_customer_distribution" -> customerDistribution _,
+    "q_large_orders"      -> largeVolumeCustomers _,
     "q_value_percentiles" -> valuePercentiles _,
     "q_distinct_users"    -> distinctUsers _,
     "q_grouping_sets"     -> groupingSets _,
@@ -558,6 +580,16 @@ object CoreQueries {
            AND o_orderdate >= DATE '1996-01-01'
            AND o_orderdate < DATE '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                      FROM lineitem GROUP BY 1
+                      HAVING sum(l_quantity) > 150)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                round(o.o_totalprice, 2) AS o_totalprice,
+                round(b.total_qty, 2) AS total_qty
+         FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""",
     "q_customer_distribution" ->
       """SELECT n_orders, count(*) AS n_customers FROM (
            SELECT coalesce(o.n_orders, 0) AS n_orders
