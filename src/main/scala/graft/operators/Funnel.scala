@@ -22,13 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** @return one row per step-1 user: userCol, t1..tk (timestamps,
+  /** @param windowMs optional conversion window: steps beyond the
+    *                  first count only within this span of t1 — the
+    *                  same semantics as the streaming twin
+    *                  ([[graft.streaming.EventStreams.funnelStream]]),
+    *                  whose FIRST epoch this then matches exactly.
+    *                  None = unbounded (whole-history funnel).
+    * @return one row per step-1 user: userCol, t1..tk (timestamps,
     *         null once the funnel is abandoned), depth = completed
     *         steps.
     */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: Column): DataFrame = {
+      tsCol: Column, windowMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       "repeated step types are ambiguous — label steps uniquely upstream")
@@ -38,9 +44,17 @@ object Funnel {
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
       val prev = s"t$i"
       val cur = s"t${i + 1}"
+      val inWindow = windowMs match {
+        case Some(w) => unix_micros(col("_ts")) <=
+          unix_micros(col("t1")) + w * 1000L
+        case None => lit(true)
+      }
+      val carried =
+        if (prev == "t1") Seq(col(userCol), col("t1"))
+        else Seq(col(userCol), col("t1"), col(prev))
       val stepMin = e.filter(col(typeCol) === st)
-        .join(acc.select(col(userCol), col(prev)), Seq(userCol))
-        .filter(col("_ts") > col(prev))
+        .join(acc.select(carried: _*), Seq(userCol))
+        .filter(col("_ts") > col(prev) && inWindow)
         .groupBy(col(userCol)).agg(min(col("_ts")).as(cur))
       // left join: abandoning the funnel at step i keeps the user with
       // t_{i+1..k} null — the drop-off IS the analytics

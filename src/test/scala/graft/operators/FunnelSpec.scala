@@ -52,6 +52,23 @@ class FunnelSpec extends AnyFunSuite {
     assert(r.getInt(4) == 2)
   }
 
+  test("conversion window cuts steps beyond it, matching the stream") {
+    val df = events(
+      (7L, "view", 1), (7L, "click", 10), (7L, "purchase", 50),
+      (8L, "view", 1), (8L, "click", 40))
+    val out = Funnel.funnel(df, steps, tsCol = col("t"),
+        windowMs = Some(30 * 60 * 1000L)) // 30-minute window
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    // user 7: click inside the window, purchase at +50 min outside it
+    assert(out(7L) == 2)
+    // user 8: only step inside the window is the view itself
+    assert(out(8L) == 1)
+    // unbounded: both events count again
+    val full = Funnel.funnel(df, steps, tsCol = col("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(full(7L) == 3 && full(8L) == 2)
+  }
+
   test("non-entrants are absent; conversion counts the drop-off") {
     val df = events(
       (4L, "view", 1), (4L, "click", 2), (4L, "purchase", 3),
