@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-sequence shaping: concat-and-split packing and
+  * sliding-window chunking — the two operators that turn a curated
+  * document corpus into fixed-length model inputs.
+  *
+  * Packing is inherently a prefix sum (every document's offset depends
+  * on every document before it), so a naive "global order + running
+  * total" is a single-partition sort — the textbook 100 TB
+  * scale-killer. The industry shape (and ours) is SHARD-THEN-PACK:
+  * documents are assigned to `shards` deterministic md5 shards first,
+  * and the prefix sum runs independently per shard. Real pipelines
+  * shard their output into files anyway, so per-shard sequence ids are
+  * the natural product, not a compromise. `shards` is the parallelism
+  * knob: at 100 TB pick it so one shard's token count fits a task
+  * (thousands of shards), exactly like choosing output file counts.
+  *
+  * Chunking has no cross-row dependency at all — pure per-document
+  * explode, embarrassingly parallel at any scale.
+  */
+object Packing {
+
+  /** Concat-and-split packing (the standard LLM-pretraining shaper):
+    * within each shard, documents are concatenated in `idCol` order and
+    * the token stream is cut every `seqLen` tokens; a document may
+    * straddle a cut. Emits one row per document with its shard, token
+    * count, start offset in the shard's stream, and the first/last
+    * sequence ids it lands in (`shard` + `first_seq` globally identify
+    * a training sequence).
+    *
+    * Tokens are whitespace tokens (the same tokenizer as
+    * [[TextAnalysis.tokenCounts]]); a real deployment swaps in its BPE
+    * counts — the packing arithmetic is tokenizer-agnostic.
+    *
+    * The per-shard window is an exchange on `shard` followed by an
+    * in-task ordered scan: one shuffle, carrying (id, shard, n_tokens)
+    * only — text never leaves the scan.
+    */
+  def packSequences(df: DataFrame, seqLen: Int = 512, shards: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id",
+      salt: String = "pack"): DataFrame = {
+    require(seqLen >= 1 && shards >= 1, "seqLen and shards are positive")
+    val nTokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), nTokens.as("n_tokens"),
+        Sampling.bucketCol(col(idCol), salt, shards).as("shard"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integer `div`, not floating floor(x/y): exact at any offset
+      .withColumn("first_seq", expr(s"start_offset div ${seqLen}L"))
+      .withColumn("last_seq",
+        expr(s"(start_offset + n_tokens - 1) div ${seqLen}L"))
+  }
+
+  /** Sliding-window chunking for embedding/retrieval pipelines: each
+    * document yields chunks of up to `chunk` tokens starting every
+    * `stride` tokens (overlap = chunk - stride), covering every token.
+    * The trailing chunk may be short. Emits (id, chunk_idx,
+    * chunk_tokens, chunk_md5) — the md5 stands in for the chunk payload
+    * so the (much larger) text doesn't ride the result; a pipeline
+    * materializing chunk text selects the slice itself.
+    *
+    * Whole operator is one per-row generate: no shuffle, no state.
+    */
+  def chunkSliding(df: DataFrame, chunk: Int = 64, stride: Int = 48,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunk >= 1 && stride >= 1, "chunk and stride are positive")
+    df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("_toks"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0L, (size(_toks) - 1) div ${stride}L),
+            k -> slice(_toks, cast(k * $stride + 1 as int), $chunk))""")))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        size(col("col")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("col")).cast("binary")).as("chunk_md5"))
+  }
+}

@@ -19,13 +19,16 @@ object Sampling {
     * expressible in ANSI SQL for the oracle. Callers needing the bucket
     * on an existing plan use this directly instead of computing
     * [[assignSplits]] and joining back by id (which would co-shuffle
-    * the corpus against itself).
+    * the corpus against itself). `buckets` defaults to percentile
+    * granularity; sharding callers (e.g. [[Packing.packSequences]])
+    * pass their own modulus.
     */
-  def bucketCol(id: Column, salt: String = "graft"): Column = {
+  def bucketCol(id: Column, salt: String = "graft",
+      buckets: Int = 100): Column = {
     val h = conv(substring(
       md5(concat(lit(salt), lit(":"), id.cast("string"))), 18, 15),
       16, 10).cast("long")
-    pmod(h, lit(100))
+    pmod(h, lit(buckets))
   }
 
   /** Deterministic train/valid/test assignment: [[bucketCol]] split by
@@ -116,6 +119,27 @@ object Sampling {
     * candidates per domain. Provably exact: the global top-k of a
     * domain is contained in the union of its per-salt top-k.
     */
+  /** Exact-k uniform sample: rank rows by the same 60-bit md5 the
+    * bucket predicates use — a deterministic uniform permutation of the
+    * corpus — and keep the first `k`. Unlike the rate-based samplers
+    * (percent granularity), this lands an exact count; like them it is
+    * retry-stable and cluster-size-independent, and a smaller k's
+    * sample is a PREFIX of a larger one's (growing the sample never
+    * churns it). orderBy+limit compiles to TakeOrderedAndProject:
+    * per-partition top-k, then a k-sized merge — no global sort at any
+    * corpus size.
+    */
+  def uniformSample(df: DataFrame, k: Int, idCol: String = "doc_id",
+      salt: String = "graft"): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 18, 15),
+      16, 10).cast("long")
+    df.withColumn("_h", h)
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+      .drop("_h")
+  }
+
   def capPerDomain(df: DataFrame, domainCol: String = "source",
       orderCol: String = "n_chars", idCol: String = "doc_id", k: Int = 50,
       salts: Int = 16): DataFrame = {

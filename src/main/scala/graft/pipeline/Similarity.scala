@@ -312,4 +312,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Exact cosine k-NN graph: every vector's top-`k` neighbors, with a
+    * `mutual` flag (is the reverse edge also a top-k edge?) — the
+    * structure semantic-dedup and diversity-sampling pipelines build
+    * first. Deterministic (ties on id), so fully oracle-able.
+    *
+    * Scale shape: the corpus doubles as the query set, so the candidate
+    * stream is N×N — top-k selection must NOT hinge on one task per
+    * query holding all N of its candidates (a window on `query_id`
+    * alone would: at 1e9 vectors one partition = the whole corpus).
+    * Selection is therefore two-phase, the same salted idiom as
+    * [[TextAnalysis.vocabulary]]: phase 1 ranks within (query, salt) —
+    * each slice N/`salts` rows — phase 2 ranks the ≤ k·`salts`
+    * survivors per query. Exchanges carry only (ids, cosine). The
+    * broadcast corpus matrix is the index-fits-in-memory regime (same
+    * contract as [[assignCells]]); corpora beyond that route each side
+    * through [[IvfIndex]] cells instead.
+    */
+  def knnGraph(vectors: DataFrame, k: Int = 5, salts: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame = {
+    val q = broadcast(vectors
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id")) // self-edge is not a neighbor
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("cosine"),
+        pmod(col(idCol), lit(salts)).as("_salt"))
+    val w1 = Window.partitionBy(col("query_id"), col("_salt"))
+      .orderBy(col("cosine").desc, col(idCol))
+    val survivors = scored.withColumn("_rk1", row_number().over(w1))
+      .filter(col("_rk1") <= k).drop("_salt", "_rk1")
+    val edges = rankTopK(survivors, k, idCol)
+      .select(col("query_id").as("src"), col("rank"),
+        col("neighbor").as("dst"), col("cosine"))
+    // mutual = the reversed (dst, src) pair is itself an edge; the
+    // edge set is k·N rows of ids — broadcast-sized relative to the
+    // corpus at any k that makes sense
+    val rev = broadcast(edges.select(col("src").as("dst"),
+      col("dst").as("src"), lit(1).as("_m")))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("rank"), col("dst"), col("cosine"),
+        col("_m").isNotNull.as("mutual"))
+  }
 }

@@ -58,6 +58,38 @@ object TextAnalysis {
         lengthOk * 0.3 + stopOk * 0.3 + punctOk * 0.2 + wordLenOk * 0.2, 2))
   }
 
+  /** Gopher-style quality GATE: the per-document keep/drop verdict a
+    * curation pipeline acts on, with machine-readable reasons — built
+    * from [[qualityScore]]'s signals plus the [[repetition]] dup-gram
+    * fraction. Thresholds compare the ROUNDED signals (the same values
+    * the signal queries emit), so the verdict is reproducible from the
+    * published signals alone and immune to last-ulp drift between
+    * engines. All rules are per-row expressions: the whole gate is a
+    * single codegen'd pass — no shuffle, nothing carried but the
+    * verdict.
+    */
+  def qualityGate(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val grams = ngramsAll(t, 10)
+    val dupFrac = round(lit(1.0) -
+      size(array_distinct(grams)).cast("double") /
+        greatest(size(grams), lit(1)).cast("double"), 4)
+    val scored = qualityScore(df, textCol)
+      .withColumn("dup_gram_frac", dupFrac)
+    val reasons = array(
+      when(length(t) < 100, "too_short"),
+      when(length(t) > 20000, "too_long"),
+      when(col("stopword_ratio") < 0.01, "low_stopword"),
+      when(col("punct_ratio") > 0.2, "high_punct"),
+      when(col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0,
+        "odd_word_len"),
+      when(col("dup_gram_frac") > 0.3, "repetitive"))
+    val hit = filter(reasons, r => r.isNotNull)
+    scored.select(col(idCol), col("quality_score"), col("dup_gram_frac"),
+      (size(hit) === 0).as("keep"), concat_ws(",", hit).as("reasons"))
+  }
+
   /** Language identification via learned character-trigram profiles:
     * fit per-language profiles from a labeled seed fraction, classify by
     * trigram-overlap score — the classic n-gram heuristic (Cavnar &

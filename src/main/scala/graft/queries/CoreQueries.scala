@@ -292,6 +292,114 @@ object CoreQueries {
       .drop("_ord")
   }
 
+  /** TPC-H Q10 shape (returned-item revenue): which customers returned
+    * the most value in a half-year window. Only lineitem and orders are
+    * fact-sized; both are filtered AT THE SCAN (returnflag, date range)
+    * before the key shuffle. Customer scales with SF so it is NOT
+    * broadcast-hinted — the join keys co-shuffle and AQE picks the
+    * strategy per actual size; nation is constant-sized and broadcast.
+    * The LIMIT orders on the unrounded sum (see [[shippingPriority]]).
+    */
+  def returnedItemRevenue(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev")).as("_rev"))
+      .orderBy(col("_rev").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("_rev"), 2).as("revenue"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): promo share of one month's
+    * revenue. The month filter prunes lineitem at the scan; part joins
+    * on its key un-hinted (it scales with SF — a forced broadcast would
+    * be the 100 TB mistake). Single-row output: both sums ride one
+    * map-side-combined aggregate.
+    */
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val p = part(s, d).select(col("p_partkey"), col("p_type"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0)) /
+        sum(col("rev")), 4).as("promo_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue under a disjunction of
+    * brand/size/quantity bands). The OR spans both tables, so Catalyst
+    * cannot push any of it into either scan on its own — the
+    * SINGLE-TABLE implications are factored out by hand (brand IN the
+    * three bands onto part, quantity within the outer hull onto
+    * lineitem), which is what turns this from a join-then-filter of two
+    * full scans into two pruned scans at 100 TB. The full disjunction
+    * then re-applies post-join.
+    */
+  def disjunctiveSale(s: SparkSession, d: String): DataFrame = {
+    val bands = Seq(
+      ("Brand#12", (1, 15), (1, 11)),
+      ("Brand#23", (10, 30), (10, 20)),
+      ("Brand#34", (20, 50), (20, 30)))
+    val pred = bands.map { case (b, (s0, s1), (q0, q1)) =>
+      col("p_brand") === b && col("p_size").between(s0, s1) &&
+        col("l_quantity").between(q0, q1)
+    }.reduce(_ || _)
+    val l = lineitem(s, d)
+      .filter(col("l_quantity").between(
+        bands.map(_._3._1).min, bands.map(_._3._2).max))
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val p = part(s, d)
+      .filter(col("p_brand").isin(bands.map(_._1): _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape (idle wealthy customers): above-average balances
+    * with no orders before the cutoff, by nation. The global average is
+    * a 1-row aggregate broadcast into a cross join (the scalar-subquery
+    * plan); the "no early orders" test is a LEFT ANTI join against the
+    * DISTINCT early-order custkeys — distinct first so the anti join's
+    * build side shrinks from |orders| to ≤ |customers| and the
+    * pre-aggregation map-side-combines.
+    */
+  def idleWealthyCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("_ab"))
+    val early = orders(s, d)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("_ab"))
+      .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
   /** Event-time rolling window: per user, the 1-hour trailing sum and
     * count of event values — RANGE frame over epoch seconds, so the
     * frame is defined by TIME, not row position (gap-robust, unlike a
@@ -466,6 +574,10 @@ object CoreQueries {
     "q_supplier_volume"   -> localSupplierVolume _,
     "q_customer_distribution" -> customerDistribution _,
     "q_large_orders"      -> largeVolumeCustomers _,
+    "q_returned_revenue"  -> returnedItemRevenue _,
+    "q_promo_revenue"     -> promoRevenue _,
+    "q_disjunctive_sale"  -> disjunctiveSale _,
+    "q_idle_customers"    -> idleWealthyCustomers _,
     "q_value_percentiles" -> valuePercentiles _,
     "q_distinct_users"    -> distinctUsers _,
     "q_grouping_sets"     -> groupingSets _,
@@ -590,6 +702,53 @@ object CoreQueries {
          FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""",
+    "q_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                  AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+           AND l.l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                  c.c_custkey
+         LIMIT 20""",
+    "q_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN l.l_extendedprice * (1 - l.l_discount)
+                  ELSE 0 END)
+                / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                  AS promo_pct,
+                count(*) AS n_items
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l.l_shipdate <  TIMESTAMP '1996-04-01'""",
+    "q_disjunctive_sale" ->
+      """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                  AS revenue,
+                count(*) AS n_items
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+                AND l.l_quantity BETWEEN 20 AND 30)""",
+    "q_idle_customers" ->
+      """WITH ab AS (SELECT avg(c_acctbal) AS v FROM customer
+                     WHERE c_acctbal > 0.0)
+         SELECT n.n_name, count(*) AS numcust,
+                round(sum(c.c_acctbal), 2) AS totacctbal
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, ab
+         WHERE c.c_acctbal > ab.v
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate < TIMESTAMP '1996-01-01')
+         GROUP BY 1 ORDER BY 1""",
     "q_customer_distribution" ->
       """SELECT n_orders, count(*) AS n_customers FROM (
            SELECT coalesce(o.n_orders, 0) AS n_orders

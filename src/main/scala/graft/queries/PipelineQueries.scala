@@ -76,6 +76,36 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Last-touch attribution: each purchase credited to the most recent
+    * preceding click by the same user — the marketing-analytics shape
+    * of the as-of join, run events-on-events. Clicks dedupe per
+    * (user, ts) first (max event_id) so simultaneous clicks resolve
+    * identically on both engines.
+    */
+  def attributionLastTouch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")).as("t"),
+      col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("cuser"), col("t").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.operators.AsOf.asofJoin(purchases, clicks,
+        leftKey = "user_id", rightKey = "cuser",
+        leftTs = col("t"), rightTs = col("click_ts"),
+        valueCols = Seq("click_id", "click_ts"))
+      .select(col("purchase_id"), col("user_id"),
+        col("t").as("purchase_ts"), col("click_id"), col("click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** Exact-100 uniform sample of the corpus (md5-permutation prefix). */
+  def sampleUniformK(s: SparkSession, d: String): DataFrame =
+    Sampling.uniformSample(Tables.documents(s, d), k = 100)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** Range join: assign every event to the session interval containing
     * it (sessions from the batch gaps-and-islands twin of the streaming
     * operator) — bucketed equi-join, no nested-loop range scan. The
@@ -347,6 +377,31 @@ object PipelineQueries {
   def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, d))
       .orderBy("doc_id")
+
+  /** Concat-and-split sequence packing (shard-then-pack; 4 shards,
+    * 512-token sequences): every doc's shard, stream offset and
+    * first/last training-sequence ids.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    Packing.packSequences(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Sliding-window chunking (64-token chunks every 48): chunk index,
+    * size and content md5 per document.
+    */
+  def textChunks(s: SparkSession, d: String): DataFrame =
+    Packing.chunkSliding(Tables.documents(s, d))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Gopher-style per-document keep/drop gate with reasons. */
+  def textQualityGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityGate(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Exact top-5 cosine kNN graph over all embeddings with mutuality
+    * flags — semantic dedup/diversity structure.
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(s, d))
+      .orderBy("src", "rank")
 
   /** Corpus-wide top-20 most common 5-grams (boilerplate detector). */
   def textCommonNgrams(s: SparkSession, d: String): DataFrame =
@@ -645,6 +700,12 @@ object PipelineQueries {
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
     "sample_temperature"   -> sampleTemperature _,
     "text_fingerprint"     -> textFingerprint _,
+    "pack_sequences"       -> packSequences _,
+    "text_chunks"          -> textChunks _,
+    "text_quality_gate"    -> textQualityGate _,
+    "knn_graph"            -> knnGraph _,
+    "attribution_last_touch" -> attributionLastTouch _,
+    "sample_uniform_k"     -> sampleUniformK _,
     "text_char_entropy"    -> textCharEntropy _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
@@ -1098,6 +1159,136 @@ object PipelineQueries {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                   AS content_md5
          FROM documents ORDER BY doc_id""",
+    // Shard-then-pack: the md5 shard is the same 60-bit arithmetic as
+    // the sampling bucket (mod 4); offsets are integer prefix sums, so
+    // every column is exact — no FP anywhere.
+    "pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 4 AS BIGINT) AS shard,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS start_offset
+           FROM t)
+         SELECT doc_id, shard, n_tokens, start_offset,
+                start_offset // 512 AS first_seq,
+                (start_offset + n_tokens - 1) // 512 AS last_seq
+         FROM c ORDER BY doc_id""",
+    // Chunk slices are 1-based inclusive in DuckDB, (start, length) in
+    // Spark — both truncate at the token count; the md5 compares chunk
+    // CONTENT, not just shape.
+    "text_chunks" ->
+      """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         k AS (SELECT doc_id, w,
+                      unnest(range(0, (len(w) - 1) // 48 + 1)) AS k
+               FROM s)
+         SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+                CAST(len(w[(k*48+1):least(k*48+64, len(w))]) AS INT)
+                  AS chunk_tokens,
+                md5(array_to_string(w[(k*48+1):least(k*48+64, len(w))], ' '))
+                  AS chunk_md5
+         FROM k ORDER BY doc_id, chunk_idx""",
+    // Verdict thresholds compare the ROUNDED signals (same values the
+    // signal queries publish), so the gate replays exactly; the
+    // quality_score CASEs reuse text_quality's raw-ratio arithmetic.
+    "text_quality_gate" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, text, words,
+                  list_transform(range(1, greatest(len(words) - 9, 1) + 1),
+                    i -> array_to_string(words[i:least(i+9, len(words))], ' '))
+                    AS grams
+           FROM w),
+         sig AS (
+           SELECT doc_id, text,
+                  round(len(list_filter(words, w -> list_contains(
+                      ['the','a','an','and','or','of','to','in',
+                       'is','it','that','for','on','with','as','at','by'], w)))::DOUBLE
+                    / greatest(len(words), 1), 4) AS stopword_ratio,
+                  round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                    / greatest(length(text), 1), 4) AS punct_ratio,
+                  round(list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                    / greatest(len(words), 1), 4) AS mean_word_len,
+                  round((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(list_filter(words, w -> list_contains(
+                        ['the','a','an','and','or','of','to','in',
+                         'is','it','that','for','on','with','as','at','by'], w)))::DOUBLE
+                      / greatest(len(words), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+                    (CASE WHEN list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                      / greatest(len(words), 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2)
+                    AS quality_score,
+                  round(1.0::DOUBLE - len(list_distinct(grams))::DOUBLE
+                    / greatest(len(grams), 1), 4) AS dup_gram_frac
+           FROM g),
+         v AS (
+           SELECT doc_id, quality_score, dup_gram_frac,
+                  list_filter([
+                    CASE WHEN length(text) < 100 THEN 'too_short' END,
+                    CASE WHEN length(text) > 20000 THEN 'too_long' END,
+                    CASE WHEN stopword_ratio < 0.01 THEN 'low_stopword' END,
+                    CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+                    CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                      THEN 'odd_word_len' END,
+                    CASE WHEN dup_gram_frac > 0.3 THEN 'repetitive' END],
+                    x -> x IS NOT NULL) AS hit
+           FROM sig)
+         SELECT doc_id, quality_score, dup_gram_frac, (len(hit) = 0) AS keep,
+                coalesce(array_to_string(hit, ','), '') AS reasons
+         FROM v ORDER BY doc_id""",
+    // The as-of self-join on events: DuckDB's ASOF LEFT JOIN is the
+    // reference semantics (<=, most recent); click ties pre-deduped
+    // identically on both sides.
+    "attribution_last_touch" ->
+      """WITH c AS (SELECT user_id,
+                           CAST(date_trunc('microseconds', ts) AS TIMESTAMP)
+                             AS ct,
+                           max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (SELECT event_id AS purchase_id, user_id,
+                      CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS pt
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.purchase_id, p.user_id, p.pt AS purchase_ts,
+                c.click_id, c.ct AS click_ts
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND c.ct <= p.pt
+         ORDER BY purchase_id""",
+    // Same 60-bit md5 permutation as the bucket samplers; the UBIGINT
+    // sort order equals Spark's signed-long order because 15 hex chars
+    // stay under 2^60.
+    "sample_uniform_k" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source FROM documents
+           ORDER BY ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+             18, 15))::UBIGINT, doc_id
+           LIMIT 100)
+         ORDER BY doc_id""",
+    // Exact kNN graph: rank on the RAW cosine (round only in the
+    // output), ties on neighbor id; mutual = reversed pair exists.
+    "knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                      list_cosine_similarity(a.v, b.v) AS cos
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT src, dst, cos, row_number() OVER
+                 (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+               FROM s),
+         k AS (SELECT * FROM r WHERE rank <= 5)
+         SELECT k.src, CAST(k.rank AS INT) AS rank, k.dst,
+                round(k.cos, 6) AS cosine, (m.src IS NOT NULL) AS mutual
+         FROM k LEFT JOIN k m ON m.src = k.dst AND m.dst = k.src
+         ORDER BY k.src, k.rank""",
     // Shannon entropy over the per-doc character distribution; both
     // engines sum -(p·log2 p) over the same (doc, char) counts, rounded
     // to 6 (the checker compares floats at 1e-9 rel)

@@ -176,6 +176,47 @@ class PlanSpec extends AnyFunSuite {
       "funnel must not use a window over per-user events")
   }
 
+  test("disjunctive-sale: hand-factored OR implications reach both scans") {
+    // The OR spans part and lineitem, so Catalyst alone can push none of
+    // it; disjunctiveSale factors the single-table hulls out by hand.
+    // The pin: brand IN-list on the part SCAN, quantity range on the
+    // lineitem SCAN — at 100 TB these are the difference between two
+    // full scans and two pruned ones.
+    val plan = graft.queries.CoreQueries.disjunctiveSale(s, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("In(p_brand"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      pushed.contains("LessThanOrEqual(l_quantity,30.0)"), pushed)
+  }
+
+  test("returned-revenue: flag and date filters are scan-pushed") {
+    val plan = graft.queries.CoreQueries.returnedItemRevenue(s, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"), pushed)
+  }
+
+  test("idle-customers: scalar avg broadcasts; anti-join pre-aggregated") {
+    val plan = graft.queries.CoreQueries.idleWealthyCustomers(s, sf)
+      .queryExecution.executedPlan.toString
+    // 1-row aggregate joined via broadcast nested-loop (scalar-subquery
+    // shape) and the "no early orders" test as an anti join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    // the nation rollup must map-side-combine, and the distinct
+    // custkey pre-aggregation must appear as its two-level hash-agg
+    // pair so the anti build side is ≤ |customers|, not |orders|
+    assert(plan.contains("partial_count"), plan.take(2000))
+    assert(plan.linesIterator.count(l =>
+      l.contains("HashAggregate(keys=[o_custkey")) >= 2,
+      plan.linesIterator.filter(_.contains("HashAggregate"))
+        .mkString("\n"))
+  }
+
   test("IN-list prunes via bucket transform partitioning") {
     val customers = s.read.parquet(s"$sf/customer.parquet")
     val t = LakeTable.create(s,

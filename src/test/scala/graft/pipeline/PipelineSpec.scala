@@ -552,4 +552,99 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(out.count() / total - 0.5) < 0.1,
       s"kept ${out.count()} of $total")
   }
+
+  test("salted two-phase kNN graph equals the single-window baseline") {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val q = e.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val naive = e.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Similarity.cosine(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = Similarity.knnGraph(emb)
+      .select(col("src"), col("rank"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == naive,
+      s"two-phase selection drifted: ${got.diff(naive).take(5)}")
+  }
+
+  test("kNN mutual flag is exactly reversed-edge membership") {
+    val rows = Similarity.knnGraph(emb)
+      .select(col("src"), col("dst"), col("mutual"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val edges = rows.map(r => (r._1, r._2)).toSet
+    rows.foreach { case (src, dst, mutual) =>
+      assert(mutual == edges.contains((dst, src)),
+        s"mutual flag wrong for ($src,$dst)")
+    }
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      "corpus should exercise both mutual and one-way edges")
+  }
+
+  test("quality gate: constructed pathologies trip their named rules") {
+    import TestSpark.spark.implicits._
+    val varied = "the sun rose over a quiet town and it was warm for the " +
+      "season with children out on the green by that old mill as morning " +
+      "light fell in soft lines to the river"
+    val df = Seq(
+      (1L, varied),                        // clean → keep
+      (2L, "word"),                        // short, no stopwords
+      (3L, Seq.fill(300)("spam").mkString(" "))) // no stopwords, repetitive
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(df)
+      .select(col("doc_id"), col("keep"), col("reasons"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2))))
+      .toMap
+    assert(out(1L) == ((true, "")))
+    assert(out(2L) == ((false, "too_short,low_stopword")))
+    assert(out(3L) == ((false, "low_stopword,repetitive")))
+  }
+
+  test("uniform sample: exact k, nested prefixes, distributed top-k plan") {
+    val k100 = Sampling.uniformSample(docs, 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k50 = Sampling.uniformSample(docs, 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k100.size == 100 && k50.size == 50)
+    assert(k50.subsetOf(k100), "growing k must never churn the sample")
+    val plan = Sampling.uniformSample(docs, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"exact-k sample must not global-sort:\n${plan.take(1500)}")
+  }
+
+  test("last-touch attribution: before/tie/after click placement") {
+    import TestSpark.spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    val purchases = Seq((100L, 1L, ts(50)), (101L, 2L, ts(50)),
+      (102L, 3L, ts(50))).toDF("purchase_id", "user_id", "t")
+    val clicks = Seq(
+      (10L, 1L, ts(40)), (11L, 1L, ts(60)), // before wins; after invisible
+      (12L, 2L, ts(50)),                    // tie: <= semantics → visible
+      (13L, 3L, ts(51))                     // only-after → no credit
+    ).toDF("click_id", "cuser", "click_ts")
+    val out = graft.operators.AsOf.asofJoin(purchases, clicks,
+        "user_id", "cuser", col("t"), col("click_ts"),
+        valueCols = Seq("click_id"))
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(100L).contains(10L))
+    assert(out(101L).contains(12L))
+    assert(out(102L).isEmpty)
+  }
+
+  test("quality gate is a per-row plan — no exchange") {
+    val plan = TextAnalysis.qualityGate(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+  }
 }
