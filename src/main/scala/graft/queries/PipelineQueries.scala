@@ -141,6 +141,18 @@ object PipelineQueries {
       tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")))
       .orderBy("user_id")
 
+  /** The funnel under a 3-day conversion window: steps beyond the
+    * first count only within windowMs of t1 — the bounded-patience
+    * semantics the streaming funnel enforces with its state deadline,
+    * here on the batch operator (same windowMs parameter).
+    */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnel(
+      Tables.events(s, d), steps = Seq("view", "click", "purchase"),
+      tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")),
+      windowMs = Some(3L * 86400 * 1000))
+      .orderBy("user_id")
+
   /** The funnel chart: how many users reached each step — one row of
     * per-step reach counts rolled up from the funnel.
     */
@@ -669,6 +681,7 @@ object PipelineQueries {
     "quantize_roundtrip"   -> quantizeRoundtrip _,
     "skew_salted_agg"      -> skewSaltedAgg _,
     "funnel_conversion"    -> funnelConversion _,
+    "funnel_windowed"      -> funnelWindowed _,
     "funnel_reach"         -> funnelReach _,
     "resample_forward_fill" -> resampleForwardFill _,
     "asof_join_orders"     -> asofOrders _,
@@ -988,6 +1001,31 @@ object PipelineQueries {
          s3 AS (SELECT e.user_id, min(e.t) AS t3
                 FROM e JOIN s2 USING (user_id)
                 WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                GROUP BY e.user_id)
+         SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+                CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+                  + (s3.t3 IS NOT NULL)::INT AS INT) AS depth
+         FROM s1 LEFT JOIN s2 USING (user_id)
+                 LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+    // Same shape as funnel_conversion plus the window bound on t1:
+    // both engines compare µs-precision timestamps, boundary inclusive.
+    "funnel_windowed" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS t
+           FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.t) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.t > s1.t1
+                  AND e.t <= s1.t1 + INTERVAL 3 DAY
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.t) AS t3
+                FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                  AND e.t <= s1.t1 + INTERVAL 3 DAY
                 GROUP BY e.user_id)
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
                 CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
