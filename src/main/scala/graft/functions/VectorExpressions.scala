@@ -84,6 +84,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused dot product over two double-array columns — the factored form
+  * of [[CosineSimilarity]] for all-pairs scoring where the norms are
+  * HOISTED per row (`cosine = dot/(n_a·n_b)`): the accumulation order
+  * and the `√Σx²` norm arithmetic are identical to the fused kernel's,
+  * so `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` is bit-equal to
+  * `CosineSimilarity(a,b)` while doing a third of the per-pair work
+  * (and none of the per-pair casting).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product expects array<double> inputs, got $l / $r")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Argmax-cosine against a FIXED centroid matrix in one fused pass:
   * `struct(cell, cosine)` of the nearest centroid per input vector.
   *
@@ -243,6 +303,195 @@ case class NearestCentroid(child: Expression,
       : NearestCentroid = copy(child = newChild)
 }
 
+/** Exact top-`k` cosine neighbors against a FIXED vector matrix in one
+  * fused pass per row: `array<struct<neighbor, cosine>>` sorted by
+  * (cosine desc, id asc), the row's own id excluded. The kNN-graph
+  * kernel: [[NearestCentroid]]'s plan-shipped-matrix pattern
+  * generalized from argmax to a k-sized insertion buffer, turning
+  * graph construction from crossJoin(N) → exchange → two ranking
+  * windows (N² rows shuffled and sorted) into a plain projection —
+  * N rows in, N·k structs out, ZERO shuffle.
+  *
+  * Arithmetic is EXACTLY [[CosineSimilarity]]'s (`dot/(√nx·√ny)`,
+  * norms truncated to the common prefix; matrix norms precomputed once
+  * — the per-row factor an all-pairs kernel recomputes N times), and
+  * selection order is exactly the ranking window's (cosine desc, id
+  * asc), so results replay in an ANSI oracle. Zero-denominator
+  * candidates are skipped; a row with no valid neighbor yields an
+  * empty array. The matrix ships with the plan (index-fits-in-memory
+  * regime, the same contract the broadcast-query crossJoin had
+  * implicitly); beyond that, block the matrix and merge per-block
+  * top-k unions, or use the IVF cell path.
+  */
+case class TopKNeighbors(vec: Expression, selfId: Expression,
+    ids: Array[Long], matrix: Array[Array[Double]], k: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = selfId
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, selfId.dataType) match {
+      case (ArrayType(DoubleType, _), LongType)
+        if k >= 1 && ids.length == matrix.length && ids.nonEmpty &&
+          matrix.forall(_.length == matrix(0).length) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "top_k_neighbors needs k >= 1 and a non-empty id/vector list " +
+            "of equal length with uniform dimensionality")
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_k_neighbors expects (array<double>, bigint), got $l / $r")
+    }
+
+  /** √(Σv²) per matrix row, once — same arithmetic as
+    * [[CosineSimilarity]]'s `sqrt(ny)`.
+    */
+  private lazy val norms: Array[Double] = matrix.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val self = b.asInstanceOf[Long]
+    val nd = x.numElements()
+    val dim = matrix(0).length
+    val n = math.min(nd, dim)
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getDouble(i); nx += xi * xi; i += 1 }
+    val snx = math.sqrt(nx)
+    val bn = new Array[Long](k); val bc = new Array[Double](k)
+    var size = 0
+    var c = 0
+    while (c < matrix.length) {
+      if (ids(c) != self) {
+        val row = matrix(c)
+        var dot = 0.0; i = 0
+        while (i < n) { dot += x.getDouble(i) * row(i); i += 1 }
+        val cn =
+          if (nd >= dim) norms(c)
+          else {
+            var s = 0.0; i = 0
+            while (i < n) { s += row(i) * row(i); i += 1 }
+            math.sqrt(s)
+          }
+        val denom = snx * cn
+        if (denom != 0.0) {
+          val cos = dot / denom
+          // insertion position under (cosine desc, id asc)
+          var j = size
+          while (j > 0 &&
+              (cos > bc(j - 1) || (cos == bc(j - 1) && ids(c) < bn(j - 1))))
+            j -= 1
+          if (j < k) {
+            val end = math.min(size, k - 1)
+            var m = end
+            while (m > j) { bc(m) = bc(m - 1); bn(m) = bn(m - 1); m -= 1 }
+            bc(j) = cos; bn(j) = ids(c)
+            if (size < k) size += 1
+          }
+        }
+      }
+      c += 1
+    }
+    val out = new Array[Any](size)
+    i = 0
+    while (i < size) { out(i) = InternalRow(bn(i), bc(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val matRef = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val rowClass = classOf[org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow].getName
+    val arrClass = classOf[org.apache.spark.sql.catalyst.util
+      .GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      val nd = ctx.freshName("nd"); val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx"); val snx = ctx.freshName("snx")
+      val dot = ctx.freshName("dot"); val denom = ctx.freshName("denom")
+      val cos = ctx.freshName("cos"); val cn = ctx.freshName("cn")
+      val s2 = ctx.freshName("s2"); val row = ctx.freshName("row")
+      val bn = ctx.freshName("bn"); val bc = ctx.freshName("bc")
+      val size = ctx.freshName("size"); val end = ctx.freshName("end")
+      val out = ctx.freshName("out"); val vals = ctx.freshName("vals")
+      s"""
+        int $nd = $a.numElements();
+        int $n = java.lang.Math.min($nd, $matRef[0].length);
+        double $nx = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double v = $a.getDouble($i); $nx += v * v;
+        }
+        double $snx = java.lang.Math.sqrt($nx);
+        long[] $bn = new long[$k]; double[] $bc = new double[$k];
+        int $size = 0;
+        for (int $c = 0; $c < $matRef.length; $c++) {
+          if ($idsRef[$c] == $b) continue;
+          double[] $row = $matRef[$c];
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += $a.getDouble($i) * $row[$i];
+          }
+          double $cn;
+          if ($nd >= $row.length) {
+            $cn = $normsRef[$c];
+          } else {
+            double $s2 = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $s2 += $row[$i] * $row[$i];
+            }
+            $cn = java.lang.Math.sqrt($s2);
+          }
+          double $denom = $snx * $cn;
+          if ($denom == 0.0) continue;
+          double $cos = $dot / $denom;
+          int $j = $size;
+          while ($j > 0 && ($cos > $bc[$j - 1] ||
+              ($cos == $bc[$j - 1] && $idsRef[$c] < $bn[$j - 1]))) {
+            $j--;
+          }
+          if ($j < $k) {
+            int $end = java.lang.Math.min($size, $k - 1);
+            for (int $m = $end; $m > $j; $m--) {
+              $bc[$m] = $bc[$m - 1]; $bn[$m] = $bn[$m - 1];
+            }
+            $bc[$j] = $cos; $bn[$j] = $idsRef[$c];
+            if ($size < $k) $size++;
+          }
+        }
+        Object[] $out = new Object[$size];
+        for (int $i = 0; $i < $size; $i++) {
+          Object[] $vals = new Object[2];
+          $vals[0] = java.lang.Long.valueOf($bn[$i]);
+          $vals[1] = java.lang.Double.valueOf($bc[$i]);
+          $out[$i] = new $rowClass($vals);
+        }
+        ${ev.value} = new $arrClass($out);
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKNeighbors =
+    copy(vec = newLeft, selfId = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim
 
@@ -250,6 +499,27 @@ object VectorExpressions {
   def cosineNative(a: Column, b: Column): Column =
     graftshim.columnOf(CosineSimilarity(
       graftshim.columnExpr(a), graftshim.columnExpr(b)))
+
+  /** Column API for [[DotProduct]]. */
+  def dotNative(a: Column, b: Column): Column =
+    graftshim.columnOf(DotProduct(
+      graftshim.columnExpr(a), graftshim.columnExpr(b)))
+
+  /** Column API for [[TopKNeighbors]]: matrix rows sorted by id so the
+    * scan order (and thus any tie handling) is reproducible regardless
+    * of the order the caller collected them in.
+    */
+  def topKNeighborsNative(vec: Column, selfId: Column,
+      ids: Array[Long], matrix: Array[Array[Double]], k: Int): Column = {
+    require(ids.length == matrix.length && ids.nonEmpty,
+      "top_k_neighbors: id/vector lists must align and be non-empty")
+    require(matrix.forall(_.length == matrix(0).length),
+      "top_k_neighbors: vectors must share one dimensionality")
+    val order = ids.indices.sortBy(ids(_)).toArray
+    graftshim.columnOf(TopKNeighbors(
+      graftshim.columnExpr(vec), graftshim.columnExpr(selfId),
+      order.map(ids(_)), order.map(matrix(_)), k))
+  }
 
   /** Column API for [[NearestCentroid]]: cells sorted ascending so the
     * lowest-id tie-break is positional.

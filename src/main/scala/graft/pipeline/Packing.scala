@@ -70,6 +70,8 @@ object Packing {
   def chunkSliding(df: DataFrame, chunk: Int = 64, stride: Int = 48,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunk >= 1 && stride >= 1, "chunk and stride are positive")
+    require(stride <= chunk,
+      "stride > chunk would skip tokens — the contract covers every token")
     df.select(col(idCol),
         split(trim(col(textCol)), "\\s+").as("_toks"))
       .select(col(idCol), posexplode(expr(

@@ -24,12 +24,18 @@ object Sampling {
     * pass their own modulus.
     */
   def bucketCol(id: Column, salt: String = "graft",
-      buckets: Int = 100): Column = {
-    val h = conv(substring(
+      buckets: Int = 100): Column =
+    pmod(hash60(id, salt), lit(buckets))
+
+  /** The raw 60-bit md5 value both [[bucketCol]] and [[uniformSample]]
+    * derive from — ONE definition so the documented relationships
+    * between the samplers (nesting, retry-stability, shared
+    * permutation) can't silently decorrelate.
+    */
+  private def hash60(id: Column, salt: String): Column =
+    conv(substring(
       md5(concat(lit(salt), lit(":"), id.cast("string"))), 18, 15),
       16, 10).cast("long")
-    pmod(h, lit(buckets))
-  }
 
   /** Deterministic train/valid/test assignment: [[bucketCol]] split by
     * percentile band — the reproducible-splits knob of a pretraining
@@ -111,14 +117,6 @@ object Sampling {
       .withColumn("keep_frac", round(col("keep_frac"), 6))
   }
 
-  /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id
-    * tiebreak) — domain capping. TWO-PHASE so a hot domain cannot
-    * serialize onto one task: phase one ranks within (domain, salt)
-    * subgroups — `salts` bounded sorts of |domain|/salts rows — and
-    * keeps k per subgroup; phase two ranks the surviving k·salts
-    * candidates per domain. Provably exact: the global top-k of a
-    * domain is contained in the union of its per-salt top-k.
-    */
   /** Exact-k uniform sample: rank rows by the same 60-bit md5 the
     * bucket predicates use — a deterministic uniform permutation of the
     * corpus — and keep the first `k`. Unlike the rate-based samplers
@@ -130,16 +128,20 @@ object Sampling {
     * corpus size.
     */
   def uniformSample(df: DataFrame, k: Int, idCol: String = "doc_id",
-      salt: String = "graft"): DataFrame = {
-    val h = conv(substring(
-      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 18, 15),
-      16, 10).cast("long")
-    df.withColumn("_h", h)
+      salt: String = "graft"): DataFrame =
+    df.withColumn("_h", hash60(col(idCol), salt))
       .orderBy(col("_h"), col(idCol))
       .limit(k)
       .drop("_h")
-  }
 
+  /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id
+    * tiebreak) — domain capping. TWO-PHASE so a hot domain cannot
+    * serialize onto one task: phase one ranks within (domain, salt)
+    * subgroups — `salts` bounded sorts of |domain|/salts rows — and
+    * keeps k per subgroup; phase two ranks the surviving k·salts
+    * candidates per domain. Provably exact: the global top-k of a
+    * domain is contained in the union of its per-salt top-k.
+    */
   def capPerDomain(df: DataFrame, domainCol: String = "source",
       orderCol: String = "n_chars", idCol: String = "doc_id", k: Int = 50,
       salts: Int = 16): DataFrame = {

@@ -352,10 +352,12 @@ object CoreQueries {
     * then re-applies post-join.
     */
   def disjunctiveSale(s: SparkSession, d: String): DataFrame = {
+    // all three brands exist in the fixtures (Brand#1..Brand#25), so
+    // every leg of the disjunction is live and oracle-covered
     val bands = Seq(
       ("Brand#12", (1, 15), (1, 11)),
       ("Brand#23", (10, 30), (10, 20)),
-      ("Brand#34", (20, 50), (20, 30)))
+      ("Brand#24", (20, 50), (20, 30)))
     val pred = bands.map { case (b, (s0, s1), (q0, q1)) =>
       col("p_brand") === b && col("p_size").between(s0, s1) &&
         col("l_quantity").between(q0, q1)
@@ -384,8 +386,12 @@ object CoreQueries {
     */
   def idleWealthyCustomers(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
+    // threshold on the ROUNDED average: engines sum in different orders,
+    // so the raw avg can differ in the last ulp — and membership (`>`)
+    // is compared exactly, not with float tolerance. Balances carry 2
+    // decimals, so a cent-rounded threshold admits identical sets.
     val avgBal = c.filter(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal")).as("_ab"))
+      .agg(round(avg(col("c_acctbal")), 2).as("_ab"))
     val early = orders(s, d)
       .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       .select(col("o_custkey")).distinct()
@@ -736,10 +742,10 @@ object CoreQueries {
                 AND l.l_quantity BETWEEN 1 AND 11)
             OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
                 AND l.l_quantity BETWEEN 10 AND 20)
-            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+            OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 20 AND 50
                 AND l.l_quantity BETWEEN 20 AND 30)""",
     "q_idle_customers" ->
-      """WITH ab AS (SELECT avg(c_acctbal) AS v FROM customer
+      """WITH ab AS (SELECT round(avg(c_acctbal), 2) AS v FROM customer
                      WHERE c_acctbal > 0.0)
          SELECT n.n_name, count(*) AS numcust,
                 round(sum(c.c_acctbal), 2) AS totacctbal

@@ -553,7 +553,7 @@ class PipelineSpec extends AnyFunSuite {
       s"kept ${out.count()} of $total")
   }
 
-  test("salted two-phase kNN graph equals the single-window baseline") {
+  test("plan-shipped kNN kernel equals the single-window baseline") {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"), col("embedding"))
     val q = e.select(col("vec_id").as("query_id"),

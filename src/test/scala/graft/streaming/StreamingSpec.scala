@@ -104,6 +104,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed batch funnel equals the stream's first epoch") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(uid: Long, t: String, tp: String) =
+      EventStreams.FEvent(uid, java.sql.Timestamp.valueOf(t), tp)
+    val W = 3600 * 1000L // 1-hour conversion window
+    val data = Seq(
+      // user 1: completes within the hour
+      ev(1, "2024-01-01 10:00:00", "view"),
+      ev(1, "2024-01-01 10:20:00", "click"),
+      ev(1, "2024-01-01 10:40:00", "purchase"),
+      // user 2: the only click falls outside epoch 1's window; a SECOND
+      // stream epoch then forms — first-epoch parity must ignore it
+      ev(2, "2024-01-01 09:00:00", "view"),
+      ev(2, "2024-01-01 11:30:00", "view"),
+      ev(2, "2024-01-01 11:40:00", "click"),
+      // user 3: click lands at exactly t1 + window — inclusive both sides
+      ev(3, "2024-01-01 09:00:00", "view"),
+      ev(3, "2024-01-01 10:00:00", "click"))
+    implicit val sq = s.sqlContext
+    val src = MemoryStream[EventStreams.FEvent]
+    val q = EventStreams.funnelStream(src.toDS(),
+        steps = Seq("view", "click", "purchase"), windowMs = W,
+        watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wfunnel_parity").start()
+    try {
+      src.addData(data: _*)
+      q.processAllAvailable()
+      src.addData(ev(-9, "2024-02-01 00:00:00", "noise"))
+      q.processAllAvailable()
+      src.addData(ev(-9, "2024-03-01 00:00:00", "noise"))
+      q.processAllAvailable()
+      val hits = s.table("wfunnel_parity").filter(col("user_id") > 0)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+      val t1 = hits.filter(_._2 == 1).groupBy(_._1)
+        .map { case (u, hs) => u -> hs.map(_._3.getTime).min }
+      val firstEpoch = hits.filter { case (u, _, t) =>
+        t.getTime <= t1(u) + W }.toSet
+      val batch = graft.operators.Funnel.funnel(
+          data.filter(_.user_id > 0).toDF(),
+          steps = Seq("view", "click", "purchase"),
+          tsCol = col("event_time"), windowMs = Some(W))
+        .collect().flatMap { r =>
+          (1 to 3).flatMap { j =>
+            Option(r.getTimestamp(j)).map(t => (r.getLong(0), j, t))
+          }
+        }.toSet
+      assert(batch == firstEpoch,
+        s"batch ${batch.mkString(",")} vs stream first epoch " +
+          firstEpoch.mkString(","))
+    } finally q.stop()
+  }
+
   test("funnel user quiet beyond the watermark delay still completes") {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
