@@ -406,6 +406,47 @@ object CoreQueries {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): the one-table filtered
+    * aggregate — the pure pushdown showcase. All three predicates reach
+    * the parquet scan (date range, discount band, quantity cap); what
+    * survives map-side-combines into a single row. At 100 TB this query
+    * IS its scan: no shuffle beyond one 1-row exchange.
+    */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q15 shape (top supplier): quarterly per-supplier revenue,
+    * then the suppliers achieving the maximum. The revenue relation is
+    * materialized ONCE (localCheckpoint — |suppliers| rows, far below
+    * the lineitem scan it summarizes) because both the max scalar and
+    * the equality filter read it; without that the fact scan would run
+    * twice. The max rides a 1-row broadcast (scalar-subquery shape, as
+    * in [[idleWealthyCustomers]]) — never a global window, which would
+    * serialize every supplier onto one task.
+    */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total"))
+      .localCheckpoint()
+    val best = rev.agg(max(col("total")).as("_mx"))
+    rev.crossJoin(broadcast(best))
+      .filter(col("total") === col("_mx"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total"), 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Event-time rolling window: per user, the 1-hour trailing sum and
     * count of event values — RANGE frame over epoch seconds, so the
     * frame is defined by TIME, not row position (gap-robust, unlike a
@@ -584,6 +625,8 @@ object CoreQueries {
     "q_promo_revenue"     -> promoRevenue _,
     "q_disjunctive_sale"  -> disjunctiveSale _,
     "q_idle_customers"    -> idleWealthyCustomers _,
+    "q_forecast_revenue"  -> forecastRevenue _,
+    "q_top_supplier"      -> topSupplier _,
     "q_value_percentiles" -> valuePercentiles _,
     "q_distinct_users"    -> distinctUsers _,
     "q_grouping_sets"     -> groupingSets _,
@@ -755,6 +798,26 @@ object CoreQueries {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderdate < TIMESTAMP '1996-01-01')
          GROUP BY 1 ORDER BY 1""",
+    "q_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(l_extendedprice * (1 - l_discount)) AS total
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, round(r.total, 2) AS total_revenue
+         FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+         WHERE r.total = (SELECT max(total) FROM rev)
+         ORDER BY s.s_suppkey""",
     "q_customer_distribution" ->
       """SELECT n_orders, count(*) AS n_customers FROM (
            SELECT coalesce(o.n_orders, 0) AS n_orders

@@ -106,6 +106,85 @@ class VectorExprSpec extends AnyFunSuite {
     assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12,
       "extra trailing dims ignored (min length)")
   }
+
+  test("dot kernel ≡ HOF dot, and it codegens") {
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val native = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions.dotNative(col("v"), col("v")).as("d"))
+    val hof = emb.select(col("vec_id"),
+      Similarity.dot(col("v"), col("v")).as("d"))
+    // identical accumulation order → identical doubles, no tolerance
+    assert(native.orderBy("vec_id").collect().toSeq ==
+      hof.orderBy("vec_id").collect().toSeq)
+    val gen = native.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("Found 1 WholeStageCodegen"), gen.take(500))
+  }
+
+  test("top-k kernel: exact order, id tie-break, self excluded, " +
+      "empty for isolated rows") {
+    import s.implicits._
+    import graft.functions.VectorExpressions.topKNeighborsNative
+    // constructed matrix: id 1 is a duplicate of id 2 (cosine 1 tie →
+    // lower id first); id 9 is orthogonal to everything but itself
+    val vecs: Seq[(Long, Array[Double])] = Seq(
+      1L -> Array(1.0, 0.0, 0.0),
+      2L -> Array(1.0, 0.0, 0.0),
+      3L -> Array(1.0, 1.0, 0.0),
+      4L -> Array(-1.0, 0.0, 0.0),
+      9L -> Array(0.0, 0.0, 0.0)) // zero vector: no valid cosine
+    val ids = vecs.map(_._1).toArray
+    val mat = vecs.map(_._2).toArray
+    val df = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), topKNeighborsNative(col("v"), col("vec_id"),
+        ids, mat, k = 2).as("nn"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), math.rint(x.getDouble(1) * 1e6) / 1e6)))
+      .toMap
+    assert(got(1L) == Seq((2L, 1.0), (3L, 0.707107)),
+      s"got ${got(1L)} — duplicate must rank before the 45° neighbor")
+    assert(got(2L) == Seq((1L, 1.0), (3L, 0.707107)))
+    assert(got(3L).map(_._1) == Seq(1L, 2L),
+      "equal-cosine neighbors must order by id ascending")
+    assert(got(4L).map(_._1) == Seq(3L, 1L) || got(4L).head._1 == 3L)
+    assert(got(9L).isEmpty, "zero-norm row has no valid neighbors")
+    // and the zero row never appears as anyone's neighbor
+    assert(!got.values.flatten.exists(_._1 == 9L))
+  }
+
+  test("top-k kernel matches the crossJoin+window formulation on real " +
+      "embeddings") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val naive = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(emb.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9) / 1e9)).toSet
+    val local = emb
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>")).collect()
+    val got = emb.select(col("vec_id"),
+        posexplode(graft.functions.VectorExpressions.topKNeighborsNative(
+          col("embedding").cast("array<double>"), col("vec_id"),
+          local.map(_.getLong(0)),
+          local.map(_.getSeq[Double](1).toArray), k = 3)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1) + 1, r.getStruct(2).getLong(0),
+        math.rint(r.getStruct(2).getDouble(1) * 1e9) / 1e9)).toSet
+    assert(got == naive)
+  }
 }
 
 class ComponentsSpec extends AnyFunSuite {
