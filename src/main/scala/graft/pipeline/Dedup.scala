@@ -443,6 +443,59 @@ object Dedup {
     verifyJaccard(candidates, toks, idCol, threshold)
   }
 
+  /** Cross-corpus exact n-gram Jaccard join — dedup/decontaminate a
+    * corpus B against a held corpus A (benchmark suites, an earlier
+    * training mix, a licensed set): every (a, b) pair with
+    * jaccard ≥ threshold, a ∈ A, b ∈ B. Ids must be disjoint across
+    * the corpora (they share one verification token table).
+    *
+    * Same prefix blocking as [[ngramJaccard]], with two cross-corpus
+    * differences. (1) The token-frequency order the prefixes derive
+    * from is computed over A ∪ B — prefix-filter completeness needs
+    * ONE total order spanning both sides; per-corpus orders would
+    * disagree and silently drop pairs. (2) Both sides carry the
+    * canonical long prefix n − ceil(t·n) + 1 (complete because
+    * jaccard ≥ t ⇒ |A∩B| ≥ t·max(n_a, n_b)); the self-join's
+    * short-prefix/long-prefix asymmetry assumes an ordered self-pairing
+    * and does not apply across corpora. Shuffles carry 64-bit hashed
+    * tokens and id pairs only; at 100 TB the A side is typically
+    * benchmark-sized, so its prefix index is the small build side of
+    * the token join.
+    */
+  def crossCorpusJaccard(dfA: DataFrame, dfB: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val eps = 1e-9
+    val toksA = hashedTokens(dfA, textCol, idCol, k)
+    val toksB = hashedTokens(dfB, textCol, idCol, k)
+    val freq = toksA.select(col("tok")).union(toksB.select(col("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    def prefixed(toks: DataFrame) = toks.join(freq, Seq("tok"))
+      .groupBy(col(idCol), col("n"))
+      .agg(sort_array(collect_list(struct(col("freq"), col("tok"))))
+        .as("sorted"))
+      .select(col(idCol), col("n"),
+        posexplode(slice(transform(col("sorted"), s => s("tok")), lit(1),
+          (col("n") - ceil(col("n") * lit(threshold) - eps) + 1)
+            .cast("int")))
+          .as(Seq("pos", "tok")))
+    val alpha = ceil(
+      (col("n_a") + col("n_b")) * lit(threshold / (1 + threshold)) - eps)
+    val candidates = prefixed(toksA)
+      .select(col(idCol).as("id_a"), col("n").as("n_a"),
+        col("pos").as("pos_a"), col("tok"))
+      .join(prefixed(toksB).select(col(idCol).as("id_b"), col("n").as("n_b"),
+        col("pos").as("pos_b"), col("tok")), Seq("tok"))
+      // positional filter: tokens common to both sets all sit at or
+      // after the matched positions, so both suffixes must still be
+      // able to hold the required overlap α
+      .filter(least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b"))
+        >= alpha)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyJaccard(candidates, toksA.union(toksB), idCol, threshold)
+  }
+
   /** Embedding near-duplicates: random-hyperplane LSH (deterministic
     * planes) buckets sign-pattern bands; candidates verified by exact
     * cosine via zip_with/aggregate — no UDF, no O(n²).

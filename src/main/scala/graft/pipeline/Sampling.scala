@@ -134,6 +134,32 @@ object Sampling {
       .limit(k)
       .drop("_h")
 
+  /** Deterministic export sharding — "write the corpus as N shard
+    * files, globally shuffled, reproducibly": every row gets
+    * (shard, pos) where shard = md5-hash mod nShards and pos ranks the
+    * SAME 60-bit hash within the shard. The hash is a uniform
+    * permutation of the corpus, so concatenating shards 0..N−1 in pos
+    * order replays one global deterministic shuffle — without any
+    * global sort: each shard ranks independently.
+    *
+    * Scale shape: one hash-partition exchange on `shard`, then a
+    * per-shard sort — exactly the work a shard writer must do anyway
+    * to stream its file in order. Parallelism = nShards, so pick
+    * nShards ≫ executors (training exports typically run 1k-100k shards);
+    * per-shard sorts spill gracefully. Retry-stable and
+    * cluster-size-independent like every [[hash60]] derivative: ids,
+    * not partition layout, decide both shard and position.
+    */
+  def shardExport(df: DataFrame, nShards: Int, idCol: String = "doc_id",
+      salt: String = "graft-shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", hash60(col(idCol), salt))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id
     * tiebreak) — domain capping. TWO-PHASE so a hot domain cannot
     * serialize onto one task: phase one ranks within (domain, salt)

@@ -248,6 +248,75 @@ object Similarity {
         round(col("_m.cosine"), 6).as("cosine"))
   }
 
+  /** Distributed Lloyd's k-means (cosine assignment, elementwise-mean
+    * update) with deterministic seeding — the iterative broadcast-train
+    * loop, hand-rolled so every step is an auditable Spark plan (unlike
+    * [[buildIvf]]'s MLlib fit, whose seeding is library-internal and
+    * thus not oracle-replayable). Per iteration the corpus streams ONCE
+    * through the codegen'd [[graft.functions.NearestCentroid]] argmax
+    * kernel — assignment itself never shuffles; the mean update
+    * shuffles only (cell, dim) partial sums, k×dim×partitions rows of
+    * pre-aggregated scalars (map-side combine). Centroids live on the
+    * driver between iterations — k×dim doubles, metadata-sized by the
+    * same contract as [[buildIvf]]/[[assignToCentroids]].
+    *
+    * Seeding: the k corpus vectors ranked first by `md5(id)` — a
+    * deterministic uniform permutation (the [[Sampling.uniformSample]]
+    * idiom), stable across runs and cluster sizes, and expressible in
+    * the DuckDB oracle (MLlib's k-means|| is not).
+    *
+    * Returns per-cluster audit stats on the FINAL assignment:
+    * (cell, n_members, mean_cosine, c0 = first centroid coordinate) —
+    * counts pin the partition, mean_cosine pins assignment quality, c0
+    * pins the update arithmetic. Rounded to 6 decimals: the compared
+    * values are means of ≥dozens of doubles whose engine-order ulp
+    * noise sits ~1e-15, nine orders below the grid.
+    *
+    * Empty clusters drop out of the update (no members → no mean) and
+    * of the result — mirrored exactly by the oracle's GROUP BY.
+    */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    var cents: Seq[(Int, Array[Double])] =
+      v.orderBy(md5(col("_id").cast("string")), col("_id")).limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+    for (_ <- 1 to iters) {
+      val assigned = v.select(
+        graft.functions.VectorExpressions.nearestCentroidNative(col("_v"),
+          cents).getField("cell").cast("int").as("cell"),
+        col("_v"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+          .as("ms"))
+        .select(col("cell"),
+          transform(col("ms"), s => s("m")).as("cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    }
+    val fin = v.select(
+      graft.functions.VectorExpressions.nearestCentroidNative(col("_v"),
+        cents).as("_m"))
+    val c0 = cents.sortBy(_._1).map { case (i, c) => (i, c(0)) }
+      .toDF("cell", "c0")
+    fin.select(col("_m.cell").cast("int").as("cell"), col("_m.cosine"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cosine")), 6).as("mean_cosine"))
+      .join(broadcast(c0), Seq("cell"))
+      .select(col("cell"), col("n_members"), col("mean_cosine"),
+        round(col("c0"), 6).as("c0"))
+      .orderBy("cell")
+  }
+
   private def assignCells(centroids: Array[(Int, Array[Double])],
       vecCol: String, idCol: String)(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession

@@ -330,4 +330,73 @@ object TextAnalysis {
     df.select(Seq(col(idCol), md5(normalized.cast("binary")).as("content_md5")) ++
       sketch: _*)
   }
+
+  /** One-row corpus report: document/token/vocabulary totals,
+    * type-token ratio, head-word share, mean document length — the
+    * numbers a dataset card quotes and a mix-rebalancing decision
+    * starts from. All counts map-side-combine; the head word is a
+    * TakeOrdered top-1, never a vocabulary sort.
+    */
+  def corpusStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = df.select(
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("word")).limit(1)
+      .select(col("word").as("top_word"), col("n").as("top_n"))
+    val totals = counts.agg(sum(col("n")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(top))
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        round(col("vocab_size") / col("total_tokens"), 6)
+          .as("type_token_ratio"),
+        col("top_word"),
+        round(col("top_n") / col("total_tokens"), 6).as("top_word_share"),
+        round(col("total_tokens") / col("n_docs"), 4).as("avg_doc_tokens"))
+  }
+
+  /** Bigram language-model quality scoring — the "LM filter" of a
+    * curation pipeline (CCNet-style: score each document by how well a
+    * reference model predicts it; outliers on either end are
+    * boilerplate or gibberish). Trains add-one-smoothed bigram
+    * statistics on the rows matching `trainFilter` and scores EVERY
+    * document by mean log P(w_i | w_{i−1}) =
+    * ln((c(w1,w2)+1) / (c(w1)+V)), with V = distinct successor words
+    * in training. Documents with fewer than two words have no bigrams
+    * and drop out (mirrored by the oracle).
+    *
+    * Scale shape: model tables are corpus-bigram-sized, so the score
+    * join co-shuffles doc bigrams against them on (w1, w2) then (w1) —
+    * the partitioning any cluster size wants; counts map-side-combine;
+    * V rides a broadcast 1-row aggregate. Raw word pairs (not hashes)
+    * keep the oracle replayable; a production run would hash bigrams
+    * 64-bit first, exactly as the dedup family does.
+    */
+  def lmScore(df: DataFrame, trainFilter: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = df.select(col(idCol), col(textCol))
+      .withColumn("w", split(trim(lower(col(textCol))), "\\s+"))
+      .filter(size(col("w")) >= 2)
+    val big = words.select(col(idCol),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val train = big.filter(trainFilter)
+    val c2 = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = broadcast(train.agg(countDistinct(col("w2")).as("v")))
+    big.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(v)
+      .select(col(idCol),
+        log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))).as("lp"))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("lp")), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
 }

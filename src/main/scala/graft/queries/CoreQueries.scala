@@ -602,6 +602,238 @@ object CoreQueries {
       .orderBy("custkey")
   }
 
+  /** TPC-H Q7 shape (volume shipping): cross-border revenue between two
+    * REGIONS (geography pair at region granularity — nation pairs are
+    * empty at the smallest test SF), by supplier nation × customer
+    * nation × ship year, both directions. The region filters are
+    * applied INSIDE the customer/supplier sub-relations — each side
+    * shrinks to one region's share before its join, and the
+    * constant-sized nation⋈region lookup broadcasts; the two-year ship
+    * window prunes the fact scan.
+    */
+  def volumeShipping(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("ASIA", "EUROPE")
+    val geo = nation(s, d)
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val cust = customer(s, d)
+      .join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"),
+        col("r_name").as("cust_region"))
+    val supp = supplier(s, d)
+      .join(broadcast(geo), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"),
+        col("r_name").as("supp_region"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_region") === pair(0) && col("cust_region") === pair(1)) ||
+        (col("supp_region") === pair(1) && col("cust_region") === pair(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape (market share): one supplier nation's share of a
+    * region's market for one part type, per order year. Nation/region
+    * joins broadcast; part and customer scale with SF so their joins
+    * co-shuffle on the key and AQE picks broadcast when the filtered
+    * side turns out small (the same stance as [[returnedItemRevenue]]).
+    * The share divides two sums from ONE pass (conditional aggregate) —
+    * never two scans.
+    */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val target = "NATION_3"
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"),
+      col("n_regionkey"))
+    val custEur = customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("c_custkey"))
+    val supp = supplier(s, d)
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val pStd = part(s, d).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem(s, d)
+      .join(pStd, col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custEur, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(when(col("supp_nation") === target, rev).otherwise(0.0)) /
+          sum(rev), 6).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q12 shape (late shipments by priority), adapted: the test
+    * schema has no ship mode or commit/receipt dates, so "late" derives
+    * from ship lag vs order date (>90 days) and the grouping is
+    * (ship year, lateness bucket) instead of ship mode. The
+    * high/low-priority split is the Q12 conditional-count pair in one
+    * hash-agg pass; the join co-shuffles lineitem and orders on the
+    * order key.
+    */
+  def lateLineDistribution(s: SparkSession, d: String): DataFrame = {
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(delay > 90)
+      .groupBy(year(col("l_shipdate")).as("ship_year"),
+        when(delay <= 180, "late_3_6mo").otherwise("late_6mo_plus")
+          .as("delay_bucket"))
+      .agg(count_if(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .as("high_priority"),
+        count_if(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .as("low_priority"))
+      .orderBy("ship_year", "delay_bucket")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    * revenue lost if orders below 20% of a part's average quantity were
+    * dropped. The correlated scalar subquery becomes a per-part
+    * aggregate joined back on the part key — both sides pre-pruned by
+    * the brand filter and co-partitioned on l_partkey, so the self-join
+    * reuses one shuffle layout. The threshold is ROUNDED to 6 decimals
+    * in both engines: `<` membership is exact, and engines disagree in
+    * the last ulp of an avg; quantities carry far fewer digits.
+    */
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val pBrand = part(s, d).filter(col("p_brand") === "Brand#12")
+      .select(col("p_partkey"))
+    val l = lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(pBrand, col("l_partkey") === col("p_partkey"), "left_semi")
+    val thresh = l.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(round(avg(col("l_quantity")) * 0.2, 6).as("qty_thresh"))
+    l.join(thresh, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    * ship-lag lateness: suppliers whose line shipped >90 days after the
+    * order date on a finished multi-supplier order where NO other
+    * supplier was also late. EXISTS/NOT EXISTS become left_semi /
+    * left_anti joins with a (same order, different supplier) condition —
+    * all three legs shuffle on the order key only, carrying
+    * (orderkey, suppkey) pairs, never line payloads.
+    */
+  def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = l
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+    val l1 = late.filter(col("o_orderstatus") === "F")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val others = l.select(col("l_orderkey").as("ok2"),
+      col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"),
+      col("l_suppkey").as("sk3"))
+    l1.join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        "left_semi")
+      .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+        "left_anti")
+      .join(supplier(s, d), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): orders of one quarter
+    * with at least one late line (ship lag > 90 days — the schema's
+    * commit/receipt-date adaptation, as in [[lateLineDistribution]]),
+    * counted by priority. The EXISTS is a left_semi join whose
+    * condition spans both sides (the lag needs o_orderdate), so the
+    * semi join itself evaluates it — no pre-join materialization; the
+    * quarter filter prunes the orders scan first.
+    */
+  def orderPriorityCounts(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 90, "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q9 shape (product-type profit): per supplier-nation, per
+    * order year, profit on 'red' parts — adapted: the schema has no
+    * partsupp, so unit cost is modeled as 60% of the part's retail
+    * price. lineitem is the only fact-sized relation once the p_name
+    * filter lands: part co-shuffles (scales with SF, same stance as
+    * [[marketShare]]); supplier/nation broadcast; one conditional-free
+    * agg pass.
+    */
+  def productTypeProfit(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val sup = supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem(s, d)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("p_retailprice") * lit(0.6) * col("l_quantity")), 2)
+        .as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Ranking-window showcase over each customer's order history:
+    * lag (days since previous order), rank + ntile + percent_rank on
+    * spend — every ranking-family window in ONE pass over ONE shuffle
+    * (all four functions share the (custkey, date-ordered) window;
+    * Spark plans a single Window operator). Ordering keys are unique
+    * per partition ((o_orderdate, o_orderkey)), so every rank is
+    * deterministic cross-engine; the spend ranking ties break on
+    * orderkey.
+    */
+  def orderGaps(s: SparkSession, d: String): DataFrame = {
+    val seq = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val spend = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).filter(col("o_custkey") <= 200)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(seq))
+          .as("days_since_prev"),
+        rank().over(spend).as("spend_rank"),
+        ntile(4).over(seq).as("seq_quartile"),
+        round(percent_rank().over(spend), 6).as("spend_pct"))
+      .orderBy("custkey", "orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_federation_agg"    -> federationAgg _,
     "q_euro_customers"    -> euroCustomers _,
@@ -633,7 +865,15 @@ object CoreQueries {
     "q_urgent_customers"  -> urgentCustomers _,
     "q_conditional_agg"   -> conditionalAgg _,
     "q_session_window"    -> sessionWindows _,
-    "q_set_ops"           -> setOps _
+    "q_set_ops"           -> setOps _,
+    "q_volume_shipping"   -> volumeShipping _,
+    "q_market_share"      -> marketShare _,
+    "q_late_lines"        -> lateLineDistribution _,
+    "q_order_priority"    -> orderPriorityCounts _,
+    "q_product_profit"    -> productTypeProfit _,
+    "q_order_gaps"        -> orderGaps _,
+    "q_small_qty_revenue" -> smallQtyRevenue _,
+    "q_waiting_suppliers" -> waitingSuppliers _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -919,6 +1159,121 @@ object CoreQueries {
          SELECT o_custkey FROM orders
          EXCEPT
          SELECT c_custkey FROM customer WHERE c_acctbal < 0
-         ORDER BY custkey"""
+         ORDER BY custkey""",
+    "q_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS INT) AS l_year,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+                  AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+           AND ((sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE')
+             OR (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                    THEN l.l_extendedprice * (1.0 - l.l_discount)
+                    ELSE 0.0 END)
+                  / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6)
+                  AS mkt_share,
+                count(*) AS n_items
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         WHERE p.p_type = 'STANDARD'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+           AND EXISTS (SELECT 1 FROM customer c
+                       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                       JOIN region r ON cn.n_regionkey = r.r_regionkey
+                       WHERE c.c_custkey = o.o_custkey
+                         AND r.r_name = 'EUROPE')
+         GROUP BY 1 ORDER BY 1""",
+    "q_late_lines" ->
+      """SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+                CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 180
+                     THEN 'late_3_6mo' ELSE 'late_6mo_plus' END
+                  AS delay_bucket,
+                count(*) FILTER (WHERE o.o_orderpriority
+                  IN ('1-URGENT', '2-HIGH')) AS high_priority,
+                count(*) FILTER (WHERE o.o_orderpriority
+                  NOT IN ('1-URGENT', '2-HIGH')) AS low_priority
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE datediff('day', o.o_orderdate, l.l_shipdate) > 90
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND datediff('day', o.o_orderdate, l.l_shipdate)
+                             > 90)
+         GROUP BY 1 ORDER BY 1""",
+    "q_product_profit" ->
+      """SELECT n.n_name AS nation,
+                CAST(year(o.o_orderdate) AS INT) AS o_year,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+                  - p.p_retailprice * 0.6 * l.l_quantity), 2) AS profit
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE p.p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_order_gaps" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                CAST(datediff('day', lag(o_orderdate) OVER seq,
+                  o_orderdate) AS INT) AS days_since_prev,
+                CAST(rank() OVER spend AS INT) AS spend_rank,
+                CAST(ntile(4) OVER seq AS INT) AS seq_quartile,
+                round(percent_rank() OVER spend, 6) AS spend_pct
+         FROM orders WHERE o_custkey <= 200
+         WINDOW seq AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                spend AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY custkey, orderkey""",
+    "q_small_qty_revenue" ->
+      """WITH l AS (SELECT l_partkey, l_quantity, l_extendedprice
+                    FROM lineitem
+                    WHERE l_partkey IN (SELECT p_partkey FROM part
+                                        WHERE p_brand = 'Brand#12')),
+         t AS (SELECT l_partkey, round(avg(l_quantity) * 0.2, 6) AS qty_thresh
+               FROM l GROUP BY 1)
+         SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+                count(*) AS n_items
+         FROM l JOIN t ON l.l_partkey = t.l_partkey
+         WHERE l.l_quantity < t.qty_thresh""",
+    "q_waiting_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         WHERE o.o_orderstatus = 'F'
+           AND datediff('day', o.o_orderdate, l1.l_shipdate) > 90
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND datediff('day', o3.o_orderdate,
+                                   l3.l_shipdate) > 90)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"""
   )
 }

@@ -523,6 +523,54 @@ object PipelineQueries {
         .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
       .orderBy("vec_id")
 
+  /** Distributed k-means fit: k=8, TWO full Lloyd iterations with
+    * deterministic md5-ranked seeding, then per-cluster audit stats.
+    * The oracle replays the ENTIRE iterative fit in SQL — seeding,
+    * both assignment rounds (argmax-cosine windows), both elementwise-
+    * mean updates — so a drift anywhere in the loop, not just in the
+    * final assignment, breaks the hash.
+    */
+  def embeddingKmeans(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansFit(Tables.embeddings(s, d), k = 8, iters = 2)
+
+  /** Cross-corpus decontamination pairs: the held set (doc_id ≡ 0
+    * mod 5 — a benchmark-sized 20% slice) against the rest of the
+    * corpus, exact 3-gram Jaccard ≥ 0.6 through the cross-corpus
+    * PPJoin (shared A∪B token order, long prefixes both sides).
+    * Oracle: exhaustive cross all-pairs.
+    */
+  def dedupCrossCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.crossCorpusJaccard(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic export sharding over the corpus: 8 shards, with the
+    * in-shard position replaying one global md5 permutation — the
+    * "reproducibly shuffled shard files" step that feeds a training
+    * run.
+    */
+  def sampleShardExport(s: SparkSession, d: String): DataFrame =
+    Sampling.shardExport(Tables.documents(s, d), nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /** Bigram-LM quality scores: model trained on the doc_id ≡ 0 mod 5
+    * split, every document scored by mean smoothed log-likelihood —
+    * the model-based quality filter of a curation pipeline.
+    */
+  def textLmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmScore(Tables.documents(s, d),
+        trainFilter = col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+
+  /** The one-row corpus report (dataset-card numbers). */
+  def textCorpusStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusStats(Tables.documents(s, d))
+
   /** Cluster-balanced sampling: nearest-centroid assignment (native
     * kernel, no shuffle) composed with the exact two-phase per-group
     * cap — keep the 10 vectors closest to each of the 8 centroids. The
@@ -706,6 +754,11 @@ object PipelineQueries {
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_bpe_pairs"       -> textBpePairs _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
+    "embedding_kmeans"     -> embeddingKmeans _,
+    "dedup_cross_corpus"   -> dedupCrossCorpus _,
+    "sample_shard_export"  -> sampleShardExport _,
+    "text_lm_score"        -> textLmScore _,
+    "text_corpus_stats"    -> textCorpusStats _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
     "pipeline_curate_neardup" -> pipelineCurateNearDup _,
@@ -1716,7 +1769,126 @@ object PipelineQueries {
          SELECT b.doc_id, b.predicted_lang, b.lang_score,
                 b.predicted_lang = d.lang AS correct
          FROM best b JOIN documents d USING (doc_id)
-         WHERE rn = 1 ORDER BY doc_id"""
+         WHERE rn = 1 ORDER BY doc_id""",
+    // the ENTIRE 2-iteration Lloyd loop replayed: md5 seeding, two
+    // argmax-cosine assignment rounds, two elementwise-mean updates,
+    // final audit stats — cell membership must match integrally, so
+    // any drift in any iteration breaks rows/hash, not just values
+    "embedding_kmeans" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         seed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                  FROM v ORDER BY h, vec_id LIMIT 8),
+         init AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                    AS INT) AS cell, v FROM seed),
+         s1 AS (SELECT a.vec_id, a.v, i.cell,
+                       list_cosine_similarity(a.v, i.v) AS sim
+                FROM v a CROSS JOIN init i),
+         a1 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s1)
+                WHERE rn = 1),
+         u1 AS (SELECT cell, pos, avg(x) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a1)
+                GROUP BY cell, pos),
+         c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u1
+                GROUP BY cell),
+         s2 AS (SELECT a.vec_id, a.v, c.cell,
+                       list_cosine_similarity(a.v, c.v) AS sim
+                FROM v a CROSS JOIN c1 c),
+         a2 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s2)
+                WHERE rn = 1),
+         u2 AS (SELECT cell, pos, avg(x) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a2)
+                GROUP BY cell, pos),
+         c2 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u2
+                GROUP BY cell),
+         s3 AS (SELECT a.vec_id, c.cell,
+                       list_cosine_similarity(a.v, c.v) AS sim
+                FROM v a CROSS JOIN c2 c),
+         a3 AS (SELECT cell, sim FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s3)
+                WHERE rn = 1)
+         SELECT a3.cell, count(*) AS n_members,
+                round(avg(a3.sim), 6) AS mean_cosine,
+                round(max(c2.v[1]), 6) AS c0
+         FROM a3 JOIN c2 USING (cell)
+         GROUP BY a3.cell ORDER BY a3.cell""",
+    "dedup_cross_corpus" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) AS jaccard
+         FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               >= 0.6
+         ORDER BY id_a, id_b""",
+    "sample_shard_export" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('graft-shard:' ||
+                     CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT AS hv
+           FROM documents)
+         SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+                CAST(row_number() OVER (PARTITION BY hv % 8
+                  ORDER BY hv, doc_id) AS INT) AS pos
+         FROM h ORDER BY shard, pos""",
+    "text_lm_score" ->
+      """WITH w AS (SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\s+')
+                             AS ws
+                    FROM documents),
+         b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+                 SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                 FROM w WHERE len(ws) >= 2)),
+         tr AS (SELECT * FROM b WHERE doc_id % 5 = 0),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY 1),
+         v AS (SELECT count(DISTINCT w2) AS v FROM tr)
+         SELECT b.doc_id,
+                round(avg(ln((coalesce(c2.c2, 0) + 1.0) /
+                  (coalesce(c1.c1, 0) + v.v))), 6) AS lm_score,
+                count(*) AS n_bigrams
+         FROM b LEFT JOIN c2 USING (w1, w2)
+                LEFT JOIN c1 USING (w1)
+                CROSS JOIN v
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "text_corpus_stats" ->
+      """WITH words AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+             AS word
+           FROM documents),
+         c AS (SELECT word, count(*) AS n FROM words GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+                      count(*) AS vocab_size FROM c),
+         top AS (SELECT word AS top_word, n AS top_n FROM c
+                 ORDER BY n DESC, word LIMIT 1),
+         d AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT d.n_docs, t.total_tokens, t.vocab_size,
+                round(t.vocab_size::DOUBLE / t.total_tokens, 6)
+                  AS type_token_ratio,
+                top.top_word,
+                round(top.top_n::DOUBLE / t.total_tokens, 6)
+                  AS top_word_share,
+                round(t.total_tokens::DOUBLE / d.n_docs, 4)
+                  AS avg_doc_tokens
+         FROM d, t, top"""
     // sim_topk_ivf stays rows-only: approximate by design — tail ranks
     // differ from brute force; recall is asserted in PipelineSpec.
   )

@@ -95,6 +95,29 @@ class CoreQueriesSpec extends AnyFunSuite {
       "INTERSECT/EXCEPT must become semi/anti joins:\n" + plan.take(2000))
   }
 
+  test("Q21 shape: EXISTS/NOT-EXISTS compile to semi/anti hash joins") {
+    val plan = graft.queries.CoreQueries.waitingSuppliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      "the other-supplier checks must be semi/anti joins:\n" +
+        plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+  }
+
+  test("Q17 shape: correlated avg becomes a partkey-co-shuffled " +
+      "self-join, never a per-row subquery") {
+    val plan = graft.queries.CoreQueries.smallQtyRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    // the brand filter must prune BOTH legs before their join:
+    // 2×(lineitem + part) scans, never more (no re-expansion)
+    val scans = plan.split("Scan parquet").length - 1
+    assert(scans <= 4, s"expected ≤4 parquet scans (2×(lineitem+part)" +
+      s"), got $scans:\n${plan.take(2000)}")
+  }
+
   test("top-k queries use TakeOrderedAndProject, not a full sort") {
     // a global ORDER BY + LIMIT must compile to per-partition heaps +
     // driver merge — a full range-exchange sort is the 100 TB trap

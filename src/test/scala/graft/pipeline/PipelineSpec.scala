@@ -647,4 +647,62 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
   }
+
+  test("cross-corpus join equals brute-force cross all-pairs Jaccard") {
+    val held = docs.filter(col("doc_id") % 5 === 0)
+    val rest = docs.filter(col("doc_id") % 5 =!= 0)
+    def sets(df: org.apache.spark.sql.DataFrame, id: String, set: String) =
+      df.select(col("doc_id").as(id), Dedup.shingles(col("text"), 3).as(set))
+    // brute-force ground truth across the corpora only
+    val truth = sets(held, "id_a", "set_a")
+      .crossJoin(sets(rest, "id_b", "set_b"))
+      .withColumn("j",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("j") >= 0.6)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    val found = Dedup.crossCorpusJaccard(held, rest, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    assert(found == truth,
+      s"cross-corpus PPJoin must be exact: missing ${truth -- found}, " +
+        s"spurious ${found -- truth}")
+    assert(truth.nonEmpty, "fixture must exercise at least one cross pair")
+  }
+
+  test("k-means fit: clusters partition the corpus, deterministically") {
+    val stats = Similarity.kmeansFit(emb, k = 8, iters = 2).collect()
+    assert(stats.map(_.getLong(1)).sum == emb.count(),
+      "cluster sizes must partition the corpus")
+    assert(stats.map(_.getInt(0)).toSet.subsetOf((0 until 8).toSet))
+    assert(stats.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0),
+      "mean cosine to own centroid must be in (0, 1]")
+    // determinism: seeding and iteration are pure functions of the data
+    val again = Similarity.kmeansFit(emb, k = 8, iters = 2).collect()
+    assert(stats.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("shard export: contiguous in-shard ranks, partition-layout-proof") {
+    val out = Sampling.shardExport(docs, nShards = 8)
+    val perShard = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("d"))
+      .collect()
+    assert(perShard.length == 8)
+    perShard.foreach { r =>
+      val (n, mx, mn, d) = (r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))
+      assert(mn == 1 && mx.toLong == n && d == n,
+        s"shard ${r.getInt(0)}: pos must be a dense 1..n ranking, got $r")
+    }
+    assert(out.count() == docs.count())
+    // shard/pos derive from ids alone — physical layout must not matter
+    val relaid = Sampling.shardExport(docs.repartition(7), nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val base = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(relaid == base, "assignment must be independent of layout")
+  }
 }
