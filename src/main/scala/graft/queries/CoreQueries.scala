@@ -834,6 +834,117 @@ object CoreQueries {
       .orderBy("custkey", "orderkey")
   }
 
+  /** TPC-H Q2 shape (min-cost supplier): for each qualifying part, the
+    * EUROPE supplier with the lowest observed average unit price —
+    * adapted: no partsupp table, so unit price is observed from
+    * lineitem (extendedprice/quantity) instead of ps_supplycost. The
+    * correlated MIN becomes a per-part ranking window over the
+    * (part, supplier) aggregate — |parts|-sized partitions, and the
+    * compared price is ROUNDED before ranking (cross-engine ulp can't
+    * reorder; suppkey breaks exact ties).
+    */
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val pSel = part(s, d)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"))
+    val sup = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val unit = lineitem(s, d)
+      .join(pSel, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"))
+      .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 6)
+        .as("avg_unit_price"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("avg_unit_price"), col("s_suppkey"))
+    unit.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("p_partkey").as("partkey"), col("p_name").as("part_name"),
+        col("s_name").as("supplier"), col("n_name").as("nation"),
+        col("avg_unit_price"))
+      .orderBy("partkey")
+  }
+
+  /** TPC-H Q16 shape (supplier diversity by part attribute): distinct
+    * suppliers per (brand, size) for non-promo parts, excluding
+    * suppliers in deficit (the complaints-list NOT IN, adapted to
+    * s_acctbal < 0). NOT IN = left_anti against a key-only build side;
+    * the distinct count is the standard two-phase dedup-then-count
+    * shuffle on (brand, size, suppkey).
+    */
+  def supplierDiversity(s: SparkSession, d: String): DataFrame = {
+    val pSel = part(s, d)
+      .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#13")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val deficit = supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(pSel, col("l_partkey") === col("p_partkey"))
+      .join(deficit, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose shipped value
+    * through ASIA suppliers exceeds 0.1% of the total — adapted: no
+    * partsupp, so "stock value" is observed shipped value
+    * (sum of extendedprice). The fraction test multiplies instead of
+    * dividing (`value·1000 > total`) — same predicate, no
+    * rounded-threshold boundary to disagree on; the scalar total rides
+    * a 1-row broadcast. Output ordering is on the CENT-rounded value
+    * (stored 2-decimal prices sum to exact cent multiples, so the
+    * rounded sort key is engine-stable; partkey breaks ties).
+    */
+  def importantParts(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("s_suppkey"))
+    val v = lineitem(s, d)
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice")).as("value"))
+      .localCheckpoint() // read twice: scalar total + threshold filter
+    val tot = v.agg(sum(col("value")).as("total"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value") * 1000.0 > col("total"))
+      .select(col("l_partkey").as("partkey"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  /** TPC-H Q20 shape (dominant suppliers): suppliers shipping more
+    * than half of a 'red' part's 1996 volume — adapted from the
+    * excess-inventory semi-join chain to observed shipments (no
+    * partsupp availqty). Quantities are integer-valued doubles, so
+    * `2·supplier > part total` compares exactly; both aggregates
+    * co-shuffle on the part key and map-side-combine.
+    */
+  def dominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val pRed = part(s, d).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"))
+    val l96 = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(pRed, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val perSupp = l96.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+    val perPart = l96.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("tq"))
+    perSupp.join(perPart, Seq("l_partkey"))
+      .filter(col("sq") * 2.0 > col("tq"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_parts_dominated"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_federation_agg"    -> federationAgg _,
     "q_euro_customers"    -> euroCustomers _,
@@ -872,6 +983,10 @@ object CoreQueries {
     "q_order_priority"    -> orderPriorityCounts _,
     "q_product_profit"    -> productTypeProfit _,
     "q_order_gaps"        -> orderGaps _,
+    "q_min_cost_supplier" -> minCostSupplier _,
+    "q_supplier_diversity" -> supplierDiversity _,
+    "q_important_parts"   -> importantParts _,
+    "q_dominant_suppliers" -> dominantSuppliers _,
     "q_small_qty_revenue" -> smallQtyRevenue _,
     "q_waiting_suppliers" -> waitingSuppliers _
   )
@@ -1212,6 +1327,63 @@ object CoreQueries {
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          WHERE datediff('day', o.o_orderdate, l.l_shipdate) > 90
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_important_parts" ->
+      """WITH sup AS (
+           SELECT s_suppkey FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'ASIA'),
+         v AS (SELECT l_partkey, sum(l_extendedprice) AS value
+               FROM lineitem
+               WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+               GROUP BY 1),
+         t AS (SELECT sum(value) AS total FROM v)
+         SELECT l_partkey AS partkey, round(value, 2) AS value
+         FROM v, t WHERE value * 1000.0 > total
+         ORDER BY round(value, 2) DESC, partkey""",
+    "q_dominant_suppliers" ->
+      """WITH l96 AS (
+           SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-01-01'
+             AND l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE '%red%')),
+         ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+                FROM l96 GROUP BY 1, 2),
+         pt AS (SELECT l_partkey, sum(l_quantity) AS tq
+                FROM l96 GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, count(*) AS n_parts_dominated
+         FROM ps JOIN pt USING (l_partkey)
+         JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+         WHERE ps.sq * 2.0 > pt.tq
+         GROUP BY 1, 2 ORDER BY s_suppkey""",
+    "q_min_cost_supplier" ->
+      """WITH u AS (
+           SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+                  round(avg(l.l_extendedprice / l.l_quantity), 6)
+                    AS avg_unit_price
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+             AND r.r_name = 'EUROPE'
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT p_partkey AS partkey, p_name AS part_name,
+                s_name AS supplier, n_name AS nation, avg_unit_price
+         FROM (SELECT *, row_number() OVER (PARTITION BY p_partkey
+                 ORDER BY avg_unit_price, s_suppkey) AS rn FROM u)
+         WHERE rn = 1 ORDER BY partkey""",
+    "q_supplier_diversity" ->
+      """SELECT p.p_brand, p.p_size,
+                count(DISTINCT l.l_suppkey) AS supplier_cnt
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_type <> 'PROMO' AND p.p_brand <> 'Brand#13'
+           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_acctbal < 0)
+         GROUP BY 1, 2
+         ORDER BY supplier_cnt DESC, p_brand, p_size""",
     "q_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o
