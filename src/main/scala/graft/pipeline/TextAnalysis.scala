@@ -375,20 +375,35 @@ object TextAnalysis {
     */
   def lmScore(df: DataFrame, trainFilter: Column,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val words = df.select(col(idCol), col(textCol))
+    val big = docBigrams(df, textCol, idCol)
+    val train = big.filter(trainFilter)
+    val c2 = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    scoreAgainst(big, c2, c1, idCol)
+  }
+
+  /** (id, w1, w2) bigram stream shared by [[lmScore]]/[[trainLm]]. */
+  private def docBigrams(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol), col(textCol))
       .withColumn("w", split(trim(lower(col(textCol))), "\\s+"))
       .filter(size(col("w")) >= 2)
-    val big = words.select(col(idCol),
+      .select(col(idCol),
         explode(zip_with(
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val train = big.filter(trainFilter)
-    val c2 = train.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val v = broadcast(train.agg(countDistinct(col("w2")).as("v")))
+
+  /** The scoring join shared by the inline and persisted paths: doc
+    * bigrams × model counts on (w1,w2) then (w1); V (distinct trained
+    * successors) rides a broadcast 1-row aggregate derived FROM the
+    * model relation, so refreshed models re-derive it for free.
+    */
+  private def scoreAgainst(big: DataFrame, c2: DataFrame, c1: DataFrame,
+      idCol: String): DataFrame = {
+    val v = broadcast(c2.agg(countDistinct(col("w2")).as("v")))
     big.join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(v)
@@ -398,5 +413,62 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(round(avg(col("lp")), 6).as("lm_score"),
         count(lit(1)).as("n_bigrams"))
+  }
+
+  /** The trained model as count ROWS — `(kind, w1, w2, n)` with
+    * kind ∈ {'b' (bigram), 'u' (unigram)} — the representation that
+    * makes refresh an APPEND: new batches write count deltas, and the
+    * reader sums per key, so updating a corpus-scale model touches only
+    * the new data (compaction folds deltas back to one row per key).
+    */
+  def trainLm(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val big = docBigrams(df, textCol, idCol)
+    big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("b").as("kind"), col("w1"), col("w2"), col("n"))
+      .unionByName(
+        big.groupBy(col("w1")).agg(count(lit(1)).as("n"))
+          .select(lit("u").as("kind"), col("w1"),
+            lit(null).cast("string").as("w2"), col("n")))
+  }
+
+  /** Persist a trained LM as a kind-partitioned lake table — the model
+    * registry path (same pattern as the persisted IVF index): train
+    * once on the reference corpus, snapshot-isolated, time-travelable,
+    * scored against by any later batch.
+    */
+  def persistLm(model: DataFrame, location: String): graft.lake.LakeTable =
+    graft.lake.LakeTable.create(model.sparkSession, location,
+      Right(model.repartition(col("kind"))),
+      partitioning = Seq("kind"),
+      properties = Map("row-lineage" -> "false"),
+      replace = true)
+
+  /** Append count DELTAS from newly-arrived training documents — no
+    * retrain: the union-sum read makes the result identical to
+    * retraining on old ∪ new (counts are associative). A normal lake
+    * commit: probes see the refreshed model atomically.
+    */
+  def refreshLm(spark: org.apache.spark.sql.SparkSession, location: String,
+      newDocs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val t = graft.lake.LakeTable.forLocation(spark, location)
+    t.append(trainLm(newDocs, textCol, idCol).repartition(col("kind")))
+  }
+
+  /** Score documents against a persisted model: delta rows sum per key
+    * at read (map-side-combined; one row per key after compaction), then
+    * the same join shape as the inline path.
+    */
+  def scoreWithLm(spark: org.apache.spark.sql.SparkSession, location: String,
+      df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val m = graft.lake.LakeTable.forLocation(spark, location).read()
+    val c2 = m.filter(col("kind") === "b").groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("c2"))
+    val c1 = m.filter(col("kind") === "u").groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"))
+    scoreAgainst(docBigrams(df, textCol, idCol), c2, c1, idCol)
   }
 }

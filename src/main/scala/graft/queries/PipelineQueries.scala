@@ -571,6 +571,27 @@ object PipelineQueries {
   def textCorpusStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusStats(Tables.documents(s, d))
 
+  private val lmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The persisted-model LM path: train on the held split ONCE, persist
+    * as a kind-partitioned lake table, score the corpus against the
+    * loaded model. Same oracle as [[textLmScore]] — the registry round
+    * trip (train → lake commit → delta-summing read → score) must
+    * reproduce the inline scores bit-for-bit.
+    */
+  def textLmScorePersisted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = lmCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lm-")
+        .resolve("model").toString
+      TextAnalysis.persistLm(
+        TextAnalysis.trainLm(docs.filter(col("doc_id") % 5 === 0)), dir)
+      dir
+    })
+    TextAnalysis.scoreWithLm(s, loc, docs).orderBy("doc_id")
+  }
+
   /** Cluster-balanced sampling: nearest-centroid assignment (native
     * kernel, no shuffle) composed with the exact two-phase per-group
     * cap — keep the 10 vectors closest to each of the 8 centroids. The
@@ -759,6 +780,7 @@ object PipelineQueries {
     "sample_shard_export"  -> sampleShardExport _,
     "text_lm_score"        -> textLmScore _,
     "text_corpus_stats"    -> textCorpusStats _,
+    "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
     "pipeline_curate_neardup" -> pipelineCurateNearDup _,
@@ -829,6 +851,31 @@ object PipelineQueries {
                   AS rank
          FROM s WHERE crank <= 50)
        WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** Shared by `text_lm_score` and `text_lm_score_persisted`: the
+    * persisted-model round trip is REQUIRED to reproduce the inline
+    * scores, so both check against one oracle.
+    */
+  private val lmScoreOracle =
+    """WITH w AS (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\s+')
+                           AS ws
+                  FROM documents),
+       b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+               SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+               FROM w WHERE len(ws) >= 2)),
+       tr AS (SELECT * FROM b WHERE doc_id % 5 = 0),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY 1),
+       v AS (SELECT count(DISTINCT w2) AS v FROM tr)
+       SELECT b.doc_id,
+              round(avg(ln((coalesce(c2.c2, 0) + 1.0) /
+                (coalesce(c1.c1, 0) + v.v))), 6) AS lm_score,
+              count(*) AS n_bigrams
+       FROM b LEFT JOIN c2 USING (w1, w2)
+              LEFT JOIN c1 USING (w1)
+              CROSS JOIN v
+       GROUP BY b.doc_id ORDER BY b.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_matryoshka" -> MatryoshkaOracle,
@@ -1849,26 +1896,9 @@ object PipelineQueries {
                 CAST(row_number() OVER (PARTITION BY hv % 8
                   ORDER BY hv, doc_id) AS INT) AS pos
          FROM h ORDER BY shard, pos""",
-    "text_lm_score" ->
-      """WITH w AS (SELECT doc_id,
-                           string_split_regex(trim(lower(text)), '\s+')
-                             AS ws
-                    FROM documents),
-         b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
-                 SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-                 FROM w WHERE len(ws) >= 2)),
-         tr AS (SELECT * FROM b WHERE doc_id % 5 = 0),
-         c2 AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY 1),
-         v AS (SELECT count(DISTINCT w2) AS v FROM tr)
-         SELECT b.doc_id,
-                round(avg(ln((coalesce(c2.c2, 0) + 1.0) /
-                  (coalesce(c1.c1, 0) + v.v))), 6) AS lm_score,
-                count(*) AS n_bigrams
-         FROM b LEFT JOIN c2 USING (w1, w2)
-                LEFT JOIN c1 USING (w1)
-                CROSS JOIN v
-         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "text_lm_score" -> lmScoreOracle,
+    // the persisted-model path must reproduce the inline scores exactly
+    "text_lm_score_persisted" -> lmScoreOracle,
     "text_corpus_stats" ->
       """WITH words AS (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))

@@ -683,6 +683,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("k-means assignment streams through the kernel — no exchange " +
+      "before the stats aggregate") {
+    // the per-iteration assignment must be a pure projection (the
+    // NearestCentroid kernel ships with the plan); only the (cell, pos)
+    // partial-sum update and final stats may shuffle
+    val cents = (0 until 4).map(i => (i, Array.fill(8)(i + 1.0)))
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val assigned = v.select(
+      graft.functions.VectorExpressions.nearestCentroidNative(col("v"),
+        cents).getField("cell").as("cell"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must not shuffle:\n$plan")
+  }
+
+  test("LM refresh by count deltas equals retraining on the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-spec-")
+      .resolve("model").toString
+    val first = docs.filter(col("doc_id") % 10 === 0)
+    val second = docs.filter(col("doc_id") % 10 === 5)
+    TextAnalysis.persistLm(TextAnalysis.trainLm(first), dir)
+    TextAnalysis.refreshLm(s, dir, second)
+    val probe = docs.filter(col("doc_id") < 50)
+    val refreshed = TextAnalysis.scoreWithLm(s, dir, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // ground truth: one model trained on old ∪ new in a single pass
+    val retrainDir = java.nio.file.Files
+      .createTempDirectory("graft-lm-spec2-").resolve("model").toString
+    TextAnalysis.persistLm(
+      TextAnalysis.trainLm(first.unionByName(second)), retrainDir)
+    val retrained = TextAnalysis.scoreWithLm(s, retrainDir, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(refreshed == retrained,
+      "append-delta refresh must be indistinguishable from a retrain")
+    assert(refreshed.nonEmpty)
+  }
+
   test("shard export: contiguous in-shard ranks, partition-layout-proof") {
     val out = Sampling.shardExport(docs, nShards = 8)
     val perShard = out.groupBy(col("shard"))
