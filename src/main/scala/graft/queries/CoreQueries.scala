@@ -892,12 +892,15 @@ object CoreQueries {
   /** TPC-H Q11 shape (important stock): parts whose shipped value
     * through ASIA suppliers exceeds 0.1% of the total — adapted: no
     * partsupp, so "stock value" is observed shipped value
-    * (sum of extendedprice). The fraction test multiplies instead of
-    * dividing (`value·1000 > total`) — same predicate, no
-    * rounded-threshold boundary to disagree on; the scalar total rides
-    * a 1-row broadcast. Output ordering is on the CENT-rounded value
-    * (stored 2-decimal prices sum to exact cent multiples, so the
-    * rounded sort key is engine-stable; partkey breaks ties).
+    * (sum of extendedprice), and the cut is SCALE-FREE — parts above
+    * 1.5× the mean part value (Q11's fixed fraction divides by SF for
+    * the same reason: a constant share empties as the part count
+    * grows). The test multiplies instead of dividing
+    * (`value·n_parts > 1.5·total`) — same predicate, no
+    * rounded-threshold boundary to disagree on; the scalar aggregate
+    * rides a 1-row broadcast. Output ordering is on the CENT-rounded
+    * value (stored 2-decimal prices sum to exact cent multiples, so
+    * the rounded sort key is engine-stable; partkey breaks ties).
     */
   def importantParts(s: SparkSession, d: String): DataFrame = {
     val sup = supplier(s, d)
@@ -910,9 +913,10 @@ object CoreQueries {
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice")).as("value"))
       .localCheckpoint() // read twice: scalar total + threshold filter
-    val tot = v.agg(sum(col("value")).as("total"))
+    val tot = v.agg(sum(col("value")).as("total"),
+      count(lit(1)).as("n_parts"))
     v.crossJoin(broadcast(tot))
-      .filter(col("value") * 1000.0 > col("total"))
+      .filter(col("value") * col("n_parts") > col("total") * 1.5)
       .select(col("l_partkey").as("partkey"),
         round(col("value"), 2).as("value"))
       .orderBy(col("value").desc, col("partkey"))
@@ -1337,9 +1341,9 @@ object CoreQueries {
                FROM lineitem
                WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
                GROUP BY 1),
-         t AS (SELECT sum(value) AS total FROM v)
+         t AS (SELECT sum(value) AS total, count(*) AS n_parts FROM v)
          SELECT l_partkey AS partkey, round(value, 2) AS value
-         FROM v, t WHERE value * 1000.0 > total
+         FROM v, t WHERE value * n_parts > total * 1.5
          ORDER BY round(value, 2) DESC, partkey""",
     "q_dominant_suppliers" ->
       """WITH l96 AS (
