@@ -403,7 +403,12 @@ object TextAnalysis {
     */
   private def scoreAgainst(big: DataFrame, c2: DataFrame, c1: DataFrame,
       idCol: String): DataFrame = {
-    val v = broadcast(c2.agg(countDistinct(col("w2")).as("v")))
+    // An empty training split has V = 0, and the smoothed denominator
+    // (c1 + V) would divide by zero for unseen unigrams — clamp to the
+    // uniform-over-one-word model (every bigram scores ln(1/1) = 0)
+    // instead of emitting ±Inf rows.
+    val v = broadcast(c2.agg(
+      greatest(countDistinct(col("w2")), lit(1L)).as("v")))
     big.join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(v)

@@ -723,6 +723,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(refreshed.nonEmpty)
   }
 
+  test("edge cases: empty LM train split, k > corpus, empty corpus A, " +
+      "single shard") {
+    // empty train → V clamps to 1 → every bigram scores ln(1/1) = 0,
+    // never ±Inf/NaN
+    val zeroModel = TextAnalysis.lmScore(docs, trainFilter = lit(false))
+      .collect()
+    assert(zeroModel.nonEmpty)
+    assert(zeroModel.forall(r => r.getDouble(1) == 0.0),
+      "empty-model scores must be exactly 0, not Inf/NaN")
+    // k exceeding the corpus: seeds clamp to the corpus, fit still
+    // partitions every vector
+    val tiny = emb.filter(col("vec_id") < 5)
+    val stats = Similarity.kmeansFit(tiny, k = 8, iters = 1).collect()
+    assert(stats.map(_.getLong(1)).sum == 5)
+    // an empty held corpus yields no cross pairs (and no crash)
+    assert(Dedup.crossCorpusJaccard(docs.filter(lit(false)), docs)
+      .count() == 0)
+    // one shard = the global md5 permutation
+    val one = Sampling.shardExport(docs, nShards = 1)
+    assert(one.select(max(col("pos"))).head().getInt(0) == docs.count())
+  }
+
   test("shard export: contiguous in-shard ranks, partition-layout-proof") {
     val out = Sampling.shardExport(docs, nShards = 8)
     val perShard = out.groupBy(col("shard"))
