@@ -492,6 +492,202 @@ case class TopKNeighbors(vec: Expression, selfId: Expression,
     copy(vec = newLeft, selfId = newRight)
 }
 
+/** [[TopKNeighbors]] with the candidate matrix as a RUNTIME COLUMN —
+  * `array<struct<id, v, nrm>>` built by packing one corpus block per
+  * row (`collect_list` sorted by id) — instead of a plan-shipped
+  * literal. This is the kernel of the BLOCKED kNN path: the monolithic
+  * kernel requires the whole corpus matrix on the driver and inside
+  * every task; this one meets each (query row × block row) pair in a
+  * join, so no single place ever holds more than one block. Per-block
+  * top-k unions then merge to the exact global top-k (a block's
+  * (cosine desc, id asc) top-k can only MISS candidates that a better
+  * global candidate displaces, so the union of per-block top-ks
+  * contains the global top-k).
+  *
+  * Arithmetic parity with [[TopKNeighbors]] is exact: same sequential
+  * dot/norm accumulation over the common prefix, same
+  * (cosine desc, id asc) insertion order (block arrays are id-sorted),
+  * same zero-denominator skip. `nrm` is the precomputed √Σv² of the
+  * candidate (the pack step computes it with an in-order fold, matching
+  * the kernel's loop); rows shorter than a candidate hit the same
+  * recompute-over-prefix slow path.
+  */
+case class TopKNeighborsAgainst(vec: Expression, selfId: Expression,
+    block: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = selfId
+  override def third: Expression = block
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, selfId.dataType, block.dataType) match {
+      case (ArrayType(DoubleType, _), LongType,
+          ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(DoubleType, _), _, _),
+            StructField(_, DoubleType, _, _))), _)) if k >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "top_k_neighbors_against expects (array<double>, bigint, " +
+            s"array<struct<id bigint, v array<double>, nrm double>>) and " +
+            s"k >= 1, got $l / $r / $b")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val self = b.asInstanceOf[Long]
+    val blk = c.asInstanceOf[ArrayData]
+    val nb = blk.numElements()
+    val nd = x.numElements()
+    // query norm over min(nd, dim of first candidate) — identical to
+    // the monolithic kernel under its own uniform-dimensionality rule
+    val dim = if (nb == 0) 0
+      else blk.getStruct(0, 3).getArray(1).numElements()
+    val n0 = math.min(nd, dim)
+    var nx = 0.0
+    var i = 0
+    while (i < n0) { val xi = x.getDouble(i); nx += xi * xi; i += 1 }
+    val snx = math.sqrt(nx)
+    val bn = new Array[Long](k); val bc = new Array[Double](k)
+    var size = 0
+    var ci = 0
+    while (ci < nb) {
+      val cand = blk.getStruct(ci, 3)
+      val cid = cand.getLong(0)
+      if (cid != self) {
+        val row = cand.getArray(1)
+        val clen = row.numElements()
+        val n = math.min(nd, clen)
+        var dot = 0.0; i = 0
+        while (i < n) { dot += x.getDouble(i) * row.getDouble(i); i += 1 }
+        val cn =
+          if (nd >= clen) cand.getDouble(2)
+          else {
+            var s = 0.0; i = 0
+            while (i < n) { val ri = row.getDouble(i); s += ri * ri; i += 1 }
+            math.sqrt(s)
+          }
+        val denom = snx * cn
+        if (denom != 0.0) {
+          val cos = dot / denom
+          var j = size
+          while (j > 0 &&
+              (cos > bc(j - 1) || (cos == bc(j - 1) && cid < bn(j - 1))))
+            j -= 1
+          if (j < k) {
+            val end = math.min(size, k - 1)
+            var m = end
+            while (m > j) { bc(m) = bc(m - 1); bn(m) = bn(m - 1); m -= 1 }
+            bc(j) = cos; bn(j) = cid
+            if (size < k) size += 1
+          }
+        }
+      }
+      ci += 1
+    }
+    val out = new Array[Any](size)
+    i = 0
+    while (i < size) { out(i) = InternalRow(bn(i), bc(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val rowClass = classOf[org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow].getName
+    val arrClass = classOf[org.apache.spark.sql.catalyst.util
+      .GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val i = ctx.freshName("i"); val ci = ctx.freshName("ci")
+      val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      val nd = ctx.freshName("nd"); val nb = ctx.freshName("nb")
+      val n0 = ctx.freshName("n0"); val n = ctx.freshName("n")
+      val dim = ctx.freshName("dim")
+      val nx = ctx.freshName("nx"); val snx = ctx.freshName("snx")
+      val dot = ctx.freshName("dot"); val denom = ctx.freshName("denom")
+      val cos = ctx.freshName("cos"); val cn = ctx.freshName("cn")
+      val s2 = ctx.freshName("s2"); val row = ctx.freshName("row")
+      val cand = ctx.freshName("cand"); val cid = ctx.freshName("cid")
+      val clen = ctx.freshName("clen")
+      val bn = ctx.freshName("bn"); val bc = ctx.freshName("bc")
+      val size = ctx.freshName("size"); val end = ctx.freshName("end")
+      val out = ctx.freshName("out"); val vals = ctx.freshName("vals")
+      s"""
+        int $nd = $a.numElements();
+        int $nb = $c.numElements();
+        int $dim = $nb == 0 ? 0 : $c.getStruct(0, 3).getArray(1).numElements();
+        int $n0 = java.lang.Math.min($nd, $dim);
+        double $nx = 0.0;
+        for (int $i = 0; $i < $n0; $i++) {
+          double v = $a.getDouble($i); $nx += v * v;
+        }
+        double $snx = java.lang.Math.sqrt($nx);
+        long[] $bn = new long[$k]; double[] $bc = new double[$k];
+        int $size = 0;
+        for (int $ci = 0; $ci < $nb; $ci++) {
+          InternalRow $cand = $c.getStruct($ci, 3);
+          long $cid = $cand.getLong(0);
+          if ($cid == $b) continue;
+          ArrayData $row = $cand.getArray(1);
+          int $clen = $row.numElements();
+          int $n = java.lang.Math.min($nd, $clen);
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += $a.getDouble($i) * $row.getDouble($i);
+          }
+          double $cn;
+          if ($nd >= $clen) {
+            $cn = $cand.getDouble(2);
+          } else {
+            double $s2 = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double ri = $row.getDouble($i); $s2 += ri * ri;
+            }
+            $cn = java.lang.Math.sqrt($s2);
+          }
+          double $denom = $snx * $cn;
+          if ($denom == 0.0) continue;
+          double $cos = $dot / $denom;
+          int $j = $size;
+          while ($j > 0 && ($cos > $bc[$j - 1] ||
+              ($cos == $bc[$j - 1] && $cid < $bn[$j - 1]))) {
+            $j--;
+          }
+          if ($j < $k) {
+            int $end = java.lang.Math.min($size, $k - 1);
+            for (int $m = $end; $m > $j; $m--) {
+              $bc[$m] = $bc[$m - 1]; $bn[$m] = $bn[$m - 1];
+            }
+            $bc[$j] = $cos; $bn[$j] = $cid;
+            if ($size < $k) $size++;
+          }
+        }
+        Object[] $out = new Object[$size];
+        for (int $i = 0; $i < $size; $i++) {
+          Object[] $vals = new Object[2];
+          $vals[0] = java.lang.Long.valueOf($bn[$i]);
+          $vals[1] = java.lang.Double.valueOf($bc[$i]);
+          $out[$i] = new $rowClass($vals);
+        }
+        ${ev.value} = new $arrClass($out);
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): TopKNeighborsAgainst =
+    copy(vec = newFirst, selfId = newSecond, block = newThird)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim
 
@@ -519,6 +715,19 @@ object VectorExpressions {
     graftshim.columnOf(TopKNeighbors(
       graftshim.columnExpr(vec), graftshim.columnExpr(selfId),
       order.map(ids(_)), order.map(matrix(_)), k))
+  }
+
+  /** Column API for [[TopKNeighborsAgainst]]: `block` must be an
+    * id-SORTED `array<struct<id, v, nrm>>` (the pack step sorts), so
+    * the candidate scan order — and thus tie handling — matches the
+    * monolithic kernel's id-sorted matrix.
+    */
+  def topKNeighborsAgainst(vec: Column, selfId: Column, block: Column,
+      k: Int): Column = {
+    require(k >= 1, "top_k_neighbors_against: k must be >= 1")
+    graftshim.columnOf(TopKNeighborsAgainst(
+      graftshim.columnExpr(vec), graftshim.columnExpr(selfId),
+      graftshim.columnExpr(block), k))
   }
 
   /** Column API for [[NearestCentroid]]: cells sorted ascending so the

@@ -387,21 +387,83 @@ object Similarity {
     * structure semantic-dedup and diversity-sampling pipelines build
     * first. Deterministic (ties on id), so fully oracle-able.
     *
-    * Scale shape: the corpus doubles as the query set, so any
-    * join-then-rank formulation materializes N² candidate ROWS — at
-    * 2k vectors that's already 4M rows through an exchange and two
-    * ranking sorts, and the broadcast query side needs the whole
-    * corpus in memory anyway. This instead ships the corpus matrix
-    * WITH THE PLAN and selects top-k inside one codegen'd projection
-    * ([[graft.functions.TopKNeighbors]]): N rows in, N·k edges out,
-    * zero shuffle, zero joins on the scoring path (6× the
-    * join+window shape at 2k×64, 11× the naive per-pair-cast one).
-    * Same index-fits-in-memory contract
-    * the broadcast had implicitly — made explicit by the collect;
-    * beyond it, block the matrix and merge per-block top-k, or route
-    * through [[IvfIndex]] cells.
+    * Scale shape — BLOCKED matrix: any join-then-rank formulation
+    * materializes N² candidate ROWS through an exchange and two
+    * ranking sorts, and a monolithic plan-shipped matrix
+    * ([[knnGraphLocal]]) needs the whole corpus on the driver and in
+    * every task. This path needs neither: the corpus is hashed into
+    * `nBlocks` PACKED block rows (id-sorted `array<struct<id,v,nrm>>`),
+    * each query row meets each block row in a shuffle join on block id,
+    * and a fused kernel ([[graft.functions.TopKNeighborsAgainst]])
+    * selects the per-block top-k inside one codegen'd projection —
+    * N·B kernel rows in, N·B·k id-sized candidates out, exact global
+    * top-k after a vector-free merge. No corpus-wide `collect()`
+    * anywhere; the largest single allocation is one block (corpus/B —
+    * B is the knob that fits it to task memory at any scale).
     */
   def knnGraph(vectors: DataFrame, k: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      nBlocks: Int = 8): DataFrame = {
+    import graft.functions.VectorExpressions.topKNeighborsAgainst
+    val v = vectors.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    // Pack each block into ONE row: an id-sorted candidate array with
+    // precomputed norms (an in-order fold — bit-identical to the
+    // kernel's own accumulation, so the fast path never drifts).
+    val packed = v
+      .groupBy(pmod(xxhash64(col("_id")), lit(nBlocks.toLong)).as("_blk"))
+      .agg(sort_array(collect_list(
+        struct(col("_id").as("id"), col("_v").as("v")))).as("_p"))
+      .select(col("_blk"),
+        transform(col("_p"), s => struct(
+          s("id").as("id"), s("v").as("v"),
+          sqrt(aggregate(s("v"), lit(0.0d),
+            (acc, x) => acc + x * x)).as("nrm"))).as("_block"))
+    // Block-nested-loop join: replicate the query side ×B and
+    // shuffle-join on block id, so each task holds exactly ONE block's
+    // matrix and streams query rows through the fused kernel. B is the
+    // memory knob (a block must fit in a task); query replication is
+    // the inherent exact-all-pairs cost — the approximate escape is the
+    // IVF cell route. Explicit partition count: B keys is the join's
+    // max parallelism and AQE would otherwise coalesce the tiny test
+    // shuffle to one task.
+    val cand = v
+      .withColumn("_blk", explode(sequence(lit(0L),
+        lit(nBlocks.toLong - 1L))))
+      .repartition(nBlocks, col("_blk"))
+      .join(packed, Seq("_blk"))
+      .select(col("_id").as("src"),
+        topKNeighborsAgainst(col("_v"), col("_id"), col("_block"), k)
+          .as("_c"))
+    // The union of per-block top-ks contains the global top-k (a block
+    // top-k only drops candidates displaced by ≥k better ones in the
+    // SAME block, which displace them globally too), so ranking the
+    // k·B-per-src union under the kernel's own (cosine desc, id asc)
+    // order is exact. The merge exchange carries only (src, dst,
+    // cosine) — no vectors. Materialized ONCE (k·N id rows): the
+    // mutuality join reads both sides.
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    val edges = cand
+      .select(col("src"), explode(col("_c")).as("e"))
+      .select(col("src"), col("e.neighbor").as("dst"),
+        col("e.cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"),
+        round(col("cosine"), 6).as("cosine"))
+      .localCheckpoint()
+    mutualFlag(edges)
+  }
+
+  /** Monolithic-kernel variant of [[knnGraph]]: the whole corpus matrix
+    * collected once and shipped with the plan
+    * ([[graft.functions.TopKNeighbors]]) — zero shuffle, zero joins on
+    * the scoring path, but an explicit index-fits-in-driver-memory
+    * contract. The small-corpus fast path and the equality witness for
+    * the blocked route (PipelineSpec pins blocked == local == naive).
+    */
+  def knnGraphLocal(vectors: DataFrame, k: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id")
       : DataFrame = {
     import graft.functions.VectorExpressions.topKNeighborsNative
@@ -410,10 +472,6 @@ object Similarity {
       .collect()
     val ids = local.map(_.getLong(0))
     val mat = local.map(_.getSeq[Double](1).toArray)
-    // Materialize the ranked edges ONCE (k·N id rows): the mutuality
-    // join reads them as both sides, and without a checkpoint the
-    // second side would re-run the scoring kernel over the corpus —
-    // the double-execution trap the IVF probe path already fixed.
     val edges = vectors
       .select(col(idCol).as("src"), posexplode(topKNeighborsNative(
         col(vecCol).cast("array<double>"), col(idCol).cast("long"),
@@ -422,9 +480,15 @@ object Similarity {
         col("col.neighbor").as("dst"),
         round(col("col.cosine"), 6).as("cosine"))
       .localCheckpoint()
-    // mutual = the reversed (dst, src) pair is itself an edge; the
-    // edge set is k·N rows of ids — broadcast-sized relative to the
-    // corpus at any k that makes sense
+    mutualFlag(edges)
+  }
+
+  /** mutual = the reversed (dst, src) pair is itself an edge; the edge
+    * set is k·N rows of ids — broadcast-sized relative to the corpus at
+    * any k that makes sense. `edges` must be materialized (both sides
+    * of the self-join read it).
+    */
+  private def mutualFlag(edges: DataFrame): DataFrame = {
     val rev = broadcast(edges.select(col("src").as("dst"),
       col("dst").as("src"), lit(1).as("_m")))
     edges.join(rev, Seq("src", "dst"), "left")

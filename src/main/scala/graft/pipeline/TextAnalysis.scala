@@ -438,6 +438,23 @@ object TextAnalysis {
             lit(null).cast("string").as("w2"), col("n")))
   }
 
+  /** Write layout for the count-row model: `kind` has exactly two
+    * values ('b'/'u'), so repartitioning on it alone would funnel every
+    * bigram row — the corpus-scale side of the model — through ONE
+    * writer task. Compound key (kind, hash(w1) mod P) keeps
+    * kind-partitioned directories (the write path splits by the
+    * partition column, not the shuffle key) while fanning each kind
+    * over P parallel writers — the same skew-proof idiom as the
+    * multimodal decode layout. Explicit partition count, or AQE
+    * coalesces the small-test shuffle back to one task and the layout
+    * guard can't observe the shape it exists to pin.
+    */
+  private[graft] def lmWriteLayout(model: DataFrame): DataFrame = {
+    val p = model.sparkSession.sessionState.conf.numShufflePartitions
+    model.repartition(p, col("kind"),
+      pmod(xxhash64(col("w1")), lit(p.toLong)))
+  }
+
   /** Persist a trained LM as a kind-partitioned lake table — the model
     * registry path (same pattern as the persisted IVF index): train
     * once on the reference corpus, snapshot-isolated, time-travelable,
@@ -445,7 +462,7 @@ object TextAnalysis {
     */
   def persistLm(model: DataFrame, location: String): graft.lake.LakeTable =
     graft.lake.LakeTable.create(model.sparkSession, location,
-      Right(model.repartition(col("kind"))),
+      Right(lmWriteLayout(model)),
       partitioning = Seq("kind"),
       properties = Map("row-lineage" -> "false"),
       replace = true)
@@ -459,7 +476,7 @@ object TextAnalysis {
       newDocs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     val t = graft.lake.LakeTable.forLocation(spark, location)
-    t.append(trainLm(newDocs, textCol, idCol).repartition(col("kind")))
+    t.append(lmWriteLayout(trainLm(newDocs, textCol, idCol)))
   }
 
   /** Score documents against a persisted model: delta rows sum per key

@@ -575,6 +575,21 @@ class PipelineSpec extends AnyFunSuite {
       s"two-phase selection drifted: ${got.diff(naive).take(5)}")
   }
 
+  test("blocked kNN path equals the monolithic kernel, row for row") {
+    // Full-row equality (ranks, rounded cosines, mutual flags): the
+    // blocked route must be a pure re-plumbing of the same arithmetic,
+    // not an approximation — and it must hold at a block count that
+    // doesn't divide the corpus evenly.
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val blocked = key(Similarity.knnGraph(emb, nBlocks = 7))
+    val mono = key(Similarity.knnGraphLocal(emb))
+    assert(blocked == mono,
+      s"blocked path drifted: ${blocked.diff(mono).take(5)} / " +
+        s"${mono.diff(blocked).take(5)}")
+  }
+
   test("kNN mutual flag is exactly reversed-edge membership") {
     val rows = Similarity.knnGraph(emb)
       .select(col("src"), col("dst"), col("mutual"))
@@ -721,6 +736,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(refreshed == retrained,
       "append-delta refresh must be indistinguishable from a retrain")
     assert(refreshed.nonEmpty)
+  }
+
+  test("LM persist write layout spreads a single kind over many tasks") {
+    // Same skew trap as the multimodal decode: `kind` has two values,
+    // so repartition(kind) alone would push every bigram-count row — a
+    // corpus-scale relation at 100 TB — through ONE writer task. The
+    // compound (kind, hash(w1) mod P) key must fan a single-kind model
+    // over multiple non-empty write partitions.
+    val bigramsOnly = TextAnalysis.trainLm(docs)
+      .filter(col("kind") === "b")
+    val laid = TextAnalysis.lmWriteLayout(bigramsOnly)
+    val nonEmpty = laid.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .sum().toInt
+    assert(nonEmpty > 1,
+      s"LM write layout must not serialize a kind (got $nonEmpty non-empty)")
+    assert(laid.count() == bigramsOnly.count())
   }
 
   test("edge cases: empty LM train split, k > corpus, empty corpus A, " +
