@@ -15,10 +15,16 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    // Streaming queries are timed ONCE, no warmup: each run pays fresh
+    // micro-batch spin-up (new stream + sentinel flush) that dwarfs the
+    // plan cost, so extra passes only re-measure harness overhead —
+    // 3× passes of it was most of r5's streaming subtotal.
+    val (streamSel, batchSel) =
+      selected.partition(_._1.startsWith("stream_"))
     // Warmup pass: pays one-time costs (codegen compilation, lake
     // scenario builds, ANN index fit) outside the timed region so the
     // timings below measure steady-state query execution.
-    selected.foreach { case (_, fn) =>
+    batchSel.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -30,12 +36,12 @@ object Bench {
     // Pass-major order (all queries, then repeat): back-to-back repeats
     // of one query would overstate cache warmth relative to real runs.
     val samples = (1 to Passes).flatMap { _ =>
-      selected.map { case (name, fn) => name -> timeOnce(fn) }
+      batchSel.map { case (name, fn) => name -> timeOnce(fn) }
     }
-    val results = selected.keys.map { name =>
+    val results = batchSel.keys.map { name =>
       val xs = samples.collect { case (`name`, t) => t }.sorted
       name -> xs(xs.size / 2)
-    }.toMap
+    }.toMap ++ streamSel.map { case (name, fn) => name -> timeOnce(fn) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -58,7 +64,17 @@ object Bench {
     // eat the metric — the whole point is that this line always lands.
     spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    val perQueryLine = s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
+    // The per-query breakdown also lands in a FILE: a fixed-size tail
+    // capture of stdout beheaded it in r4/r5, losing ~20 of 130
+    // timings to the artifact. A repo file survives regardless of
+    // where the capture window starts, making per-query regressions
+    // auditable round-over-round without a re-run.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      (perQueryLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(perQueryLine)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"streaming_total":$streamTotal%.3f,"batch_queries":${batchR.size},"streaming_queries":${streamR.size},"sf":"$sfDir"}""")
     Console.out.flush()
   }

@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // Optional extra args: restrict to the named queries (builder-side
-    // iteration aid; the driver always passes exactly two args).
+    // iteration aid; the driver always passes exactly two args). A
+    // typo'd name fails HERE — a silent intersection would leave stale
+    // previous output in outDir and let a builder iterate against it.
     val names = args.drop(2).toSet
+    val unknown = names.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => names(k) }

@@ -63,7 +63,8 @@ class LakeTable(val spark: SparkSession, val location: String) {
   def metaTable(name: String): DataFrame = MetaTables(this, name)
 
   /** ANALYZE (`sql:48`) — stats persisted into table properties. */
-  def analyze(): TableStats.TStats = TableStats.analyze(this)
+  def analyze(exactNdv: Boolean = false): TableStats.TStats =
+    TableStats.analyze(this, exactNdv)
 
   /** SHOW STATS (`sql:49`). */
   def showStats(): DataFrame = TableStats.showStats(this)

@@ -26,13 +26,19 @@ object TableStats {
 
   val PropertyKey = "graft.stats"
 
-  def analyze(table: LakeTable): TStats = {
+  /** `exactNdv = false` (default) estimates NDV with HLL — the only
+    * thing that works at 100 TB and what CBO stats need; `true` swaps
+    * in exact `count(distinct)` for small-table audits and the oracle
+    * gate (DuckDB has no HLL whose estimates match Spark's).
+    */
+  def analyze(table: LakeTable, exactNdv: Boolean = false): TStats = {
     val df = table.read()
     val schema = df.schema
     val aggs = schema.fields.flatMap { f =>
       val c = col(f.name)
       val base = Seq(
-        approx_count_distinct(c).as(s"ndv_${f.name}"),
+        (if (exactNdv) count_distinct(c) else approx_count_distinct(c))
+          .as(s"ndv_${f.name}"),
         count(when(c.isNull, 1)).as(s"nulls_${f.name}"))
       val mm = f.dataType match {
         case _: NumericType | DateType | TimestampType | StringType |

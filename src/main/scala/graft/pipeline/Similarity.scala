@@ -254,11 +254,14 @@ object Similarity {
     * [[buildIvf]]'s MLlib fit, whose seeding is library-internal and
     * thus not oracle-replayable). Per iteration the corpus streams ONCE
     * through the codegen'd [[graft.functions.NearestCentroid]] argmax
-    * kernel — assignment itself never shuffles; the mean update
-    * shuffles only (cell, dim) partial sums, k×dim×partitions rows of
-    * pre-aggregated scalars (map-side combine). Centroids live on the
-    * driver between iterations — k×dim doubles, metadata-sized by the
-    * same contract as [[buildIvf]]/[[assignToCentroids]].
+    * kernel — assignment itself never shuffles; the mean update is one
+    * vector-sum aggregate ([[graft.functions.VectorSumAgg]]) whose
+    * exchange carries k×partitions fixed-size partial-sum vectors
+    * (map-side combine). Centroids live on the driver between
+    * iterations — k×dim doubles, metadata-sized by the same contract
+    * as [[buildIvf]]/[[assignToCentroids]] — and round to a 1e-12 grid
+    * so assignments are stable across summation orders (engine,
+    * partition layout).
     *
     * Seeding: the k corpus vectors ranked first by `md5(id)` — a
     * deterministic uniform permutation (the [[Sampling.uniformSample]]
@@ -290,15 +293,23 @@ object Similarity {
         graft.functions.VectorExpressions.nearestCentroidNative(col("_v"),
           cents).getField("cell").cast("int").as("cell"),
         col("_v"))
+      // Mean update as ONE vector-sum aggregate
+      // ([[graft.functions.VectorSumAgg]]): the map side combines each
+      // partition to k partial-sum vectors, so the exchange carries
+      // k×partitions fixed-size rows — the posexplode form it replaces
+      // shuffled N×dim scalar rows per iteration and needed a second
+      // aggregate to reassemble vectors. Centroids round to a 1e-12
+      // grid: the compared quantities downstream are 1e-6-rounded, and
+      // the grid absorbs the ~1e-15 ulp noise of engine- or
+      // layout-dependent summation order, so cell assignments can't
+      // flip between cluster layouts or vs the oracle for vectors that
+      // aren't genuinely equidistant at 1e-12.
       cents = assigned
-        .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("x")) / count(lit(1))).as("m"))
         .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m"))))
-          .as("ms"))
+        .agg(graft.functions.VectorSumAgg.vectorSum(col("_v")).as("sv"),
+          count(lit(1)).as("n"))
         .select(col("cell"),
-          transform(col("ms"), s => s("m")).as("cvec"))
+          transform(col("sv"), x => round(x / col("n"), 12)).as("cvec"))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     }
@@ -481,6 +492,82 @@ object Similarity {
         round(col("col.cosine"), 6).as("cosine"))
       .localCheckpoint()
     mutualFlag(edges)
+  }
+
+  /** Hard-negative mining: each vector's top-`k` nearest neighbors
+    * holding a DIFFERENT label — the training pairs contrastive
+    * embedding fine-tuning wants (negatives that are semantically close
+    * but labeled apart). Exact and deterministic (ties on id), fully
+    * oracle-able.
+    *
+    * Scale shape: the [[knnGraph]] blocked route with label-aware block
+    * keys — candidates pack into `(label, sub)` block rows, each query
+    * row meets only the keys whose label differs from its own (the key
+    * list is labels×nSubs rows, broadcast), and the fused kernel scores
+    * one block per task. Cross-label exclusion is by construction
+    * (own-label keys never join), so no per-candidate filter exists in
+    * the hot loop; self-exclusion comes free from the kernel. `nSubs`
+    * splits each label's candidates so one hot label can't exceed task
+    * memory.
+    */
+  def hardNegatives(vectors: DataFrame, k: Int = 3, nSubs: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    import graft.functions.VectorExpressions.topKNeighborsAgainst
+    val v = vectors.select(col(idCol).cast("long").as("_id"),
+      col(labelCol).cast("int").as("_lbl"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val packed = v
+      .groupBy(col("_lbl").as("_plbl"),
+        pmod(xxhash64(col("_id")), lit(nSubs.toLong)).as("_sub"))
+      .agg(sort_array(collect_list(
+        struct(col("_id").as("id"), col("_v").as("v")))).as("_p"))
+      .select(col("_plbl"), col("_sub"),
+        transform(col("_p"), s => struct(
+          s("id").as("id"), s("v").as("v"),
+          sqrt(aggregate(s("v"), lit(0.0d),
+            (acc, x) => acc + x * x)).as("nrm"))).as("_block"))
+    val keys = packed.select(col("_plbl"), col("_sub"))
+    val cand = v
+      .crossJoin(broadcast(keys))
+      .filter(col("_plbl") =!= col("_lbl"))
+      .join(packed, Seq("_plbl", "_sub"))
+      .select(col("_id"),
+        topKNeighborsAgainst(col("_v"), col("_id"), col("_block"), k)
+          .as("_c"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    cand.select(col("_id"), explode(col("_c")).as("e"))
+      .select(col("_id"), col("e.neighbor").as("neighbor"),
+        col("e.cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_id").as(idCol), col("rank"), col("neighbor"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Per-label prototype vectors: the element-wise mean embedding of
+    * each label — class centroids for nearest-prototype classification,
+    * drift monitoring, or label-balanced coreset seeding. One
+    * vector-sum aggregate ([[graft.functions.VectorSumAgg]]): the map
+    * side combines to |labels|×partitions fixed-size rows; nothing
+    * else shuffles. Output is audit-sized per label: member count,
+    * first coordinate of the prototype, and its L2 norm (both 1e-6
+    * rounded — display precision over means of ≥dozens of doubles).
+    */
+  def labelPrototypes(vectors: DataFrame, vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val v = vectors.select(col(labelCol).cast("int").as("label"),
+      col(vecCol).cast("array<double>").as("_v"))
+    v.groupBy(col("label"))
+      .agg(graft.functions.VectorSumAgg.vectorSum(col("_v")).as("_sv"),
+        count(lit(1)).as("n_members"))
+      .select(col("label"), col("n_members"),
+        round(element_at(col("_sv"), 1) / col("n_members"), 6).as("c0"),
+        round(sqrt(aggregate(
+          transform(col("_sv"), x => x / col("n_members")),
+          lit(0.0d), (acc, x) => acc + x * x)), 6).as("norm"))
+      .orderBy(col("label"))
   }
 
   /** mutual = the reversed (dst, src) pair is itself an edge; the edge

@@ -912,7 +912,11 @@ object CoreQueries {
       .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice")).as("value"))
-      .localCheckpoint() // read twice: scalar total + threshold filter
+      // Read twice (scalar total + threshold filter); LAZY persist, not
+      // eager localCheckpoint: building the frame must not trigger a
+      // job, and persist keeps lineage so a lost executor recomputes
+      // the block instead of failing the query (preemptible clusters).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = v.agg(sum(col("value")).as("total"),
       count(lit(1)).as("n_parts"))
     v.crossJoin(broadcast(tot))

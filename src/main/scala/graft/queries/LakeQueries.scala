@@ -368,6 +368,40 @@ object LakeQueries {
   def wapPublish(s: SparkSession, d: String): DataFrame =
     wapScenario(s, d).read().orderBy("custkey")
 
+  /** ANALYZE + SHOW STATS (`sql:48-49`) as an oracled lifecycle: exact
+    * NDV mode, so DuckDB aggregates over the same slice reproduce every
+    * stat cell (HLL estimates are engine-specific; the approx default
+    * stays the 100 TB route, exercised in LakeLifecycleSpec).
+    */
+  def statsShow(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("stats", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 200)))
+      t0.analyze(exactNdv = true)
+      t0
+    }
+    t.showStats().orderBy(asc_nulls_last("column_name"))
+  }
+
+  /** CALL system.register_table (`sql:276-281`): adopt an existing lake
+    * directory into a catalog under a new name — metadata pointer only,
+    * no data rewrite — then read through the catalog path.
+    */
+  def registerRead(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("register", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 120)))
+      val cat = new graft.lake.LakeCatalog(s,
+        java.nio.file.Files.createTempDirectory("regq-").toString)
+      cat.createSchema("adopted")
+      cat.registerTable("adopted.customer", loc)
+      t0.setProperties(Map("graft.test.cat" -> cat.warehouse))
+      t0
+    }
+    val cat = new graft.lake.LakeCatalog(s, t.properties("graft.test.cat"))
+    cat.table("adopted.customer").read().orderBy("custkey")
+  }
+
   /** Tag read — `FOR VERSION AS OF 'published-v1'`: the immutable named
     * snapshot the WAP flow published. Same oracle as main (the tag IS
     * the published state), but through the ref-resolution scan path.
@@ -395,7 +429,9 @@ object LakeQueries {
     "lake_pruned_scan"     -> prunedScan _,
     "lake_schema_evolution" -> schemaEvolution _,
     "lake_snapshot_log"    -> snapshotLog _,
-    "lake_row_lineage"     -> rowLineage _
+    "lake_row_lineage"     -> rowLineage _,
+    "lake_stats"           -> statsShow _,
+    "lake_register"        -> registerRead _
   )
 
   /** Oracles express the *final state* of each lifecycle in ANSI SQL over
@@ -509,6 +545,70 @@ object LakeQueries {
          FROM (VALUES (1, 'append', true), (2, 'append', true))
            AS t(snapshot_id, operation, is_current_ancestor)
          ORDER BY snapshot_id""",
+    // Every SHOW STATS cell recomputed from the same slice: NDV exact
+    // (the scenario runs ANALYZE in exact mode), data_size = 8·rows for
+    // fixed-width types / Σlength for strings, min/max rendered as
+    // strings (both engines print shortest-round-trip doubles).
+    "lake_stats" ->
+      """WITH src AS (SELECT c_custkey AS custkey, c_name AS name,
+                             c_acctbal AS account_balance,
+                             c_mktsegment AS mktsegment
+                      FROM customer WHERE c_custkey < 200),
+              n AS (SELECT count(*) AS rc FROM src)
+         SELECT * FROM (
+           SELECT 'custkey' AS column_name,
+                  CAST(8 * n.rc AS DOUBLE) AS data_size,
+                  (SELECT CAST(count(DISTINCT custkey) AS DOUBLE) FROM src)
+                    AS distinct_values_count,
+                  (SELECT CAST(count(*) FILTER (WHERE custkey IS NULL)
+                     AS DOUBLE) FROM src) / n.rc AS nulls_fraction,
+                  CAST(NULL AS BIGINT) AS row_count,
+                  (SELECT CAST(min(custkey) AS VARCHAR) FROM src)
+                    AS low_value,
+                  (SELECT CAST(max(custkey) AS VARCHAR) FROM src)
+                    AS high_value
+           FROM n
+           UNION ALL
+           SELECT 'account_balance', CAST(8 * n.rc AS DOUBLE),
+                  (SELECT CAST(count(DISTINCT account_balance) AS DOUBLE)
+                     FROM src),
+                  (SELECT CAST(count(*) FILTER
+                     (WHERE account_balance IS NULL) AS DOUBLE) FROM src)
+                    / n.rc,
+                  NULL,
+                  (SELECT CAST(min(account_balance) AS VARCHAR) FROM src),
+                  (SELECT CAST(max(account_balance) AS VARCHAR) FROM src)
+           FROM n
+           UNION ALL
+           SELECT 'name',
+                  (SELECT CAST(sum(length(name)) AS DOUBLE) FROM src),
+                  (SELECT CAST(count(DISTINCT name) AS DOUBLE) FROM src),
+                  (SELECT CAST(count(*) FILTER (WHERE name IS NULL)
+                     AS DOUBLE) FROM src) / n.rc,
+                  NULL,
+                  (SELECT min(name) FROM src),
+                  (SELECT max(name) FROM src)
+           FROM n
+           UNION ALL
+           SELECT 'mktsegment',
+                  (SELECT CAST(sum(length(mktsegment)) AS DOUBLE) FROM src),
+                  (SELECT CAST(count(DISTINCT mktsegment) AS DOUBLE)
+                     FROM src),
+                  (SELECT CAST(count(*) FILTER (WHERE mktsegment IS NULL)
+                     AS DOUBLE) FROM src) / n.rc,
+                  NULL,
+                  (SELECT min(mktsegment) FROM src),
+                  (SELECT max(mktsegment) FROM src)
+           FROM n
+           UNION ALL
+           SELECT NULL, NULL, NULL, NULL, n.rc, NULL, NULL FROM n
+         ) ORDER BY column_name NULLS LAST""",
+    // register_table is a metadata pointer — the read-back must be the
+    // source slice, byte for byte
+    "lake_register" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey < 120 ORDER BY custkey""",
     // Row ids are assigned in file order (customer.parquet is custkey-
     // ordered, keys from 0), so lineage is a pure function of custkey;
     // the custkey<5 UPDATE bumps those rows to sequence 2.

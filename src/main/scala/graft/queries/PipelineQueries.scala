@@ -415,6 +415,26 @@ object PipelineQueries {
     Similarity.knnGraph(Tables.embeddings(s, d))
       .orderBy("src", "rank")
 
+  /** 3-iteration damped PageRank over the kNN graph — semantic
+    * centrality for coreset selection / diversity weighting.
+    */
+  def knnPagerank(s: SparkSession, d: String): DataFrame =
+    GraphOps.pageRank(
+      Similarity.knnGraph(Tables.embeddings(s, d)).select("src", "dst"),
+      iters = 3)
+      .orderBy("node")
+
+  /** Exact cross-label hard negatives: top-3 nearest with a different
+    * label, for contrastive fine-tuning pairs.
+    */
+  def simHardNegatives(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(s, d), k = 3)
+      .orderBy("vec_id", "rank")
+
+  /** Per-label mean-embedding prototypes (class centroids). */
+  def embeddingPrototypes(s: SparkSession, d: String): DataFrame =
+    Similarity.labelPrototypes(Tables.embeddings(s, d))
+
   /** Corpus-wide top-20 most common 5-grams (boilerplate detector). */
   def textCommonNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.commonNgrams(Tables.documents(s, d))
@@ -571,6 +591,12 @@ object PipelineQueries {
   def textCorpusStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusStats(Tables.documents(s, d))
 
+  // Memoized PER JVM AND DATASET DIR, like dedupIdxCache/ivfCache: the
+  // fixture parquet under a dir is immutable for a process lifetime, so
+  // the trained model is too. A session that mutates `documents` in
+  // place and expects a fresh model must retrain via
+  // TextAnalysis.persistLm directly (or restart) — the registry path's
+  // real freshness story is refreshLm deltas, not silent retraining.
   private val lmCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -792,6 +818,9 @@ object PipelineQueries {
     "text_chunks"          -> textChunks _,
     "text_quality_gate"    -> textQualityGate _,
     "knn_graph"            -> knnGraph _,
+    "knn_pagerank"         -> knnPagerank _,
+    "sim_hard_negatives"   -> simHardNegatives _,
+    "embedding_prototypes" -> embeddingPrototypes _,
     "attribution_last_touch" -> attributionLastTouch _,
     "sample_uniform_k"     -> sampleUniformK _,
     "text_char_entropy"    -> textCharEntropy _,
@@ -1427,6 +1456,79 @@ object PipelineQueries {
                 round(k.cos, 6) AS cosine, (m.src IS NOT NULL) AS mutual
          FROM k LEFT JOIN k m ON m.src = k.dst AND m.dst = k.src
          ORDER BY k.src, k.rank""",
+    // PageRank with the 3 iterations UNROLLED over the same kNN edges;
+    // per-iteration 1e-12 rounding keeps both engines on one grid (the
+    // kmeans stance), output at 1e-6.
+    "knn_pagerank" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                      list_cosine_similarity(a.v, b.v) AS cos
+               FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+         r AS (SELECT src, dst, cos, row_number() OVER
+                 (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+               FROM s),
+         e AS (SELECT src, dst FROM r WHERE rank <= 5),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e),
+         n AS (SELECT count(*) AS nn FROM nodes),
+         outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.nn AS rank FROM nodes CROSS JOIN n),
+         c1 AS (SELECT e.dst AS node, sum(r0.rank / outd.od) AS cs
+                FROM e JOIN outd USING (src)
+                JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+         r1 AS (SELECT nodes.node,
+                       round(CAST(0.15 AS DOUBLE) / n.nn +
+                         CAST(0.85 AS DOUBLE) * coalesce(c1.cs, 0), 12) AS rank
+                FROM nodes CROSS JOIN n
+                LEFT JOIN c1 ON c1.node = nodes.node),
+         c2 AS (SELECT e.dst AS node, sum(r1.rank / outd.od) AS cs
+                FROM e JOIN outd USING (src)
+                JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+         r2 AS (SELECT nodes.node,
+                       round(CAST(0.15 AS DOUBLE) / n.nn +
+                         CAST(0.85 AS DOUBLE) * coalesce(c2.cs, 0), 12) AS rank
+                FROM nodes CROSS JOIN n
+                LEFT JOIN c2 ON c2.node = nodes.node),
+         c3 AS (SELECT e.dst AS node, sum(r2.rank / outd.od) AS cs
+                FROM e JOIN outd USING (src)
+                JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+         r3 AS (SELECT nodes.node,
+                       round(CAST(0.15 AS DOUBLE) / n.nn +
+                         CAST(0.85 AS DOUBLE) * coalesce(c3.cs, 0), 12) AS rank
+                FROM nodes CROSS JOIN n
+                LEFT JOIN c3 ON c3.node = nodes.node)
+         SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""",
+    // Hard negatives: rank on the RAW cross-label cosine, ties on
+    // neighbor id, round only in the output (the knn_graph stance).
+    "sim_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         s AS (SELECT a.vec_id, b.vec_id AS neighbor,
+                      list_cosine_similarity(a.v, b.v) AS cos
+               FROM v a JOIN v b ON a.label <> b.label),
+         r AS (SELECT vec_id, neighbor, cos, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+               FROM s)
+         SELECT vec_id, CAST(rank AS INT) AS rank, neighbor,
+                round(cos, 6) AS cosine
+         FROM r WHERE rank <= 3 ORDER BY vec_id, rank""",
+    // Per-label mean vector: avg per (label, position), then first
+    // coordinate and L2 norm of the mean — 1e-6 display rounding over
+    // means of dozens of doubles (ulp noise ~1e-15).
+    "embedding_prototypes" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         u AS (SELECT label, pos, avg(x) AS m FROM
+                 (SELECT label, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM v)
+               GROUP BY label, pos),
+         p AS (SELECT label, list(m ORDER BY pos) AS mv FROM u
+               GROUP BY label),
+         n AS (SELECT label, count(*) AS n_members FROM v GROUP BY label)
+         SELECT n.label, n.n_members, round(p.mv[1], 6) AS c0,
+                round(sqrt(list_sum(list_transform(p.mv, x -> x * x))), 6)
+                  AS norm
+         FROM n JOIN p USING (label) ORDER BY n.label""",
     // Shannon entropy over the per-doc character distribution; both
     // engines sum -(p·log2 p) over the same (doc, char) counts, rounded
     // to 6 (the checker compares floats at 1e-9 rel)
@@ -1835,7 +1937,7 @@ object PipelineQueries {
                  (SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY sim DESC, cell) AS rn FROM s1)
                 WHERE rn = 1),
-         u1 AS (SELECT cell, pos, avg(x) AS m FROM
+         u1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
                  (SELECT cell, unnest(v) AS x,
                          generate_subscripts(v, 1) AS pos FROM a1)
                 GROUP BY cell, pos),
@@ -1848,7 +1950,7 @@ object PipelineQueries {
                  (SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY sim DESC, cell) AS rn FROM s2)
                 WHERE rn = 1),
-         u2 AS (SELECT cell, pos, avg(x) AS m FROM
+         u2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
                  (SELECT cell, unnest(v) AS x,
                          generate_subscripts(v, 1) AS pos FROM a2)
                 GROUP BY cell, pos),

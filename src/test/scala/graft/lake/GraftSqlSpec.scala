@@ -278,6 +278,54 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(viaSql == viaDf, "SQL text and DataFrame plans must agree")
   }
 
+  test("property: generated adversarial literals round-trip through " +
+      "INSERT/UPDATE/DELETE/SELECT dispatch") {
+    // ScalaCheck generator sampled with a FIXED seed (deterministic CI;
+    // no scalatestplus bridge needed): literals are concatenations of
+    // the tokens most likely to confuse a statement router — dispatch
+    // keywords, parens, quote escapes, comment markers, `@` branch
+    // syntax. For each literal the statement must route to its intended
+    // family, observable by effect: INSERT lands the exact content,
+    // UPDATE rewrites it, DELETE removes it, SELECT counts zero after.
+    import org.scalacheck.Gen
+    val token = Gen.oneOf(
+      "WHERE", "VALUES", "AND", "OR", "SELECT", "FROM", "SET",
+      "MERGE INTO t USING u", "DELETE FROM", "FOR VERSION AS OF 7",
+      "(", ")", "','", "'", "''", "--", "@dev", "=>", "ARRAY[1]",
+      "1=1", "$path", ";", "it's", "x")
+    val litGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString(" "))
+    var seed = org.scalacheck.rng.Seed(421L)
+    val cases = (1 to 20).flatMap { _ =>
+      val v = litGen.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+    assert(cases.size >= 15, "generator should rarely discard")
+    val gs = freshSql()
+    gs.execute("CREATE OR REPLACE TABLE propadv AS SELECT * FROM tpch.tiny.nation")
+    def esc(s: String) = s.replace("'", "''")
+    cases.zipWithIndex.foreach { case (l, i) =>
+      val id = 5000 + i
+      gs.execute(s"""INSERT INTO propadv (n_nationkey, n_name, n_regionkey)
+                     VALUES ($id, '${esc(l)}', 0)""")
+      assert(gs.execute(s"SELECT n_name FROM propadv WHERE n_nationkey = $id")
+        .head().getString(0) == l, s"INSERT misrouted/mangled: <$l>")
+      val l2 = l + " u'p"
+      gs.execute(s"""UPDATE propadv SET n_name = '${esc(l2)}'
+                     WHERE n_nationkey = $id""")
+      assert(gs.execute(s"SELECT n_name FROM propadv WHERE n_nationkey = $id")
+        .head().getString(0) == l2, s"UPDATE misrouted/mangled: <$l>")
+      gs.execute(s"""DELETE FROM propadv
+                     WHERE n_nationkey = $id AND n_name = '${esc(l2)}'""")
+      assert(gs.execute(
+        s"SELECT count(*) AS n FROM propadv WHERE n_nationkey = $id")
+        .head().getLong(0) == 0L, s"DELETE misrouted: <$l>")
+    }
+    assert(gs.execute("SELECT * FROM propadv").count() == 25)
+  }
+
   test("adversarial string literals cannot misroute statement dispatch") {
     val gs = freshSql()
     gs.execute("CREATE OR REPLACE TABLE adv AS SELECT * FROM tpch.tiny.nation")

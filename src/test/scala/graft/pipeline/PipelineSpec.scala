@@ -590,6 +590,53 @@ class PipelineSpec extends AnyFunSuite {
         s"${mono.diff(blocked).take(5)}")
   }
 
+  test("pageRank conserves mass and favors in-degree") {
+    val edges = Similarity.knnGraph(emb).select(col("src"), col("dst"))
+    val ranks = GraphOps.pageRank(edges, iters = 3)
+    val rows = ranks.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // no dangling nodes in a kNN graph → dropped-mass is zero and the
+    // distribution stays normalized (up to the 1e-12 per-iter grid)
+    val total = rows.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass drifted: $total")
+    assert(rows.forall(_._2 > 0.0), "every node keeps the base rank")
+    // the most-pointed-at node must outrank the least-pointed-at one
+    val indeg = edges.groupBy("dst").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byRank = rows.sortBy(-_._2)
+    assert(indeg.getOrElse(byRank.head._1, 0L) >
+      indeg.getOrElse(byRank.last._1, 0L),
+      "PageRank order should track in-degree on a k-regular-out graph")
+  }
+
+  test("hard negatives: cross-label only, and exactly the naive top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.hardNegatives(emb, k = 3)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    // every pair crosses labels
+    val crossed = got
+      .join(lbl.withColumnRenamed("label", "src_lbl"), Seq("vec_id"))
+      .join(lbl.select(col("vec_id").as("neighbor"),
+        col("label").as("dst_lbl")), Seq("neighbor"))
+    assert(crossed.filter(col("src_lbl") === col("dst_lbl")).count() == 0,
+      "a hard negative must hold a different label")
+    // equality with the quadratic baseline
+    val v = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val q = v.select(col("vec_id").as("qid"), col("label").as("qlbl"),
+      col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val naive = v.crossJoin(q)
+      .filter(col("label") =!= col("qlbl"))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ours = got.select(col("vec_id"), col("rank"), col("neighbor"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ours == naive, s"drifted: ${ours.diff(naive).take(5)}")
+  }
+
   test("kNN mutual flag is exactly reversed-edge membership") {
     val rows = Similarity.knnGraph(emb)
       .select(col("src"), col("dst"), col("mutual"))
