@@ -414,15 +414,22 @@ object Similarity {
     */
   def knnGraph(vectors: DataFrame, k: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      nBlocks: Int = 8): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     import graft.functions.VectorExpressions.topKNeighborsAgainst
+    // Block count defaults to the session's shuffle parallelism: block
+    // keys are the join's max parallelism, and a handful of fat blocks
+    // would idle most of the cluster. More blocks also means smaller
+    // per-task matrices — the memory knob scales with the config the
+    // deployment already sizes.
+    val b = if (nBlocks > 0) nBlocks
+      else vectors.sparkSession.sessionState.conf.numShufflePartitions
     val v = vectors.select(col(idCol).cast("long").as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
     // Pack each block into ONE row: an id-sorted candidate array with
     // precomputed norms (an in-order fold — bit-identical to the
     // kernel's own accumulation, so the fast path never drifts).
     val packed = v
-      .groupBy(pmod(xxhash64(col("_id")), lit(nBlocks.toLong)).as("_blk"))
+      .groupBy(pmod(xxhash64(col("_id")), lit(b.toLong)).as("_blk"))
       .agg(sort_array(collect_list(
         struct(col("_id").as("id"), col("_v").as("v")))).as("_p"))
       .select(col("_blk"),
@@ -440,8 +447,8 @@ object Similarity {
     // shuffle to one task.
     val cand = v
       .withColumn("_blk", explode(sequence(lit(0L),
-        lit(nBlocks.toLong - 1L))))
-      .repartition(nBlocks, col("_blk"))
+        lit(b.toLong - 1L))))
+      .repartition(b, col("_blk"))
       .join(packed, Seq("_blk"))
       .select(col("_id").as("src"),
         topKNeighborsAgainst(col("_v"), col("_id"), col("_block"), k)

@@ -383,6 +383,41 @@ object LakeQueries {
     t.showStats().orderBy(asc_nulls_last("column_name"))
   }
 
+  /** MATERIALIZED VIEW + REFRESH (`sql:57-61`) as an oracled lifecycle:
+    * materialize an aggregate over half the orders, append the other
+    * half (mview must keep serving the STALE materialization — asserted
+    * in-scenario), REFRESH, read the fresh state. The oracle is the
+    * aggregate over ALL orders — matching proves both that refresh
+    * re-ran the stored SQL over the appended table and that reads come
+    * from the materialized lake table, not a live re-plan.
+    */
+  def mviewRefresh(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("mview", d) { loc =>
+      val cat = new graft.lake.LakeCatalog(s,
+        java.nio.file.Files.createTempDirectory("mvq-").toString)
+      cat.createSchema("demo")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val t0 = cat.createTable("demo.morders",
+        ord.filter(col("o_orderkey") % 2 === 0))
+      cat.createMaterializedView("mv_cust_totals",
+        """SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total
+           FROM morders GROUP BY o_custkey""")
+      t0.append(ord.filter(col("o_orderkey") % 2 === 1))
+      val stale = cat.readView("mv_cust_totals")
+        .agg(sum(col("total"))).head().getDouble(0)
+      cat.refreshMaterializedView("mv_cust_totals")
+      val fresh = cat.readView("mv_cust_totals")
+        .agg(sum(col("total"))).head().getDouble(0)
+      require(stale < fresh,
+        "mview must serve the materialized (stale) state until REFRESH")
+      t0.setProperties(Map("graft.test.cat" -> cat.warehouse))
+      t0
+    }
+    val cat = new graft.lake.LakeCatalog(s, t.properties("graft.test.cat"))
+    cat.readView("mv_cust_totals").orderBy("custkey")
+  }
+
   /** CALL system.register_table (`sql:276-281`): adopt an existing lake
     * directory into a catalog under a new name — metadata pointer only,
     * no data rewrite — then read through the catalog path.
@@ -431,7 +466,8 @@ object LakeQueries {
     "lake_snapshot_log"    -> snapshotLog _,
     "lake_row_lineage"     -> rowLineage _,
     "lake_stats"           -> statsShow _,
-    "lake_register"        -> registerRead _
+    "lake_register"        -> registerRead _,
+    "lake_mview_refresh"   -> mviewRefresh _
   )
 
   /** Oracles express the *final state* of each lifecycle in ANSI SQL over
@@ -603,6 +639,10 @@ object LakeQueries {
            UNION ALL
            SELECT NULL, NULL, NULL, NULL, n.rc, NULL, NULL FROM n
          ) ORDER BY column_name NULLS LAST""",
+    // post-refresh mview state = the stored aggregate over ALL orders
+    "lake_mview_refresh" ->
+      """SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_custkey ORDER BY custkey""",
     // register_table is a metadata pointer — the read-back must be the
     // source slice, byte for byte
     "lake_register" ->

@@ -54,6 +54,27 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The embedding near-dup pairs closed into semantic dedup CLUSTERS —
+    * the planted-twin pairs through the same pointer-doubling
+    * components as the minhash family (a curation pipeline keeps one
+    * representative per component). Oracle closes the same pair set
+    * with a recursive CTE, so pair recall AND labels are hash-checked.
+    */
+  def dedupEmbeddingClusters(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val jittered = base.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0f) + pmod(i, lit(5)).cast("float") * lit(0.01f)))
+        .as("embedding"))
+    Dedup.components(
+      Dedup.embeddingNearDup(base.unionByName(jittered),
+        cosineThreshold = 0.98)
+        .select("id_a", "id_b"))
+      .select(col("id").as("vec_id"), col("component"))
+      .orderBy("component", "vec_id")
+  }
+
   /** As-of (point-in-time) join: each event looks up the customer's
     * most recent order at or before the event — union-sort shape, one
     * shuffle, no range probe. Oracle = DuckDB's native ASOF JOIN.
@@ -818,6 +839,7 @@ object PipelineQueries {
     "text_chunks"          -> textChunks _,
     "text_quality_gate"    -> textQualityGate _,
     "knn_graph"            -> knnGraph _,
+    "dedup_embedding_clusters" -> dedupEmbeddingClusters _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -1271,6 +1293,30 @@ object PipelineQueries {
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                  b.embedding::DOUBLE[]) >= 0.98
          ORDER BY id_a, id_b""",
+    // The planted-twin pair set closed into components by a recursive
+    // CTE — same closure idiom as dedup_minhash_clusters.
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE u AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000,
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> embedding[i] * CAST(1.0 + ((i - 1) % 5) * 0.01
+                      AS FLOAT))
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM u a JOIN u b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                   b.embedding::DOUBLE[]) >= 0.98),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM e
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+         SELECT id AS vec_id, min(r) AS component
+         FROM reach GROUP BY id ORDER BY component, vec_id""",
     // ONE string for both keys: the SQL-surface variant must produce
     // byte-identical results to the Column-API plan by construction
     "sim_topk_bruteforce" -> SimTopKOracle,
