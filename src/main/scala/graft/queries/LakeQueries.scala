@@ -418,6 +418,42 @@ object LakeQueries {
     cat.readView("mv_cust_totals").orderBy("custkey")
   }
 
+  /** INCREMENTALLY-maintained materialized aggregate
+    * ([[graft.lake.IncrementalMv]]): materialize over half the orders,
+    * append the rest in two commits, refresh — the refresh must take
+    * the INCREMENTAL path (asserted in-scenario: mode string + the MV
+    * state advancing by one append commit, no rebuild) — then compact.
+    * The oracle is the aggregate over ALL orders: matching proves
+    * delta-partials + per-key summing ≡ a full recompute.
+    */
+  def mviewIncremental(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("mvinc", d) { loc =>
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val src = LakeTable.create(s, loc,
+        Right(ord.filter(col("o_orderkey") % 2 === 0)))
+      val mvLoc = loc + "_mv"
+      graft.lake.IncrementalMv.create(s, mvLoc, src,
+        groupCols = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+      src.append(ord.filter(col("o_orderkey") % 4 === 1))
+      src.append(ord.filter(col("o_orderkey") % 4 === 3))
+      val mode = graft.lake.IncrementalMv.refresh(s, mvLoc)
+      require(mode == "incremental",
+        s"append-only range must refresh incrementally, got $mode")
+      require(LakeTable.forLocation(s, mvLoc).meta.snapshots
+        .count(_.operation == "append") == 2,
+        "incremental refresh must be ONE state append, not a rebuild")
+      graft.lake.IncrementalMv.compact(s, mvLoc)
+      src.setProperties(Map("graft.test.mv" -> mvLoc))
+      src
+    }
+    graft.lake.IncrementalMv.read(s, t.properties("graft.test.mv"))
+      .select(col("o_custkey").as("custkey"),
+        col("n_rows").as("n_orders"),
+        round(col("sum_o_totalprice"), 2).as("total"))
+      .orderBy("custkey")
+  }
+
   /** CALL system.register_table (`sql:276-281`): adopt an existing lake
     * directory into a catalog under a new name — metadata pointer only,
     * no data rewrite — then read through the catalog path.
@@ -467,7 +503,8 @@ object LakeQueries {
     "lake_row_lineage"     -> rowLineage _,
     "lake_stats"           -> statsShow _,
     "lake_register"        -> registerRead _,
-    "lake_mview_refresh"   -> mviewRefresh _
+    "lake_mview_refresh"   -> mviewRefresh _,
+    "lake_mview_incremental" -> mviewIncremental _
   )
 
   /** Oracles express the *final state* of each lifecycle in ANSI SQL over
@@ -639,6 +676,11 @@ object LakeQueries {
            UNION ALL
            SELECT NULL, NULL, NULL, NULL, n.rc, NULL, NULL FROM n
          ) ORDER BY column_name NULLS LAST""",
+    // delta-partial maintenance must equal the full aggregate
+    "lake_mview_incremental" ->
+      """SELECT o_custkey AS custkey, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY custkey ORDER BY custkey""",
     // post-refresh mview state = the stored aggregate over ALL orders
     "lake_mview_refresh" ->
       """SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total

@@ -339,4 +339,44 @@ class LakeLifecycleSpec extends AnyFunSuite {
       .head().getString(0)
     assert(got == "Starburst")
   }
+
+  test("incremental MV: delta refresh ≡ recompute; DML forces rebuild; " +
+      "compact invariant; noop when current") {
+    def state(loc: String): Seq[(Long, Long, Double)] =
+      IncrementalMv.read(s, loc)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100).toDouble / 100))
+        .sortBy(_._1).toSeq
+    def expected(t: LakeTable): Seq[(Long, Long, Double)] =
+      t.read().groupBy(col("custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("account_balance")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100).toDouble / 100))
+        .sortBy(_._1).toSeq
+    val src = LakeTable.create(s, tmpLoc(), Right(customers(40)))
+    val mvLoc = tmpLoc()
+    IncrementalMv.create(s, mvLoc, src,
+      groupCols = Seq("custkey"), sumCols = Seq("account_balance"))
+    assert(IncrementalMv.refresh(s, mvLoc) == "noop")
+    // two appends → ONE incremental refresh covers both commits
+    src.append(customers(60).filter(col("custkey") >= 40))
+    src.append(customers(80).filter(col("custkey") >= 60))
+    assert(IncrementalMv.refresh(s, mvLoc) == "incremental")
+    assert(state(mvLoc) == expected(src),
+      "delta partials must reproduce the full aggregate")
+    // compact folds deltas; read and properties are invariant
+    val propsBefore = LakeTable.forLocation(s, mvLoc).properties
+    IncrementalMv.compact(s, mvLoc)
+    assert(state(mvLoc) == expected(src), "compact must not change reads")
+    assert(LakeTable.forLocation(s, mvLoc).properties("graft.mv.source")
+      == propsBefore("graft.mv.source"))
+    // one folded partial row per key after compact
+    val t = LakeTable.forLocation(s, mvLoc)
+    assert(t.read().count() == expected(src).size.toLong)
+    // row-level DML in the range → refresh must detect and rebuild
+    src.delete(col("custkey") % 7 === 0)
+    assert(IncrementalMv.refresh(s, mvLoc) == "rebuild")
+    assert(state(mvLoc) == expected(src),
+      "rebuild must reproduce the post-DML aggregate")
+  }
 }
