@@ -176,6 +176,41 @@ object LakeQueries {
     t.read().orderBy("custkey")
   }
 
+  /** Maintenance invariance (`sql:260-261`, SURVEY M1-M2): a lifecycle
+    * of appends + DML, then expire_snapshots(retention 0) and
+    * remove_orphan_files — history is dropped and storage reclaimed
+    * (asserted in-scenario: snapshot count collapses to the ref heads,
+    * a planted orphan file is deleted), but the CURRENT state must be
+    * byte-identical to the oracle's replay of the same DML. The
+    * companion ordering/crash-safety properties live in
+    * LakeLifecycleSpec; this entry makes the end state driver-visible.
+    */
+  def maintenanceInvariance(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("maint", d) { loc =>
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 60)),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.append(customerDf(s, d)
+        .filter(col("custkey") >= 60 && col("custkey") < 120))
+      t0.update(col("custkey") < 10,
+        Map("account_balance" -> lit(250.0)))
+      t0.delete(col("custkey") % 11 === 0)
+      // a stray tmp file the crash-cleanup sweep must remove
+      val stray = java.nio.file.Paths.get(loc, "data", "stray-debris.tmp")
+      java.nio.file.Files.createDirectories(stray.getParent)
+      java.nio.file.Files.write(stray, Array[Byte](1, 2, 3))
+      val before = t0.meta.snapshots.size
+      t0.expireSnapshots(olderThanMs = 0L)
+      t0.removeOrphanFiles(olderThanMs = 0L)
+      require(t0.meta.snapshots.size < before,
+        "retention-0 expiry must drop non-head history")
+      require(!java.nio.file.Files.exists(stray),
+        "orphan sweep must delete planted debris")
+      t0
+    }
+    t.read().orderBy("custkey")
+  }
+
   /** Hidden-partition pruned scan (`sql:13-15`): year(o_orderdate)
     * partitioning; the filter prunes year files before Spark plans.
     */
@@ -504,7 +539,8 @@ object LakeQueries {
     "lake_stats"           -> statsShow _,
     "lake_register"        -> registerRead _,
     "lake_mview_refresh"   -> mviewRefresh _,
-    "lake_mview_incremental" -> mviewIncremental _
+    "lake_mview_incremental" -> mviewIncremental _,
+    "lake_maintenance"     -> maintenanceInvariance _
   )
 
   /** Oracles express the *final state* of each lifecycle in ANSI SQL over
@@ -676,6 +712,15 @@ object LakeQueries {
            UNION ALL
            SELECT NULL, NULL, NULL, NULL, n.rc, NULL, NULL FROM n
          ) ORDER BY column_name NULLS LAST""",
+    // current state after expire+orphan-sweep = the DML replay; history
+    // loss must never leak into the head
+    "lake_maintenance" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                CASE WHEN c_custkey < 10 THEN 250.0 ELSE c_acctbal END
+                  AS account_balance,
+                c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey < 120 AND c_custkey % 11 <> 0
+         ORDER BY custkey""",
     // delta-partial maintenance must equal the full aggregate
     "lake_mview_incremental" ->
       """SELECT o_custkey AS custkey, count(*) AS n_orders,
