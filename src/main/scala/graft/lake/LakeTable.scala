@@ -138,6 +138,21 @@ class LakeTable(val spark: SparkSession, val location: String) {
     m.properties.get("sorted_by").toSeq.flatMap(_.split(",")).map(_.trim)
       .filter(_.nonEmpty)
 
+  /** Parquet writer options derived from table properties.
+    * `bloom_filter_columns` = comma list of high-cardinality columns →
+    * every data file carries a parquet bloom filter per listed column,
+    * and point-lookup scans skip row groups whose filter proves the key
+    * absent — the data-skipping tier BELOW manifest min/max pruning
+    * (min/max is useless for an id scattered uniformly through every
+    * file; a bloom answers membership). Applied on every write path
+    * (append, DML rewrites, MERGE, compaction) so clustering files via
+    * OPTIMIZE keeps their filters.
+    */
+  private def writeOpts(m: TableMetadata): Map[String, String] =
+    m.properties.get("bloom_filter_columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   private def liveOf(m: TableMetadata, branch: String)
       : (List[DataFileEntry], List[DeleteFileEntry]) =
     m.refs.get(branch).map(_.snapshotId).flatMap(m.snapshot) match {
@@ -211,7 +226,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
       if (Scan.rowLineageEnabled(m)) Writer.withLineage(aligned, m.nextRowId, seq)
       else aligned
     val entries = Writer.writeDataFiles(withLin, location, m.defaultSpec,
-      m.currentSchemaId, seq, sortedBy(m))
+      m.currentSchemaId, seq, sortedBy(m), writeOpts(m))
     val rows = entries.map(_.recordCount).sum
     commitSnapshot(m, "append",
       Manifest(entries.toList, Nil, Nil, Nil), branch, rows, summary)
@@ -252,7 +267,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
       val survivors = Scan.readEntries(spark, m, affected, dels)
         .filter(!matches(cond))
       val entries = Writer.writeDataFiles(survivors, location, m.defaultSpec,
-        m.currentSchemaId, seq, sortedBy(m))
+        m.currentSchemaId, seq, sortedBy(m), writeOpts(m))
       Some(commitSnapshot(m, "delete",
         Manifest(entries.toList, Nil, affected.map(_.path).toList, Nil),
         branch, 0))
@@ -290,7 +305,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
           location, seq)
         if (delEntry.isEmpty) return None
         val entries = Writer.writeDataFiles(applySet(matched), location,
-          m.defaultSpec, m.currentSchemaId, seq, sortedBy(m))
+          m.defaultSpec, m.currentSchemaId, seq, sortedBy(m), writeOpts(m))
         Some(commitSnapshot(m, "overwrite",
           Manifest(entries.toList, delEntry.toList, Nil, Nil), branch, 0))
       } finally matched.unpersist()
@@ -307,7 +322,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
       val rewritten = applySet(all.filter(matches(cond)))
         .unionByName(all.filter(!matches(cond)))
       val entries = Writer.writeDataFiles(rewritten, location, m.defaultSpec,
-        m.currentSchemaId, seq, sortedBy(m))
+        m.currentSchemaId, seq, sortedBy(m), writeOpts(m))
       Some(commitSnapshot(m, "overwrite",
         Manifest(entries.toList, Nil, affected.map(_.path).toList, Nil),
         branch, 0))
@@ -428,7 +443,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
             location, seq)
           if (delEntry.nonEmpty) {
             val entries = Writer.writeDataFiles(upd, location, m.defaultSpec,
-              m.currentSchemaId, seq, sortedBy(m))
+              m.currentSchemaId, seq, sortedBy(m), writeOpts(m))
             manifest = manifest.copy(
               addedData = manifest.addedData ++ entries,
               addedDeletes = manifest.addedDeletes ++ delEntry)
@@ -438,7 +453,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
       insertedOpt.foreach { ins =>
         val withLin = Writer.withLineage(ins, m.nextRowId, seq)
         val entries = Writer.writeDataFiles(withLin, location, m.defaultSpec,
-          m.currentSchemaId, seq, sortedBy(m))
+          m.currentSchemaId, seq, sortedBy(m), writeOpts(m))
         rowsAssigned += entries.map(_.recordCount).sum
         manifest = manifest.copy(addedData = manifest.addedData ++ entries)
       }
@@ -702,7 +717,7 @@ class LakeTable(val spark: SparkSession, val location: String) {
         else rows.coalesce(targetFiles)
       Writer.writeDataFiles(arranged, location,
         m.defaultSpec, m.currentSchemaId, seq,
-        if (clusterBy.nonEmpty) Nil else sortedBy(m))
+        if (clusterBy.nonEmpty) Nil else sortedBy(m), writeOpts(m))
     } finally if (clusterBy.nonEmpty) rows.unpersist()
     val allCompacted = selected.map(_.path).toSet == files.map(_.path).toSet
     Some(commitSnapshot(m, "replace",

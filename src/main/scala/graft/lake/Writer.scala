@@ -95,7 +95,8 @@ object Writer {
       spec: PartitionSpec,
       schemaId: Int,
       seq: Long,
-      sortedBy: Seq[String] = Nil): Seq[DataFileEntry] = {
+      sortedBy: Seq[String] = Nil,
+      writeOptions: Map[String, String] = Map.empty): Seq[DataFileEntry] = {
     val spark = df.sparkSession
     val tmp = Files.createTempDirectory(Paths.get(location), ".stage-")
     try {
@@ -109,7 +110,7 @@ object Writer {
       }
       if (sortedBy.nonEmpty)
         out = out.sortWithinPartitions(sortedBy.map(col): _*)
-      val writer = out.write.mode("overwrite")
+      val writer = out.write.mode("overwrite").options(writeOptions)
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(tmp.toString)
 

@@ -340,6 +340,39 @@ class LakeLifecycleSpec extends AnyFunSuite {
     assert(got == "Starburst")
   }
 
+  test("bloom_filter_columns property lands parquet blooms in every " +
+      "data file; point lookups unaffected") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.{Path => HPath}
+    import scala.jdk.CollectionConverters._
+    val t = LakeTable.create(s, tmpLoc(), Right(customers(80)),
+      properties = Map("bloom_filter_columns" -> "custkey"))
+    t.append(customers(120).filter(col("custkey") >= 80))
+    val conf = s.sessionState.newHadoopConf()
+    val dataFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.location, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { p =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(p.toString), conf))
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == "custkey").get
+        assert(cc.getBloomFilterOffset >= 0,
+          s"no bloom for custkey in $p")
+        // non-listed columns must not pay the filter's footprint
+        val other = b.getColumns.asScala
+          .find(_.getPath.toDotString == "name").get
+        assert(other.getBloomFilterOffset < 0,
+          s"unexpected bloom for name in $p")
+      } finally r.close()
+    }
+    assert(t.read(col("custkey") === 77).count() == 1)
+    assert(t.read(col("custkey") === 9999).count() == 0)
+  }
+
   test("incremental MV: delta refresh ≡ recompute; DML forces rebuild; " +
       "compact invariant; noop when current") {
     def state(loc: String): Seq[(Long, Long, Double)] =
