@@ -207,6 +207,47 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  private val mviewStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+
+  /** Streaming ingest feeding an INCREMENTALLY-maintained materialized
+    * aggregate: seed a source lake table with an early event slice,
+    * materialize per-user count/sum over it
+    * ([[graft.lake.IncrementalMv]]), stream-ingest the remaining events
+    * (one stamped append snapshot per micro-batch), then ONE refresh
+    * brings the MV current — and must take the INCREMENTAL path over
+    * all streamed commits (asserted in-scenario), scanning only the
+    * appended rows. Oracle = the aggregate over ALL events: the
+    * downstream-MV answer to "don't rescan the table per refresh".
+    */
+  def streamMview(s: SparkSession, d: String): DataFrame = {
+    val t = mviewStreamCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-smv-")
+      val batch = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val table = graft.lake.LakeTable.create(s,
+        base.resolve("table").toString,
+        Right(batch.filter(col("event_id") < 1000)))
+      val mvLoc = base.resolve("mv").toString
+      graft.lake.IncrementalMv.create(s, mvLoc, table,
+        groupCols = Seq("user_id"), sumCols = Seq("value"))
+      val stream = EventStreams.readEvents(s, s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .filter(col("event_id") >= 1000)
+      graft.streaming.StreamIngest.ingestAvailable(stream, table,
+        "events_mv", base.resolve("ckpt").toString)
+      val mode = graft.lake.IncrementalMv.refresh(s, mvLoc)
+      require(mode == "incremental",
+        s"streamed append commits must refresh incrementally, got $mode")
+      table.setProperties(Map("graft.test.mv" -> mvLoc))
+      table
+    })
+    graft.lake.IncrementalMv.read(s, t.properties("graft.test.mv"))
+      .select(col("user_id"), col("n_rows").as("n_events"),
+        round(col("sum_value"), 4).as("total"))
+      .orderBy("user_id")
+  }
+
   /** Stream-static enrichment join: the event stream joined to a STATIC
     * dimension (customer) — no state store at all (the static side is
     * re-planned per micro-batch; broadcast keeps the stream side from
@@ -295,6 +336,7 @@ object StreamQueries {
     "stream_dedup" -> streamDedup _,
     "stream_lake_ingest" -> streamLakeIngest _,
     "stream_lake_upsert" -> streamLakeUpsert _,
+    "stream_mview" -> streamMview _,
     "stream_enrich" -> streamEnrich _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_outer" -> streamIntervalJoinOuter _
@@ -310,6 +352,11 @@ object StreamQueries {
     "stream_lake_ingest" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events ORDER BY event_id""",
+    // the MV maintained from streamed commits = the full aggregate
+    "stream_mview" ->
+      """SELECT user_id, count(*) AS n_events,
+                round(sum(value), 4) AS total
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // upsert: every seeded stale row (-999) must be overwritten by the
     // stream, every unseeded row inserted, nothing duplicated — the
     // final table is exactly the plain events table
