@@ -267,6 +267,39 @@ object TextAnalysis {
         col("word"), col("n"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`topK` vocabulary — the coverage signal tokenizer and
+    * vocab-size decisions are made on (a doc full of words the
+    * vocabulary misses will fragment into long byte-level token
+    * sequences). Vocabulary selection reuses the salted top-k shape
+    * (no hot-key serialization on the count pass); the selected vocab
+    * is topK rows — broadcast by construction — so the per-doc pass is
+    * one explode → broadcast membership flag → co-partitioned count:
+    * the corpus shuffles once, on doc id.
+    */
+  def oovRate(df: DataFrame, topK: Int = 50, textCol: String = "text",
+      idCol: String = "doc_id", salts: Int = 16): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("_salt", pmod(xxhash64(col("word")), lit(salts)))
+    val w1 = Window.partitionBy(col("_salt"))
+      .orderBy(col("n").desc, col("word"))
+    val candidates = counts.withColumn("_rk1", row_number().over(w1))
+      .filter(col("_rk1") <= topK)
+    // global rank over ≤ salts·topK survivors — single tiny partition
+    val w2 = Window.orderBy(col("n").desc, col("word"))
+    val vocab = candidates.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= topK)
+      .select(col("word"), lit(1).as("_iv"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Per-document character entropy (bits/char) — the compressibility
     * proxy quality filters use: machine-generated or repetitive text
     * scores low, encrypted/binary-ish noise scores near log2(alphabet).

@@ -759,6 +759,12 @@ object PipelineQueries {
       .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
   }
 
+  /** Per-doc OOV rate vs the corpus's top-50 vocabulary (tokenizer
+    * coverage signal).
+    */
+  def textOovRate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.oovRate(Tables.documents(s, d)).orderBy("doc_id")
+
   /** Character entropy per document — the compressibility quality
     * proxy.
     */
@@ -843,6 +849,7 @@ object PipelineQueries {
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
+    "text_oov_rate"        -> textOovRate _,
     "attribution_last_touch" -> attributionLastTouch _,
     "sample_uniform_k"     -> sampleUniformK _,
     "text_char_entropy"    -> textCharEntropy _,
@@ -1841,6 +1848,25 @@ object PipelineQueries {
                 CAST(sum(len(string_split_regex(trim(text), '\s+')))
                   AS BIGINT) AS n_tokens
          FROM mixed GROUP BY 1, 2 ORDER BY lang, source""",
+    // membership vs the same deterministically-ranked top-50; NOT IN is
+    // null-free here (every word row is a non-null string)
+    "text_oov_rate" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+             '\s+')) AS word
+           FROM documents),
+         c AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+         v AS (SELECT word FROM (
+                 SELECT word, row_number() OVER (ORDER BY n DESC, word)
+                   AS rk FROM c)
+               WHERE rk <= 50)
+         SELECT doc_id, count(*) AS n_tokens,
+                count(*) FILTER (WHERE word NOT IN (SELECT word FROM v))
+                  AS n_oov,
+                round(count(*) FILTER (WHERE word NOT IN
+                    (SELECT word FROM v))::DOUBLE / count(*), 6)
+                  AS oov_rate
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     "text_vocabulary" ->
       """WITH w AS (
            SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+'))
