@@ -225,15 +225,18 @@ object StreamQueries {
       val base = java.nio.file.Files.createTempDirectory("graft-smv-")
       val batch = s.read.parquet(s"$d/events.parquet")
         .select(col("event_id"), col("user_id"), col("value"))
+      // modulo split: both halves are non-empty at every SF (an
+      // id-threshold split left the streamed half empty at sf0.001,
+      // where all event ids are < 1000)
       val table = graft.lake.LakeTable.create(s,
         base.resolve("table").toString,
-        Right(batch.filter(col("event_id") < 1000)))
+        Right(batch.filter(col("event_id") % 5 === 0)))
       val mvLoc = base.resolve("mv").toString
       graft.lake.IncrementalMv.create(s, mvLoc, table,
         groupCols = Seq("user_id"), sumCols = Seq("value"))
       val stream = EventStreams.readEvents(s, s"$d/events.parquet")
         .select(col("event_id"), col("user_id"), col("value"))
-        .filter(col("event_id") >= 1000)
+        .filter(col("event_id") % 5 =!= 0)
       graft.streaming.StreamIngest.ingestAvailable(stream, table,
         "events_mv", base.resolve("ckpt").toString)
       val mode = graft.lake.IncrementalMv.refresh(s, mvLoc)

@@ -590,6 +590,28 @@ class PipelineSpec extends AnyFunSuite {
         s"${mono.diff(blocked).take(5)}")
   }
 
+  test("label prototypes: one object-hash aggregate, no row explosion") {
+    val plan = Similarity.labelPrototypes(emb)
+      .queryExecution.executedPlan.toString
+    // the vector-sum aggregate keeps vectors whole: no Generate
+    // (posexplode) anywhere, and the TypedImperativeAggregate plans as
+    // ObjectHashAggregate with a partial (map-side) phase
+    assert(!plan.contains("Generate"),
+      s"prototype aggregation must not explode vectors:\n${plan.take(1500)}")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(plan.contains("partial_vector_sum") ||
+      plan.contains("partial vector_sum"),
+      "vector sums must combine map-side before the exchange")
+  }
+
+  test("OOV rate: vocabulary joins broadcast — corpus never shuffles " +
+      "on word for the membership pass") {
+    val plan = TextAnalysis.oovRate(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership must broadcast:\n${plan.take(1500)}")
+  }
+
   test("pageRank conserves mass and favors in-degree") {
     val edges = Similarity.knnGraph(emb).select(col("src"), col("dst"))
     val ranks = GraphOps.pageRank(edges, iters = 3)
