@@ -535,4 +535,58 @@ object Dedup {
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Duplicated-SPAN detection at character granularity (the
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring-dedup family, Lee et al. 2021, arXiv:2107.06499):
+    * fixed-length character windows sampled at a stride are hashed and
+    * counted corpus-wide; a window whose hash occurs ≥2 times anywhere
+    * (same doc or another) marks its span as duplicated. The full
+    * suffix-array construction finds duplicates at EVERY offset; the
+    * stride grid trades that exactness for a plan of two bounded
+    * shuffles — a span of length ≥ `window + stride − 1` is guaranteed
+    * to contain a grid-aligned window, so long boilerplate is always
+    * caught and only spans shorter than that can slip the grid.
+    *
+    * Scale shape: windows ride the shuffles as (doc_id, 16-hex-char
+    * md5 prefix) — never the window text; the per-hash count
+    * map-side-combines, and the dup flag joins back on the same hash
+    * key (no second pass over documents). md5 rather than xxhash64
+    * because the hash IS the cross-engine comparison key for the
+    * differential oracle; a 64-bit prefix collision merges two spans'
+    * counts at ~n²/2⁶⁵ odds, the [[removeDuplicateLines]] stance.
+    *
+    * Output: (id, n_windows, dup_windows, dup_frac, keep) — keep uses
+    * the integral comparison `2·dup ≤ n` (dup_frac ≤ 0.5), bit-stable
+    * across engines; docs shorter than one window pass with 0 windows.
+    */
+  def substringDedup(df: DataFrame, window: Int = 40, stride: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && stride >= 1, "substringDedup: window/stride >= 1")
+    val t = col(textCol)
+    // offsets 1, 1+stride, … while a FULL window fits; empty array (not
+    // an illegal sequence(1,0)) for docs shorter than one window
+    val offs = when(length(t) >= window,
+      sequence(lit(1), length(t) - lit(window - 1), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val wins = df
+      .select(col(idCol), explode(offs).as("off"), t.as("_t"))
+      .select(col(idCol),
+        substring(md5(col("_t").substr(col("off"), lit(window))), 1, 16)
+          .as("hk"))
+    val counts = wins.groupBy(col("hk")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = wins.join(counts, Seq("hk"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_windows"),
+        sum(when(col("n_occ") >= 2, 1).otherwise(0)).cast("int")
+          .as("dup_windows"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0)).as("dup_windows"))
+      .withColumn("dup_frac", round(col("dup_windows").cast("double") /
+        greatest(col("n_windows"), lit(1)).cast("double"), 6))
+      .withColumn("keep", col("dup_windows") * 2 <= col("n_windows"))
+  }
 }

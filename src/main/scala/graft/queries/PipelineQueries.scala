@@ -700,6 +700,15 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span detection: 40-char windows on a 20-char stride,
+    * hashed and counted corpus-wide ([[Dedup.substringDedup]]) — the
+    * character-granularity sibling of [[dedupLines]] that catches
+    * boilerplate not aligned to line breaks.
+    */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDedup(Tables.documents(s, d), window = 40, stride = 20)
+      .orderBy("doc_id")
+
   /** Near-duplicate CLUSTERS: the MinHash pair detection composed with
     * min-label connected components — a ~ b, b ~ c collapse to one
     * cluster labeled by its min member id. The oracle recomputes the
@@ -838,6 +847,7 @@ object PipelineQueries {
     "pipeline_curate"      -> pipelineCurate _,
     "pipeline_curate_neardup" -> pipelineCurateNearDup _,
     "dedup_lines"          -> dedupLines _,
+    "dedup_substring"      -> dedupSubstring _,
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
     "sample_temperature"   -> sampleTemperature _,
     "text_fingerprint"     -> textFingerprint _,
@@ -1072,6 +1082,34 @@ object PipelineQueries {
                 coalesce(k.n_kept, 0) AS n_kept,
                 coalesce(k.clean_text, '') AS clean_text
          FROM seg LEFT JOIN k USING (doc_id)
+         ORDER BY doc_id""",
+    // Same 40-char/20-stride window grid, same md5-prefix hash key; a
+    // window is duplicated iff its hash occurs >= 2 times corpus-wide.
+    // keep is the integral comparison 2*dup <= n (bit-stable).
+    "dedup_substring" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(1,
+                    greatest(length(text) - 39, 0), 20)) AS off
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  substr(md5(substr(text, off, 40)), 1, 16) AS hk
+           FROM w),
+         c AS (SELECT hk, count(*) AS n_occ FROM h GROUP BY hk),
+         p AS (
+           SELECT h.doc_id, CAST(count(*) AS INT) AS n_windows,
+                  CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END)
+                    AS INT) AS dup_windows
+           FROM h JOIN c USING (hk) GROUP BY h.doc_id)
+         SELECT d.doc_id,
+                coalesce(p.n_windows, 0) AS n_windows,
+                coalesce(p.dup_windows, 0) AS dup_windows,
+                round(coalesce(p.dup_windows, 0) * 1.0 /
+                  greatest(coalesce(p.n_windows, 0), 1), 6) AS dup_frac,
+                coalesce(p.dup_windows, 0) * 2 <=
+                  coalesce(p.n_windows, 0) AS keep
+         FROM documents d LEFT JOIN p USING (doc_id)
          ORDER BY doc_id""",
     // √count temperature mix: per-source keep fraction
     // min(1, 0.5·N·√n_s/Z/n_s), kept set selected by the same md5

@@ -505,6 +505,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(1L) == 2 && kept(2L) == 1)
   }
 
+  test("substring dedup flags grid-aligned duplicated spans only") {
+    import s.implicits._
+    val boiler = "B" * 60 // spans two 40-char windows at stride 20
+    val df = Seq(
+      (1L, boiler + ("u" * 45)),             // boilerplate + unique tail
+      (2L, boiler + ("v" * 45)),             // same boilerplate, other tail
+      (3L, "w" * 100),                        // unique throughout... but
+      (4L, "short")                           // below one window: 0 windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, window = 40, stride = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(4))))
+      .toMap
+    // doc 1/2: windows at offsets 1,21,41,61 (len 105 → offs 1..66 step 20
+    // = 1,21,41,61); offset 1 = "B"*40 duplicated across docs; offset 21
+    // = B*40 tail-of-boiler... window at 21 spans B[20..60]+nothing = all
+    // B too (chars 21-60 of doc are B up to 60) so duplicated as same
+    // hash; offsets 41+ mix B and tails → unique per doc
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4)
+    assert(out(1L)._2 >= 2 && out(2L)._2 >= 2,
+      "shared 60-char boilerplate must flag its grid windows in both docs")
+    // doc 3 is all-w: its windows are identical WITHIN the doc → the
+    // occurrence count (not doc frequency) flags intra-doc repetition
+    assert(out(3L)._2 > 0 && !out(3L)._3)
+    assert(out(4L) == ((0, 0, true)), "sub-window doc passes untouched")
+  }
+
   test("duplicated-line removal survives a 5k-doc boilerplate banner") {
     import s.implicits._
     // one banner in every doc — the hot-line case: the doc-frequency
