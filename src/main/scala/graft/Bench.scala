@@ -27,30 +27,42 @@ object Bench {
     batchSel.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+    // A pass that THROWS yields no sample — r6 reported time-to-crash
+    // (~0.05 s of analysis-exception latency) as a "timing" for 20
+    // broken queries and the artifact looked healthy. A query with zero
+    // successful passes lands in the `failed` list, excluded from every
+    // total, and the failure is printed — broken must be loud.
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
+      }
     }
     // Pass-major order (all queries, then repeat): back-to-back repeats
     // of one query would overstate cache warmth relative to real runs.
     val samples = (1 to Passes).flatMap { _ =>
-      batchSel.map { case (name, fn) => name -> timeOnce(fn) }
+      batchSel.map { case (name, fn) => name -> timeOnce(name, fn) }
     }
-    val results = batchSel.keys.map { name =>
-      val xs = samples.collect { case (`name`, t) => t }.sorted
-      name -> xs(xs.size / 2)
-    }.toMap ++ streamSel.map { case (name, fn) => name -> timeOnce(fn) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results: Map[String, Option[Double]] = batchSel.keys.map { name =>
+      val xs = samples.collect { case (`name`, Some(t)) => t }.sorted
+      name -> (if (xs.isEmpty) None else Some(xs(xs.size / 2)))
+    }.toMap ++ streamSel.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val failed = results.collect { case (k, None) => k }.toSeq.sorted
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
     // Streaming queries pay micro-batch spin-up per timed pass (fresh
     // stream + sentinel flush), which is harness overhead, not plan
     // cost — report them under their own subtotal so the batch number
     // is comparable round-over-round. Combined total kept for
     // continuity with earlier rounds.
-    val (streamR, batchR) = results.partition(_._1.startsWith("stream_"))
+    val (streamR, batchR) = ok.partition(_._1.startsWith("stream_"))
     val batchTotal  = batchR.values.sum
     val streamTotal = streamR.values.sum
     // The final metric line must be (a) the LAST stdout line and
@@ -64,7 +76,8 @@ object Bench {
     // eat the metric — the whole point is that this line always lands.
     spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
     try spark.stop() catch { case _: Throwable => () }
-    val perQueryLine = s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
+    val perQueryLine =
+      s"""{"metric":"per_query","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The per-query breakdown also lands in a FILE: a fixed-size tail
     // capture of stdout beheaded it in r4/r5, losing ~20 of 130
     // timings to the artifact. A repo file survives regardless of
@@ -75,7 +88,7 @@ object Bench {
       (perQueryLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     println(perQueryLine)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"streaming_total":$streamTotal%.3f,"batch_queries":${batchR.size},"streaming_queries":${streamR.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"streaming_total":$streamTotal%.3f,"batch_queries":${batchR.size},"streaming_queries":${streamR.size},"failed":$failedJson%s,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

@@ -19,11 +19,24 @@ object Verify {
       else SparkEntry.queries.filter { case (k, _) => names(k) }
     val spark = SparkEnv.session()
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Broken must be LOUD: r6's stderr-only handling made 20
+        // crashed queries vanish from CORRECTNESS (no parquet → the
+        // driver's compare emitted no row at all). A one-row sentinel
+        // with an `_error` schema guarantees a visibly RED row (schema
+        // + hash mismatch against any oracle) instead of a silently
+        // missing one; the message also lands in _errors.json below.
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${e.getMessage}"
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +55,13 @@ object Verify {
       .filter { case (k, _) => names.isEmpty || names(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
+          failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Scalar-function surface of the reference script, re-expressed with
   * codegen'd Spark built-ins (no UDFs in the hot path).
@@ -91,6 +92,26 @@ object TrinoFunctions {
     */
   def nanosToTimestamp(nanos: Column): Column =
     timestamp_micros(floorDiv(nanos, 1000L))
+
+  /** Type-adaptive event-time accessor for an epoch column whose
+    * physical parquet type is NOT under our control. The driver's
+    * fixtures have shipped `events.ts` both as parquet `timestamp[ns]`
+    * (surfaced as LongType epoch-nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as parquet
+    * `timestamp[us]` (surfaced as TIMESTAMP_NTZ). No consumer may
+    * assume either: this inspects the frame's actual schema and
+    * yields a session-TZ (UTC) TimestampType column in every case, so
+    * an event-time plan survives a fixture regeneration with a
+    * different physical type instead of crashing at analysis.
+    */
+  def eventTime(df: Dataset[_], name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case LongType         => nanosToTimestamp(col(name))
+      case TimestampNTZType => col(name).cast(TimestampType)
+      case TimestampType    => col(name)
+      case dt => throw new IllegalArgumentException(
+        s"unsupported event-time type for column '$name': $dt")
+    }
 
   /** Render ns-precision epoch-nanos as an ISO string with 9 fractional
     * digits — full precision preserved (what a ns-aware engine displays).

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.TrinoFunctions
 import graft.functions.TrinoFunctions._
 
 /** The reference script's pure-query surface (SURVEY.md §2.2-2.5, §2.10)
@@ -140,19 +141,21 @@ object CoreQueries {
       .orderBy(col("orderstatus"), col("rn"))
   }
 
-  /** Batch event-time windowed aggregation over the ns-timestamp events
-    * table: hourly tumbling buckets per event_type. Exercises the
-    * TIMESTAMP(9) gap handling (`sql:185-187`): ns epoch-long → µs
-    * timestamp at the edge, explicit truncation.
+  /** Batch event-time windowed aggregation over the events table:
+    * hourly tumbling buckets per event_type. Exercises the
+    * TIMESTAMP(9) gap handling (`sql:185-187`) via the type-adaptive
+    * `eventTime` (fixtures have shipped both ns epoch-longs and µs
+    * timestamps; conversion is explicit at the edge either way).
     */
-  def eventsHourly(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .withColumn("ts_us", nanosToTimestamp(col("ts")))
+  def eventsHourly(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    ev.withColumn("ts_us", TrinoFunctions.eventTime(ev))
       .groupBy(date_trunc("hour", col("ts_us")).as("hour_bucket"),
                col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
+  }
 
   /** VARIANT/JSON surface (Iceberg v3 variant, `sql:175-177`): parse the
     * JSON props column with Spark 4's native variant type and extract a
@@ -455,8 +458,9 @@ object CoreQueries {
     * so frame boundaries agree engine-to-engine.
     */
   def rollingWindow(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("event_id"), col("user_id"),
-      nanosToTimestamp(col("ts")).as("ets"), col("value"))
+    val raw = events(s, d)
+    val ev = raw.select(col("event_id"), col("user_id"),
+      TrinoFunctions.eventTime(raw).as("ets"), col("value"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ets").cast("long"))
       .rangeBetween(-3600, Window.currentRow)
@@ -473,8 +477,9 @@ object CoreQueries {
     * user) before the final exchange.
     */
   def retentionCohorts(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("user_id"),
-      date_trunc("week", nanosToTimestamp(col("ts"))).cast("date").as("wk"))
+    val raw = events(s, d)
+    val ev = raw.select(col("user_id"),
+      date_trunc("week", TrinoFunctions.eventTime(raw)).cast("date").as("wk"))
     val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
     ev.join(first, Seq("user_id"))
       .groupBy(col("cohort_week"),
@@ -571,9 +576,9 @@ object CoreQueries {
     * and merging requires OVERLAP, so a gap of exactly `gap` starts a
     * new session — the oracle mirrors that with `>=`.
     */
-  def sessionWindows(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .withColumn("event_time", nanosToTimestamp(col("ts")))
+  def sessionWindows(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    ev.withColumn("event_time", TrinoFunctions.eventTime(ev))
       .groupBy(col("user_id"),
         session_window(col("event_time"), "10 minutes").as("w"))
       .agg(count(lit(1)).cast("int").as("n_events"),
@@ -581,6 +586,7 @@ object CoreQueries {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
+  }
 
   /** Set operators (UNION / INTERSECT / EXCEPT) — each compiles to the
     * scale-right plan: UNION+distinct is one hash-agg shuffle,

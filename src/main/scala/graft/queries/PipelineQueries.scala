@@ -86,8 +86,9 @@ object PipelineQueries {
       .groupBy(col("o_custkey"),
         col("o_orderdate").cast("timestamp").as("ots"))
       .agg(max(col("o_totalprice")).as("last_order_price"))
-    val events = Tables.events(s, d).select(col("event_id"), col("user_id"),
-      graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")).as("ets"))
+    val raw = Tables.events(s, d)
+    val events = raw.select(col("event_id"), col("user_id"),
+      graft.functions.TrinoFunctions.eventTime(raw).as("ets"))
     graft.operators.AsOf.asofJoin(events, ordersByTs,
         leftKey = "user_id", rightKey = "o_custkey",
         leftTs = col("ets"), rightTs = col("ots"),
@@ -104,8 +105,9 @@ object PipelineQueries {
     * identically on both engines.
     */
   def attributionLastTouch(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
-      graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")).as("t"),
+    val raw = Tables.events(s, d)
+    val ev = raw.select(col("event_id"), col("user_id"),
+      graft.functions.TrinoFunctions.eventTime(raw).as("t"),
       col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("t"))
@@ -133,11 +135,12 @@ object PipelineQueries {
     * oracle recomputes sessions in SQL and joins with BETWEEN.
     */
   def rangeJoinSessions(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
-      graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")).as("ets"))
+    val raw = Tables.events(s, d)
+    val ev = raw.select(col("event_id"), col("user_id"),
+      graft.functions.TrinoFunctions.eventTime(raw).as("ets"))
     val sessions = graft.streaming.EventStreams.sessionizeBatch(
-        Tables.events(s, d).select(col("user_id"),
-          graft.functions.TrinoFunctions.nanosToTimestamp(col("ts"))
+        raw.select(col("user_id"),
+          graft.functions.TrinoFunctions.eventTime(raw)
             .as("event_time"), col("value")),
         gapMs = 600000L)
       .select(col("user_id").as("s_user_id"), col("session_start"),
@@ -156,46 +159,54 @@ object PipelineQueries {
     * drop-off analytics over the events table. k min-aggregations, no
     * per-user event collection.
     */
-  def funnelConversion(s: SparkSession, d: String): DataFrame =
+  def funnelConversion(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
     graft.operators.Funnel.funnel(
-      Tables.events(s, d), steps = Seq("view", "click", "purchase"),
-      tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")))
+      raw, steps = Seq("view", "click", "purchase"),
+      tsCol = graft.functions.TrinoFunctions.eventTime(raw))
       .orderBy("user_id")
+  }
 
   /** The funnel under a 3-day conversion window: steps beyond the
     * first count only within windowMs of t1 — the bounded-patience
     * semantics the streaming funnel enforces with its state deadline,
     * here on the batch operator (same windowMs parameter).
     */
-  def funnelWindowed(s: SparkSession, d: String): DataFrame =
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
     graft.operators.Funnel.funnel(
-      Tables.events(s, d), steps = Seq("view", "click", "purchase"),
-      tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")),
+      raw, steps = Seq("view", "click", "purchase"),
+      tsCol = graft.functions.TrinoFunctions.eventTime(raw),
       windowMs = Some(3L * 86400 * 1000))
       .orderBy("user_id")
+  }
 
   /** The funnel chart: how many users reached each step — one row of
     * per-step reach counts rolled up from the funnel.
     */
-  def funnelReach(s: SparkSession, d: String): DataFrame =
+  def funnelReach(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
     graft.operators.Funnel.conversion(
-      Tables.events(s, d), steps = Seq("view", "click", "purchase"),
-      tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")))
+      raw, steps = Seq("view", "click", "purchase"),
+      tsCol = graft.functions.TrinoFunctions.eventTime(raw))
+  }
 
   /** Hourly resample + forward fill over 20 users' event values: one
     * row per (user, hour tick) across each user's span; empty hours
     * carry the last observed value and are flagged. Deterministic
     * within-bucket "last" via (ts, event_id) max_by.
     */
-  def resampleForwardFill(s: SparkSession, d: String): DataFrame =
+  def resampleForwardFill(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
     graft.operators.Resample.forwardFillGrid(
-      Tables.events(s, d).filter(col("user_id") < 20),
+      raw.filter(col("user_id") < 20),
       keyCol = "user_id",
-      tsCol = graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")),
+      tsCol = graft.functions.TrinoFunctions.eventTime(raw),
       valueCol = "value", tieCol = "event_id")
       .select(col("user_id"), col("bucket"),
         round(col("filled_value"), 4).as("filled_value"), col("is_gap"))
       .orderBy("user_id", "bucket")
+  }
 
   /** Skew-salted two-phase aggregation over lineitem's 3-value
     * returnflag — each hot group spread over 16 reducers in phase one,

@@ -41,11 +41,12 @@ object StreamQueries {
   private def sessionStreamDir(s: SparkSession, d: String): String =
     sessionDirCache.computeIfAbsent(d, _ =>
       // sentinel: one event a day past the stream's end, for a user id
-      // the output filters back out
-      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxTs =>
+      // the output filters back out. ts is epoch-MICROS by the
+      // streamDirWithSentinel contract (it coerces to the fixture type).
+      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxUs =>
         s.range(1).select(
           lit(-1L).as("event_id"),
-          lit(maxTs + 86400L * 1000000000L).as("ts"),
+          lit(maxUs + 86400L * 1000000L).as("ts"),
           lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"),
           lit(0.0).as("value"),
@@ -82,10 +83,10 @@ object StreamQueries {
     // function of it, and a reused shorter-window sentinel would leave
     // every funnel pending (silent empty result)
     funnelDirCache.computeIfAbsent(s"$d#$windowMs", _ =>
-      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxTs =>
+      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxUs =>
         s.range(1).select(
           lit(-1L).as("event_id"),
-          lit(maxTs + (windowMs + 86400L * 1000L) * 1000000L).as("ts"),
+          lit(maxUs + (windowMs + 86400L * 1000L) * 1000L).as("ts"),
           lit(-1L).as("user_id"),
           lit("sentinel").as("event_type"),
           lit(0.0).as("value"),
@@ -301,11 +302,11 @@ object StreamQueries {
     */
   private def ijoinStreamDir(s: SparkSession, d: String): String =
     ijoinDirCache.computeIfAbsent(d, _ =>
-      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxTs => {
+      EventStreams.streamDirWithSentinel(s, s"$d/events.parquet", maxUs => {
         import s.implicits._
-        Seq((-1L, maxTs + 86400L * 1000000000L, -1L, "view", 0.0,
+        Seq((-1L, maxUs + 86400L * 1000000L, -1L, "view", 0.0,
             null.asInstanceOf[String]),
-          (-2L, maxTs + 86400L * 1000000000L, -2L, "click", 0.0,
+          (-2L, maxUs + 86400L * 1000000L, -2L, "click", 0.0,
             null.asInstanceOf[String]))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       }))

@@ -25,11 +25,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is nanosecond-precision parquet (TIMESTAMP(9), the Iceberg
-    * v3 type at `sql:185-187`). Spark cannot represent ns natively; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[graft.Spark]])
-    * the column arrives as LongType nanos-since-epoch, which our helpers
-    * in [[graft.functions.TrinoFunctions]] convert explicitly.
+  /** `events.ts` stands in for the reference's TIMESTAMP(9) columns
+    * (Iceberg v3, `sql:185-187`) but its PHYSICAL parquet type is the
+    * driver's choice and has changed between fixture generations:
+    * `timestamp[ns]` (arrives as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in [[graft.SparkEnv]])
+    * and `timestamp[us]` (arrives as TIMESTAMP_NTZ). Consumers must
+    * never touch `ts` directly — go through the type-adaptive
+    * [[graft.functions.TrinoFunctions.eventTime]].
     */
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
 }

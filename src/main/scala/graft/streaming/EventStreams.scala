@@ -38,11 +38,19 @@ object EventStreams {
   }
 
   /** [[streamDir]] plus a sentinel parquet sorting AFTER the event file:
-    * `sentinel(maxTs)` builds the far-future row(s) that advance the
-    * stream's final watermark past every pending window/timeout — the
-    * end-of-stream flush trick shared by sessionization and outer
-    * joins. The sentinel file is named to arrive last so single-batch
-    * file sources still see it at max event-time.
+    * `sentinel(maxEpochMicros)` builds the far-future row(s) that
+    * advance the stream's final watermark past every pending
+    * window/timeout — the end-of-stream flush trick shared by
+    * sessionization and outer joins. The sentinel file is named to
+    * arrive last so single-batch file sources still see it at max
+    * event-time.
+    *
+    * Fixture-type defense: the callback works purely in epoch-MICROS
+    * (receives the stream's max event time as µs, builds its `ts` as a
+    * µs long), and the machinery coerces that `ts` to whatever
+    * physical type the events file actually uses (long epoch-nanos or
+    * a timestamp) — so a fixture regeneration that changes the parquet
+    * type cannot desynchronize sentinel and stream schemas.
     */
   def streamDirWithSentinel(spark: SparkSession, eventsPath: String,
       sentinel: Long => DataFrame): String = {
@@ -50,10 +58,16 @@ object EventStreams {
     val p = java.nio.file.Paths.get(eventsPath)
     java.nio.file.Files.createSymbolicLink(
       dir.resolve(p.getFileName), p.toAbsolutePath)
-    val maxTs = spark.read.parquet(eventsPath).agg(max(col("ts")))
+    val raw = spark.read.parquet(eventsPath)
+    val maxUs = raw.agg(max(unix_micros(TrinoFunctions.eventTime(raw))))
       .head().getLong(0)
+    val tsType = raw.schema("ts").dataType
+    val coerced = sentinel(maxUs).withColumn("ts", tsType match {
+      case org.apache.spark.sql.types.LongType => col("ts") * lit(1000L)
+      case dt => timestamp_micros(col("ts")).cast(dt)
+    })
     val tmp = java.nio.file.Files.createTempDirectory("sentinel-build-")
-    sentinel(maxTs).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    coerced.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     import scala.jdk.CollectionConverters._
     val part = java.nio.file.Files.list(tmp).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -64,13 +78,16 @@ object EventStreams {
     dir.toString
   }
 
-  /** The events table as a stream: ns-epoch `ts` surfaces as `event_time`
-    * (µs truncation explicit, `iceberg_trino_sqldemo.sql:185-187` gap).
+  /** The events table as a stream: `ts` surfaces as `event_time` via
+    * the type-adaptive [[TrinoFunctions.eventTime]] — the fixture has
+    * shipped both ns-epoch longs and µs timestamps, and the streaming
+    * readers must survive either (µs truncation of ns stays explicit,
+    * `iceberg_trino_sqldemo.sql:185-187` gap).
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(streamDir(path))
-      .withColumn("event_time", TrinoFunctions.nanosToTimestamp(col("ts")))
+    val stream = spark.readStream.schema(schema).parquet(streamDir(path))
+    stream.withColumn("event_time", TrinoFunctions.eventTime(stream))
   }
 
   /** Hourly tumbling counts per event type with a watermark bounding

@@ -162,9 +162,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("funnel plan: partial min-agg, no window, no per-user sort") {
-    val ev = s.read.parquet(s"$sf/events.parquet")
-      .select(col("user_id"), col("event_type"),
-        graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")).as("t"))
+    val raw = s.read.parquet(s"$sf/events.parquet")
+    val ev = raw.select(col("user_id"), col("event_type"),
+        graft.functions.TrinoFunctions.eventTime(raw).as("t"))
     val plan = graft.operators.Funnel.funnel(ev,
         Seq("view", "click", "purchase"), tsCol = col("t"))
       .queryExecution.executedPlan.toString

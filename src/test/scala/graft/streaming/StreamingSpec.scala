@@ -245,9 +245,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful sessionization matches the batch window oracle") {
     import s.implicits._
-    val batchEvents = s.read.parquet(s"$sf/events.parquet")
+    val rawEvents = s.read.parquet(s"$sf/events.parquet")
+    val batchEvents = rawEvents
       .withColumn("event_time",
-        graft.functions.TrinoFunctions.nanosToTimestamp(col("ts")))
+        graft.functions.TrinoFunctions.eventTime(rawEvents))
       .select(col("user_id"), col("event_time"), col("value"))
     val expected = EventStreams.sessionizeBatch(batchEvents, gapMs = 600000L)
       .orderBy("user_id", "session_start")
