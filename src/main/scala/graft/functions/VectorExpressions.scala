@@ -688,6 +688,88 @@ case class TopKNeighborsAgainst(vec: Expression, selfId: Expression,
     copy(vec = newFirst, selfId = newSecond, block = newThird)
 }
 
+/** All random-hyperplane sign bits of a vector in ONE fused pass,
+  * packed little-endian into an array of longs (bit p of the code =
+  * sign of vec·plane_p, word p/64, bit p%64). The per-plane
+  * `aggregate(zip_with(...))` HOF form walks the vector once PER PLANE
+  * with boxed lambdas; at recall-driven plane counts (100-300 planes —
+  * see [[graft.pipeline.Dedup.embeddingNearDup]]'s banding math) that
+  * is the dominant cost of LSH coding. This evaluates the whole
+  * planes-matrix against the vector in a tight primitive loop —
+  * `planes` is flattened row-major (nPlanes × dim) and shipped once as
+  * a codegen reference object, not per row.
+  */
+case class HyperplaneCodes(child: Expression, planes: Array[Double],
+    nPlanes: Int) extends org.apache.spark.sql.catalyst.expressions
+    .UnaryExpression {
+
+  require(nPlanes > 0 && planes.length % nPlanes == 0,
+    s"planes length ${planes.length} must be a multiple of nPlanes $nPlanes")
+  private val dim = planes.length / nPlanes
+  private val nWords = (nPlanes + 63) / 64
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_codes expects array<double> input, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val words = new Array[Long](nWords)
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * planes(off + i); i += 1 }
+      if (dot > 0) words(p >> 6) |= (1L << (p & 63))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $v = $a;
+        int $n = java.lang.Math.min($v.numElements(), $dim);
+        long[] $words = new long[$nWords];
+        for (int $p = 0; $p < $nPlanes; $p++) {
+          double $dot = 0.0;
+          int $off = $p * $dim;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += $v.getDouble($i) * $planesRef[$off + $i];
+          }
+          if ($dot > 0) $words[$p >> 6] |= (1L << ($p & 63));
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HyperplaneCodes = copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim
 
@@ -700,6 +782,12 @@ object VectorExpressions {
   def dotNative(a: Column, b: Column): Column =
     graftshim.columnOf(DotProduct(
       graftshim.columnExpr(a), graftshim.columnExpr(b)))
+
+  /** Column API for [[HyperplaneCodes]]: `planes` row-major, flattened. */
+  def hyperplaneCodes(vec: Column, planes: Seq[Array[Double]]): Column =
+    graftshim.columnOf(HyperplaneCodes(
+      graftshim.columnExpr(vec.cast("array<double>")),
+      planes.flatten.toArray, planes.size))
 
   /** Column API for [[TopKNeighbors]]: matrix rows sorted by id so the
     * scan order (and thus any tie handling) is reproducible regardless

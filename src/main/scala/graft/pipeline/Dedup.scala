@@ -498,25 +498,62 @@ object Dedup {
 
   /** Embedding near-duplicates: random-hyperplane LSH (deterministic
     * planes) buckets sign-pattern bands; candidates verified by exact
-    * cosine via zip_with/aggregate — no UDF, no O(n²).
+    * cosine via a fused native kernel — no UDF, no O(n²).
+    *
+    * Banding SCALES WITH THE CORPUS (r6's fixed 2 bands × 8 bits gave
+    * 256 bucket values per band — at corpus scale every bucket holds
+    * N/256 ids and the candidate join is quadratic IN THE BUCKET; it
+    * was the single most expensive bench query). Defaults (bandBits =
+    * nPlanes = 0) derive both knobs:
+    *
+    *  - `bandBits b`: bucket count 2^b ≳ corpus size, so expected
+    *    bucket occupancy is O(1) and the per-band self-join is linear —
+    *    b = 8 for n ≤ 1024 else 16 (bands stay long-aligned; beyond
+    *    ~10⁸ rows move to b = 32 with correspondingly more planes).
+    *  - `nBands L`: recall-driven. A pair at cosine c agrees on one
+    *    random-hyperplane bit with p = 1 − acos(c)/π (Goemans-
+    *    Williamson), on a whole band with q = p^b, and is missed by all
+    *    bands with (1−q)^L — so L = ⌈ln(missProb)/ln(1−q)⌉ evaluated
+    *    at `probeCosine` (the regime the detector targets; pairs AT a
+    *    lower decision threshold get correspondingly weaker recall,
+    *    the standard LSH trade). At probeCosine=0.999, b=16: q≈0.79,
+    *    L=14 → miss ≈ 10⁻⁹ per true pair.
+    *
+    * More bands × wider bands beats fewer × narrower at every scale
+    * here because coding cost is linear and map-side (one fused pass
+    * per vector over all planes — [[graft.functions.HyperplaneCodes]])
+    * while bucket fatness is quadratic and shuffled. Bucket join and
+    * candidate-distinct carry ids only — the embedding arrays never
+    * ride the band shuffle; cosine verification re-joins vectors by id
+    * (once per doc, not once per band collision).
     */
   def embeddingNearDup(df: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", dim: Int = 64, nPlanes: Int = 16,
-      bandBits: Int = 8, cosineThreshold: Double = 0.95): DataFrame = {
-    val planes = Similarity.randomPlanes(nPlanes, dim, seed = 7)
-    val codeExpr = planes.zipWithIndex.map { case (p, i) =>
-      val dot = Similarity.dotWithConst(col(vecCol), p)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val coded = df.select(col(idCol), codeExpr.as("code"))
-    val nBands = nPlanes / bandBits
-    // Bucket join and candidate-distinct carry ids only — the embedding
-    // arrays never ride the band shuffle; cosine verification re-joins
-    // vectors by id (once per doc, not once per band collision).
+      idCol: String = "vec_id", dim: Int = 64, nPlanes: Int = 0,
+      bandBits: Int = 0, cosineThreshold: Double = 0.95,
+      probeCosine: Double = 0.999, missProb: Double = 1e-9,
+      corpusSize: Long = 0L): DataFrame = {
+    val (bits, nBands) =
+      if (bandBits > 0 && nPlanes > 0) (bandBits, nPlanes / bandBits)
+      else {
+        // parquet row-count metadata makes this count cheap; callers on
+        // derived frames can pass corpusSize to skip the job entirely
+        val n = if (corpusSize > 0) corpusSize else df.count()
+        val b = if (n <= 1024) 8 else 16
+        val p = 1.0 - math.acos(math.min(probeCosine, 1.0)) / math.Pi
+        val q = math.pow(p, b)
+        val l = math.ceil(math.log(missProb) / math.log1p(-q)).toInt
+        (b, math.max(2, math.min(24, l)))
+      }
+    val planes = Similarity.randomPlanes(nBands * bits, dim, seed = 7)
+    val coded = df.select(col(idCol),
+      graft.functions.VectorExpressions
+        .hyperplaneCodes(col(vecCol), planes).as("code"))
     val banded = coded.select(col(idCol), posexplode(
-      array((0 until nBands).map(b =>
-        shiftright(col("code"), b * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+      array((0 until nBands).map { b =>
+        val bit = b * bits
+        shiftright(element_at(col("code"), bit / 64 + 1), bit % 64)
+          .bitwiseAND(lit((1L << bits) - 1))
+      }: _*))
       .as(Seq("band_idx", "band_val")))
     val l = banded.select(col(idCol).as("id_a"), col("band_idx"),
       col("band_val"))

@@ -508,6 +508,79 @@ object LakeQueries {
     cat.table("adopted.customer").read().orderBy("custkey")
   }
 
+  /** SHOW CREATE TABLE (`sql:42`) as an oracled render: the DDL of a
+    * catalog table carrying partitioning + a table property, split into
+    * numbered lines. The oracle is the expected DDL as a literal — the
+    * render must be byte-stable (column types, partition-transform
+    * spelling, property order), which is exactly the contract a SHOW
+    * CREATE surface makes with scripts that parse it.
+    */
+  def showCreateDdl(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("showcreate", d) { loc =>
+      val cat = new graft.lake.LakeCatalog(s,
+        Files.createTempDirectory("ddlq-").toString)
+      cat.createSchema("demo")
+      val t0 = cat.createTable("demo.customer_ddl",
+        customerDf(s, d).filter(col("custkey") < 50),
+        partitioning = Seq("mktsegment"),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.setProperties(Map("graft.test.cat" -> cat.warehouse))
+      t0
+    }
+    val cat = new graft.lake.LakeCatalog(s, t.properties("graft.test.cat"))
+    val lines = cat.showCreateTable("demo.customer_ddl").split("\n")
+    import s.implicits._
+    lines.toSeq.zipWithIndex.map { case (l, i) => (i + 1, l) }
+      .toDF("line_no", "line").orderBy("line_no")
+  }
+
+  /** Parquet bloom filters via the `bloom_filter_columns` table property
+    * as an oracled scenario: a table over orders with a bloom on the
+    * high-cardinality orderkey, appended twice (several data files),
+    * then point lookups served through the scan path — where parquet's
+    * row-group filter consults the bloom BELOW min/max pruning (an
+    * equality probe on a scattered key defeats min/max; the bloom
+    * answers membership per row group). The footer observable rides
+    * every output row: true iff ALL data files carry the bloom for
+    * orderkey and NONE pays the footprint for the unlisted totalprice.
+    */
+  def bloomPointLookup(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("bloom", d) { loc =>
+      val ord = Tables.orders(s, d).select(
+        col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      val t0 = LakeTable.create(s, loc,
+        Right(ord.filter(col("orderkey") % 3 === 0)),
+        properties = Map("bloom_filter_columns" -> "orderkey"))
+      t0.append(ord.filter(col("orderkey") % 3 === 1))
+      t0.append(ord.filter(col("orderkey") % 3 === 2))
+      t0
+    }
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.{Path => HPath}
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val dataFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.location, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    val allBloomed = dataFiles.nonEmpty && dataFiles.forall { p =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(p.toString), conf))
+      try r.getFooter.getBlocks.asScala.forall { b =>
+        val cols = b.getColumns.asScala
+        cols.find(_.getPath.toDotString == "orderkey")
+          .exists(_.getBloomFilterOffset >= 0) &&
+        cols.find(_.getPath.toDotString == "totalprice")
+          .exists(_.getBloomFilterOffset < 0)
+      } finally r.close()
+    }
+    t.read(col("orderkey")
+        .isin(1L, 7L, 32L, 33L, 34L, 35L, 36L, 37L, 38L, 39L))
+      .withColumn("bloom_on_all_files", lit(allBloomed))
+      .orderBy("orderkey")
+  }
+
   /** Tag read — `FOR VERSION AS OF 'published-v1'`: the immutable named
     * snapshot the WAP flow published. Same oracle as main (the tag IS
     * the published state), but through the ref-resolution scan path.
@@ -540,7 +613,9 @@ object LakeQueries {
     "lake_register"        -> registerRead _,
     "lake_mview_refresh"   -> mviewRefresh _,
     "lake_mview_incremental" -> mviewIncremental _,
-    "lake_maintenance"     -> maintenanceInvariance _
+    "lake_maintenance"     -> maintenanceInvariance _,
+    "lake_show_create"     -> showCreateDdl _,
+    "lake_bloom_pruning"   -> bloomPointLookup _
   )
 
   /** Oracles express the *final state* of each lifecycle in ANSI SQL over
@@ -743,6 +818,33 @@ object LakeQueries {
       """SELECT c_custkey AS custkey, CAST(c_custkey AS BIGINT) AS row_id,
                 CAST(CASE WHEN c_custkey < 5 THEN 2 ELSE 1 END AS BIGINT)
                   AS last_seq
-         FROM customer WHERE c_custkey < 20 ORDER BY custkey"""
+         FROM customer WHERE c_custkey < 20 ORDER BY custkey""",
+    // SHOW CREATE render vs the DDL a user must be able to parse,
+    // literal line by literal line (quotes doubled for SQL escaping)
+    "lake_show_create" ->
+      """SELECT * FROM (VALUES
+           (1, 'CREATE TABLE demo.customer_ddl ('),
+           (2, '   custkey bigint,'),
+           (3, '   name string,'),
+           (4, '   account_balance double,'),
+           (5, '   mktsegment string'),
+           (6, ')'),
+           (7, 'WITH ('),
+           (8, '   format = ''PARQUET'','),
+           (9, '   format_version = 3,'),
+           (10, '   partitioning = ARRAY[''mktsegment''],'),
+           (11, '   merge_mode = ''merge-on-read'''),
+           (12, ')')
+         ) AS t(line_no, line) ORDER BY line_no""",
+    // Point lookups through the bloom-filtered scan = the same rows from
+    // the source table; the footer observable (every data file blooms
+    // the listed column, none the unlisted one) rides as a literal TRUE.
+    "lake_bloom_pruning" ->
+      """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+                round(o_totalprice, 2) AS totalprice,
+                TRUE AS bloom_on_all_files
+         FROM orders
+         WHERE o_orderkey IN (1, 7, 32, 33, 34, 35, 36, 37, 38, 39)
+         ORDER BY orderkey"""
   )
 }
