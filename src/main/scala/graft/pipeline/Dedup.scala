@@ -544,6 +544,9 @@ object Dedup {
         val l = math.ceil(math.log(missProb) / math.log1p(-q)).toInt
         (b, math.max(2, math.min(24, l)))
       }
+    require(64 % bits == 0,
+      s"bandBits=$bits must divide 64: a band straddling two code words " +
+        "would silently drop its high bits")
     val planes = Similarity.randomPlanes(nBands * bits, dim, seed = 7)
     val coded = df.select(col(idCol),
       graft.functions.VectorExpressions
