@@ -12,15 +12,39 @@ import graft.streaming.EventStreams
   */
 object StreamQueries {
 
+  /** Run `body` (which starts and drains a streaming query) with the
+    * session's shuffle-partition count — which fixes the STATE-STORE
+    * partition count for the life of the stream — scoped down to
+    * `n`. Streaming state parallelism must track state VOLUME, not the
+    * box's CPU count: every state partition pays per-trigger fixed
+    * costs (store instance, delta/snapshot files, commit), so a
+    * harness-scale stream with kilobytes of state behind 32 partitions
+    * spends its wall-clock on store machinery, ~4× slower than at 8.
+    * On a real deployment the same knob goes UP with state size — the
+    * point is that it is a per-stream decision, decoupled from the
+    * batch session default (Spark pins it in the checkpoint at first
+    * start; it cannot be re-chosen later, so choose it consciously).
+    * The batch result frame is unaffected: partition count never
+    * changes streaming answers, only state layout.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Watermarked hourly tumbling windows, streaming execution; same
     * oracle as the batch `q_events_hourly`.
     */
   def streamHourly(s: SparkSession, d: String): DataFrame = {
     val name = "graft_stream_hourly_" + Math.abs(d.hashCode)
-    val q = EventStreams.hourlyCounts(EventStreams.readEvents(s, s"$d/events.parquet"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = EventStreams.hourlyCounts(EventStreams.readEvents(s, s"$d/events.parquet"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy("hour_bucket", "event_type")
   }
 
@@ -58,10 +82,12 @@ object StreamQueries {
     val stream = EventStreams.readEvents(s, sessionStreamDir(s, d))
       .select(col("user_id"), col("event_time"), col("value"))
       .as[EventStreams.Event]
-    val q = EventStreams.sessionize(stream, gapMs = 600000L)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = EventStreams.sessionize(stream, gapMs = 600000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -105,11 +131,13 @@ object StreamQueries {
       .readEvents(s, funnelStreamDir(s, d, windowMs))
       .select(col("user_id"), col("event_time"), col("event_type"))
       .as[EventStreams.FEvent]
-    val q = EventStreams.funnelStream(stream,
-        steps = Seq("view", "click", "purchase"), windowMs = windowMs)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = EventStreams.funnelStream(stream,
+          steps = Seq("view", "click", "purchase"), windowMs = windowMs)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "step")
@@ -139,9 +167,11 @@ object StreamQueries {
     val stream = EventStreams.readEvents(s, dedupStreamDir(d))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = stream.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 4).as("value"))
@@ -284,9 +314,11 @@ object StreamQueries {
     val joined = EventStreams.intervalJoin(
       events.filter(col("event_type") === "view"),
       events.filter(col("event_type") === "click"))
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy("user_id", "view_id", "click_id")
   }
 
@@ -325,9 +357,11 @@ object StreamQueries {
       events.filter(col("event_type") === "view"),
       events.filter(col("event_type") === "click"),
       joinType = "left_outer")
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "view_id", "click_id")
