@@ -23,10 +23,16 @@ object Bench {
       selected.partition(_._1.startsWith("stream_"))
     // Warmup pass: pays one-time costs (codegen compilation, lake
     // scenario builds, ANN index fit) outside the timed region so the
-    // timings below measure steady-state query execution.
+    // timings below measure steady-state query execution. Streaming
+    // queries stay cold (their spin-up IS what gets timed, once) but
+    // their batch-side scenario setup — sentinel max-scans and dir
+    // builds — is setup, not stream cost, and warms here too.
     batchSel.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    if (streamSel.nonEmpty)
+      try graft.queries.StreamQueries.warmupDirs(spark, sfDir)
+      catch { case _: Throwable => () }
     // A pass that THROWS yields no sample — r6 reported time-to-crash
     // (~0.05 s of analysis-exception latency) as a "timing" for 20
     // broken queries and the artifact looked healthy. A query with zero

@@ -4,6 +4,32 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Run one registry query and dump its result parquet; on failure
+    * return the error message AND write a one-row `_error`-schema
+    * sentinel in the query's place. Broken must be LOUD: r6's
+    * stderr-only handling made 20 crashed queries vanish from
+    * CORRECTNESS (no parquet → the driver's compare emitted no row at
+    * all). The sentinel guarantees a visibly RED row (schema + hash
+    * mismatch against any oracle) instead of a silently missing one.
+    */
+  def runOne(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, outDir: String): Option[String] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+      val msg = s"${e.getClass.getName}: ${e.getMessage}"
+      try {
+        import spark.implicits._
+        Seq(msg).toDF("_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case _: Throwable => () }
+      Some(msg)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // Optional extra args: restrict to the named queries (builder-side
@@ -21,23 +47,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // Broken must be LOUD: r6's stderr-only handling made 20
-        // crashed queries vanish from CORRECTNESS (no parquet → the
-        // driver's compare emitted no row at all). A one-row sentinel
-        // with an `_error` schema guarantees a visibly RED row (schema
-        // + hash mismatch against any oracle) instead of a silently
-        // missing one; the message also lands in _errors.json below.
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        failures(name) = s"${e.getClass.getName}: ${e.getMessage}"
-        try {
-          import spark.implicits._
-          Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("_error")
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case _: Throwable => () }
-      }
+      runOne(spark, name, fn, sfDir, outDir)
+        .foreach(msg => failures(name) = msg)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -367,6 +367,20 @@ object StreamQueries {
       .orderBy("user_id", "view_id", "click_id")
   }
 
+  /** Pre-build the stream-dir scenarios (sentinel max-scans + parquet
+    * writes + symlink dirs) outside any timed region — the streaming
+    * analog of Bench's batch warmup absorbing lake scenario builds:
+    * a timed streaming pass should measure STREAM execution, not the
+    * one-time batch setup that feeds it. Idempotent (computeIfAbsent
+    * caches); the streams themselves stay cold.
+    */
+  def warmupDirs(s: SparkSession, d: String): Unit = {
+    sessionStreamDir(s, d)
+    funnelStreamDir(s, d, 45L * 86400 * 1000)
+    dedupStreamDir(d)
+    ijoinStreamDir(s, d)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_counts" -> streamHourly _,
     "stream_sessions" -> streamSessions _,

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r6 failure mode must stay dead: a query that throws has to be
+  * LOUD in every artifact. Verify must leave a red sentinel in the
+  * query's output slot (not an absent directory the driver's compare
+  * silently skips), and the registry/oracle maps must stay consistent
+  * so no query can fall through the comparison.
+  */
+class HarnessSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+
+  test("a throwing query leaves a red _error sentinel, not a hole") {
+    val out = java.nio.file.Files.createTempDirectory("harness-").toString
+    val boom: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame =
+      (_, _) => throw new IllegalStateException("deliberate test failure")
+    val err = Verify.runOne(s, "broken_query", boom, sf, out)
+    assert(err.exists(_.contains("deliberate test failure")))
+    val dumped = s.read.parquet(s"$out/broken_query")
+    assert(dumped.columns.toSeq == Seq("_error"))
+    assert(dumped.head().getString(0).contains("deliberate test failure"))
+  }
+
+  test("a healthy query dumps its result and reports no error") {
+    val out = java.nio.file.Files.createTempDirectory("harness-").toString
+    val ok: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame =
+      (sp, _) => sp.range(3).select(col("id"))
+    assert(Verify.runOne(s, "ok_query", ok, sf, out).isEmpty)
+    assert(s.read.parquet(s"$out/ok_query").count() == 3)
+  }
+
+  test("every query has an oracle or is a documented exception") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("sim_topk_ivf"),
+      s"un-oracled queries beyond the documented IVF probe: $noOracle")
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty,
+      s"oracles with no query to check: $orphanOracles")
+  }
+}
