@@ -282,6 +282,61 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  private val dedupIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Near-duplicate suppression AT INGEST: the documents corpus arrives
+    * as two ordered waves (file stream, one file per trigger — even doc
+    * ids, then odd), each micro-batch probed against the persisted LSH
+    * index and only novel docs admitted (to the index AND the output
+    * table). The oracle replays the same greedy wave semantics with
+    * exact all-pairs Jaccard in SQL: a doc is dropped iff it matches an
+    * admitted earlier-wave doc or a smaller-id wave-mate — so banded
+    * recall, the keep-first policy, and the index round-trip are all
+    * hash-checked.
+    */
+  def streamDedupIngest(s: SparkSession, d: String): DataFrame = {
+    val loc = dedupIngestCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-sdedup-")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val waves = base.resolve("waves")
+      java.nio.file.Files.createDirectory(waves)
+      def wave(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("wave-")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = waves.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        // the file source batches by modification time: pin the waves'
+        // order explicitly rather than trusting write-timing
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - mtimeOffsetSec * 1000))
+        java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      wave(docs.filter(col("doc_id") % 2 === 0), "wave-1.parquet", 120)
+      wave(docs.filter(col("doc_id") % 2 === 1), "wave-2.parquet", 60)
+      val idxLoc = base.resolve("index").toString
+      graft.pipeline.IncrementalDedup.build(docs.limit(0), idxLoc)
+      val keptT = graft.lake.LakeTable.create(s,
+        base.resolve("kept").toString, Left(docs.schema))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(waves.toString)
+      val batches = graft.streaming.StreamIngest.dedupIngestAvailable(
+        stream, idxLoc, keptT, threshold = 0.5, "docs_dedup_ingest",
+        base.resolve("ckpt").toString)
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      base.resolve("kept").toString
+    })
+    graft.lake.LakeTable.forLocation(s, loc).read()
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Stream-static enrichment join: the event stream joined to a STATIC
     * dimension (customer) — no state store at all (the static side is
     * re-planned per micro-batch; broadcast keeps the stream side from
@@ -391,7 +446,8 @@ object StreamQueries {
     "stream_mview" -> streamMview _,
     "stream_enrich" -> streamEnrich _,
     "stream_interval_join" -> streamIntervalJoin _,
-    "stream_interval_join_outer" -> streamIntervalJoinOuter _
+    "stream_interval_join_outer" -> streamIntervalJoinOuter _,
+    "stream_dedup_ingest" -> streamDedupIngest _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -458,6 +514,44 @@ object StreamQueries {
          UNION ALL
          SELECT user_id, CAST(3 AS INT), t3 FROM s3
          ORDER BY user_id, step""",
+    // The ingest-dedup waves replayed with exact all-pairs Jaccard (the
+    // same 3-word-shingle sets as the dedup_* oracles): kept = docs not
+    // matching an admitted earlier-wave doc nor a smaller-id wave-mate.
+    "stream_dedup_ingest" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 >= 0.5),
+         kept1 AS (
+           SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 2 = 0
+             AND NOT EXISTS (SELECT 1 FROM p
+               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 0)),
+         kept2 AS (
+           SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 2 = 1
+             AND NOT EXISTS (SELECT 1 FROM p JOIN kept1 k
+               ON (p.id_a = k.doc_id AND p.id_b = d.doc_id)
+               OR (p.id_b = k.doc_id AND p.id_a = d.doc_id))
+             AND NOT EXISTS (SELECT 1 FROM p
+               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1))
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d
+         JOIN (SELECT doc_id FROM kept1
+               UNION ALL SELECT doc_id FROM kept2) k USING (doc_id)
+         ORDER BY doc_id""",
     "stream_hourly_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
                 event_type, count(*) AS n_events,

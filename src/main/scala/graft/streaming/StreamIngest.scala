@@ -79,6 +79,61 @@ object StreamIngest {
     committed
   }
 
+  /** Start a DOCUMENT stream ingesting into `kept` with near-duplicate
+    * SUPPRESSION at ingest — the "dedup at the door" shape a continuous
+    * training-data pipeline needs at 100 TB, where a nightly full-corpus
+    * re-dedup is unbounded but a per-batch probe is O(batch):
+    *
+    * Each micro-batch is probed against the persisted LSH index
+    * ([[graft.pipeline.IncrementalDedup]]): a doc is dropped if it
+    * near-matches (exact-Jaccard-verified at `threshold`) anything
+    * already ADMITTED by an earlier batch, or a smaller-id batch-mate.
+    * Survivors are appended to the index (bands + token sets — the only
+    * state later batches probe) and to the `kept` table, which carries
+    * the batch stamp.
+    *
+    * Crash consistency: the two appends are not one atomic commit, but
+    * a replayed batch is safe — `nearDupPairs` is re-run-proof (self
+    * pairs filtered, token union deduped), so the replay reproduces the
+    * original kept set; the stamped output append is then skipped if it
+    * had committed, and duplicate index rows only widen the (distinct)
+    * candidate set.
+    */
+  def dedupIngestAvailable(stream: DataFrame, indexLoc: String,
+      kept: LakeTable, threshold: Double, queryName: String,
+      checkpointDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(kept, queryName)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val idx = graft.pipeline.IncrementalDedup.load(
+            batch.sparkSession, indexLoc)
+          val losers = graft.pipeline.IncrementalDedup
+            .nearDupPairs(idx, batch, threshold)
+            .select(col("id_b").as("doc_id")).distinct()
+          // one materialization feeds BOTH appends — the probe join must
+          // not run twice with possibly different AQE plans
+          val keptRows = batch.join(losers, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          graft.pipeline.IncrementalDedup.append(idx, keptRows)
+          if (!seen.contains(batchId)) {
+            kept.append(keptRows,
+              summary = Map(BatchStamp -> stamp(queryName, batchId)))
+            seen += batchId
+            committed += 1
+          }
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Start `stream` appending into `table`, drain everything currently
     * available, and stop. Returns the number of micro-batches that
     * actually committed (replays and empty batches are skipped).
