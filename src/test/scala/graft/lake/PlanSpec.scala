@@ -176,6 +176,35 @@ class PlanSpec extends AnyFunSuite {
       "funnel must not use a window over per-user events")
   }
 
+  test("embedding LSH: band shuffles carry ids only, never the vectors") {
+    // The scale contract of the banded candidate join: embedding arrays
+    // ride at most the final per-doc verification joins — any exchange
+    // keyed or carrying band values must be (id, band) tuples only.
+    // At 100 TB a vector-carrying band shuffle is corpus-size × nBands
+    // × dim floats of network; the ids-only shape is corpus × nBands
+    // longs.
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+    val explained = graft.pipeline.Dedup
+      .embeddingNearDup(emb, cosineThreshold = 0.9)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode prints one "(n) <Node>" block per operator with an
+    // "Input [k]: [...]" attribute list. At harness scale AQE turns the
+    // band join into a broadcast (zero shuffle — the degenerate good
+    // case); at corpus scale it shuffles — either way every exchange
+    // (shuffle OR broadcast) that moves band values must be ids-only.
+    val blocks = explained.split("\\(\\d+\\) ").toSeq
+    val bandExchanges = blocks.filter(b =>
+      (b.startsWith("Exchange") || b.startsWith("BroadcastExchange") ||
+        b.startsWith("ShuffleQueryStage")) && b.contains("band_val"))
+    assert(bandExchanges.nonEmpty, "expected a banded candidate exchange:\n" +
+      explained.take(1500))
+    bandExchanges.foreach { b =>
+      assert(!b.contains("embedding"),
+        s"band exchange carries the vector column:\n${b.take(800)}")
+    }
+  }
+
   test("disjunctive-sale: hand-factored OR implications reach both scans") {
     // The OR spans part and lineitem, so Catalyst alone can push none of
     // it; disjunctiveSale factors the single-table hulls out by hand.
