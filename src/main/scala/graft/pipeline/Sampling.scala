@@ -160,6 +160,59 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Token-budgeted mixing — the knob a pretraining mix actually runs
+    * under: per stratum (language/source), admit documents BEST-FIRST
+    * (quality desc, id tiebreak) while the stratum's cumulative TOKEN
+    * count stays ≤ `budgetTokens` (token counts, not document counts,
+    * decide a mix; a hard cap — the first overshooting doc is dropped).
+    * Semantically identical to the flat greedy `cumsum ≤ B` over
+    * (quality desc, id), but computed in the shape that survives 100 TB:
+    *
+    *  1. per-(stratum, quality-level) token sums — a map-side-combined
+    *     aggregate, tiny output (strata × distinct quality values);
+    *  2. the admit/drop/BOUNDARY verdict per level from a running sum
+    *     over that tiny frame, broadcast back — levels wholly under the
+    *     budget admit with NO per-row ordering work at all, levels
+    *     wholly past it drop;
+    *  3. only the single boundary level per stratum pays a per-row
+    *     prefix sum (ordered by id) to place the cut exactly.
+    *
+    * The per-row window in phase 3 is bounded by the boundary TIE GROUP,
+    * not the corpus — the quality score is deliberately coarse, so this
+    * is the only place a hot group could serialize; at extreme tie
+    * cardinality the same phase upgrades to a range-partitioned prefix
+    * sum (per-range partials + broadcast offsets), unchanged semantics.
+    */
+  def tokenBudgetMix(df: DataFrame, budgetTokens: Long,
+      stratumCol: String = "lang", qualityCol: String = "quality_score",
+      tokensCol: String = "n_tokens", idCol: String = "doc_id")
+      : DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    val levels = df.groupBy(col(stratumCol), col(qualityCol))
+      .agg(sum(col(tokensCol)).cast("long").as("_level_toks"))
+    val wl = Window.partitionBy(col(stratumCol))
+      .orderBy(col(qualityCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = levels.withColumn("_better_toks",
+      coalesce(sum(col("_level_toks")).over(wl), lit(0L)))
+    val annotated = df.join(broadcast(cut),
+      Seq(stratumCol, qualityCol))
+    val full = annotated
+      .filter(col("_better_toks") + col("_level_toks") <= budgetTokens)
+    val wb = Window.partitionBy(col(stratumCol), col(qualityCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundaryKept = annotated
+      .filter(col("_better_toks") < budgetTokens &&
+        col("_better_toks") + col("_level_toks") > budgetTokens)
+      .withColumn("_prior", coalesce(sum(col(tokensCol)).over(wb), lit(0L)))
+      .filter(col("_better_toks") + col("_prior") + col(tokensCol)
+        <= budgetTokens)
+      .drop("_prior")
+    full.unionByName(boundaryKept)
+      .drop("_level_toks", "_better_toks")
+  }
+
   /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id
     * tiebreak) — domain capping. TWO-PHASE so a hot domain cannot
     * serialize onto one task: phase one ranks within (domain, salt)

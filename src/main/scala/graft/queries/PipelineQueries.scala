@@ -129,6 +129,25 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Token-budgeted per-language mixing: admit the best-quality docs
+    * per lang while cumulative whitespace tokens stay under 10k — the
+    * budget knob that decides a pretraining mix by TOKENS, not docs.
+    * Oracle = the flat greedy cumsum over (quality desc, doc_id) in
+    * SQL; matching proves the level-aggregate + boundary-prefix
+    * decomposition ≡ the naive global-order semantics.
+    */
+  def sampleTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(Tables.documents(s, d))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+    Sampling.tokenBudgetMix(
+        scored.select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality_score")),
+        budgetTokens = 10000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
   /** Range join: assign every event to the session interval containing
     * it (sessions from the batch gaps-and-islands twin of the streaming
     * operator) — bucketed equi-join, no nested-loop range scan. The
@@ -818,6 +837,7 @@ object PipelineQueries {
     "dedup_simhash_pairs"  -> dedupSimhash _,
     "dedup_ngram_pairs"    -> dedupNgram _,
     "dedup_incremental"    -> dedupIncremental _,
+    "sample_token_budget"  -> sampleTokenBudget _,
     "dedup_embedding_pairs" -> dedupEmbedding _,
     "dedup_keep_best"      -> dedupKeepBest _,
     "quantize_roundtrip"   -> quantizeRoundtrip _,
@@ -1543,6 +1563,44 @@ object PipelineQueries {
              18, 15))::UBIGINT, doc_id
            LIMIT 100)
          ORDER BY doc_id""",
+    // The flat greedy token budget: per lang, cumulative whitespace
+    // tokens over (quality desc, doc_id) ≤ 10000 — the Spark side's
+    // level-aggregate + boundary-prefix decomposition must equal this
+    // naive global-order formulation exactly (same quality formula as
+    // the text_quality oracle).
+    "sample_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                    AS n_tokens,
+                  round(
+                    (CASE WHEN length(text) BETWEEN 100 AND 20000
+                          THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(list_filter(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        w -> list_contains(['the','a','an','and','or','of',
+                          'to','in','is','it','that','for','on','with','as',
+                          'at','by'], w)))::DOUBLE
+                      / greatest(len(string_split_regex(trim(lower(text)),
+                          '\s+')), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(regexp_extract_all(text,
+                        '[^A-Za-z0-9\s]'))::DOUBLE
+                      / greatest(length(text), 1) <= 0.2
+                      THEN 0.2 ELSE 0 END) +
+                    (CASE WHEN list_sum(list_transform(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        w -> length(w)))::DOUBLE
+                      / greatest(len(string_split_regex(trim(lower(text)),
+                          '\s+')), 1) BETWEEN 2.0 AND 12.0
+                      THEN 0.2 ELSE 0 END), 2) AS quality_score
+           FROM documents),
+         r AS (
+           SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY quality_score DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT doc_id, lang, n_tokens, quality_score
+         FROM r WHERE cum <= 10000 ORDER BY doc_id""",
     // Exact kNN graph: rank on the RAW cosine (round only in the
     // output), ties on neighbor id; mutual = reversed pair exists.
     "knn_graph" ->

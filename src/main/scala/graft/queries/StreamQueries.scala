@@ -284,23 +284,18 @@ object StreamQueries {
 
   private val dedupIngestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val docWavesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Near-duplicate suppression AT INGEST: the documents corpus arrives
-    * as two ordered waves (file stream, one file per trigger — even doc
-    * ids, then odd), each micro-batch probed against the persisted LSH
-    * index and only novel docs admitted (to the index AND the output
-    * table). The oracle replays the same greedy wave semantics with
-    * exact all-pairs Jaccard in SQL: a doc is dropped iff it matches an
-    * admitted earlier-wave doc or a smaller-id wave-mate — so banded
-    * recall, the keep-first policy, and the index round-trip are all
-    * hash-checked.
+  /** The documents corpus as two ordered arrival waves (even doc ids,
+    * then odd) in a file-stream dir — scenario SETUP shared by the
+    * ingest-dedup query and pre-built by [[warmupDirs]] so the timed
+    * pass measures the ingest, not two parquet rewrites.
     */
-  def streamDedupIngest(s: SparkSession, d: String): DataFrame = {
-    val loc = dedupIngestCache.computeIfAbsent(d, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-sdedup-")
+  private def docWavesDir(s: SparkSession, d: String): String =
+    docWavesCache.computeIfAbsent(d, _ => {
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val waves = base.resolve("waves")
-      java.nio.file.Files.createDirectory(waves)
+      val waves = java.nio.file.Files.createTempDirectory("graft-waves-")
       def wave(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("wave-")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -320,12 +315,30 @@ object StreamQueries {
       }
       wave(docs.filter(col("doc_id") % 2 === 0), "wave-1.parquet", 120)
       wave(docs.filter(col("doc_id") % 2 === 1), "wave-2.parquet", 60)
+      waves.toString
+    })
+
+  /** Near-duplicate suppression AT INGEST: the documents corpus arrives
+    * as two ordered waves (file stream, one file per trigger — even doc
+    * ids, then odd), each micro-batch probed against the persisted LSH
+    * index and only novel docs admitted (to the index AND the output
+    * table). The oracle replays the same greedy wave semantics with
+    * exact all-pairs Jaccard in SQL: a doc is dropped iff it matches an
+    * admitted earlier-wave doc or a smaller-id wave-mate — so banded
+    * recall, the keep-first policy, and the index round-trip are all
+    * hash-checked.
+    */
+  def streamDedupIngest(s: SparkSession, d: String): DataFrame = {
+    val loc = dedupIngestCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-sdedup-")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val waves = docWavesDir(s, d)
       val idxLoc = base.resolve("index").toString
       graft.pipeline.IncrementalDedup.build(docs.limit(0), idxLoc)
       val keptT = graft.lake.LakeTable.create(s,
         base.resolve("kept").toString, Left(docs.schema))
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(waves.toString)
+        .option("maxFilesPerTrigger", "1").parquet(waves)
       val batches = graft.streaming.StreamIngest.dedupIngestAvailable(
         stream, idxLoc, keptT, threshold = 0.5, "docs_dedup_ingest",
         base.resolve("ckpt").toString)
@@ -434,6 +447,7 @@ object StreamQueries {
     funnelStreamDir(s, d, 45L * 86400 * 1000)
     dedupStreamDir(d)
     ijoinStreamDir(s, d)
+    docWavesDir(s, d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -894,4 +894,26 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(relaid == base, "assignment must be independent of layout")
   }
+
+  test("token budget: hard cap at the boundary, level decomposition " +
+      "equals the flat greedy") {
+    import s.implicits._
+    // one stratum, two quality levels; the budget cuts INSIDE the lower
+    // level: (q=0.9: 40+40=80 admitted whole), then within q=0.5 id
+    // order admits 15 (95) but must drop id 5 (95+10 > 100) AND later
+    // ids even if they'd fit — greedy prefix, not knapsack
+    val rows = Seq(
+      (1L, "en", 40, 0.9), (2L, "en", 40, 0.9),
+      (3L, "en", 15, 0.5), (5L, "en", 10, 0.5), (6L, "en", 4, 0.5),
+      (9L, "fr", 101, 0.9), (10L, "fr", 1, 0.5))
+      .toDF("doc_id", "lang", "n_tokens", "quality_score")
+    val kept = Sampling.tokenBudgetMix(rows, budgetTokens = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // en: 1,2 (80) + 3 (95); 5 overshoots (105) -> dropped; 6's prefix
+    // includes the dropped 5 (cum 109) -> dropped too, even though its
+    // own 4 tokens would fit — greedy prefix, not knapsack.
+    // fr: 9 alone overshoots the budget; 10 sits behind it (cum 102) ->
+    // the stratum admits nothing.
+    assert(kept == Set(1L, 2L, 3L))
+  }
 }
