@@ -107,6 +107,45 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("blob_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("resized", BinaryType),
+    StructField("n_bytes_out", IntegerType)))
+
+  /** Batched image resize — the third multimodal plumbing shape from
+    * the pipeline checklist (decode / feature-extract / RESIZE /
+    * frame-sample): image blobs re-encoded to a target geometry through
+    * the same batched `mapPartitions` channel as [[extractFeatures]]
+    * (one codec context per batch). The pixel work is STUBBED like
+    * `decodeStub` — the fake "resize" keeps the first `w·h` payload
+    * bytes (deterministic, oracle-checkable byte counts); a real
+    * implementation swaps only the body. Output schema carries the new
+    * geometry + payload, exactly what a downstream training-data writer
+    * consumes.
+    */
+  def resizeImages(blobs: DataFrame, targetW: Int = 16, targetH: Int = 16,
+      batchSize: Int = 64): DataFrame = {
+    val spark = blobs.sparkSession
+    val cap = targetW * targetH
+    val rdd = blobs.filter(col("modality") === "image")
+      .select("blob_id", "content").rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would happen here (scaler/codec init)
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]]("content")
+            // ??? real resampling goes here — stub keeps the first w·h bytes
+            val out = java.util.Arrays.copyOf(bytes,
+              math.min(bytes.length, cap))
+            Row(r.getLong(0), targetW, targetH, out, out.length)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("blob_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType),

@@ -534,6 +534,21 @@ object LakeQueries {
       .toDF("line_no", "line").orderBy("line_no")
   }
 
+  /** SHOW CREATE SCHEMA (`sql:6-9`) as an oracled render: the schema is
+    * created with an EXPLICIT location (normally the nondeterministic
+    * warehouse temp dir) so the DDL is a stable literal. Cheap and
+    * idempotent — no scenario cache needed.
+    */
+  def showCreateSchemaDdl(s: SparkSession, d: String): DataFrame = {
+    val cat = new graft.lake.LakeCatalog(s,
+      Files.createTempDirectory("ddlsq-").toString)
+    cat.createSchema("demo_fixed", Some("/tmp/graft-demo-schema"))
+    val lines = cat.showCreateSchema("demo_fixed").split("\n")
+    import s.implicits._
+    lines.toSeq.zipWithIndex.map { case (l, i) => (i + 1, l) }
+      .toDF("line_no", "line").orderBy("line_no")
+  }
+
   /** Parquet bloom filters via the `bloom_filter_columns` table property
     * as an oracled scenario: a table over orders with a bloom on the
     * high-cardinality orderkey, appended twice (several data files),
@@ -615,6 +630,7 @@ object LakeQueries {
     "lake_mview_incremental" -> mviewIncremental _,
     "lake_maintenance"     -> maintenanceInvariance _,
     "lake_show_create"     -> showCreateDdl _,
+    "lake_show_create_schema" -> showCreateSchemaDdl _,
     "lake_bloom_pruning"   -> bloomPointLookup _
   )
 
@@ -835,6 +851,13 @@ object LakeQueries {
            (10, '   partitioning = ARRAY[''mktsegment''],'),
            (11, '   merge_mode = ''merge-on-read'''),
            (12, ')')
+         ) AS t(line_no, line) ORDER BY line_no""",
+    "lake_show_create_schema" ->
+      """SELECT * FROM (VALUES
+           (1, 'CREATE SCHEMA demo_fixed'),
+           (2, 'WITH ('),
+           (3, '   location = ''/tmp/graft-demo-schema'''),
+           (4, ')')
          ) AS t(line_no, line) ORDER BY line_no""",
     // Point lookups through the bloom-filtered scan = the same rows from
     // the source table; the footer observable (every data file blooms

@@ -825,6 +825,16 @@ object PipelineQueries {
       .select(col("blob_id"), col("modality"), col("n_bytes"))
       .orderBy("blob_id")
 
+  /** Batched stub resize over image-modality blobs: geometry + byte
+    * counts are the oracle-checkable observables; the pixel work is the
+    * documented stub.
+    */
+  def multimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeImages(Multimodal.blobTable(Tables.documents(s, d)))
+      .select(col("blob_id"), col("width"), col("height"),
+        col("n_bytes_out"))
+      .orderBy("blob_id")
+
   /** Frame sampling over video-modality blobs. */
   def multimodalFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.blobTable(Tables.documents(s, d)))
@@ -896,7 +906,8 @@ object PipelineQueries {
     "text_char_entropy"    -> textCharEntropy _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
-    "multimodal_frames"    -> multimodalFrames _
+    "multimodal_frames"    -> multimodalFrames _,
+    "multimodal_resize"    -> multimodalResize _
   )
 
   private val DecontaminateOracle =
@@ -1738,6 +1749,12 @@ object PipelineQueries {
                   ELSE 'video' END AS modality,
                 CAST(strlen(text) AS INT) AS n_bytes
          FROM documents ORDER BY blob_id""",
+    // stub resize keeps min(bytes, 16x16) payload bytes of each image
+    "multimodal_resize" ->
+      """SELECT doc_id AS blob_id, CAST(16 AS INT) AS width,
+                CAST(16 AS INT) AS height,
+                CAST(least(strlen(text), 256) AS INT) AS n_bytes_out
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY blob_id""",
     "multimodal_frames" ->
       """SELECT doc_id AS blob_id, CAST(i AS INT) AS frame_idx,
                 CAST(i * greatest(strlen(text) // 4, 1) AS INT)
