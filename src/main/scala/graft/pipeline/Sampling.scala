@@ -185,9 +185,16 @@ object Sampling {
     */
   def tokenBudgetMix(df: DataFrame, budgetTokens: Long,
       stratumCol: String = "lang", qualityCol: String = "quality_score",
-      tokensCol: String = "n_tokens", idCol: String = "doc_id")
-      : DataFrame = {
+      tokensCol: String = "n_tokens", idCol: String = "doc_id",
+      spent: Map[String, Long] = Map.empty): DataFrame = {
     require(budgetTokens > 0, "token budget must be positive")
+    // `spent` = tokens already admitted per stratum by earlier batches
+    // (continuous-ingest callers); each stratum's effective budget is
+    // what remains. The map is metadata-sized by contract (strata, not
+    // rows) and folds into the broadcast cut frame.
+    val spentCol =
+      if (spent.isEmpty) lit(0L)
+      else element_at(typedLit(spent), col(stratumCol))
     val levels = df.groupBy(col(stratumCol), col(qualityCol))
       .agg(sum(col(tokensCol)).cast("long").as("_level_toks"))
     val wl = Window.partitionBy(col(stratumCol))
@@ -195,22 +202,23 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cut = levels.withColumn("_better_toks",
       coalesce(sum(col("_level_toks")).over(wl), lit(0L)))
-    val annotated = df.join(broadcast(cut),
-      Seq(stratumCol, qualityCol))
+    val annotated = df.join(broadcast(cut), Seq(stratumCol, qualityCol))
+      .withColumn("_budget",
+        lit(budgetTokens) - coalesce(spentCol, lit(0L)))
     val full = annotated
-      .filter(col("_better_toks") + col("_level_toks") <= budgetTokens)
+      .filter(col("_better_toks") + col("_level_toks") <= col("_budget"))
     val wb = Window.partitionBy(col(stratumCol), col(qualityCol))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val boundaryKept = annotated
-      .filter(col("_better_toks") < budgetTokens &&
-        col("_better_toks") + col("_level_toks") > budgetTokens)
+      .filter(col("_better_toks") < col("_budget") &&
+        col("_better_toks") + col("_level_toks") > col("_budget"))
       .withColumn("_prior", coalesce(sum(col(tokensCol)).over(wb), lit(0L)))
       .filter(col("_better_toks") + col("_prior") + col(tokensCol)
-        <= budgetTokens)
+        <= col("_budget"))
       .drop("_prior")
     full.unionByName(boundaryKept)
-      .drop("_level_toks", "_better_toks")
+      .drop("_level_toks", "_better_toks", "_budget")
   }
 
   /** Keep at most `k` rows per domain, best-first (`orderCol` desc, id

@@ -350,6 +350,43 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  private val budgetIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Token-budget admission ACROSS micro-batches: the document waves
+    * stream through a scoring select into
+    * [[graft.streaming.StreamIngest.budgetIngestAvailable]] — wave 2
+    * admits best-first into whatever per-lang budget wave 1 left, with
+    * the running totals folded from commit summaries (metadata, atomic
+    * with each batch's rows). Oracle = the two-phase greedy in SQL:
+    * wave-1 cumsum ≤ B, then wave-2 cumsum ≤ B − wave-1's admitted
+    * tokens, per lang.
+    */
+  def streamTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val loc = budgetIngestCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-sbudget-")
+      def score(df: DataFrame): DataFrame =
+        graft.pipeline.TextAnalysis.qualityScore(df)
+          .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("quality_score"))
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val keptT = graft.lake.LakeTable.create(s,
+        base.resolve("kept").toString, Left(score(docs).schema))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docWavesDir(s, d))
+      val batches = graft.streaming.StreamIngest.budgetIngestAvailable(
+        score(stream), keptT, budgetTokens = 5000L, "docs_budget",
+        base.resolve("ckpt").toString)
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      base.resolve("kept").toString
+    })
+    graft.lake.LakeTable.forLocation(s, loc).read()
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
   /** Stream-static enrichment join: the event stream joined to a STATIC
     * dimension (customer) — no state store at all (the static side is
     * re-planned per micro-batch; broadcast keeps the stream side from
@@ -461,7 +498,8 @@ object StreamQueries {
     "stream_enrich" -> streamEnrich _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_outer" -> streamIntervalJoinOuter _,
-    "stream_dedup_ingest" -> streamDedupIngest _
+    "stream_dedup_ingest" -> streamDedupIngest _,
+    "stream_token_budget" -> streamTokenBudget _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -528,6 +566,52 @@ object StreamQueries {
          UNION ALL
          SELECT user_id, CAST(3 AS INT), t3 FROM s3
          ORDER BY user_id, step""",
+    // Two-phase greedy budget: wave-1 (even ids) cumsum <= 5000 per
+    // lang over (quality desc, id), wave-2 continues into the remaining
+    // budget — exactly what the commit-summary-folded streaming totals
+    // must reproduce.
+    "stream_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang, doc_id % 2 AS wave,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                    AS n_tokens,
+                  round(
+                    (CASE WHEN length(text) BETWEEN 100 AND 20000
+                          THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(list_filter(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        w -> list_contains(['the','a','an','and','or','of',
+                          'to','in','is','it','that','for','on','with','as',
+                          'at','by'], w)))::DOUBLE
+                      / greatest(len(string_split_regex(trim(lower(text)),
+                          '\s+')), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(regexp_extract_all(text,
+                        '[^A-Za-z0-9\s]'))::DOUBLE
+                      / greatest(length(text), 1) <= 0.2
+                      THEN 0.2 ELSE 0 END) +
+                    (CASE WHEN list_sum(list_transform(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        w -> length(w)))::DOUBLE
+                      / greatest(len(string_split_regex(trim(lower(text)),
+                          '\s+')), 1) BETWEEN 2.0 AND 12.0
+                      THEN 0.2 ELSE 0 END), 2) AS quality_score
+           FROM documents),
+         r1 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY quality_score DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t WHERE wave = 0),
+         k1 AS (SELECT * FROM r1 WHERE cum <= 5000),
+         s1 AS (SELECT lang, sum(n_tokens) AS spent FROM k1 GROUP BY lang),
+         r2 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY quality_score DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t WHERE wave = 1),
+         k2 AS (SELECT r2.* FROM r2 LEFT JOIN s1 USING (lang)
+                WHERE cum <= 5000 - coalesce(spent, 0))
+         SELECT doc_id, lang, n_tokens, quality_score FROM k1
+         UNION ALL
+         SELECT doc_id, lang, n_tokens, quality_score FROM k2
+         ORDER BY doc_id""",
     // The ingest-dedup waves replayed with exact all-pairs Jaccard (the
     // same 3-word-shingle sets as the dedup_* oracles): kept = docs not
     // matching an admitted earlier-wave doc nor a smaller-id wave-mate.

@@ -134,6 +134,79 @@ object StreamIngest {
     committed
   }
 
+  /** Summary key carrying a batch's admitted-token deltas per stratum
+    * (`en:123|fr:45`) on budget-ingest snapshots. The running totals
+    * are the FOLD of these deltas over the snapshot chain — pure
+    * metadata, no data scan — and each delta commits ATOMICALLY with
+    * its batch's rows, so a replayed batch can neither double-count
+    * nor lose budget.
+    */
+  val BudgetDelta = "graft.streaming.budget.delta"
+
+  private def parseDelta(s: String): Map[String, Long] =
+    s.split('|').filter(_.nonEmpty).map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i) -> kv.substring(i + 1).toLong
+    }.toMap
+
+  /** Tokens already admitted per stratum: deltas folded over the
+    * snapshot chain (metadata-only).
+    */
+  def spentTokens(table: LakeTable): Map[String, Long] =
+    table.meta.snapshots.flatMap(_.summary.get(BudgetDelta))
+      .map(parseDelta)
+      .foldLeft(Map.empty[String, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) => a + (k -> (a.getOrElse(k, 0L) + v)) }
+      }
+
+  /** Start a scored-document stream ingesting into `kept` under a
+    * PER-STRATUM TOKEN BUDGET that persists ACROSS micro-batches — the
+    * continuous form of [[graft.pipeline.Sampling.tokenBudgetMix]]:
+    * batch N admits best-first into whatever budget batches 1..N−1
+    * left, so a corpus streamed in waves lands exactly the
+    * greedy-per-wave admission a backfill would compute. Rows must
+    * carry (idCol, stratum, tokens, quality) — scoring belongs to the
+    * stream's select, not this sink.
+    *
+    * The running totals ride the commit summaries ([[BudgetDelta]]):
+    * reading them is a metadata fold, writing them is atomic with the
+    * batch's rows, and the batch stamp makes replays no-ops — the
+    * budget cannot drift under at-least-once delivery.
+    */
+  def budgetIngestAvailable(stream: DataFrame, kept: LakeTable,
+      budgetTokens: Long, queryName: String, checkpointDir: String,
+      stratumCol: String = "lang", tokensCol: String = "n_tokens")
+      : Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(kept, queryName)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seen.contains(batchId) && !batch.isEmpty) {
+          val admitted = graft.pipeline.Sampling.tokenBudgetMix(
+              batch, budgetTokens, stratumCol = stratumCol,
+              tokensCol = tokensCol, spent = spentTokens(kept))
+            .localCheckpoint(true)
+          val delta = admitted.groupBy(col(stratumCol))
+            .agg(sum(col(tokensCol)).cast("long").as("t"))
+            .collect()
+            .map(r => s"${r.getString(0)}:${r.getLong(1)}")
+            .sorted.mkString("|")
+          kept.append(admitted, summary = Map(
+            BatchStamp -> stamp(queryName, batchId),
+            BudgetDelta -> delta))
+          seen += batchId
+          committed += 1
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Start `stream` appending into `table`, drain everything currently
     * available, and stop. Returns the number of micro-batches that
     * actually committed (replays and empty batches are skipped).
