@@ -768,6 +768,22 @@ case class HyperplaneCodes(child: Expression, planes: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression)
       : HyperplaneCodes = copy(child = newChild)
+
+  // `planes` is an Array, and case-class equals/hashCode compare arrays
+  // by REFERENCE — two structurally identical codes expressions would
+  // never be semanticEqual, defeating canonicalization and common
+  // subexpression elimination. Compare by content (the array is
+  // write-once by contract; it stays a primitive array because the
+  // codegen hot loop indexes it directly).
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneCodes =>
+      nPlanes == h.nPlanes && child == h.child &&
+        java.util.Arrays.equals(planes, h.planes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + nPlanes) +
+      java.util.Arrays.hashCode(planes)
 }
 
 object VectorExpressions {

@@ -113,10 +113,17 @@ object IncrementalDedup {
     val newToks = tokensOf(batch, textCol, idCol, index.shingleK)
     // anti-join before the union: a doc present in BOTH the index and
     // the batch (operator re-run) would otherwise contribute its token
-    // rows twice, inflating `inter` for every pair it appears in
+    // rows twice, inflating `inter` for every pair it appears in.
+    // dropDuplicates: a doc whose index append was REPLAYED (crash
+    // between append and the caller's checkpoint advancing) has two
+    // identical token rows — exploding both doubles `inter` and
+    // inflates jaccard (2I/(n_a+n_b−2I)), falsely dropping novel docs.
+    // Applied AFTER the candidate semi-join, so the shuffle it costs is
+    // candidate-sized, never corpus-sized.
     val oldToks = index.tokens.read().join(
       candidates.select(col("id_a").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id")
       .join(newToks.select("doc_id"), Seq("doc_id"), "left_anti")
     val toks = oldToks.unionByName(newToks)
       .select(col("doc_id").as(idCol), col("n"),
@@ -143,5 +150,28 @@ object IncrementalDedup {
     index.bands.append(bandsOf(batch, textCol, idCol, index.numHashes,
       index.lshBands, index.shingleK).repartition(col("band_idx")))
     index.tokens.append(tokensOf(batch, textCol, idCol, index.shingleK))
+  }
+
+  /** [[append]] made REPLAY-SAFE for at-least-once callers (streaming
+    * `foreachBatch`): each index table records `stampKey -> stampValue`
+    * on its append snapshot, and a table that already carries the stamp
+    * skips its append. The two appends are not one atomic commit, so
+    * each guards ITSELF — a crash between them replays only the missing
+    * half. The stamp check is a snapshot-summary scan: metadata-only,
+    * no data read.
+    */
+  def appendIdempotent(index: Index, batch: DataFrame, stampKey: String,
+      stampValue: String, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    def stamped(t: graft.lake.LakeTable): Boolean =
+      t.meta.snapshots.exists(_.summary.get(stampKey).contains(stampValue))
+    if (!stamped(index.bands))
+      index.bands.append(
+        bandsOf(batch, textCol, idCol, index.numHashes, index.lshBands,
+          index.shingleK).repartition(col("band_idx")),
+        summary = Map(stampKey -> stampValue))
+    if (!stamped(index.tokens))
+      index.tokens.append(tokensOf(batch, textCol, idCol, index.shingleK),
+        summary = Map(stampKey -> stampValue))
   }
 }

@@ -534,16 +534,28 @@ object LakeQueries {
       .toDF("line_no", "line").orderBy("line_no")
   }
 
-  /** SHOW CREATE SCHEMA (`sql:6-9`) as an oracled render: the schema is
-    * created with an EXPLICIT location (normally the nondeterministic
-    * warehouse temp dir) so the DDL is a stable literal. Cheap and
-    * idempotent — no scenario cache needed.
+  /** SHOW CREATE SCHEMA (`sql:6-9`) as an oracled render. The schema
+    * lives at its DEFAULT location inside a per-run temp warehouse (no
+    * world-shared path, no cross-run collisions); the one
+    * nondeterministic token — the warehouse prefix — is replaced by a
+    * stable `<warehouse>` placeholder so the rendered DDL stays a
+    * byte-stable oracle literal. Cached through the scenario map like
+    * every other catalog scenario, so repeated calls share one
+    * warehouse instead of leaking a temp dir each.
     */
   def showCreateSchemaDdl(s: SparkSession, d: String): DataFrame = {
-    val cat = new graft.lake.LakeCatalog(s,
-      Files.createTempDirectory("ddlsq-").toString)
-    cat.createSchema("demo_fixed", Some("/tmp/graft-demo-schema"))
-    val lines = cat.showCreateSchema("demo_fixed").split("\n")
+    val t = scenario("showcreateschema", d) { loc =>
+      val cat = new graft.lake.LakeCatalog(s,
+        Files.createTempDirectory("ddlsq-").toString)
+      cat.createSchema("demo_fixed")
+      val t0 = cat.createTable("demo_fixed.anchor",
+        customerDf(s, d).filter(col("custkey") < 5))
+      t0.setProperties(Map("graft.test.cat" -> cat.warehouse))
+      t0
+    }
+    val cat = new graft.lake.LakeCatalog(s, t.properties("graft.test.cat"))
+    val lines = cat.showCreateSchema("demo_fixed")
+      .replace(cat.warehouse, "<warehouse>").split("\n")
     import s.implicits._
     lines.toSeq.zipWithIndex.map { case (l, i) => (i + 1, l) }
       .toDF("line_no", "line").orderBy("line_no")
@@ -856,7 +868,7 @@ object LakeQueries {
       """SELECT * FROM (VALUES
            (1, 'CREATE SCHEMA demo_fixed'),
            (2, 'WITH ('),
-           (3, '   location = ''/tmp/graft-demo-schema'''),
+           (3, '   location = ''<warehouse>/demo_fixed'''),
            (4, ')')
          ) AS t(line_no, line) ORDER BY line_no""",
     // Point lookups through the bloom-filtered scan = the same rows from

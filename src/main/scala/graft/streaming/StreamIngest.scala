@@ -92,12 +92,16 @@ object StreamIngest {
     * state later batches probe) and to the `kept` table, which carries
     * the batch stamp.
     *
-    * Crash consistency: the two appends are not one atomic commit, but
-    * a replayed batch is safe — `nearDupPairs` is re-run-proof (self
-    * pairs filtered, token union deduped), so the replay reproduces the
-    * original kept set; the stamped output append is then skipped if it
-    * had committed, and duplicate index rows only widen the (distinct)
-    * candidate set.
+    * Crash consistency: the appends are not one atomic commit, but a
+    * replayed batch is safe end-to-end — `nearDupPairs` is re-run-proof
+    * (self pairs filtered, token union deduped), so the replay
+    * reproduces the original kept set; the index append is
+    * batch-stamped per index table ([[graft.pipeline.IncrementalDedup
+    * .appendIdempotent]]), so a replay fills in only whichever half
+    * (bands / tokens) had not committed; and the stamped output append
+    * is skipped if it had committed. No replay can duplicate index
+    * token rows, which would otherwise inflate later batches' Jaccard
+    * estimates (each shingle counted twice in `inter`).
     */
   def dedupIngestAvailable(stream: DataFrame, indexLoc: String,
       kept: LakeTable, threshold: Double, queryName: String,
@@ -120,7 +124,8 @@ object StreamIngest {
           // not run twice with possibly different AQE plans
           val keptRows = batch.join(losers, Seq("doc_id"), "left_anti")
             .localCheckpoint(true)
-          graft.pipeline.IncrementalDedup.append(idx, keptRows)
+          graft.pipeline.IncrementalDedup.appendIdempotent(idx, keptRows,
+            BatchStamp, stamp(queryName, batchId))
           if (!seen.contains(batchId)) {
             kept.append(keptRows,
               summary = Map(BatchStamp -> stamp(queryName, batchId)))
@@ -143,10 +148,19 @@ object StreamIngest {
     */
   val BudgetDelta = "graft.streaming.budget.delta"
 
-  private def parseDelta(s: String): Map[String, Long] =
+  // Stratum values are arbitrary strings — a '|' or ':' in one would
+  // corrupt the 'k:v|k:v' fold, so the separators (and the escape char
+  // itself) are percent-encoded at encode time and decoded on parse.
+  private[streaming] def encodeKey(k: String): String =
+    k.replace("%", "%25").replace("|", "%7C").replace(":", "%3A")
+  private[streaming] def decodeKey(k: String): String =
+    k.replace("%3A", ":").replace("%7C", "|").replace("%25", "%")
+
+  private[streaming] def parseDelta(s: String): Map[String, Long] =
     s.split('|').filter(_.nonEmpty).map { kv =>
       val i = kv.lastIndexOf(':')
-      kv.substring(0, i) -> kv.substring(i + 1).toLong
+      require(i > 0, s"malformed budget delta fragment: '$kv'")
+      decodeKey(kv.substring(0, i)) -> kv.substring(i + 1).toLong
     }.toMap
 
   /** Tokens already admitted per stratum: deltas folded over the
@@ -193,7 +207,7 @@ object StreamIngest {
           val delta = admitted.groupBy(col(stratumCol))
             .agg(sum(col(tokensCol)).cast("long").as("t"))
             .collect()
-            .map(r => s"${r.getString(0)}:${r.getLong(1)}")
+            .map(r => s"${encodeKey(r.getString(0))}:${r.getLong(1)}")
             .sorted.mkString("|")
           kept.append(admitted, summary = Map(
             BatchStamp -> stamp(queryName, batchId),

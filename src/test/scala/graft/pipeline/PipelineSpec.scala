@@ -367,6 +367,40 @@ class PipelineSpec extends AnyFunSuite {
         s"(first=$firstRun rerun=$rerun)")
   }
 
+  test("appendIdempotent: replayed append is a no-op; forced dup rows don't inflate jaccard") {
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    val loc = java.nio.file.Files.createTempDirectory("dedupidx-idem-")
+      .resolve("index").toString
+    IncrementalDedup.build(corpus, loc)
+    IncrementalDedup.appendIdempotent(IncrementalDedup.load(s, loc), batch,
+      "graft.test.stamp", "q:1")
+    val idx1 = IncrementalDedup.load(s, loc)
+    val (bandRows, tokRows) =
+      (idx1.bands.read().count(), idx1.tokens.read().count())
+    // at-least-once replay of the SAME stamped batch: no-op on both tables
+    IncrementalDedup.appendIdempotent(idx1, batch, "graft.test.stamp", "q:1")
+    val idx2 = IncrementalDedup.load(s, loc)
+    assert(idx2.bands.read().count() == bandRows &&
+      idx2.tokens.read().count() == tokRows,
+      "replayed stamped append must not add index rows")
+    // probe with exact twins of three admitted docs
+    val twins = docs.filter(col("doc_id").isin(300L, 310L, 0L))
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    def probe() = IncrementalDedup
+      .nearDupPairs(IncrementalDedup.load(s, loc), twins, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probe()
+    assert(Set(300L, 310L, 0L).subsetOf(before.map(_._1)), s"twins: $before")
+    // defense in depth: FORCE duplicate index rows (the legacy
+    // non-idempotent path run twice) — duplicated token rows used to
+    // double `inter` and inflate jaccard past 1.0-equivalents; the
+    // candidate-sized dropDuplicates must keep probes byte-identical
+    IncrementalDedup.append(idx2, batch)
+    assert(probe() == before,
+      "duplicate index rows must not change probe results")
+  }
+
   test("two-phase domain cap is exact for any salt count") {
     // the oracle checks salts=16 against the plain single-window form;
     // this pins the equivalence across salt granularities

@@ -431,4 +431,20 @@ class StreamingSpec extends AnyFunSuite {
     // and the join still produced the hot user's matches
     assert(s.table("ijoin_bound").filter(col("user_id") === 1L).count() > 0)
   }
+
+  test("budget delta encoding round-trips strata containing separators") {
+    // a stratum value carrying '|' or ':' must not corrupt the
+    // 'k:v|k:v' summary fold (it used to split mid-key)
+    val strata = Seq("en", "zh:trad", "web|crawl", "100%", "%7C", "a:b|c")
+    strata.foreach { k =>
+      val enc = StreamIngest.encodeKey(k)
+      assert(!enc.contains('|') && !enc.contains(':'), s"'$k' -> '$enc'")
+      assert(StreamIngest.decodeKey(enc) == k)
+    }
+    val delta = strata.zipWithIndex
+      .map { case (k, i) => s"${StreamIngest.encodeKey(k)}:${i + 1}" }
+      .sorted.mkString("|")
+    assert(StreamIngest.parseDelta(delta) ==
+      strata.zipWithIndex.map { case (k, i) => k -> (i + 1).toLong }.toMap)
+  }
 }
