@@ -261,6 +261,118 @@ object LakeQueries {
     t.read().orderBy("custkey")
   }
 
+  /** DROP COLUMN cycle (`sql:166-190`, E5): add `message`, insert a row
+    * carrying it, DROP it, re-ADD a column with the SAME NAME, insert
+    * again. The re-added column gets a FRESH field id (ids are never
+    * reused across schema versions), so the pre-drop file's `message`
+    * bytes must NOT resurface — the classic evolution bug this pins
+    * driver-visibly: row 200000 reads NULL, row 200001 reads its value.
+    */
+  def dropColumnCycle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val t = scenario("dropcol", d) { loc =>
+      import s.implicits._
+      val t0 = LakeTable.create(s, loc,
+        Right(customerDf(s, d).filter(col("custkey") < 30)))
+      t0.addColumn("message", StringType)
+      t0.append(Seq((200000L, "COMMANDER BUN BUN", 1.0, "SQLENGINE",
+          """{"company": "Starburst"}"""))
+        .toDF("custkey", "name", "account_balance", "mktsegment", "message"))
+      t0.dropColumn("message")
+      t0.addColumn("message", StringType)
+      t0.append(Seq((200001L, "TRINO", 1.0, "SQLENGINE", "fresh"))
+        .toDF("custkey", "name", "account_balance", "mktsegment", "message"))
+      t0
+    }
+    t.read().select("custkey", "name", "message").orderBy("custkey")
+  }
+
+  /** Partition-spec evolution (`sql:193-209`, E6): CTAS partitioned by
+    * mktsegment (spec 0), evolve to ['mktsegment','custkey'] (spec 1) +
+    * insert, evolve to ['nation'] (spec 2) + insert. `$partitions` then
+    * shows every file generation under ITS OWN spec — per-file spec
+    * resolution is the trickiest read-path piece of the lake layer, and
+    * this makes it driver-visible. `file_count` is pinned to 1 per
+    * partition: each write is repartitioned on its spec's source
+    * columns, so one task holds each partition value.
+    */
+  def specEvolution(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("specevo", d) { loc =>
+      import s.implicits._
+      val src = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_custkey") <= 40)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_mktsegment").as("mktsegment"), col("n_name").as("nation"))
+      val t0 = LakeTable.create(s, loc,
+        Right(src.repartition(col("mktsegment"))),
+        partitioning = Seq("mktsegment"))
+      t0.setPartitioning(Seq("mktsegment", "custkey"))
+      t0.append(Seq((200001L, "TRINO", "SQLENGINE", "FRANCE"))
+        .toDF("custkey", "name", "mktsegment", "nation"))
+      t0.append(Seq((200002L, "STARBURST", "SQLENGINE", "FRANCE"))
+        .toDF("custkey", "name", "mktsegment", "nation"))
+      t0.setPartitioning(Seq("nation"))
+      t0.append(Seq((200003L, "TRINO", "SQLENGINE", "ITALY"))
+        .toDF("custkey", "name", "mktsegment", "nation"))
+      t0.append(Seq((200004L, "STARBURST", "SQLENGINE", "SPAIN"))
+        .toDF("custkey", "name", "mktsegment", "nation"))
+      t0
+    }
+    t.metaTable("partitions")
+      .select("partition", "spec_id", "record_count", "file_count")
+      .orderBy("spec_id", "partition")
+  }
+
+  /** Filtered OPTIMIZE (`sql:267-268`, M4): compact ONLY files whose
+    * `$file_modified_time` falls inside the window — the nightly
+    * "compact what today wrote" shape that keeps a 100 TB table's
+    * maintenance cost proportional to the day's ingest, not the table.
+    * Three old files are backdated 3 days; three recent ones are not;
+    * optimize with `mtime > now−2d` must compact the recent three into
+    * one and leave the old generation byte-identical. Both file-level
+    * observables ride every row next to the invariant content.
+    */
+  def filteredOptimize(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("filtopt", d) { loc =>
+      def livePaths(t0: LakeTable): Seq[String] =
+        t0.metaTable("files").filter(col("content") === 0)
+          .select("file_path").collect().map(_.getString(0)).toSeq
+      val cust = customerDf(s, d)
+      def slice(lo: Int, hi: Int) =
+        cust.filter(col("custkey") >= lo && col("custkey") < hi).coalesce(1)
+      val t0 = LakeTable.create(s, loc, Right(slice(0, 20)))
+      t0.append(slice(20, 40))
+      t0.append(slice(40, 60))
+      val oldPaths = livePaths(t0)
+      val backdated = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
+      oldPaths.foreach(p => Files.setLastModifiedTime(
+        java.nio.file.Paths.get(loc, p), backdated))
+      t0.append(slice(60, 80))
+      t0.append(slice(80, 100))
+      t0.append(slice(100, 120))
+      val recent = livePaths(t0).toSet -- oldPaths
+      val cutoff = System.currentTimeMillis() - 2L * 24 * 3600 * 1000
+      t0.optimize(filePredicate = Some((_, mtime) => mtime > cutoff))
+      val after = livePaths(t0).toSet
+      t0.setProperties(Map(
+        "graft.test.old_untouched" ->
+          (oldPaths.toSet.subsetOf(after)).toString,
+        "graft.test.recent_compacted" ->
+          (recent.intersect(after).isEmpty &&
+            (after -- oldPaths).size == 1).toString))
+      t0
+    }
+    t.read()
+      .withColumn("old_files_untouched",
+        lit(t.properties("graft.test.old_untouched").toBoolean))
+      .withColumn("recent_files_compacted",
+        lit(t.properties("graft.test.recent_compacted").toBoolean))
+      .orderBy("custkey")
+  }
+
   /** Snapshot log shape (rows-only check; deterministic columns). */
   def snapshotLog(s: SparkSession, d: String): DataFrame = {
     val t = scenario("snaplog", d) { loc =>
@@ -634,6 +746,9 @@ object LakeQueries {
     "lake_zorder_compaction" -> zorderCompaction _,
     "lake_pruned_scan"     -> prunedScan _,
     "lake_schema_evolution" -> schemaEvolution _,
+    "lake_drop_column"     -> dropColumnCycle _,
+    "lake_spec_evolution"  -> specEvolution _,
+    "lake_filtered_optimize" -> filteredOptimize _,
     "lake_snapshot_log"    -> snapshotLog _,
     "lake_row_lineage"     -> rowLineage _,
     "lake_stats"           -> statsShow _,
@@ -737,6 +852,46 @@ object LakeQueries {
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment,
                 '+33606060606' AS phone
          FROM customer WHERE c_custkey < 50 ORDER BY custkey""",
+    // Field-id stability: the pre-drop file's message bytes must NOT
+    // resurface under the re-added same-name column (fresh field id) —
+    // row 200000 reads NULL, only post-re-add row 200001 has a value.
+    "lake_drop_column" ->
+      """SELECT custkey, name, message FROM (
+           SELECT c_custkey AS custkey, c_name AS name,
+                  CAST(NULL AS VARCHAR) AS message
+           FROM customer WHERE c_custkey < 30
+           UNION ALL
+           SELECT * FROM (VALUES
+             (200000, 'COMMANDER BUN BUN', CAST(NULL AS VARCHAR)),
+             (200001, 'TRINO', 'fresh')) AS t(custkey, name, message)
+         ) ORDER BY custkey""",
+    // Each write generation appears under ITS OWN spec: the CTAS slice
+    // under spec 0 (per-mktsegment counts recomputed from the source),
+    // the two spec-1 inserts under (mktsegment, custkey) tuples, the
+    // two spec-2 inserts under nation. file_count pinned to 1 by the
+    // scenario's per-spec repartitioning.
+    "lake_spec_evolution" ->
+      """SELECT * FROM (
+           SELECT '{mktsegment=' || c_mktsegment || '}' AS partition,
+                  0 AS spec_id, count(*) AS record_count, 1 AS file_count
+           FROM customer WHERE c_custkey <= 40 GROUP BY c_mktsegment
+           UNION ALL
+           SELECT * FROM (VALUES
+             ('{mktsegment=SQLENGINE, custkey=200001}', 1, 1, 1),
+             ('{mktsegment=SQLENGINE, custkey=200002}', 1, 1, 1),
+             ('{nation=ITALY}', 2, 1, 1),
+             ('{nation=SPAIN}', 2, 1, 1))
+             AS t(partition, spec_id, record_count, file_count)
+         ) ORDER BY spec_id, partition""",
+    // Content invariant under the filtered compaction, plus the two
+    // file-level observables computed in-scenario from `$files`: the
+    // backdated generation's files survive untouched, the recent
+    // generation collapsed to one file.
+    "lake_filtered_optimize" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment,
+                TRUE AS old_files_untouched, TRUE AS recent_files_compacted
+         FROM customer WHERE c_custkey < 120 ORDER BY custkey""",
     "lake_incremental_read" ->
       """SELECT c_custkey AS custkey, c_name AS name,
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment
