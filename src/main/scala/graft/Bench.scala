@@ -59,6 +59,20 @@ object Bench {
     }.toMap ++ streamSel.map { case (name, fn) => name -> timeOnce(name, fn) }
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val ok = results.collect { case (k, Some(v)) => k -> v }
+    // Per-stream split: the query function recorded its stream phase
+    // (start → drain → stop) in StreamQueries.streamPhaseSecs; the rest
+    // of the timed pass is scenario setup (dir/table builds, sentinel
+    // flush, result sort). Reported per query so a state-machine
+    // regression and a setup regression are distinguishable in the
+    // artifact. A missing entry (stream ran inside a pre-Bench cache
+    // fill — shouldn't happen cold) reports the full time as scenario.
+    val streamSplit: Map[String, (Double, Double)] =
+      ok.filter(_._1.startsWith("stream_")).map { case (name, total) =>
+        val streamS = Option(
+            graft.queries.StreamQueries.streamPhaseSecs.get(name))
+          .map(_.doubleValue).getOrElse(0.0).min(total)
+        name -> (total - streamS, streamS)
+      }.toMap
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -82,8 +96,12 @@ object Bench {
     // eat the metric — the whole point is that this line always lands.
     spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
     try spark.stop() catch { case _: Throwable => () }
+    val splitJson = streamSplit.toSeq.sortBy(_._1).map {
+      case (k, (setup, stream)) =>
+        f""""$k":{"scenario_s":$setup%.3f,"stream_s":$stream%.3f}"""
+    }.mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"metric":"per_query","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","queries":$qs,"stream_split":$splitJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The per-query breakdown also lands in a FILE: a fixed-size tail
     // capture of stdout beheaded it in r4/r5, losing ~20 of 130
     // timings to the artifact. A repo file survives regardless of

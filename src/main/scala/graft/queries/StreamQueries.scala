@@ -34,16 +34,34 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stream-phase wall-clock (start → drain → stop) of each query's
+    * most recent run, keyed by driver query name. Bench times a
+    * streaming query ONCE end-to-end and subtracts this to report
+    * `scenario_s` (dir/table builds, sentinel flush, result sort) vs
+    * `stream_s` (micro-batch execution) — so a state-machine
+    * regression can't hide inside spin-up noise, nor vice versa.
+    */
+  val streamPhaseSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private def timedStream[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally streamPhaseSecs.put(name, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Watermarked hourly tumbling windows, streaming execution; same
     * oracle as the batch `q_events_hourly`.
     */
   def streamHourly(s: SparkSession, d: String): DataFrame = {
     val name = "graft_stream_hourly_" + Math.abs(d.hashCode)
     withStatePartitions(s, 8) {
-      val q = EventStreams.hourlyCounts(EventStreams.readEvents(s, s"$d/events.parquet"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      timedStream("stream_hourly_counts") {
+        val q = EventStreams.hourlyCounts(EventStreams.readEvents(s, s"$d/events.parquet"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     s.table(name).orderBy("hour_bucket", "event_type")
   }
@@ -83,10 +101,12 @@ object StreamQueries {
       .select(col("user_id"), col("event_time"), col("value"))
       .as[EventStreams.Event]
     withStatePartitions(s, 8) {
-      val q = EventStreams.sessionize(stream, gapMs = 600000L)
-        .writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      timedStream("stream_sessions") {
+        val q = EventStreams.sessionize(stream, gapMs = 600000L)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     s.table(name)
       .filter(col("user_id") >= 0)
@@ -132,11 +152,13 @@ object StreamQueries {
       .select(col("user_id"), col("event_time"), col("event_type"))
       .as[EventStreams.FEvent]
     withStatePartitions(s, 8) {
-      val q = EventStreams.funnelStream(stream,
-          steps = Seq("view", "click", "purchase"), windowMs = windowMs)
-        .writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      timedStream("stream_funnel") {
+        val q = EventStreams.funnelStream(stream,
+            steps = Seq("view", "click", "purchase"), windowMs = windowMs)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     s.table(name)
       .filter(col("user_id") >= 0)
@@ -168,9 +190,11 @@ object StreamQueries {
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     withStatePartitions(s, 8) {
-      val q = stream.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      timedStream("stream_dedup") {
+        val q = stream.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     s.table(name)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -195,8 +219,10 @@ object StreamQueries {
           col("value"))
       val table = graft.lake.LakeTable.create(s,
         base.resolve("table").toString, Left(stream.schema))
-      graft.streaming.StreamIngest.ingestAvailable(stream, table,
-        "events_ingest", base.resolve("ckpt").toString)
+      timedStream("stream_lake_ingest") {
+        graft.streaming.StreamIngest.ingestAvailable(stream, table,
+          "events_ingest", base.resolve("ckpt").toString)
+      }
       table
     })
     t.read()
@@ -227,9 +253,11 @@ object StreamQueries {
         base.resolve("table").toString, Right(stale))
       val stream = s.readStream.schema(batch.schema)
         .parquet(EventStreams.streamDir(s"$d/events.parquet", copies = 2))
-      graft.streaming.StreamIngest.upsertAvailable(stream, table,
-        keys = Seq("event_id"), "events_upsert",
-        base.resolve("ckpt").toString)
+      timedStream("stream_lake_upsert") {
+        graft.streaming.StreamIngest.upsertAvailable(stream, table,
+          keys = Seq("event_id"), "events_upsert",
+          base.resolve("ckpt").toString)
+      }
       table
     })
     t.read()
@@ -268,8 +296,10 @@ object StreamQueries {
       val stream = EventStreams.readEvents(s, s"$d/events.parquet")
         .select(col("event_id"), col("user_id"), col("value"))
         .filter(col("event_id") % 5 =!= 0)
-      graft.streaming.StreamIngest.ingestAvailable(stream, table,
-        "events_mv", base.resolve("ckpt").toString)
+      timedStream("stream_mview") {
+        graft.streaming.StreamIngest.ingestAvailable(stream, table,
+          "events_mv", base.resolve("ckpt").toString)
+      }
       val mode = graft.lake.IncrementalMv.refresh(s, mvLoc)
       require(mode == "incremental",
         s"streamed append commits must refresh incrementally, got $mode")
@@ -339,9 +369,11 @@ object StreamQueries {
         base.resolve("kept").toString, Left(docs.schema))
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(waves)
-      val batches = graft.streaming.StreamIngest.dedupIngestAvailable(
-        stream, idxLoc, keptT, threshold = 0.5, "docs_dedup_ingest",
-        base.resolve("ckpt").toString)
+      val batches = timedStream("stream_dedup_ingest") {
+        graft.streaming.StreamIngest.dedupIngestAvailable(
+          stream, idxLoc, keptT, threshold = 0.5, "docs_dedup_ingest",
+          base.resolve("ckpt").toString)
+      }
       require(batches == 2, s"expected 2 ingest waves, got $batches")
       base.resolve("kept").toString
     })
@@ -375,9 +407,11 @@ object StreamQueries {
         base.resolve("kept").toString, Left(score(docs).schema))
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(docWavesDir(s, d))
-      val batches = graft.streaming.StreamIngest.budgetIngestAvailable(
-        score(stream), keptT, budgetTokens = 5000L, "docs_budget",
-        base.resolve("ckpt").toString)
+      val batches = timedStream("stream_token_budget") {
+        graft.streaming.StreamIngest.budgetIngestAvailable(
+          score(stream), keptT, budgetTokens = 5000L, "docs_budget",
+          base.resolve("ckpt").toString)
+      }
       require(batches == 2, s"expected 2 ingest waves, got $batches")
       base.resolve("kept").toString
     })
@@ -398,12 +432,14 @@ object StreamQueries {
       .select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("mktsegment")))
     val events = EventStreams.readEvents(s, s"$d/events.parquet")
-    val q = events.join(dims, Seq("user_id"))
-      .select(col("event_id"), col("user_id"), col("mktsegment"),
-        round(col("value"), 4).as("value"))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    timedStream("stream_enrich") {
+      val q = events.join(dims, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("mktsegment"),
+          round(col("value"), 4).as("value"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy("event_id")
   }
 
@@ -420,9 +456,11 @@ object StreamQueries {
       events.filter(col("event_type") === "view"),
       events.filter(col("event_type") === "click"))
     withStatePartitions(s, 8) {
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      timedStream("stream_interval_join") {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     s.table(name).orderBy("user_id", "view_id", "click_id")
   }
@@ -463,9 +501,11 @@ object StreamQueries {
       events.filter(col("event_type") === "click"),
       joinType = "left_outer")
     withStatePartitions(s, 8) {
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      timedStream("stream_interval_join_outer") {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     s.table(name)
       .filter(col("user_id") >= 0)
