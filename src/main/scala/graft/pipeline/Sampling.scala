@@ -179,14 +179,24 @@ object Sampling {
     *
     * The per-row window in phase 3 is bounded by the boundary TIE GROUP,
     * not the corpus — the quality score is deliberately coarse, so this
-    * is the only place a hot group could serialize; at extreme tie
-    * cardinality the same phase upgrades to a range-partitioned prefix
-    * sum (per-range partials + broadcast offsets), unchanged semantics.
+    * is the only place a hot group could serialize. At extreme tie
+    * cardinality (a whole stratum collapsed onto one quality level —
+    * e.g. a binary keep/drop gate used as the quality column), pass
+    * `boundaryRangePartitions > 1` to upgrade phase 3 to a DISTRIBUTED
+    * prefix sum with unchanged semantics: the tie group is
+    * range-partitioned by id, per-range token partials roll into
+    * exclusive range offsets through a window over the metadata-sized
+    * partials frame (strata × ranges rows — no driver collect), and
+    * each range computes its local running sum in parallel; global
+    * prefix = range offset + local prefix. The switch is the CALLER's
+    * (who knows the quality column's granularity): auto-detection would
+    * spend a count job on every invocation to save a parameter.
     */
   def tokenBudgetMix(df: DataFrame, budgetTokens: Long,
       stratumCol: String = "lang", qualityCol: String = "quality_score",
       tokensCol: String = "n_tokens", idCol: String = "doc_id",
-      spent: Map[String, Long] = Map.empty): DataFrame = {
+      spent: Map[String, Long] = Map.empty,
+      boundaryRangePartitions: Int = 0): DataFrame = {
     require(budgetTokens > 0, "token budget must be positive")
     // `spent` = tokens already admitted per stratum by earlier batches
     // (continuous-ingest callers); each stratum's effective budget is
@@ -207,13 +217,48 @@ object Sampling {
         lit(budgetTokens) - coalesce(spentCol, lit(0L)))
     val full = annotated
       .filter(col("_better_toks") + col("_level_toks") <= col("_budget"))
-    val wb = Window.partitionBy(col(stratumCol), col(qualityCol))
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val boundaryKept = annotated
+    val boundary = annotated
       .filter(col("_better_toks") < col("_budget") &&
         col("_better_toks") + col("_level_toks") > col("_budget"))
-      .withColumn("_prior", coalesce(sum(col(tokensCol)).over(wb), lit(0L)))
+    val withPrior =
+      if (boundaryRangePartitions <= 1) {
+        // one sorted task per boundary tie group — right as long as the
+        // quality score keeps groups narrow
+        val wb = Window.partitionBy(col(stratumCol), col(qualityCol))
+          .orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        boundary
+          .withColumn("_prior", coalesce(sum(col(tokensCol)).over(wb), lit(0L)))
+      } else {
+        // distributed prefix sum over id ranges. Range partition i holds
+        // strictly smaller ids than i+1, so global exclusive prefix =
+        // (sum of whole earlier ranges) + (local exclusive prefix within
+        // the range). Both branches below reference the SAME ranged
+        // frame, so the range exchange is planned once and reused —
+        // the sampled range boundaries cannot diverge between them.
+        val ranged = boundary
+          .repartitionByRange(boundaryRangePartitions, col(idCol))
+          .withColumn("_pid", spark_partition_id())
+        val wOff = Window.partitionBy(col(stratumCol), col(qualityCol))
+          .orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = ranged
+          .groupBy(col(stratumCol), col(qualityCol), col("_pid"))
+          .agg(sum(col(tokensCol)).cast("long").as("_ptoks"))
+          .withColumn("_offset", coalesce(sum(col("_ptoks")).over(wOff), lit(0L)))
+          .drop("_ptoks")
+        val wLocal = Window
+          .partitionBy(col(stratumCol), col(qualityCol), col("_pid"))
+          .orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ranged
+          .join(broadcast(offsets), Seq(stratumCol, qualityCol, "_pid"))
+          .withColumn("_local",
+            coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
+          .withColumn("_prior", col("_offset") + col("_local"))
+          .drop("_pid", "_offset", "_local")
+      }
+    val boundaryKept = withPrior
       .filter(col("_better_toks") + col("_prior") + col(tokensCol)
         <= col("_budget"))
       .drop("_prior")

@@ -950,4 +950,52 @@ class PipelineSpec extends AnyFunSuite {
     // the stratum admits nothing.
     assert(kept == Set(1L, 2L, 3L))
   }
+
+  test("token budget: range-partitioned boundary path equals the window " +
+      "path at a pathological tie group") {
+    import s.implicits._
+    // worst case for the default per-group window: EVERY doc of a
+    // stratum on one quality level (a binary gate used as the quality
+    // column), so the whole stratum IS the boundary tie group. The
+    // distributed prefix-sum path must place the identical cut.
+    val n = 2000
+    val rows = s.range(n)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(3))).as("lang"),
+        (pmod(col("id") * 37 + 11, lit(50)) + 1).cast("int").as("n_tokens"),
+        lit(1.0).as("quality_score"))
+    val budget = 4000L
+    def keptWith(parts: Int): Set[Long] =
+      Sampling.tokenBudgetMix(rows, budget,
+          boundaryRangePartitions = parts)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val windowed = keptWith(0)
+    // local oracle: PREFIX cut per stratum in id order — a dropped row
+    // still counts in later rows' prefix (greedy prefix, not knapsack)
+    val local = rows.collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+        var cum = 0L
+        xs.flatMap { case (id, _, t) =>
+          cum += t
+          if (cum <= budget) Some(id) else None
+        }
+      }.toSet
+    assert(windowed == local, "window path must equal the flat greedy")
+    Seq(2, 8, 64).foreach { parts =>
+      assert(keptWith(parts) == local,
+        s"ranged path ($parts ranges) must equal the flat greedy")
+    }
+    // mixed-level data (the existing oracle shape) through the ranged
+    // path: multi-strata, cut inside a lower level
+    val mixed = Seq(
+      (1L, "en", 40, 0.9), (2L, "en", 40, 0.9),
+      (3L, "en", 15, 0.5), (5L, "en", 10, 0.5), (6L, "en", 4, 0.5),
+      (9L, "fr", 101, 0.9), (10L, "fr", 1, 0.5))
+      .toDF("doc_id", "lang", "n_tokens", "quality_score")
+    val rangedMixed = Sampling.tokenBudgetMix(mixed, 100L,
+        boundaryRangePartitions = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rangedMixed == Set(1L, 2L, 3L))
+  }
 }
