@@ -42,13 +42,17 @@ object Packing {
     */
   def packSequences(df: DataFrame, seqLen: Int = 512, shards: Int = 4,
       textCol: String = "text", idCol: String = "doc_id",
-      salt: String = "pack"): DataFrame = {
+      salt: String = "pack", carryCols: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1 && shards >= 1, "seqLen and shards are positive")
     val nTokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), nTokens.as("n_tokens"),
-        Sampling.bucketCol(col(idCol), salt, shards).as("shard"))
+    // carryCols ride through the pack (chain composition: lang/quality
+    // next to the layout) — they join the (id, shard, n_tokens) shuffle
+    // rows, so keep them narrow; text still never leaves the scan.
+    df.select(col(idCol) +: nTokens.as("n_tokens") +:
+        Sampling.bucketCol(col(idCol), salt, shards).as("shard") +:
+        carryCols.map(col): _*)
       .withColumn("start_offset",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       // integer `div`, not floating floor(x/y): exact at any offset

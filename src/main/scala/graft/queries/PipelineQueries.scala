@@ -798,6 +798,33 @@ object PipelineQueries {
       .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
   }
 
+  /** The COMPLETE pretraining-data story as ONE driver-visible flow
+    * (`pipeline_pretrain`): documents arrive as a STREAM and are
+    * near-dup-suppressed at the door (the chain's head is
+    * stream_dedup_ingest's kept table — per-batch LSH probe of the
+    * persisted index), then quality-scored and gated, admitted
+    * best-first under a per-lang token budget, and laid out as packed
+    * training sequences (shard / start offset / sequence span). Every
+    * stage is oracled on its own elsewhere; this row set pins their
+    * COMPOSITION — ingest → curate → mix → shape — against one SQL
+    * replay, so a column-contract or ordering drift between stages
+    * cannot hide behind individually-green pieces.
+    */
+  def pipelinePretrain(s: SparkSession, d: String): DataFrame = {
+    val kept = StreamQueries.dedupIngestKept(s, d)
+    val scored = TextAnalysis.qualityScore(kept)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+    val gated = scored.filter(col("quality_score") >= 0.5)
+      .select("doc_id", "lang", "text", "n_tokens", "quality_score")
+    val admitted = Sampling.tokenBudgetMix(gated, budgetTokens = 4000L)
+    Packing.packSequences(admitted,
+        carryCols = Seq("lang", "quality_score"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("shard"), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc OOV rate vs the corpus's top-50 vocabulary (tokenizer
     * coverage signal).
     */
@@ -887,6 +914,7 @@ object PipelineQueries {
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
     "pipeline_curate_neardup" -> pipelineCurateNearDup _,
+    "pipeline_pretrain"    -> pipelinePretrain _,
     "dedup_lines"          -> dedupLines _,
     "dedup_substring"      -> dedupSubstring _,
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
@@ -1972,6 +2000,88 @@ object PipelineQueries {
                 CAST(sum(len(string_split_regex(trim(text), '\s+')))
                   AS BIGINT) AS n_tokens
          FROM mixed GROUP BY 1, 2 ORDER BY lang, source""",
+    // The full chain replayed: the ingest-dedup waves' kept set (same
+    // CTEs as stream_dedup_ingest), quality-scored (same arithmetic as
+    // text_quality / stream_token_budget), gated at 0.5, flat-greedy
+    // token budget per lang (cum over quality desc, id — the level
+    // decomposition's exact flat equivalent), then the pack layout
+    // (same md5-shard + prefix-sum arithmetic as pack_sequences).
+    "pipeline_pretrain" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 >= 0.5),
+         kept1 AS (
+           SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 2 = 0
+             AND NOT EXISTS (SELECT 1 FROM p
+               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 0)),
+         kept2 AS (
+           SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 2 = 1
+             AND NOT EXISTS (SELECT 1 FROM p JOIN kept1 k
+               ON (p.id_a = k.doc_id AND p.id_b = d.doc_id)
+               OR (p.id_b = k.doc_id AND p.id_a = d.doc_id))
+             AND NOT EXISTS (SELECT 1 FROM p
+               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1)),
+         kept AS (
+           SELECT d.* FROM documents d
+           JOIN (SELECT doc_id FROM kept1
+                 UNION ALL SELECT doc_id FROM kept2) k USING (doc_id)),
+         q AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens,
+                  CAST(round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0
+               END) +
+             (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)),
+                 '\s+'),
+                 w -> list_contains(['the','a','an','and','or','of','to','in',
+                   'is','it','that','for','on','with','as','at','by'], w)))
+                 ::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 ::DOUBLE
+               / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+             (CASE WHEN list_sum(list_transform(string_split_regex(
+                 trim(lower(text)), '\s+'), w -> length(w)))::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2) AS DOUBLE)
+             AS quality_score
+           FROM kept),
+         g AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY quality_score DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+               FROM g),
+         a AS (SELECT * FROM r WHERE cum <= 4000),
+         t AS (SELECT doc_id, lang, quality_score, n_tokens,
+                 CAST(('0x' || substr(md5('pack:' ||
+                   CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT % 4
+                   AS BIGINT) AS shard
+               FROM a),
+         c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                 AS BIGINT) AS start_offset
+               FROM t)
+         SELECT doc_id, lang, quality_score, shard, n_tokens, start_offset,
+                start_offset // 512 AS first_seq,
+                (start_offset + n_tokens - 1) // 512 AS last_seq
+         FROM c ORDER BY doc_id""",
     // membership vs the same deterministically-ranked top-50; NOT IN is
     // null-free here (every word row is a non-null string)
     "text_oov_rate" ->

@@ -358,8 +358,8 @@ object StreamQueries {
     * recall, the keep-first policy, and the index round-trip are all
     * hash-checked.
     */
-  def streamDedupIngest(s: SparkSession, d: String): DataFrame = {
-    val loc = dedupIngestCache.computeIfAbsent(d, _ => {
+  private def dedupIngestLoc(s: SparkSession, d: String): String =
+    dedupIngestCache.computeIfAbsent(d, _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-sdedup-")
       val docs = s.read.parquet(s"$d/documents.parquet")
       val waves = docWavesDir(s, d)
@@ -377,10 +377,18 @@ object StreamQueries {
       require(batches == 2, s"expected 2 ingest waves, got $batches")
       base.resolve("kept").toString
     })
-    graft.lake.LakeTable.forLocation(s, loc).read()
+
+  def streamDedupIngest(s: SparkSession, d: String): DataFrame =
+    graft.lake.LakeTable.forLocation(s, dedupIngestLoc(s, d)).read()
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
-  }
+
+  /** The streaming-ingested, near-dup-suppressed KEPT table (full doc
+    * schema) — the head of the end-to-end pretrain chain
+    * (`pipeline_pretrain` composes it with gate → budget → pack).
+    */
+  def dedupIngestKept(s: SparkSession, d: String): DataFrame =
+    graft.lake.LakeTable.forLocation(s, dedupIngestLoc(s, d)).read()
 
   private val budgetIngestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
