@@ -186,13 +186,16 @@ object Similarity {
     */
   def refreshIvf(spark: org.apache.spark.sql.SparkSession, location: String,
       newVectors: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id"): IvfIndex = {
+      idCol: String = "vec_id",
+      summary: Map[String, String] = Map.empty): IvfIndex = {
     val idx = loadIvf(spark, location)
     val assigned = newVectors
       .select(col(idCol), col(vecCol))
       .transform(assignCells(idx.centroids, vecCol, idCol))
-    // same one-file-per-cell layout as persistIvf's initial write
-    idx.table.get.append(assigned.repartition(col("cell")))
+    // same one-file-per-cell layout as persistIvf's initial write;
+    // `summary` lets streaming callers batch-stamp the append snapshot
+    idx.table.get.append(assigned.repartition(col("cell")),
+      summary = summary)
     loadIvf(spark, location)
   }
 

@@ -390,6 +390,99 @@ object StreamQueries {
   def dedupIngestKept(s: SparkSession, d: String): DataFrame =
     graft.lake.LakeTable.forLocation(s, dedupIngestLoc(s, d)).read()
 
+  private val annIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val vecWavesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The odd-id half of the embeddings corpus as two ordered arrival
+    * waves (vec_id ≡ 1 mod 4, then ≡ 3 mod 4) — setup for the ANN
+    * ingest stream; the even half seeds the initial index build.
+    */
+  private def vecWavesDir(s: SparkSession, d: String): String =
+    vecWavesCache.computeIfAbsent(d, _ => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val waves = java.nio.file.Files.createTempDirectory("graft-vwaves-")
+      def wave(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("vwave-")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = waves.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - mtimeOffsetSec * 1000))
+        java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      wave(emb.filter(col("vec_id") % 4 === 1), "wave-1.parquet", 120)
+      wave(emb.filter(col("vec_id") % 4 === 3), "wave-2.parquet", 60)
+      waves.toString
+    })
+
+  /** Continuous VECTOR indexing: the even-id half of the embeddings
+    * corpus seeds an IVF index (centroids fit once, fixed seed); the
+    * odd half then arrives as two micro-batch waves, each assigned to
+    * its nearest existing centroid and appended to the cell-partitioned
+    * index table with a batch stamp
+    * ([[graft.streaming.StreamIngest.annIngestAvailable]]). The
+    * driver-visible observables: every source vector indexed EXACTLY
+    * once (set equality + multiplicity, computed in-scenario from the
+    * index table), and probe recall@10 ≥ 50 % against exact brute force
+    * — the same deterministic-bar shape as `sim_topk_ivf_recall`, now
+    * over an index whose second half never saw the quantizer fit.
+    */
+  def streamAnnIngest(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/embeddings.parquet")
+    val emb = raw.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val loc = annIngestCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-sann-")
+      val idxLoc = base.resolve("index").toString
+      graft.pipeline.Similarity.persistIvf(
+        graft.pipeline.Similarity.buildIvf(
+          emb.filter(col("vec_id") % 2 === 0), nlist = 16), idxLoc)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(vecWavesDir(s, d))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val batches = timedStream("stream_ann_ingest") {
+        graft.streaming.StreamIngest.annIngestAvailable(
+          stream, idxLoc, "vec_ann_ingest", base.resolve("ckpt").toString)
+      }
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      // exactly-once: index ids = source ids as a MULTISET (except is
+      // set-based; the count equality catches duplicates)
+      val t = graft.pipeline.Similarity.loadIvf(s, idxLoc).table.get
+      val idxIds = t.read().select("vec_id")
+      val srcIds = raw.select("vec_id")
+      val exactlyOnce = idxIds.count() == srcIds.count() &&
+        idxIds.except(srcIds).isEmpty && srcIds.except(idxIds).isEmpty
+      t.setProperties(Map("graft.test.ids_exact" -> exactlyOnce.toString))
+      idxLoc
+    })
+    val idx = graft.pipeline.Similarity.loadIvf(s, loc)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = graft.pipeline.Similarity
+      .bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor")
+    val approx = graft.pipeline.Similarity
+      .ivfTopK(idx, queries, k = 10, nprobe = 4)
+      .select("query_id", "neighbor")
+    val hits = exact.join(approx, Seq("query_id", "neighbor"))
+    idx.table.get.read()
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+      .crossJoin(exact.agg(count(lit(1)).as("_n_exact")))
+      .crossJoin(hits.agg(count(lit(1)).as("_n_hits")))
+      .select(col("n_vectors"),
+        lit(idx.table.get.properties("graft.test.ids_exact").toBoolean)
+          .as("ids_exact"),
+        (col("_n_hits") * lit(2L) >= col("_n_exact")).as("recall_ge_05"))
+  }
+
   private val budgetIngestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -547,10 +640,21 @@ object StreamQueries {
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_outer" -> streamIntervalJoinOuter _,
     "stream_dedup_ingest" -> streamDedupIngest _,
-    "stream_token_budget" -> streamTokenBudget _
+    "stream_token_budget" -> streamTokenBudget _,
+    "stream_ann_ingest" -> streamAnnIngest _
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Deterministic properties of the streamed index: every source
+    // vector indexed exactly once (multiset equality, computed
+    // in-scenario), and probe recall@10 >= 50% vs exact brute force —
+    // same bar shape as sim_topk_ivf_recall, with real margin on this
+    // corpus even though the streamed half never saw the quantizer fit.
+    "stream_ann_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(1 AS BOOLEAN) AS ids_exact,
+                CAST(1 AS BOOLEAN) AS recall_ge_05
+         FROM embeddings""",
     // every event arrives twice in the stream; the oracle is the plain
     // table — exactly-once or the row counts diverge
     "stream_dedup" ->

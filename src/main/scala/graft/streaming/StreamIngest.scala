@@ -139,6 +139,44 @@ object StreamIngest {
     committed
   }
 
+  /** Start an EMBEDDING stream ingesting into a persisted IVF index —
+    * continuous vector indexing, the ANN analog of
+    * [[dedupIngestAvailable]]: each micro-batch assigns its vectors to
+    * their nearest EXISTING centroid and appends to the
+    * cell-partitioned index table
+    * ([[graft.pipeline.Similarity.refreshIvf]]) — a day's vectors
+    * touch only their own append, never the existing index files, and
+    * the next probe sees them through the same file-level cell
+    * pruning. The append snapshot is batch-stamped, so an
+    * at-least-once replay cannot index a vector twice (a double-indexed
+    * id would surface as a duplicate neighbor row in every probe that
+    * recalls it). Centroid re-fit is deliberately NOT per-batch: the
+    * quantizer re-trains on distribution drift, a maintenance decision
+    * the owner makes (see refreshIvf's scaladoc).
+    */
+  def annIngestAvailable(stream: DataFrame, indexLoc: String,
+      queryName: String, checkpointDir: String): Long = {
+    var committed = 0L
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val table = graft.pipeline.Similarity
+            .loadIvf(spark, indexLoc).table.get
+          if (!committedBatches(table, queryName).contains(batchId)) {
+            graft.pipeline.Similarity.refreshIvf(spark, indexLoc, batch,
+              summary = Map(BatchStamp -> stamp(queryName, batchId)))
+            committed += 1
+          }
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Summary key carrying a batch's admitted-token deltas per stratum
     * (`en:123|fr:45`) on budget-ingest snapshots. The running totals
     * are the FOLD of these deltas over the snapshot chain — pure

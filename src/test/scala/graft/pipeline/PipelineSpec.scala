@@ -401,6 +401,36 @@ class PipelineSpec extends AnyFunSuite {
       "duplicate index rows must not change probe results")
   }
 
+  test("ann ingest: replayed waves under a fresh checkpoint are no-ops") {
+    // end-to-end at-least-once: a FRESH checkpoint redelivers every
+    // wave with the same batch ids; the stamps on the index table must
+    // reject them all — a double-indexed vector would surface as a
+    // duplicate neighbor row in any probe that recalls it
+    val embD = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("annidem-")
+    val idxLoc = base.resolve("index").toString
+    Similarity.persistIvf(
+      Similarity.buildIvf(embD.filter(col("vec_id") % 2 === 0), nlist = 8),
+      idxLoc)
+    val waves = base.resolve("waves")
+    java.nio.file.Files.createDirectories(waves)
+    embD.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(waves.resolve("w1").toString)
+    def run(ckpt: String): Long =
+      graft.streaming.StreamIngest.annIngestAvailable(
+        s.readStream.schema(embD.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$waves/w1"),
+        idxLoc, "ann_idem", ckpt)
+    assert(run(base.resolve("ckpt1").toString) == 1L)
+    val n1 = Similarity.loadIvf(s, idxLoc).table.get.read().count()
+    assert(n1 == embD.count(), "every vector indexed exactly once")
+    assert(run(base.resolve("ckpt2").toString) == 0L,
+      "replayed batch must be rejected by its stamp")
+    assert(Similarity.loadIvf(s, idxLoc).table.get.read().count() == n1,
+      "replay must not add index rows")
+  }
+
   test("two-phase domain cap is exact for any salt count") {
     // the oracle checks salts=16 against the plain single-window form;
     // this pins the equivalence across salt granularities
