@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -42,15 +42,28 @@ object Packing {
     */
   def packSequences(df: DataFrame, seqLen: Int = 512, shards: Int = 4,
       textCol: String = "text", idCol: String = "doc_id",
-      salt: String = "pack", carryCols: Seq[String] = Nil): DataFrame = {
+      salt: String = "pack", carryCols: Seq[String] = Nil): DataFrame =
+    packCounts(df, size(split(trim(col(textCol)), "\\s+")).cast("long"),
+      seqLen, shards, idCol, salt, carryCols)
+
+  /** [[packSequences]] with the token count supplied as an EXPRESSION
+    * instead of re-tokenizing text — the entry point for a pipeline
+    * that already carries counts (its own BPE tokenizer, or an
+    * upstream stage like token-budget admission): the packing
+    * arithmetic is tokenizer-agnostic, and a frame that dropped its
+    * text column upstream (so only narrow rows ride the mix/pack
+    * exchanges) packs without ever re-joining the corpus.
+    */
+  def packCounts(df: DataFrame, tokens: Column, seqLen: Int = 512,
+      shards: Int = 4, idCol: String = "doc_id", salt: String = "pack",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1 && shards >= 1, "seqLen and shards are positive")
-    val nTokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carryCols ride through the pack (chain composition: lang/quality
     // next to the layout) — they join the (id, shard, n_tokens) shuffle
-    // rows, so keep them narrow; text still never leaves the scan.
-    df.select(col(idCol) +: nTokens.as("n_tokens") +:
+    // rows, so keep them narrow; text never leaves the scan.
+    df.select(col(idCol) +: tokens.cast("long").as("n_tokens") +:
         Sampling.bucketCol(col(idCol), salt, shards).as("shard") +:
         carryCols.map(col): _*)
       .withColumn("start_offset",

@@ -812,12 +812,16 @@ object PipelineQueries {
     */
   def pipelinePretrain(s: SparkSession, d: String): DataFrame = {
     val kept = StreamQueries.dedupIngestKept(s, d)
+    // text is consumed AT THE SCAN (scoring + token counting) and
+    // dropped before the mix: the budget's boundary window and the pack
+    // shuffle both move narrow (id, stratum, tokens, quality) rows
+    // only — at corpus scale the chain never exchanges document bodies.
     val scored = TextAnalysis.qualityScore(kept)
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
     val gated = scored.filter(col("quality_score") >= 0.5)
-      .select("doc_id", "lang", "text", "n_tokens", "quality_score")
+      .select("doc_id", "lang", "n_tokens", "quality_score")
     val admitted = Sampling.tokenBudgetMix(gated, budgetTokens = 4000L)
-    Packing.packSequences(admitted,
+    Packing.packCounts(admitted, col("n_tokens"),
         carryCols = Seq("lang", "quality_score"))
       .select(col("doc_id"), col("lang"), col("quality_score"),
         col("shard"), col("n_tokens"), col("start_offset"),

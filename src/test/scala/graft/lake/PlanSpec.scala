@@ -130,6 +130,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pretrain mix+pack: no post-scan exchange carries document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // the pipeline_pretrain shape: text is consumed at the scan
+      // (scoring + token counting) and DROPPED; every exchange the
+      // budget mix and the pack layout plan afterwards must move only
+      // narrow (id, stratum, tokens, quality) rows — a text column on
+      // any of them re-ships the corpus at 100 TB
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+      val scored = graft.pipeline.TextAnalysis.qualityScore(docs)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      val gated = scored.filter(col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+      val packed = graft.pipeline.Packing.packCounts(
+        graft.pipeline.Sampling.tokenBudgetMix(gated, 4000L),
+        col("n_tokens"), carryCols = Seq("lang", "quality_score"))
+      val plan = packed.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "expected mix/pack exchanges")
+      val carrying = shuffles.filter(_.output.exists(_.name == "text"))
+      assert(carrying.isEmpty, "document text on an exchange:\n" +
+        carrying.map(_.simpleStringWithNodeId()).mkString("\n"))
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("temperature sampling never shuffles the corpus") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val conf = s.conf
