@@ -160,6 +160,33 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Epoch-weighted upsampling — the REPEAT factor of a pretraining mix
+    * (high-value sources loop multiple epochs within one training run
+    * while bulk web data sees less than one): each stratum's docs are
+    * emitted `floor(w)` times, plus once more with probability
+    * `frac(w)` decided by the same deterministic 60-bit md5 draw as the
+    * rate samplers (retry-stable, layout-independent; the salt keeps
+    * the draw uncorrelated with split/sample decisions). Rows carry a
+    * 0-based `epoch`; a stratum absent from `epochs` defaults to one
+    * epoch. Pure per-row generate: no shuffle, no state — downstream
+    * shard/pack keys on (id, epoch) so repeats spread across training
+    * shards instead of clumping.
+    */
+  def epochMix(df: DataFrame, epochs: Map[String, Double],
+      stratumCol: String = "lang", idCol: String = "doc_id",
+      salt: String = "graft-epoch"): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(_ >= 0.0),
+      "epoch weights must be non-negative")
+    val w = coalesce(element_at(typedLit(epochs), col(stratumCol)),
+      lit(1.0))
+    val extra = (bucketCol(col(idCol), salt).cast("double")
+      < (w - floor(w)) * 100).cast("int")
+    df.withColumn("_reps", floor(w).cast("int") + extra)
+      .filter(col("_reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("_reps") - 1)))
+      .drop("_reps")
+  }
+
   /** Token-budgeted mixing — the knob a pretraining mix actually runs
     * under: per stratum (language/source), admit documents BEST-FIRST
     * (quality desc, id tiebreak) while the stratum's cumulative TOKEN

@@ -769,6 +769,18 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("keep_frac"))
       .orderBy("doc_id")
 
+  /** Epoch-weighted upsampling: en loops 2.5 epochs, zh 1 (default),
+    * de 0.25, fr 0 (excluded) — integer repeats plus a deterministic
+    * md5 draw for the fractional epoch, all replayed exactly by the
+    * oracle.
+    */
+  def sampleEpochMix(s: SparkSession, d: String): DataFrame =
+    Sampling.epochMix(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        epochs = Map("en" -> 2.5, "de" -> 0.25, "es" -> 1.5, "fr" -> 0.0))
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+
   /** The production-shaped curation chain with NEAR-duplicate
     * clustering: blocklist anti-join → MinHash-LSH pairs → connected
     * components → keep the highest-quality copy per cluster → quality
@@ -923,6 +935,7 @@ object PipelineQueries {
     "dedup_substring"      -> dedupSubstring _,
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
     "sample_temperature"   -> sampleTemperature _,
+    "sample_epoch_mix"     -> sampleEpochMix _,
     "text_fingerprint"     -> textFingerprint _,
     "pack_sequences"       -> packSequences _,
     "text_chunks"          -> textChunks _,
@@ -1185,6 +1198,26 @@ object PipelineQueries {
                   coalesce(p.n_windows, 0) AS keep
          FROM documents d LEFT JOIN p USING (doc_id)
          ORDER BY doc_id""",
+    // integer repeats + the fractional epoch decided by the same md5
+    // bucket draw as sample_split (salt 'graft-epoch'); fr at 0.0
+    // epochs must vanish entirely, zh defaults to exactly 1
+    "sample_epoch_mix" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.25
+                            WHEN 'es' THEN 1.5 WHEN 'fr' THEN 0.0
+                            ELSE 1.0 END AS wt,
+                  CAST(('0x' || substr(md5('graft-epoch:' ||
+                    CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT % 100
+                    AS DOUBLE) AS draw
+           FROM documents),
+         n AS (SELECT doc_id, lang,
+                      CAST(floor(wt) AS INT) +
+                        CASE WHEN draw < (wt - floor(wt)) * 100
+                             THEN 1 ELSE 0 END AS reps
+               FROM w)
+         SELECT doc_id, lang, CAST(unnest(range(0, reps)) AS INT) AS epoch
+         FROM n WHERE reps > 0 ORDER BY doc_id, epoch""",
     // √count temperature mix: per-source keep fraction
     // min(1, 0.5·N·√n_s/Z/n_s), kept set selected by the same md5
     // bucket arithmetic as sample_split (sqrt is IEEE
