@@ -21,18 +21,20 @@ object Bench {
     // 3× passes of it was most of r5's streaming subtotal.
     val (streamSel, batchSel) =
       selected.partition(_._1.startsWith("stream_"))
-    // Warmup pass: pays one-time costs (codegen compilation, lake
-    // scenario builds, ANN index fit) outside the timed region so the
-    // timings below measure steady-state query execution. Streaming
-    // queries stay cold (their spin-up IS what gets timed, once) but
-    // their batch-side scenario setup — sentinel max-scans and dir
-    // builds — is setup, not stream cost, and warms here too.
-    batchSel.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    if (streamSel.nonEmpty)
+    // Streaming is timed BEFORE the batch warmup: batch chain queries
+    // (pipeline_pretrain) reuse streaming scenarios, and a batch-first
+    // warmup would build those scenarios — running the stream — outside
+    // the timed region, leaving the stream entry a hot-cache read
+    // (r8 saw stream_dedup_ingest "timed" at 0.06 s that way). The
+    // session warmup below is scenario-NEUTRAL: it absorbs JVM/session
+    // start and scan codegen without touching any query cache, so the
+    // cold-once stream timings aren't charged for interpreter startup.
+    if (streamSel.nonEmpty) {
+      try spark.read.parquet(s"$sfDir/events.parquet").count()
+      catch { case _: Throwable => () }
       try graft.queries.StreamQueries.warmupDirs(spark, sfDir)
       catch { case _: Throwable => () }
+    }
     // A pass that THROWS yields no sample — r6 reported time-to-crash
     // (~0.05 s of analysis-exception latency) as a "timing" for 20
     // broken queries and the artifact looked healthy. A query with zero
@@ -48,6 +50,15 @@ object Bench {
         None
       }
     }
+    // Streaming first (cold-once; see ordering note above)...
+    val streamResults =
+      streamSel.map { case (name, fn) => name -> timeOnce(name, fn) }
+    // ...then the batch warmup pass: pays one-time costs (codegen
+    // compilation, lake scenario builds, ANN index fit) outside the
+    // timed region so the batch timings measure steady-state execution.
+    batchSel.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     // Pass-major order (all queries, then repeat): back-to-back repeats
     // of one query would overstate cache warmth relative to real runs.
     val samples = (1 to Passes).flatMap { _ =>
@@ -56,7 +67,7 @@ object Bench {
     val results: Map[String, Option[Double]] = batchSel.keys.map { name =>
       val xs = samples.collect { case (`name`, Some(t)) => t }.sorted
       name -> (if (xs.isEmpty) None else Some(xs(xs.size / 2)))
-    }.toMap ++ streamSel.map { case (name, fn) => name -> timeOnce(name, fn) }
+    }.toMap ++ streamResults
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val ok = results.collect { case (k, Some(v)) => k -> v }
     // Per-stream split: the query function recorded its stream phase
