@@ -268,6 +268,35 @@ class LakeLifecycleSpec extends AnyFunSuite {
     assert(t.read().count() == 11)
   }
 
+  test("pruning on an evolved spec's column never drops old-spec files") {
+    import s.implicits._
+    // the multi-spec trap: files written under an OLD spec are not
+    // partitioned by the new spec's column — a pruner that evaluates
+    // every file against the CURRENT spec would wrongly drop them
+    // (silent row loss); each file must prune against ITS OWN spec,
+    // where an absent partition field contributes no pruning
+    // literal rows so the OLD file provably contains a match (a
+    // stats-only prune of a matchless old file would be legitimate)
+    val t = LakeTable.create(s, tmpLoc(), Right(Seq(
+        (1L, "old-A", 1.0, "AUTOMOBILE"), (2L, "old-B", 1.0, "BUILDING"))
+      .toDF("custkey", "name", "account_balance", "mktsegment")
+      .coalesce(1)))
+    t.setPartitioning(Seq("mktsegment"))
+    t.append(Seq(
+        (101L, "new-A", 1.0, "AUTOMOBILE"), (102L, "new-B", 1.0, "BUILDING"))
+      .toDF("custkey", "name", "account_balance", "mktsegment"))
+    val pred = col("mktsegment") === "AUTOMOBILE"
+    assert(t.read(pred).count() == 2,
+      "old-spec rows must survive a filter on the new partition column")
+    val m = t.meta
+    val (files, _) = Meta.liveFiles(m, m.currentSnapshot.get)
+    val pruned = Scan.pruneFiles(m, files, Some(pred))
+    assert(pruned.exists(_.specId == 0),
+      "unpartitioned spec-0 files must be scanned, not pruned")
+    assert(pruned.size < files.size,
+      "the non-matching new-spec partition file must still prune")
+  }
+
   test("hidden partition pruning skips files (sql:13-15, EP1)") {
     val orders = s.read.parquet(s"$sf/orders.parquet")
     val t = LakeTable.create(s, tmpLoc(), Right(orders),
