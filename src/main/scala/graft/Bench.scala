@@ -19,8 +19,12 @@ object Bench {
     // micro-batch spin-up (new stream + sentinel flush) that dwarfs the
     // plan cost, so extra passes only re-measure harness overhead —
     // 3× passes of it was most of r5's streaming subtotal.
+    // Sorted: Map iteration order varies across JVMs, and whichever
+    // query runs FIRST in its section absorbs residual warmup — a
+    // deterministic order keeps per-query numbers comparable
+    // round-over-round instead of shuffling the warmup penalty around.
     val (streamSel, batchSel) =
-      selected.partition(_._1.startsWith("stream_"))
+      selected.toSeq.sortBy(_._1).partition(_._1.startsWith("stream_"))
     // Streaming is timed BEFORE the batch warmup: batch chain queries
     // (pipeline_pretrain) reuse streaming scenarios, and a batch-first
     // warmup would build those scenarios — running the stream — outside
@@ -64,7 +68,7 @@ object Bench {
     val samples = (1 to Passes).flatMap { _ =>
       batchSel.map { case (name, fn) => name -> timeOnce(name, fn) }
     }
-    val results: Map[String, Option[Double]] = batchSel.keys.map { name =>
+    val results: Map[String, Option[Double]] = batchSel.map(_._1).map { name =>
       val xs = samples.collect { case (`name`, Some(t)) => t }.sorted
       name -> (if (xs.isEmpty) None else Some(xs(xs.size / 2)))
     }.toMap ++ streamResults
