@@ -576,6 +576,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by embedding, then prune
+    * near-duplicate PAIRS only within each cluster — the cluster
+    * granularity is what bounds the quadratic. Where
+    * [[embeddingNearDup]] targets the >0.99 jittered-copy regime with
+    * banded LSH (recall-gated, corpus-wide), this is the
+    * published curation recipe for SEMANTIC redundancy: k is chosen
+    * ∝ corpus/target_cell_size so per-cell pair work stays constant as
+    * the corpus grows, and a cross-cluster near-dup is out of scope by
+    * design (the oracle replays the same cell-scoped semantics).
+    *
+    * Keep rule, determinized: within a cell, a document is dropped iff
+    * some LOWER-id document in the same cell has rounded cosine ≥
+    * `cosineThreshold` with it — one representative (the lowest id)
+    * survives each dominance chain head, no iteration, replayable in
+    * plain SQL.
+    *
+    * Scale shape: assignment is the zero-shuffle codegen argmax kernel
+    * (centroids are metadata-sized and ship with the plan —
+    * [[Similarity.assignToCentroids]]'s contract); the only exchange
+    * hashes (id, cell, vector) by cell for the within-cell self-join,
+    * whose per-task work is O(cell²·dim) — bounded by construction
+    * because cell size is the knob k controls. At petabyte scale the
+    * pair check runs on the matryoshka prefix or PQ codes first
+    * ([[Similarity.matryoshkaTopK]]'s coarse-pass idiom) with exact
+    * cosine only on survivors; here cells are small enough to verify
+    * exactly. Comparison uses the 1e-6-ROUNDED cosine so a boundary
+    * pair cannot flap between engines.
+    *
+    * Output: (id, cell, kept) for every input row.
+    */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
+      cosineThreshold: Double, vecCol: String = "embedding",
+      idCol: String = "vec_id", cellCol: String = "cell",
+      centVecCol: String = "cvec"): DataFrame = {
+    val cents = centroids
+      .select(col(cellCol).cast("int"), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "semanticDedup: centroid table is empty")
+    val assigned = vectors.select(col(idCol),
+      graft.functions.VectorExpressions.nearestCentroidNative(
+          col(vecCol).cast("array<double>"), cents.toSeq)
+        .getField("cell").cast("long").as(cellCol),
+      col(vecCol).cast("array<double>").as("_v"))
+    val a = assigned.select(col(idCol).as("_id_a"), col(cellCol),
+      col("_v").as("_va"))
+    val b = assigned.select(col(idCol).as("_id_b"), col(cellCol),
+      col("_v").as("_vb"))
+    val dropped = a.join(b, Seq(cellCol))
+      .filter(col("_id_a") < col("_id_b"))
+      .filter(round(graft.functions.VectorExpressions
+        .cosineNative(col("_va"), col("_vb")), 6) >= cosineThreshold)
+      .select(col("_id_b").as(idCol)).distinct()
+    assigned.select(col(idCol), col(cellCol))
+      .join(dropped.withColumn("_dropped", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col(cellCol),
+        col("_dropped").isNull.as("kept"))
+  }
+
   /** Duplicated-SPAN detection at character granularity (the
     * "Deduplicating Training Data Makes Language Models Better"
     * substring-dedup family, Lee et al. 2021, arXiv:2107.06499):

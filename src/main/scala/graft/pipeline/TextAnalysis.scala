@@ -267,6 +267,74 @@ object TextAnalysis {
         col("word"), col("n"))
   }
 
+  /** Exact corpus-wide top-k words through a BOUNDED-MEMORY candidate
+    * pass — the Misra–Gries heavy-hitters route (Misra & Gries 1982;
+    * the per-partition + merge form of Agarwal et al.'s Mergeable
+    * Summaries). [[vocabulary]] hash-aggregates the FULL vocabulary,
+    * which at web-corpus scale shuffles one row per distinct token
+    * (easily billions); here each partition keeps at most `counters`
+    * running counts, so the first exchange carries ≤ counters×tasks
+    * candidate words no matter how large the vocabulary is, and only
+    * the (broadcast-filtered) recount of those candidates pays a
+    * hash-agg — over a tiny fraction of rows.
+    *
+    * The output is EXACT, self-certified: per-partition Misra–Gries
+    * retains every word whose local count exceeds N_p/(counters+1),
+    * and by weighted pigeonhole any word with global count >
+    * N/(counters+1) must exceed that bound in some partition — so the
+    * candidate set provably contains every such word. If the k-th
+    * largest recounted candidate satisfies n_k·(counters+1) > N, no
+    * non-candidate can reach the top k, and the result equals the
+    * full-shuffle top-k bit-for-bit; the `provably_exact` column
+    * carries that certificate (computed in-plan from two scalar
+    * aggregates, no driver collect). A false certificate means
+    * `counters` is too small for the skew — raise it; memory is
+    * O(counters) per task either way.
+    *
+    * mapPartitions is the honest tool here (per-partition imperative
+    * summary state that built-in aggregates can't express); everything
+    * around it stays declarative.
+    */
+  def heavyHitters(df: DataFrame, topK: Int = 20, counters: Int = 256,
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+    val candidates = words.as[String].mapPartitions { it =>
+        val counts = new scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { w =>
+          counts.get(w) match {
+            case Some(c) => counts.update(w, c + 1L)
+            case None if counts.size < counters => counts.update(w, 1L)
+            case None =>
+              // classic MG decrement-all: every live counter loses one;
+              // zeros vacate their slot. O(counters) per eviction event,
+              // and each event retires one unseen word's budget.
+              val snapshot = counts.toList
+              counts.clear()
+              snapshot.foreach { case (k, v) =>
+                if (v > 1L) counts.update(k, v - 1L)
+              }
+          }
+        }
+        counts.keysIterator
+      }.toDF("word").distinct()
+    val exact = words.join(broadcast(candidates), Seq("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = broadcast(words.agg(count(lit(1)).as("_total")))
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    exact.orderBy(col("n").desc, col("word")).limit(topK)
+      .crossJoin(total)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))))
+      .withColumn("provably_exact",
+        min(col("n")).over(whole) * (counters + 1) > col("_total"))
+      .select(col("rk").cast("int").as("rk"), col("word"), col("n"),
+        col("provably_exact"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`topK` vocabulary — the coverage signal tokenizer and
     * vocab-size decisions are made on (a doc full of words the

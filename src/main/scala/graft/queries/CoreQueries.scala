@@ -522,6 +522,73 @@ object CoreQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** The 100 TB reach query as it would actually ship: HLL++
+    * (`approx_count_distinct`, rsd 2%) beside the exact count, with the
+    * sketch's error GATED in-plan. The exact columns make the row
+    * oracle-able; `hll_ok` certifies |hll − exact| ≤ 6% (3σ at rsd
+    * 0.02) per group — the property a sketch swap-in must hold, now
+    * driver-visible instead of spec-only. HLL registers merge by max,
+    * so the estimate is deterministic under any partitioning; at scale
+    * the exact branch is dropped and the one-pass mergeable sketch is
+    * the whole query (no dedup shuffle).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("_hll"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("_hll") - col("n_users")).cast("double") <=
+          col("n_users").cast("double") * lit(0.06)).as("hll_ok"))
+      .orderBy(col("event_type"))
+
+  /** Same stance for quantiles: the GK sketch (`percentile_approx`,
+    * accuracy 10⁴) beside the exact interpolated percentile. The
+    * sketch's guarantee is on RANK (error ≤ ε·n), not value — a p99 on
+    * a sparse tail can be one rank and 10% of value away — so the
+    * certificate is rank-based: a second bounded pass counts each
+    * approx quantile's occupancy interval [lo, hi) in its group, and
+    * `gk_ok` asserts the target rank ⌈p·n⌉−1 lies within ε·n+1 of it.
+    * Exact columns oracle the row; the certificate must come out true
+    * at every SF. At 100 TB the exact sort-based percentile is the
+    * branch that gets dropped, and the certificate pass becomes a
+    * sampled audit.
+    */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val psArr = array(ps.map(lit): _*)
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val agg = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), psArr).as("_ex"),
+        percentile_approx(col("value"), psArr, lit(10000)).as("_ap"),
+        count(lit(1)).as("n"))
+    val j = ev.join(broadcast(agg.select(col("event_type"), col("_ap"))),
+      Seq("event_type"))
+    val rankAggs = ps.indices.flatMap { i =>
+      Seq(sum(when(col("value") < element_at(col("_ap"), i + 1), 1L)
+            .otherwise(0L)).as(s"_lo$i"),
+        sum(when(col("value") <= element_at(col("_ap"), i + 1), 1L)
+            .otherwise(0L)).as(s"_hi$i"))
+    }
+    val ranks = j.groupBy(col("event_type"))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    val okCols = ps.indices.map { i =>
+      val target = (ceil(lit(ps(i)) * col("n")) - 1).cast("double")
+      val slack = col("n").cast("double") * lit(1.0 / 10000) + lit(1.0)
+      (col(s"_lo$i").cast("double") - slack <= target) &&
+        (target <= col(s"_hi$i").cast("double") - 1 + slack)
+    }
+    agg.join(ranks, Seq("event_type"))
+      .select(col("event_type"),
+        round(element_at(col("_ex"), 1), 6).as("p50"),
+        round(element_at(col("_ex"), 2), 6).as("p90"),
+        round(element_at(col("_ex"), 3), 6).as("p99"),
+        col("n"),
+        okCols.reduce(_ && _).as("gk_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** GROUPING SETS with disjoint sets — unlike ROLLUP's nested prefixes,
     * each input row lands in exactly the requested groupings; still ONE
     * Expand + one hash-agg shuffle.
@@ -986,6 +1053,8 @@ object CoreQueries {
     "q_top_supplier"      -> topSupplier _,
     "q_value_percentiles" -> valuePercentiles _,
     "q_distinct_users"    -> distinctUsers _,
+    "q_approx_distinct"   -> approxDistinct _,
+    "q_approx_quantiles"  -> approxQuantiles _,
     "q_grouping_sets"     -> groupingSets _,
     "q_urgent_customers"  -> urgentCustomers _,
     "q_conditional_agg"   -> conditionalAgg _,
@@ -1231,6 +1300,21 @@ object CoreQueries {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // The sketch estimates themselves are engine-specific; the row
+    // carries the EXACT values (oracle-able) plus the in-plan error
+    // certificate, which must come out true — a sketch drifting past
+    // its bound turns the row red.
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events, true AS hll_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_approx_quantiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6)  AS p50,
+                round(quantile_cont(value, 0.9), 6)  AS p90,
+                round(quantile_cont(value, 0.99), 6) AS p99,
+                count(*) AS n, true AS gk_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_grouping_sets" ->
       """SELECT o_orderstatus AS orderstatus,

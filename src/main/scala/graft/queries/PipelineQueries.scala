@@ -75,6 +75,40 @@ object PipelineQueries {
       .orderBy("component", "vec_id")
   }
 
+  /** SemDeDup over the planted-twin corpus: cluster by the first-8
+    * centroid table (the [[embeddingCentroidAssign]] scenario), prune
+    * within-cluster pairs at rounded cosine ≥ 0.98 keeping the lowest
+    * id. The twins sit at cosine ≈ 0.999 — whichever cell each lands
+    * in, the oracle replays the identical cell-scoped dominance rule,
+    * so assignment AND pruning are hash-checked together.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val jittered = base.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0f) + pmod(i, lit(5)).cast("float") * lit(0.01f)))
+        .as("embedding"))
+    Dedup.semanticDedup(
+      base.unionByName(jittered),
+      base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec")),
+      cosineThreshold = 0.98)
+      .orderBy("vec_id")
+  }
+
+  /** Exact top-20 corpus words through the bounded-memory Misra–Gries
+    * candidate pass — same result as [[textVocabulary]]'s full
+    * hash-agg, but the first exchange carries at most counters×tasks
+    * candidates however large the vocabulary is, and the row carries
+    * the in-plan exactness certificate (`provably_exact`), which the
+    * oracle requires to be true.
+    */
+  def textHeavyHitters(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heavyHitters(Tables.documents(s, d),
+      topK = 20, counters = 256)
+      .orderBy("rk")
+
   /** As-of (point-in-time) join: each event looks up the customer's
     * most recent order at or before the event — union-sort shape, one
     * shuffle, no range probe. Oracle = DuckDB's native ASOF JOIN.
@@ -942,6 +976,8 @@ object PipelineQueries {
     "text_quality_gate"    -> textQualityGate _,
     "knn_graph"            -> knnGraph _,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters _,
+    "dedup_semantic"       -> dedupSemantic _,
+    "text_heavy_hitters"   -> textHeavyHitters _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -1469,6 +1505,50 @@ object PipelineQueries {
            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
          SELECT id AS vec_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY component, vec_id""",
+    // SemDeDup replay: same planted-twin union, the first-8 centroid
+    // assignment (exact-cosine argmax, ties to lowest cell), then the
+    // cell-scoped dominance rule on the ROUNDED cosine.
+    "dedup_semantic" ->
+      """WITH u AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000000,
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> embedding[i] * CAST(1.0 + ((i - 1) % 5) * 0.01
+                      AS FLOAT))
+           FROM embeddings),
+         c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+               FROM embeddings WHERE vec_id < 8),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT u.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY u.vec_id
+                      ORDER BY list_cosine_similarity(
+                        u.embedding::DOUBLE[], c.cvec) DESC, c.cell) AS rk
+             FROM u, c)
+           WHERE rk = 1),
+         v AS (SELECT a.vec_id, a.cell, u.embedding::DOUBLE[] AS v
+               FROM assign a JOIN u USING (vec_id)),
+         drp AS (SELECT DISTINCT b.vec_id
+                 FROM v a JOIN v b
+                   ON a.cell = b.cell AND a.vec_id < b.vec_id
+                 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.98)
+         SELECT v.vec_id, v.cell, (d.vec_id IS NULL) AS kept
+         FROM v LEFT JOIN drp d ON v.vec_id = d.vec_id
+         ORDER BY v.vec_id""",
+    // the certificate column must come out true: if Misra–Gries ever
+    // missed a true top-20 word OR the certificate logic weakened, the
+    // row goes red against this exact full-shuffle top-k
+    "text_heavy_hitters" ->
+      """WITH w AS (SELECT lower(unnest(string_split_regex(trim(text),
+                      '\s+'))) AS word
+                    FROM documents),
+         top AS (SELECT word, count(*) AS n FROM w GROUP BY word
+                 ORDER BY n DESC, word LIMIT 20)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT)
+                  AS rk,
+                word, n, true AS provably_exact
+         FROM top ORDER BY rk""",
     // ONE string for both keys: the SQL-surface variant must produce
     // byte-identical results to the Column-API plan by construction
     "sim_topk_bruteforce" -> SimTopKOracle,

@@ -1028,4 +1028,57 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(rangedMixed == Set(1L, 2L, 3L))
   }
+
+  test("semantic dedup: cell-scoped dominance — twin dropped iff it " +
+      "shares its base's cell; every base survives") {
+    // the planted-twin corpus: the ONLY pairs at rounded cosine ≥ 0.98
+    // are (base_i, twin_i) — natural pairs top out near 0.51 — so kept
+    // is fully characterized by cell cohabitation with the twin's base
+    val base = emb.select("vec_id", "embedding")
+    val twins = base.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0f) + pmod(i, lit(5)).cast("float") * lit(0.01f)))
+        .as("embedding"))
+    val out = Dedup.semanticDedup(
+        base.unionByName(twins),
+        base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("cvec")),
+        cosineThreshold = 0.98)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val n = base.count()
+    assert(out.size == 2 * n, "every input row must appear exactly once")
+    val (bases, tw) = out.partition(_._1 < 10000000L)
+    assert(bases.values.forall(_._2), "no base pair crosses 0.98 → all kept")
+    tw.foreach { case (id, (cell, kept)) =>
+      val baseCell = out(id - 10000000L)._1
+      assert(kept == (cell != baseCell),
+        s"twin $id cell=$cell baseCell=$baseCell kept=$kept — must be " +
+          "dropped exactly when it cohabits its base's cell")
+    }
+    assert(tw.count(!_._2._2) > 0, "scenario must actually drop twins")
+  }
+
+  test("heavy hitters: equals the full-shuffle top-k with a TRUE " +
+      "certificate; an undersized counter budget self-reports") {
+    val mg = TextAnalysis.heavyHitters(docs, topK = 10, counters = 256)
+      .collect()
+    val full = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(mg.map(r => (r.getString(1), r.getLong(2))).toSeq == full.toSeq,
+      "Misra–Gries route must reproduce the full hash-agg top-k exactly")
+    assert(mg.forall(_.getBoolean(3)),
+      "with counters ≫ vocabulary the exactness certificate must hold")
+    // counters=4 < vocabulary on a near-uniform corpus: no word clears
+    // N/(m+1), so the certificate must come out false on every row —
+    // the operator reports its own insufficiency instead of lying
+    val tiny = TextAnalysis.heavyHitters(docs, topK = 10, counters = 4)
+      .collect()
+    assert(tiny.forall(!_.getBoolean(3)),
+      "undersized counters must yield provably_exact = false")
+  }
 }
