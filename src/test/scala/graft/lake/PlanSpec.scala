@@ -233,6 +233,55 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: argmax assignment is a projection; no " +
+      "all-pairs operator anywhere in the plan") {
+    // The scale contract: the quadratic is bounded by the CELL, which
+    // means the pair stage must be an equi-join on the cell key — a
+    // CartesianProduct or nested-loop join would mean the cell scoping
+    // fell out of the plan and the operator is all-pairs again.
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val plan = graft.pipeline.Dedup
+      .semanticDedup(emb, cents, cosineThreshold = 0.98)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cell-scoped pair join degenerated to all-pairs:\n${plan.take(1200)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"cell-scoped pair join degenerated to nested-loop:\n${plan.take(1200)}")
+  }
+
+  test("heavy hitters: candidate recount joins by BROADCAST — the " +
+      "corpus is filtered, never shuffled, before the exact count") {
+    // The point of the Misra–Gries route: the first exchange carries at
+    // most counters×tasks candidate words; the corpus-sized word stream
+    // must meet the candidate set through a broadcast membership filter
+    // (a shuffle join here would move every word occurrence — the exact
+    // cost the operator exists to avoid).
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis
+      .heavyHitters(docs, topK = 10, counters = 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate recount must broadcast the candidate set:\n" +
+        plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in the recount:\n${plan.take(1200)}")
+  }
+
+  test("approx quantiles: the rank-certificate pass broadcasts the " +
+      "5-row sketch table — the event stream never shuffles for it") {
+    val plan = graft.queries.CoreQueries
+      .approxQuantiles(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"certificate join must broadcast the per-group sketch rows:\n" +
+        plan.take(1200))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"certificate join degenerated:\n${plan.take(1200)}")
+  }
+
   test("disjunctive-sale: hand-factored OR implications reach both scans") {
     // The OR spans part and lineitem, so Catalyst alone can push none of
     // it; disjunctiveSale factors the single-table hulls out by hand.
