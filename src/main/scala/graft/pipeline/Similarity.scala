@@ -331,6 +331,188 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Distributed PCA model: everything in it is metadata-sized (d and
+    * d² doubles) — the corpus never leaves the executors.
+    */
+  case class PcaModel(n: Long, mean: Array[Double],
+      eigenvalues: Array[Double], components: Array[Array[Double]],
+      cov: Array[Array[Double]], totalVar: Double)
+
+  /** Distributed PCA fit — the 100 TB shape: ONE corpus pass
+    * accumulates (count, Σv, Σv·vᵀ) via [[graft.functions.VectorSumAgg]]
+    * and its Gram sibling `OuterProductSumAgg`, whose exchange carries
+    * one d²-double partial per partition (32 KiB at d=64) — never a
+    * corpus-sized structure; the d×d eigenproblem is then solved ON THE
+    * DRIVER where it belongs (cyclic Jacobi, Golub & Van Loan §8.5 —
+    * chosen over power iteration because a near-degenerate spectrum,
+    * typical of random-ish embeddings, makes power-iteration residuals
+    * spectrum-dependent while Jacobi converges quadratically to machine
+    * precision for every pair).
+    *
+    * Determinism: the population covariance is rounded to a 1e-9 grid
+    * before the eigensolve (engine/partition summation order perturbs
+    * ~1e-15 relative — same stance as [[kmeansFit]]'s centroid grid),
+    * Jacobi sweeps in a fixed cyclic order from a fixed identity basis,
+    * ties sort by original index, and each component's sign is fixed by
+    * making its largest-|coordinate| entry positive.
+    */
+  def pcaFit(vectors: DataFrame, k: Int,
+      vecCol: String = "embedding"): PcaModel = {
+    val row = vectors.select(col(vecCol).cast("array<double>").as("_v"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VectorSumAgg.vectorSum(col("_v")).as("s"),
+        graft.functions.VectorSumAgg.outerProductSum(col("_v")).as("g"))
+      .collect()(0)
+    val n = row.getLong(0)
+    require(n > 0, "pcaFit: empty corpus")
+    val s = row.getSeq[Double](1).toArray
+    val g = row.getSeq[Double](2).toArray
+    val d = s.length
+    require(k >= 1 && k <= d, s"pcaFit: k=$k must be in [1, $d]")
+    val mean = s.map(_ / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      math.rint((g(i * d + j) / n - mean(i) * mean(j)) * 1e9) / 1e9
+    }
+    val (lambdas, vecs) = jacobiEigSym(cov)
+    val top = lambdas.indices.sortBy(i => (-lambdas(i), i)).take(k)
+    val comps = top.map { ci =>
+      val v = Array.tabulate(d)(r => vecs(r)(ci))
+      // deterministic sign: largest |coordinate| positive (lowest index
+      // wins an |x| tie)
+      var mi = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(v(i)) > math.abs(v(mi))) mi = i
+        i += 1
+      }
+      if (v(mi) < 0) v.map(x => -x) else v
+    }.toArray
+    PcaModel(n, mean, top.map(lambdas).toArray, comps, cov,
+      (0 until d).map(i => cov(i)(i)).sum)
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (diag eigenvalues,
+    * eigenvector COLUMNS). Deterministic fixed sweep order; stops when
+    * the off-diagonal Frobenius norm drops below 1e-11 (machine-level
+    * for covariance scales) or after 100 sweeps.
+    */
+  private def jacobiEigSym(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += 2.0 * a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (off() > 1e-11 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // stable tan of the rotation angle (sign-safe at theta=0)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val sn = t * c
+            var i = 0
+            while (i < d) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - sn * aiq; a(p)(i) = a(i)(p)
+                a(i)(q) = sn * aip + c * aiq; a(q)(i) = a(i)(q)
+              }
+              i += 1
+            }
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = c * c * app - 2.0 * sn * c * apq + sn * sn * aqq
+            a(q)(q) = sn * sn * app + 2.0 * sn * c * apq + c * c * aqq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project the corpus onto the model's components — a PURE codegen
+    * projection: pc_i = v·c_i − (μ·c_i) folds the centering into one
+    * constant per component, so no per-row centering array is built and
+    * nothing shuffles.
+    */
+  def pcaProject(vectors: DataFrame, model: PcaModel,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    vectors.select(col(idCol) +:
+      model.components.zipWithIndex.map { case (c, i) =>
+        val meanDot = c.zip(model.mean).map { case (x, y) => x * y }.sum
+        (dotWithConst(col(vecCol).cast("array<double>"), c) - lit(meanDot))
+          .as(s"pc${i + 1}")
+      }.toSeq: _*)
+
+  /** The driver-visible PCA row: per component, the DuckDB-computable
+    * total variance plus five certificates the oracle requires true —
+    * unit norm, mutual orthogonality, eigen-residual ‖C·c − λc‖ small
+    * (all driver-side on metadata-sized objects), eigenvalue ordering,
+    * and the distributed closure: the CORPUS variance of each projected
+    * coordinate must reproduce its eigenvalue (one var_pop aggregate
+    * over [[pcaProject]]'s zero-shuffle projection — the certificate no
+    * driver-side identity can fake).
+    */
+  def pcaCertified(vectors: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val model = pcaFit(vectors, k, vecCol)
+    val d = model.mean.length
+    val projVars = pcaProject(vectors, model, vecCol, idCol)
+      .agg(var_pop(col("pc1")).as("v1"),
+        (2 to k).map(i => var_pop(col(s"pc$i")).as(s"v$i")): _*)
+      .collect()(0)
+    def dotv(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (a, b) => a * b }.sum
+    val rows = (0 until k).map { i =>
+      val c = model.components(i)
+      val lam = model.eigenvalues(i)
+      val unitOk = math.abs(math.sqrt(dotv(c, c)) - 1.0) <= 1e-9
+      val orthoOk = (0 until k).forall(j =>
+        j == i || math.abs(dotv(c, model.components(j))) <= 1e-9)
+      val resid = math.sqrt((0 until d).map { r =>
+        val cr = dotv(model.cov(r), c) - lam * c(r)
+        cr * cr
+      }.sum)
+      val residOk = resid <= 1e-8 * math.max(1.0, math.abs(lam))
+      val orderedOk = i == 0 ||
+        lam <= model.eigenvalues(i - 1) + 1e-12
+      val pv = projVars.getDouble(i)
+      val projVarOk = math.abs(pv - lam) <= 1e-5 * math.max(1.0, lam)
+      (i, math.rint(model.totalVar * 1e4) / 1e4, unitOk, orthoOk,
+        residOk, orderedOk, projVarOk)
+    }
+    rows.toDF("component", "total_var", "unit_norm_ok", "orthogonal_ok",
+      "residual_ok", "ordered_ok", "proj_var_ok")
+  }
+
   private def assignCells(centroids: Array[(Int, Array[Double])],
       vecCol: String, idCol: String)(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession

@@ -638,6 +638,18 @@ object PipelineQueries {
   def embeddingKmeans(s: SparkSession, d: String): DataFrame =
     Similarity.kmeansFit(Tables.embeddings(s, d), k = 8, iters = 2)
 
+  /** Distributed PCA over the embedding corpus, k=4: one-pass Gram
+    * accumulation (d² partial per partition), driver-side Jacobi
+    * eigensolve, zero-shuffle projection. The eigenvectors themselves
+    * are not SQL-replayable, so the row carries the DuckDB-computable
+    * total variance plus the five in-plan certificates ([[Similarity
+    * .pcaCertified]]) — including the distributed one: corpus variance
+    * of each projected coordinate reproduces its eigenvalue.
+    */
+  def embeddingPca(s: SparkSession, d: String): DataFrame =
+    Similarity.pcaCertified(Tables.embeddings(s, d), k = 4)
+      .orderBy("component")
+
   /** Cross-corpus decontamination pairs: the held set (doc_id ≡ 0
     * mod 5 — a benchmark-sized 20% slice) against the rest of the
     * corpus, exact 3-gram Jaccard ≥ 0.6 through the cross-corpus
@@ -978,6 +990,7 @@ object PipelineQueries {
     "dedup_embedding_clusters" -> dedupEmbeddingClusters _,
     "dedup_semantic"       -> dedupSemantic _,
     "text_heavy_hitters"   -> textHeavyHitters _,
+    "embedding_pca"        -> embeddingPca _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -1536,6 +1549,22 @@ object PipelineQueries {
          SELECT v.vec_id, v.cell, (d.vec_id IS NULL) AS kept
          FROM v LEFT JOIN drp d ON v.vec_id = d.vec_id
          ORDER BY v.vec_id""",
+    // The eigen-decomposition is not SQL-replayable; the oracle pins
+    // the exact total variance (trace of the population covariance) and
+    // requires every certificate true — unit norms, orthogonality, the
+    // eigen residual, eigenvalue ordering, and the projected-variance
+    // closure over the actual corpus.
+    "embedding_pca" ->
+      """WITH x AS (SELECT unnest(embedding::DOUBLE[]) AS v,
+                           generate_subscripts(embedding, 1) AS pos
+                    FROM embeddings),
+         tv AS (SELECT round(sum(vp), 4) AS total_var FROM
+                 (SELECT var_pop(v) AS vp FROM x GROUP BY pos))
+         SELECT CAST(r.range AS INT) AS component, tv.total_var,
+                true AS unit_norm_ok, true AS orthogonal_ok,
+                true AS residual_ok, true AS ordered_ok,
+                true AS proj_var_ok
+         FROM range(4) r, tv ORDER BY component""",
     // the certificate column must come out true: if Misra–Gries ever
     // missed a true top-20 word OR the certificate logic weakened, the
     // row goes red against this exact full-shuffle top-k

@@ -1060,6 +1060,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(tw.count(!_._2._2) > 0, "scenario must actually drop twins")
   }
 
+  test("PCA: deterministic fit, full-rank variance accounting, " +
+      "zero-shuffle projection, exact Gram aggregate") {
+    import org.apache.spark.sql.{functions => F}
+    // the Gram kernel against a hand-computed 2-vector case
+    val spark = s
+    import spark.implicits._
+    val tiny = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).toDF("v")
+    val gram = tiny.agg(graft.functions.VectorSumAgg
+        .outerProductSum(F.col("v")).as("g"))
+      .collect()(0).getSeq[Double](0)
+    assert(gram == Seq(1.0 + 9.0, 2.0 + 12.0, 2.0 + 12.0, 4.0 + 16.0),
+      s"outer-product sum wrong: $gram")
+    // deterministic across runs
+    val m1 = Similarity.pcaFit(emb, k = 4)
+    val m2 = Similarity.pcaFit(emb, k = 4)
+    assert(m1.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq ==
+      m2.components.map(_.toSeq).toSeq)
+    // full-rank fit: eigenvalues are the whole (PSD) spectrum — they
+    // must be non-negative and sum to the trace
+    val d = m1.mean.length
+    val full = Similarity.pcaFit(emb, k = d)
+    assert(full.eigenvalues.forall(_ >= -1e-9),
+      "covariance eigenvalues must be non-negative")
+    assert(math.abs(full.eigenvalues.sum - full.totalVar) <=
+      1e-9 * math.max(1.0, full.totalVar),
+      s"sum(lambda)=${full.eigenvalues.sum} != trace=${full.totalVar}")
+    // the projection is a pure codegen projection — nothing shuffles
+    val plan = Similarity.pcaProject(emb, m1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PCA projection must not shuffle:\n${plan.take(800)}")
+  }
+
   test("heavy hitters: equals the full-shuffle top-k with a TRUE " +
       "certificate; an undersized counter budget self-reports") {
     val mg = TextAnalysis.heavyHitters(docs, topK = 10, counters = 256)
