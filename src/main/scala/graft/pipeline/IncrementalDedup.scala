@@ -88,9 +88,31 @@ object IncrementalDedup {
     * and (b) the candidate-filtered token fetch.
     */
   def nearDupPairs(index: Index, batch: DataFrame, threshold: Double,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val newBands = bandsOf(batch, textCol, idCol, index.numHashes,
-      index.lshBands, index.shingleK)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    nearDupPairsSketched(index,
+      bandsOf(batch, textCol, idCol, index.numHashes, index.lshBands,
+        index.shingleK),
+      tokensOf(batch, textCol, idCol, index.shingleK),
+      threshold, idCol)
+
+  /** The batch's LSH sketch — (bands, tokens) exactly as the index
+    * stores them. Streaming callers materialize this ONCE per batch
+    * (`localCheckpoint`) and feed it to BOTH the probe
+    * ([[nearDupPairsSketched]]) and the admit
+    * ([[appendIdempotentSketched]]): shingling + minhashing is the
+    * map-side cost of the whole operator, and the lazy-lineage form
+    * paid it twice per ingested document.
+    */
+  def sketch(index: Index, batch: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame) =
+    (bandsOf(batch, textCol, idCol, index.numHashes, index.lshBands,
+      index.shingleK),
+      tokensOf(batch, textCol, idCol, index.shingleK))
+
+  /** [[nearDupPairs]] over a precomputed batch sketch. */
+  def nearDupPairsSketched(index: Index, newBands: DataFrame,
+      newToks: DataFrame, threshold: Double,
+      idCol: String = "doc_id"): DataFrame = {
     val oldBands = index.bands.read()
     val vsCorpus = oldBands.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("id_a"))
@@ -110,7 +132,6 @@ object IncrementalDedup {
       .unionByName(vsBatch.select("id_a", "id_b"))
       .distinct()
     // token sets: fresh for the batch, candidate-filtered from the index
-    val newToks = tokensOf(batch, textCol, idCol, index.shingleK)
     // anti-join before the union: a doc present in BOTH the index and
     // the batch (operator re-run) would otherwise contribute its token
     // rows twice, inflating `inter` for every pair it appears in.
@@ -162,16 +183,25 @@ object IncrementalDedup {
     */
   def appendIdempotent(index: Index, batch: DataFrame, stampKey: String,
       stampValue: String, textCol: String = "text",
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id"): Unit =
+    appendIdempotentSketched(index,
+      bandsOf(batch, textCol, idCol, index.numHashes, index.lshBands,
+        index.shingleK),
+      tokensOf(batch, textCol, idCol, index.shingleK),
+      stampKey, stampValue)
+
+  /** [[appendIdempotent]] over a precomputed (and typically
+    * kept-filtered) batch sketch — the no-reshingle admit path.
+    */
+  def appendIdempotentSketched(index: Index, newBands: DataFrame,
+      newToks: DataFrame, stampKey: String, stampValue: String): Unit = {
     def stamped(t: graft.lake.LakeTable): Boolean =
       t.meta.snapshots.exists(_.summary.get(stampKey).contains(stampValue))
     if (!stamped(index.bands))
-      index.bands.append(
-        bandsOf(batch, textCol, idCol, index.numHashes, index.lshBands,
-          index.shingleK).repartition(col("band_idx")),
+      index.bands.append(newBands.repartition(col("band_idx")),
         summary = Map(stampKey -> stampValue))
     if (!stamped(index.tokens))
-      index.tokens.append(tokensOf(batch, textCol, idCol, index.shingleK),
+      index.tokens.append(newToks,
         summary = Map(stampKey -> stampValue))
   }
 }

@@ -199,14 +199,31 @@ object Similarity {
     loadIvf(spark, location)
   }
 
+  /** `maxTrainRows > 0` caps the QUANTIZER-TRAINING sample (seeded,
+    * deterministic): coarse centroids need ~10²-10³ points per cell,
+    * not the corpus — at 100 TB training the quantizer on every vector
+    * is 10 full corpus passes for no recall gain (the standard IVF
+    * practice: fit on a bounded sample, assign everything). Assignment
+    * below always covers the FULL corpus either way.
+    */
   def buildIvf(vectors: DataFrame, nlist: Int, vecCol: String = "embedding",
-      idCol: String = "vec_id", sampleFraction: Double = 1.0): IvfIndex = {
+      idCol: String = "vec_id", sampleFraction: Double = 1.0,
+      maxTrainRows: Long = 0L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val frac =
+      if (maxTrainRows <= 0L) sampleFraction
+      else {
+        // parquet-metadata count: cheap, and the cap only needs an
+        // upper-bound-accurate fraction
+        val n = vectors.count()
+        math.min(sampleFraction,
+          if (n <= maxTrainRows) 1.0 else maxTrainRows.toDouble / n)
+      }
     // Few fat partitions for the iterative fit: k-means makes 10 passes,
     // and at sample scale 32 tiny tasks/pass is pure scheduler overhead.
-    val train = (if (sampleFraction < 1.0)
-      vectors.sample(withReplacement = false, sampleFraction, seed = 42)
+    val train = (if (frac < 1.0)
+      vectors.sample(withReplacement = false, frac, seed = 42)
     else vectors)
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       .coalesce(4)

@@ -394,7 +394,8 @@ object PipelineQueries {
     val loc = ivfCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-")
         .resolve("index").toString
-      Similarity.persistIvf(Similarity.buildIvf(emb, nlist = 16), dir)
+      Similarity.persistIvf(
+        Similarity.buildIvf(emb, nlist = 16, maxTrainRows = 4096), dir)
       dir
     })
     Similarity.ivfTopK(Similarity.loadIvf(s, loc), emb.filter(col("vec_id") < 5),

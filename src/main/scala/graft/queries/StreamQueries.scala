@@ -444,7 +444,8 @@ object StreamQueries {
       val idxLoc = base.resolve("index").toString
       graft.pipeline.Similarity.persistIvf(
         graft.pipeline.Similarity.buildIvf(
-          emb.filter(col("vec_id") % 2 === 0), nlist = 16), idxLoc)
+          emb.filter(col("vec_id") % 2 === 0), nlist = 16,
+          maxTrainRows = 4096), idxLoc)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1").parquet(vecWavesDir(s, d))
         .select(col("vec_id"),

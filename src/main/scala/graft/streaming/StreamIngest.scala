@@ -117,14 +117,23 @@ object StreamIngest {
         if (!batch.isEmpty) {
           val idx = graft.pipeline.IncrementalDedup.load(
             batch.sparkSession, indexLoc)
+          // sketch ONCE: shingling + minhashing is the map-side cost of
+          // the operator, and the lazy-lineage form (probe from `batch`,
+          // admit from `keptRows`) re-shingled every kept document
+          val (nb, nt) = graft.pipeline.IncrementalDedup.sketch(idx, batch)
+          val bands = nb.localCheckpoint(true)
+          val toks = nt.localCheckpoint(true)
           val losers = graft.pipeline.IncrementalDedup
-            .nearDupPairs(idx, batch, threshold)
+            .nearDupPairsSketched(idx, bands, toks, threshold)
             .select(col("id_b").as("doc_id")).distinct()
           // one materialization feeds BOTH appends — the probe join must
           // not run twice with possibly different AQE plans
           val keptRows = batch.join(losers, Seq("doc_id"), "left_anti")
             .localCheckpoint(true)
-          graft.pipeline.IncrementalDedup.appendIdempotent(idx, keptRows,
+          val keptIds = keptRows.select("doc_id")
+          graft.pipeline.IncrementalDedup.appendIdempotentSketched(idx,
+            bands.join(keptIds, Seq("doc_id"), "left_semi"),
+            toks.join(keptIds, Seq("doc_id"), "left_semi"),
             BatchStamp, stamp(queryName, batchId))
           if (!seen.contains(batchId)) {
             kept.append(keptRows,
