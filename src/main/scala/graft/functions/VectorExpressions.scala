@@ -786,6 +786,121 @@ case class HyperplaneCodes(child: Expression, planes: Array[Double],
       java.util.Arrays.hashCode(planes)
 }
 
+/** Product-quantization encode in ONE fused pass: the input vector's m
+  * contiguous subvectors are each assigned to their nearest (L2)
+  * codebook entry, yielding `array<int>` of m codes. The codebook
+  * matrix (m × ksub × dsub doubles, row-major flattened — metadata-
+  * sized by construction) ships with the plan via `addReferenceObj`,
+  * [[NearestCentroid]]'s pattern: encoding is a plain codegen'd
+  * projection, one row in / one row out, no join, no shuffle. L2 (not
+  * cosine) because PQ approximates DISTANCES: ADC scoring sums
+  * per-subspace squared distances, which decompose exactly under L2.
+  * Ties break to the lowest code. Vectors shorter than m·dsub are
+  * rejected per row (null) rather than silently zero-padded.
+  */
+case class PqEncode(child: Expression, flat: Array[Double],
+    m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m > 0 && ksub > 0 && dsub > 0 && flat.length == m * ksub * dsub,
+    s"pq_encode: codebook length ${flat.length} != $m*$ksub*$dsub")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<double> input, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() < m * dsub) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val off = (s * ksub + c) * dsub
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = x.getDouble(base + i) - flat(off + i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+    val arrClass =
+      classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val d2 = ctx.freshName("d2")
+      val off = ctx.freshName("off"); val base = ctx.freshName("base")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val diff = ctx.freshName("diff")
+      s"""
+        if ($a.numElements() < ${m * dsub}) {
+          ${ev.isNull} = true;
+        } else {
+          int[] $codes = new int[$m];
+          for (int $s = 0; $s < $m; $s++) {
+            int $base = $s * $dsub;
+            int $best = 0;
+            double $bestD = Double.MAX_VALUE;
+            for (int $c = 0; $c < $ksub; $c++) {
+              int $off = ($s * $ksub + $c) * $dsub;
+              double $d2 = 0.0;
+              for (int $i = 0; $i < $dsub; $i++) {
+                double $diff = $a.getDouble($base + $i) - $flatRef[$off + $i];
+                $d2 += $diff * $diff;
+              }
+              if ($d2 < $bestD) { $bestD = $d2; $best = $c; }
+            }
+            $codes[$s] = $best;
+          }
+          ${ev.value} = new $arrClass($codes);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqEncode = copy(child = newChild)
+
+  // Array field ⇒ case-class equality is reference equality; compare the
+  // codebook by content so semanticEqual/CSE work ([[HyperplaneCodes]]'s
+  // stance).
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncode =>
+      m == p.m && ksub == p.ksub && dsub == p.dsub && child == p.child &&
+        java.util.Arrays.equals(flat, p.flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * (31 * (31 * child.hashCode() + m) + ksub) + dsub) +
+      java.util.Arrays.hashCode(flat)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim
 
@@ -845,5 +960,19 @@ object VectorExpressions {
     val sorted = centroids.sortBy(_._1)
     graftshim.columnOf(NearestCentroid(graftshim.columnExpr(vec),
       sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+
+  /** Column API for [[PqEncode]]: `books(s)(c)` = codebook entry c of
+    * subspace s, flattened row-major.
+    */
+  def pqEncodeNative(vec: Column, books: Array[Array[Array[Double]]])
+      : Column = {
+    require(books.nonEmpty && books.forall(_.length == books(0).length) &&
+      books.flatten.forall(_.length == books(0)(0).length),
+      "pq_encode: codebooks must be m × ksub × dsub rectangular")
+    graftshim.columnOf(PqEncode(
+      graftshim.columnExpr(vec.cast("array<double>")),
+      books.flatten.flatten, books.length, books(0).length,
+      books(0)(0).length))
   }
 }

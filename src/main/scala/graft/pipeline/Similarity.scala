@@ -530,6 +530,202 @@ object Similarity {
       "residual_ok", "ordered_ok", "proj_var_ok")
   }
 
+  /** Product-quantization codebooks: m × ksub × dsub doubles —
+    * metadata-sized (m=8, ksub=16, d=64 → 8 KiB).
+    */
+  case class PqModel(m: Int, ksub: Int, dsub: Int,
+      books: Array[Array[Array[Double]]])
+
+  /** Product quantization (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the vector is split into m
+    * contiguous subvectors, each quantized by its own ksub-entry L2
+    * codebook — m·log2(ksub) bits per vector (32 bits here vs 2048 for
+    * raw floats at d=64). THE storage/compute compression of
+    * billion-vector ANN: codes ride scans and shuffles at 1/64th the
+    * bytes, and ADC scoring replaces d multiplies per candidate with m
+    * table lookups.
+    *
+    * Fit is the deterministic Lloyd loop in PQ form: per iteration ONE
+    * corpus pass encodes every subvector through the fused
+    * [[graft.functions.PqEncode]] kernel (no shuffle), and the
+    * codebook update is one (subspace, code)-keyed vector-sum aggregate
+    * whose exchange carries m×ksub×partitions fixed-size partials.
+    * Seeding reuses the md5-ranked-rows idiom ([[kmeansFit]]); means
+    * round to the 1e-12 grid; empty codes keep their previous entry so
+    * the codebook stays rectangular.
+    */
+  def pqFit(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): PqModel = {
+    val v = vectors.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val seedRows = v.orderBy(md5(col("_id").cast("string")), col("_id"))
+      .limit(ksub).collect()
+    require(seedRows.length == ksub,
+      s"pqFit: corpus smaller than ksub=$ksub")
+    val d0 = seedRows(0).getSeq[Double](1).length
+    require(d0 % m == 0, s"pqFit: dim $d0 not divisible by m=$m")
+    val dsub = d0 / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
+      (s, c) =>
+        seedRows(c).getSeq[Double](1).slice(s * dsub, (s + 1) * dsub).toArray
+    }
+    for (_ <- 1 to iters) {
+      val enc = v.select(graft.functions.VectorExpressions
+        .pqEncodeNative(col("_v"), books).as("codes"), col("_v"))
+      val subs = enc.select(explode(array((0 until m).map { s =>
+          struct(lit(s).as("s"), element_at(col("codes"), s + 1).as("cell"),
+            slice(col("_v"), s * dsub + 1, dsub).as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.s"), col("e.cell"), col("e.sv"))
+      val updated = subs.groupBy(col("s"), col("cell"))
+        .agg(graft.functions.VectorSumAgg.vectorSum(col("sv")).as("sum"),
+          count(lit(1)).as("n"))
+        .collect()
+      val nb = books.map(_.map(_.clone()))
+      updated.foreach { r =>
+        val s = r.getInt(0)
+        val cell = r.getInt(1)
+        val sum = r.getSeq[Double](2)
+        val n = r.getLong(3)
+        nb(s)(cell) = sum.map(x => math.rint(x / n * 1e12) / 1e12).toArray
+      }
+      books = nb
+    }
+    PqModel(m, ksub, dsub, books)
+  }
+
+  /** The driver-visible PQ row: deterministic constants the oracle pins
+    * (query/code geometry) plus two certificates it requires true —
+    * recall@k of the deployed two-stage retrieval (ADC shortlist →
+    * exact re-rank, see [[pqMetrics]]) clears `recallBar`, and corpus
+    * reconstruction MSE sits under `mseBarFrac` of the total variance
+    * (the zero-bit quantizer's MSE — a codebook that can't beat a
+    * substantial fraction of it learned nothing). Bars calibrated like
+    * the IVF recall gate: measured recall 0.68–0.80 and MSE fraction
+    * 0.58–0.61 across the three fixture SFs (iid-gaussian embeddings —
+    * the WORST case for 0.5-bit/dim codes; real embedding manifolds
+    * quantize far better), gated at 0.5 / 0.75 with margin. Per-query
+    * ADC distance TABLES (m×ksub doubles) ride a broadcast column, and
+    * stage-1 scoring is m lookups per candidate instead of d multiplies.
+    */
+  def pqCertified(vectors: DataFrame, nQueries: Int = 5, k: Int = 10,
+      shortlist: Int = 100, recallBar: Double = 0.5,
+      mseBarFrac: Double = 0.75, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val (nq, recall, mse, totalVar) =
+      pqMetrics(vectors, nQueries, k, shortlist, vecCol, idCol)
+    val model0 = (8, 16) // (m, ksub) — pqFit defaults, for code_bits
+    Seq((nq, k, model0._1 * (63 - java.lang.Long
+        .numberOfLeadingZeros(model0._2.toLong)).toInt,
+      recall >= recallBar, mse <= mseBarFrac * totalVar))
+      .toDF("n_queries", "k", "code_bits", "recall_ok", "mse_ok")
+  }
+
+  /** Raw PQ quality metrics — (nQueries, recall@k of the two-stage
+    * retrieval, reconstruction MSE, corpus total variance). The
+    * retrieval is PQ as actually deployed: ADC scores the WHOLE corpus
+    * from codes (m table lookups per candidate — the cheap stage),
+    * keeps a `shortlist`-sized candidate set per query, and re-ranks
+    * only that shortlist against the true vectors (the expensive reads,
+    * `nQueries·shortlist` of them — the [[matryoshkaTopK]] coarse+
+    * rerank idiom with codes as the coarse representation).
+    */
+  private[graft] def pqMetrics(vectors: DataFrame, nQueries: Int,
+      k: Int, shortlist: Int, vecCol: String, idCol: String)
+      : (Int, Double, Double, Double) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val model = pqFit(vectors, vecCol = vecCol, idCol = idCol)
+    val m = model.m; val ksub = model.ksub; val dsub = model.dsub
+    val flat = model.books.flatten.flatten
+    val v = vectors.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_v"))
+    val enc = v.select(col(idCol), col("_v"),
+      graft.functions.VectorExpressions.pqEncodeNative(col("_v"),
+        model.books).as("codes"))
+    // reconstruction error per row: Σ_s ‖v_s − book[s][code_s]‖²
+    val reconErr = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        aggregate(transform(sequence(lit(0), lit(dsub - 1)), i => {
+          val diff = element_at(col("_v"), s * dsub + i + 1) -
+            element_at(lit(flat),
+              ((s * ksub + element_at(col("codes"), s + 1)) * dsub) + i + 1)
+          diff * diff
+        }), lit(0.0d), (acc, x) => acc + x)),
+      lit(0.0d), (acc, x) => acc + x)
+    val statsRow = enc.agg(avg(reconErr).as("mse"),
+      count(lit(1)).as("n"),
+      graft.functions.VectorSumAgg.vectorSum(col("_v")).as("sv"),
+      avg(dot(col("_v"), col("_v"))).as("e2")).collect()(0)
+    val mse = statsRow.getDouble(0)
+    val n = statsRow.getLong(1)
+    val mu = statsRow.getSeq[Double](2).map(_ / n)
+    val totalVar = statsRow.getDouble(3) - mu.map(x => x * x).sum
+    // queries: driver-side ADC distance tables (metadata-sized)
+    val qRows = v.filter(col(idCol) < nQueries)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qdt = broadcast(qRows.map { case (qid, qv) =>
+      val dt = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          var d2 = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = qv(s * dsub + i) - model.books(s)(c)(i)
+            d2 += diff * diff
+            i += 1
+          }
+          dt(s * ksub + c) = d2
+          c += 1
+        }
+        s += 1
+      }
+      (qid, dt.toSeq)
+    }.toSeq.toDF("query_id", "dt"))
+    val adist = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        element_at(col("dt"), s * ksub + element_at(col("codes"), s + 1) + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val wq = Window.partitionBy(col("query_id"))
+    val qvec = broadcast(qRows.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toSeq.toDF("query_id", "qvec"))
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d),
+        (acc, x) => acc + x)
+    // stage 1: ADC over codes → per-query shortlist (ids only)
+    val shortIds = enc.select(col(idCol), col("codes")).crossJoin(qdt)
+      .select(col("query_id"), col(idCol), adist.as("adist"))
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("adist"), col(idCol))))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col(idCol))
+    // stage 2: exact re-rank of the shortlist only
+    val approxTop = v.join(broadcast(shortIds), Seq(idCol))
+      .join(qvec, Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        l2(col("_v"), col("qvec")).as("dist"))
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("dist"), col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol))
+    val exactTop = v.crossJoin(qvec)
+      .select(col("query_id"), col(idCol),
+        l2(col("_v"), col("qvec")).as("dist"))
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("dist"), col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol))
+    val hits = approxTop.join(exactTop, Seq("query_id", idCol))
+      .count()
+    val recall = hits.toDouble / (qRows.length.toLong * k)
+    (qRows.length, recall, mse, totalVar)
+  }
+
   private def assignCells(centroids: Array[(Int, Array[Double])],
       vecCol: String, idCol: String)(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession

@@ -639,6 +639,17 @@ object PipelineQueries {
   def embeddingKmeans(s: SparkSession, d: String): DataFrame =
     Similarity.kmeansFit(Tables.embeddings(s, d), k = 8, iters = 2)
 
+  /** Product quantization over the embedding corpus: 64 float dims →
+    * 32-bit codes (8 subspaces × 16-entry L2 codebooks, deterministic
+    * Lloyd fit), retrieved the way PQ ships — ADC shortlist from codes
+    * alone, exact re-rank of the shortlist. The fitted codebooks are
+    * not SQL-replayable, so the row pins the deterministic constants
+    * and requires the recall and reconstruction certificates true
+    * ([[Similarity.pqCertified]]).
+    */
+  def simPqRecall(s: SparkSession, d: String): DataFrame =
+    Similarity.pqCertified(Tables.embeddings(s, d))
+
   /** Distributed PCA over the embedding corpus, k=4: one-pass Gram
     * accumulation (d² partial per partition), driver-side Jacobi
     * eigensolve, zero-shuffle projection. The eigenvectors themselves
@@ -992,6 +1003,7 @@ object PipelineQueries {
     "dedup_semantic"       -> dedupSemantic _,
     "text_heavy_hitters"   -> textHeavyHitters _,
     "embedding_pca"        -> embeddingPca _,
+    "sim_pq_recall"        -> simPqRecall _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -1566,6 +1578,12 @@ object PipelineQueries {
                 true AS residual_ok, true AS ordered_ok,
                 true AS proj_var_ok
          FROM range(4) r, tv ORDER BY component""",
+    // PQ codebooks are not SQL-replayable; the oracle pins the code
+    // geometry and requires the two-stage recall and reconstruction
+    // certificates true (the sim_topk_ivf_recall stance).
+    "sim_pq_recall" ->
+      """SELECT 5 AS n_queries, 10 AS k, 32 AS code_bits,
+                true AS recall_ok, true AS mse_ok""",
     // the certificate column must come out true: if Misra–Gries ever
     // missed a true top-20 word OR the certificate logic weakened, the
     // row goes red against this exact full-shuffle top-k

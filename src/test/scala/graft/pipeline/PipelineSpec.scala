@@ -1094,6 +1094,37 @@ class PipelineSpec extends AnyFunSuite {
       s"PCA projection must not shuffle:\n${plan.take(800)}")
   }
 
+  test("product quantization: fused encode matches a hand argmin, fit " +
+      "is deterministic, encoding never shuffles") {
+    import org.apache.spark.sql.{functions => F}
+    val spark = s
+    import spark.implicits._
+    // m=2, ksub=2, dsub=2 hand case: books fixed, argmin by L2
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(5.0, 5.0), Array(-5.0, -5.0)))
+    val out = Seq(Seq(1.0, 1.0, 4.0, 4.0), Seq(9.0, 9.0, -4.0, -6.0))
+      .toDF("v")
+      .select(graft.functions.VectorExpressions
+        .pqEncodeNative(F.col("v"), books).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(out.toSeq == Seq(Seq(0, 0), Seq(1, 1)),
+      s"hand case mis-encoded: ${out.toSeq}")
+    val m1 = Similarity.pqFit(emb)
+    val m2 = Similarity.pqFit(emb)
+    assert(m1.books.flatten.flatten.toSeq == m2.books.flatten.flatten.toSeq,
+      "PQ fit must be deterministic")
+    // codes bounded by the codebook, for every row
+    val enc = emb.select(graft.functions.VectorExpressions
+      .pqEncodeNative(F.col("embedding"), m1.books).as("codes"))
+    val bad = enc.filter(F.exists(F.col("codes"),
+      c => c < 0 || c >= m1.ksub)).count()
+    assert(bad == 0, "codes out of codebook range")
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PQ encoding must be a pure projection:\n${plan.take(800)}")
+  }
+
   test("heavy hitters: equals the full-shuffle top-k with a TRUE " +
       "certificate; an undersized counter budget self-reports") {
     val mg = TextAnalysis.heavyHitters(docs, topK = 10, counters = 256)
