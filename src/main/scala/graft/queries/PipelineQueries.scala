@@ -650,6 +650,15 @@ object PipelineQueries {
   def simPqRecall(s: SparkSession, d: String): DataFrame =
     Similarity.pqCertified(Tables.embeddings(s, d))
 
+  /** IVFADC — the composition the billion-scale deployments run: IVF
+    * cells prune, product-quantized RESIDUALS score the probed cells
+    * from 32-bit codes, exact re-rank touches only the shortlist.
+    * Recall certified against the exact full-corpus L2 top-k (probe
+    * misses and quantization misses both count).
+    */
+  def simIvfPqRecall(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqCertified(Tables.embeddings(s, d))
+
   /** Distributed PCA over the embedding corpus, k=4: one-pass Gram
     * accumulation (d² partial per partition), driver-side Jacobi
     * eigensolve, zero-shuffle projection. The eigenvectors themselves
@@ -1004,6 +1013,7 @@ object PipelineQueries {
     "text_heavy_hitters"   -> textHeavyHitters _,
     "embedding_pca"        -> embeddingPca _,
     "sim_pq_recall"        -> simPqRecall _,
+    "sim_ivfpq_recall"     -> simIvfPqRecall _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -1584,6 +1594,9 @@ object PipelineQueries {
     "sim_pq_recall" ->
       """SELECT 5 AS n_queries, 10 AS k, 32 AS code_bits,
                 true AS recall_ok, true AS mse_ok""",
+    "sim_ivfpq_recall" ->
+      """SELECT 16 AS nlist, 4 AS nprobe, 5 AS n_queries, 10 AS k,
+                true AS recall_ok""",
     // the certificate column must come out true: if Misra–Gries ever
     // missed a true top-20 word OR the certificate logic weakened, the
     // row goes red against this exact full-shuffle top-k
