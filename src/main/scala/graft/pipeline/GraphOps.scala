@@ -62,4 +62,56 @@ object GraphOps {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Semi-supervised label propagation over a kNN edge list — the
+    * cheap-label amplifier of a curation pipeline (a small
+    * hand/model-labeled seed set spread over the semantic graph labels
+    * the corpus for stratified sampling or quality routing).
+    *
+    * Synchronous, FIXED iteration count (the [[pageRank]] stance: no
+    * convergence test, so the whole computation replays in an ANSI
+    * oracle with the rounds unrolled). Per round every node takes the
+    * MAJORITY label among its out-neighbors' current labels —
+    * unlabeled neighbors don't vote, vote-count ties break to the
+    * smallest label, nodes whose neighborhood is entirely unlabeled
+    * stay unlabeled — except seeds, which are CLAMPED to their given
+    * label (the standard semi-supervised convention; also what makes
+    * the fixpoint non-degenerate).
+    *
+    * Scale shape: exchanges carry (node, label) and (node, label,
+    * count) rows only — never vectors or edge payloads; one vote
+    * aggregation + one per-node ranking window (node keys — maximal
+    * parallelism) per round, and the edge list shuffles on its join
+    * key exactly as in [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int = 2,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seed = seeds.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("int").as("_seed"))
+    var labels = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("_seed").as("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .filter(col("lbl").isNotNull)
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("_n"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("_n").desc, col("lbl"))
+      val winner = votes.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("node"), col("lbl").as("_win"))
+      labels = nodes.join(seed, Seq("node"), "left")
+        .join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_seed"), col("_win")).as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").cast("int").as("label"))
+  }
 }

@@ -510,6 +510,20 @@ object PipelineQueries {
       iters = 3)
       .orderBy("node")
 
+  /** 2-round label propagation over the kNN graph from a 20% seed set
+    * (vec_id ≡ 0 mod 5 keeps its fixture label) — cheap-label
+    * amplification; the oracle unrolls both voting rounds.
+    */
+  def knnLabelProp(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraphOps.labelPropagation(
+        Similarity.knnGraph(emb).select("src", "dst"),
+        emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("node"), col("label")))
+      .select(col("node").as("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** Exact cross-label hard negatives: top-3 nearest with a different
     * label, for contrastive fine-tuning pairs.
     */
@@ -1014,6 +1028,7 @@ object PipelineQueries {
     "embedding_pca"        -> embeddingPca _,
     "sim_pq_recall"        -> simPqRecall _,
     "sim_ivfpq_recall"     -> simIvfPqRecall _,
+    "knn_label_prop"       -> knnLabelProp _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -1833,6 +1848,44 @@ object PipelineQueries {
                 round(k.cos, 6) AS cosine, (m.src IS NOT NULL) AS mutual
          FROM k LEFT JOIN k m ON m.src = k.dst AND m.dst = k.src
          ORDER BY k.src, k.rank""",
+    // Label propagation with BOTH voting rounds unrolled over the same
+    // kNN edges: majority of labeled out-neighbors, ties to the
+    // smallest label, seeds clamped, all-unlabeled neighborhoods stay
+    // NULL — integral comparisons only, so the labels hash exactly.
+    "knn_label_prop" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                      list_cosine_similarity(a.v, b.v) AS cos
+               FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+         r AS (SELECT src, dst, cos, row_number() OVER
+                 (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+               FROM s),
+         e AS (SELECT src, dst FROM r WHERE rank <= 5),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e),
+         seed AS (SELECT vec_id AS node, CAST(label AS INT) AS lbl
+                  FROM embeddings WHERE vec_id % 5 = 0),
+         l0 AS (SELECT nodes.node, seed.lbl FROM nodes
+                LEFT JOIN seed USING (node)),
+         v1 AS (SELECT e.src AS node, l0.lbl, count(*) AS n
+                FROM e JOIN l0 ON l0.node = e.dst
+                WHERE l0.lbl IS NOT NULL GROUP BY e.src, l0.lbl),
+         w1 AS (SELECT node, lbl FROM (
+                  SELECT node, lbl, row_number() OVER (PARTITION BY node
+                    ORDER BY n DESC, lbl) AS rk FROM v1) WHERE rk = 1),
+         l1 AS (SELECT nodes.node, coalesce(seed.lbl, w1.lbl) AS lbl
+                FROM nodes LEFT JOIN seed USING (node)
+                LEFT JOIN w1 USING (node)),
+         v2 AS (SELECT e.src AS node, l1.lbl, count(*) AS n
+                FROM e JOIN l1 ON l1.node = e.dst
+                WHERE l1.lbl IS NOT NULL GROUP BY e.src, l1.lbl),
+         w2 AS (SELECT node, lbl FROM (
+                  SELECT node, lbl, row_number() OVER (PARTITION BY node
+                    ORDER BY n DESC, lbl) AS rk FROM v2) WHERE rk = 1),
+         l2 AS (SELECT nodes.node, coalesce(seed.lbl, w2.lbl) AS lbl
+                FROM nodes LEFT JOIN seed USING (node)
+                LEFT JOIN w2 USING (node))
+         SELECT node AS vec_id, lbl AS label FROM l2 ORDER BY vec_id""",
     // PageRank with the 3 iterations UNROLLED over the same kNN edges;
     // per-iteration 1e-12 rounding keeps both engines on one grid (the
     // kmeans stance), output at 1e-6.

@@ -1094,6 +1094,36 @@ class PipelineSpec extends AnyFunSuite {
       s"PCA projection must not shuffle:\n${plan.take(800)}")
   }
 
+  test("label propagation: majority vote, smallest-label ties, clamped " +
+      "seeds, unlabeled islands stay null, second round reaches 2 hops") {
+    val spark = s
+    import spark.implicits._
+    // 4 votes {10,10,20} → 10; 6 hears seed 5 in round 1; 9 hears 6's
+    // round-1 label only in round 2; {7,8} is an unlabeled island
+    val edges = Seq((4L, 1L), (4L, 2L), (4L, 3L), (6L, 5L), (9L, 6L),
+      (7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val seeds = Seq((1L, 10), (2L, 10), (3L, 20), (5L, 99))
+      .toDF("node", "label")
+    val out = GraphOps.labelPropagation(edges, seeds, iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+                                 else Some(r.getInt(1)))).toMap
+    assert(out(1L) == Some(10) && out(2L) == Some(10) &&
+      out(3L) == Some(20) && out(5L) == Some(99), "seeds must stay clamped")
+    assert(out(4L) == Some(10), "majority of labeled neighbors")
+    assert(out(6L) == Some(99), "round-1 adoption from a seed neighbor")
+    assert(out(9L) == Some(99), "round 2 must reach a 2-hop label")
+    assert(out(7L).isEmpty && out(8L).isEmpty,
+      "an all-unlabeled island must stay unlabeled")
+    // tie: votes {10, 20} → smallest label wins
+    val tie = GraphOps.labelPropagation(
+        Seq((4L, 1L), (4L, 3L)).toDF("src", "dst"),
+        Seq((1L, 10), (3L, 20)).toDF("node", "label"), iters = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(tie(4L) == Some(10), "vote ties must break to the smallest label")
+  }
+
   test("product quantization: fused encode matches a hand argmin, fit " +
       "is deterministic, encoding never shuffles") {
     import org.apache.spark.sql.{functions => F}
