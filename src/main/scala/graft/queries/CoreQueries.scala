@@ -589,6 +589,60 @@ object CoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The ranking-window family in one query — rank, dense_rank,
+    * percent_rank, cume_dist, ntile(4), lag — per-priority over order
+    * value. One window spec ⇒ ONE sort per partition serves all six
+    * functions (Catalyst collapses same-spec windows); priority keys
+    * partition the sort across the cluster. Kept to the top 100 rows
+    * per priority so the compared surface is stable and small.
+    */
+  def rankFunctions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("o_totalprice").desc, col("orderkey"))
+    orders(s, d)
+      .select(col("o_orderkey").as("orderkey"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", round(percent_rank().over(w), 6))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("prev_price",
+        round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)), 2))
+      .filter(col("rnk") <= 100)
+      .select(col("orderkey"), col("priority"), col("rnk"), col("drnk"),
+        col("prnk"), col("cdist"), col("quartile"), col("prev_price"))
+      .orderBy(col("priority"), col("rnk"), col("orderkey"))
+  }
+
+  /** PIVOT: order totals as a priority × status matrix. Spark's
+    * `.pivot` with the value list PINNED — an unpinned pivot scans once
+    * just to discover columns, and a drifting domain would silently
+    * change the schema; with pinned values it compiles to ONE
+    * conditional hash-aggregate (exactly the portable SQL the oracle
+    * runs).
+    */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o",
+        "P" -> "total_p"))
+      .orderBy("priority")
+
+  /** UNPIVOT (melt) of the pivoted matrix back to long form via
+    * `stack` — one Expand node, no shuffle beyond the pivot's own
+    * aggregate; the pair proves the two layouts round-trip.
+    */
+  def unpivotStatus(s: SparkSession, d: String): DataFrame =
+    pivotStatus(s, d)
+      .select(col("priority"), expr(
+        """stack(3, 'F', total_f, 'O', total_o, 'P', total_p)
+           AS (orderstatus, total)"""))
+      .filter(col("total").isNotNull)
+      .orderBy("priority", "orderstatus")
+
   /** GROUPING SETS with disjoint sets — unlike ROLLUP's nested prefixes,
     * each input row lands in exactly the requested groupings; still ONE
     * Expand + one hash-agg shuffle.
@@ -1055,6 +1109,9 @@ object CoreQueries {
     "q_distinct_users"    -> distinctUsers _,
     "q_approx_distinct"   -> approxDistinct _,
     "q_approx_quantiles"  -> approxQuantiles _,
+    "q_rank_functions"    -> rankFunctions _,
+    "q_pivot_status"      -> pivotStatus _,
+    "q_unpivot_status"    -> unpivotStatus _,
     "q_grouping_sets"     -> groupingSets _,
     "q_urgent_customers"  -> urgentCustomers _,
     "q_conditional_agg"   -> conditionalAgg _,
@@ -1316,6 +1373,49 @@ object CoreQueries {
                 round(quantile_cont(value, 0.99), 6) AS p99,
                 count(*) AS n, true AS gk_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_rank_functions" ->
+      """SELECT orderkey, priority, rnk, drnk, prnk, cdist, quartile,
+                prev_price
+         FROM (
+           SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+                  CAST(rank() OVER w AS INT) AS rnk,
+                  CAST(dense_rank() OVER w AS INT) AS drnk,
+                  round(percent_rank() OVER w, 6) AS prnk,
+                  round(cume_dist() OVER w, 6) AS cdist,
+                  CAST(ntile(4) OVER w AS INT) AS quartile,
+                  round(coalesce(lag(o_totalprice, 1) OVER w, -1.0), 2)
+                    AS prev_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rnk <= 100 ORDER BY priority, rnk, orderkey""",
+    "q_pivot_status" ->
+      """SELECT o_orderpriority AS priority,
+                round(sum(CASE WHEN o_orderstatus = 'F'
+                  THEN o_totalprice END), 2) AS total_f,
+                round(sum(CASE WHEN o_orderstatus = 'O'
+                  THEN o_totalprice END), 2) AS total_o,
+                round(sum(CASE WHEN o_orderstatus = 'P'
+                  THEN o_totalprice END), 2) AS total_p
+         FROM orders GROUP BY o_orderpriority ORDER BY priority""",
+    "q_unpivot_status" ->
+      """WITH p AS (
+           SELECT o_orderpriority AS priority,
+                  round(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN o_totalprice END), 2) AS total_f,
+                  round(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN o_totalprice END), 2) AS total_o,
+                  round(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN o_totalprice END), 2) AS total_p
+           FROM orders GROUP BY o_orderpriority),
+         u AS (
+           SELECT priority, 'F' AS orderstatus, total_f AS total FROM p
+           UNION ALL
+           SELECT priority, 'O', total_o FROM p
+           UNION ALL
+           SELECT priority, 'P', total_p FROM p)
+         SELECT priority, orderstatus, total FROM u
+         WHERE total IS NOT NULL ORDER BY priority, orderstatus""",
     "q_grouping_sets" ->
       """SELECT o_orderstatus AS orderstatus,
                 o_orderpriority AS orderpriority,
