@@ -317,4 +317,74 @@ object Sampling {
       .filter(col("rk") <= k)
       .select(col(idCol), col(domainCol), col("rk").cast("int").as("rk"))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * rank candidate documents by how much their hashed-n-gram
+    * distribution resembles a TARGET corpus — the published recipe for
+    * "find me more data like this high-quality set" at pretraining
+    * scale. Features are word bigrams hashed into `buckets` buckets
+    * (the hashed feature space is the whole trick: the model is two
+    * B-sized count vectors, not a vocabulary); each candidate scores
+    * Σ log(p̂_target(b)/p̂_raw(b)) over its bigram OCCURRENCES with
+    * add-one smoothing.
+    *
+    * Scale shape: two map-side-combinable count aggregates over the
+    * gram stream (exchanges carry (bucket, partial) rows, bounded by
+    * B×tasks) + two 1-row totals; the per-bucket log-ratio table is ≤B
+    * rows, BROADCAST to the candidate gram stream, whose only shuffle
+    * is the final per-doc sum. Nothing corpus-sized ever sits on the
+    * driver.
+    *
+    * Determinism/oracle: the bucket hash is the first 8 md5 hex chars
+    * as an integer (the [[bucketCol]] stance — expressible identically
+    * in ANSI SQL), and scores are ranked ROUNDED (1e-6) with id
+    * tie-break so engine-order log-sum ulps can't flip the selection.
+    */
+  def dsirScores(df: DataFrame, targetFilter: Column, buckets: Int = 1024,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    val nBi = greatest(size(ws) - 1, lit(0))
+    val grams = df.select(col(idCol), targetFilter.as("_t"),
+      explode(slice(
+        zip_with(ws, slice(ws, lit(2), nBi), (a, b) => concat_ws(" ", a, b)),
+        lit(1), nBi)).as("gram"))
+      .select(col(idCol), col("_t"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+    val tc = grams.filter(col("_t")).groupBy(col("bkt"))
+      .agg(count(lit(1)).as("_tc"))
+    val rc = grams.filter(!col("_t")).groupBy(col("bkt"))
+      .agg(count(lit(1)).as("_rc"))
+    val tt = broadcast(grams.filter(col("_t")).agg(count(lit(1)).as("_T")))
+    val rt = broadcast(grams.filter(!col("_t")).agg(count(lit(1)).as("_R")))
+    // λ on the raw-side bucket set — candidates can only hit buckets
+    // their own grams created, so this covers every scored lookup
+    val lam = rc.join(tc, Seq("bkt"), "left").crossJoin(tt).crossJoin(rt)
+      .select(col("bkt"),
+        (log((coalesce(col("_tc"), lit(0L)) + lit(1.0)) /
+            (col("_T") + lit(buckets.toDouble))) -
+          log((col("_rc") + lit(1.0)) /
+            (col("_R") + lit(buckets.toDouble)))).as("lam"))
+    grams.filter(!col("_t"))
+      .join(broadcast(lam), Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lam")), 6).as("score"))
+  }
+
+  /** Top-`n` candidates by DSIR score (rounded-score desc, id) — the
+    * selection step of importance resampling. orderBy+limit compiles
+    * to TakeOrderedAndProject (per-partition heap + driver merge of n
+    * rows — no global sort); the rank window then runs over the ≤n
+    * already-selected rows.
+    */
+  def dsirSelect(df: DataFrame, targetFilter: Column, n: Int,
+      buckets: Int = 1024, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    dsirScores(df, targetFilter, buckets, textCol, idCol)
+      .orderBy(col("score").desc, col(idCol)).limit(n)
+      .withColumn("rk", row_number().over(w))
+      .select(col(idCol), col("score"), col("rk").cast("int").as("rk"))
+  }
 }

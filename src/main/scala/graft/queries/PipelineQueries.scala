@@ -664,6 +664,18 @@ object PipelineQueries {
   def simPqRecall(s: SparkSession, d: String): DataFrame =
     Similarity.pqCertified(Tables.embeddings(s, d))
 
+  /** DSIR importance selection: the 100 English-most candidates among
+    * the non-English-labeled docs, ranked by hashed-bigram importance
+    * weights against the lang='en' target corpus — "find me more data
+    * like this curated set" as one declarative plan, replayed
+    * bucket-for-bucket by the oracle (md5-prefix bucket hash, add-one
+    * smoothing, rounded-score ranking).
+    */
+  def sampleDsir(s: SparkSession, d: String): DataFrame =
+    Sampling.dsirSelect(Tables.documents(s, d),
+      targetFilter = col("lang") === "en", n = 100)
+      .orderBy("rk")
+
   /** IVFADC — the composition the billion-scale deployments run: IVF
     * cells prune, product-quantized RESIDUALS score the probed cells
     * from 32-bit codes, exact re-rank touches only the shortlist.
@@ -1029,6 +1041,7 @@ object PipelineQueries {
     "sim_pq_recall"        -> simPqRecall _,
     "sim_ivfpq_recall"     -> simIvfPqRecall _,
     "knn_label_prop"       -> knnLabelProp _,
+    "sample_dsir"          -> sampleDsir _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -1848,6 +1861,40 @@ object PipelineQueries {
                 round(k.cos, 6) AS cosine, (m.src IS NOT NULL) AS mutual
          FROM k LEFT JOIN k m ON m.src = k.dst AND m.dst = k.src
          ORDER BY k.src, k.rank""",
+    // DSIR replayed bucket-for-bucket: word bigrams, md5-prefix bucket
+    // hash (first 8 hex chars as an int, mod B — identical arithmetic
+    // on both engines), add-one smoothing over B, per-doc occurrence
+    // log-ratio sums ranked ROUNDED with id tie-break.
+    "sample_dsir" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+                           string_split_regex(trim(lower(text)), '\s+') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, is_t,
+                      unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS gram
+               FROM w),
+         b AS (SELECT doc_id, is_t,
+                      CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                        % 1024 AS bkt
+               FROM g),
+         tc AS (SELECT bkt, count(*) AS tc FROM b WHERE is_t GROUP BY bkt),
+         rc AS (SELECT bkt, count(*) AS rc FROM b WHERE NOT is_t
+                GROUP BY bkt),
+         tt AS (SELECT count(*) AS t FROM b WHERE is_t),
+         rt AS (SELECT count(*) AS r FROM b WHERE NOT is_t),
+         lam AS (SELECT rc.bkt,
+                        ln((coalesce(tc.tc, 0) + 1.0) / (tt.t + 1024)) -
+                        ln((rc.rc + 1.0) / (rt.r + 1024)) AS lam
+                 FROM rc LEFT JOIN tc USING (bkt)
+                 CROSS JOIN tt CROSS JOIN rt),
+         sc AS (SELECT b.doc_id, round(sum(lam.lam), 6) AS score
+                FROM b JOIN lam USING (bkt) WHERE NOT b.is_t
+                GROUP BY b.doc_id)
+         SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
+           SELECT doc_id, score, row_number() OVER
+             (ORDER BY score DESC, doc_id) AS rk
+           FROM sc)
+         WHERE rk <= 100 ORDER BY rk""",
     // Label propagation with BOTH voting rounds unrolled over the same
     // kNN edges: majority of labeled out-neighbors, ties to the
     // smallest label, seeds clamped, all-unlabeled neighborhoods stay

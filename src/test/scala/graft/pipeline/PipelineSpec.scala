@@ -1094,6 +1094,28 @@ class PipelineSpec extends AnyFunSuite {
       s"PCA projection must not shuffle:\n${plan.take(800)}")
   }
 
+  test("DSIR: target-resembling candidates outrank alien ones; the " +
+      "log-ratio table joins by broadcast") {
+    val spark = s
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "t"),
+      (2L, "the dog sat on the rug", "t"),
+      (3L, "the cat sat on the rug", "c"),
+      (4L, "zzz qqq xxx www yyy vvv", "c"))
+      .toDF("doc_id", "text", "kind")
+    val out = Sampling.dsirSelect(docs, col("kind") === "t", n = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 4L),
+      s"target-overlapping candidate must rank first: ${out.toSeq}")
+    assert(out(0).getDouble(1) > out(1).getDouble(1),
+      "shared target bigrams must yield a strictly higher score")
+    val plan = Sampling.dsirScores(docs, col("kind") === "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤B-row log-ratio table must broadcast:\n${plan.take(800)}")
+  }
+
   test("label propagation: majority vote, smallest-label ties, clamped " +
       "seeds, unlabeled islands stay null, second round reaches 2 hops") {
     val spark = s
