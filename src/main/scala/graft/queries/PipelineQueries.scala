@@ -664,6 +664,51 @@ object PipelineQueries {
   def simPqRecall(s: SparkSession, d: String): DataFrame =
     Similarity.pqCertified(Tables.embeddings(s, d))
 
+  /** The retrieval-corpus chain in ONE plan — sliding-window chunking
+    * (64/48, the [[textChunks]] grid) → per-chunk embedding → top-5
+    * cross-document retrieval for three query chunks. The embedder is
+    * a DETERMINISTIC hashed projection (dim j = Σ_tokens of a
+    * md5-derived value in [−1, 1]) — the offline stand-in for a model
+    * encoder, chosen because it is replayable in ANSI SQL, so the
+    * WHOLE chain (chunk grid, embedding arithmetic, cosine ranking)
+    * hash-checks instead of hiding behind a recall gate. Scale shape:
+    * chunk+embed is one generate + one projection (no shuffle); the
+    * query side is 3 broadcast rows; ranking shuffles (query_id,
+    * doc_id, chunk_idx, cosine) only. Ranked on the ROUNDED cosine
+    * with (doc_id, chunk_idx) tie-break so engine ulps can't reorder.
+    */
+  def pipelineRag(s: SparkSession, d: String): DataFrame = {
+    val stride = 48; val chunk = 64; val dim = 8
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0L, (size(_toks) - 1) div ${stride}L),
+            k -> slice(_toks, cast(k * $stride + 1 as int), $chunk))""")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col").as("_ctoks"))
+    val emb = chunks.withColumn("vec", expr(
+      s"""transform(sequence(0, ${dim - 1}), j ->
+          aggregate(_ctoks, 0.0D, (acc, t) ->
+            acc + (cast(conv(substring(md5(concat(t, '#',
+              cast(j as string))), 1, 8), 16, 10) as long) % 2001L
+              - 1000L) / 1000.0D))"""))
+      .select(col("doc_id"), col("chunk_idx"), col("vec"))
+    val q = emb.filter(col("doc_id") < 3 && col("chunk_idx") === 0)
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_idx"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("vec"), col("qvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("chunk_idx"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** DSIR importance selection: the 100 English-most candidates among
     * the non-English-labeled docs, ranked by hashed-bigram importance
     * weights against the lang='en' target corpus — "find me more data
@@ -1042,6 +1087,7 @@ object PipelineQueries {
     "sim_ivfpq_recall"     -> simIvfPqRecall _,
     "knn_label_prop"       -> knnLabelProp _,
     "sample_dsir"          -> sampleDsir _,
+    "pipeline_rag"         -> pipelineRag _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -1861,6 +1907,37 @@ object PipelineQueries {
                 round(k.cos, 6) AS cosine, (m.src IS NOT NULL) AS mutual
          FROM k LEFT JOIN k m ON m.src = k.dst AND m.dst = k.src
          ORDER BY k.src, k.rank""",
+    // The whole retrieval chain replayed: the text_chunks grid, the
+    // md5-projection embedder (same hex-prefix arithmetic as
+    // sample_dsir's buckets), and rounded-cosine ranking.
+    "pipeline_rag" ->
+      """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         k AS (SELECT doc_id, w,
+                      unnest(range(0, (len(w) - 1) // 48 + 1)) AS k
+               FROM s),
+         c AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+                      w[(k*48+1):least(k*48+64, len(w))] AS ctoks
+               FROM k),
+         e AS (SELECT doc_id, chunk_idx,
+                      list_transform(range(0, 8), j ->
+                        list_sum(list_transform(ctoks, t ->
+                          (CAST(('0x' || substr(md5(t || '#' ||
+                             CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 2001 - 1000) / 1000.0))) AS vec
+               FROM c),
+         q AS (SELECT doc_id AS query_id, vec AS qvec FROM e
+               WHERE doc_id < 3 AND chunk_idx = 0),
+         sc AS (SELECT q.query_id, e.doc_id, e.chunk_idx,
+                       round(list_cosine_similarity(e.vec, q.qvec), 6)
+                         AS cosine
+                FROM e CROSS JOIN q WHERE e.doc_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, doc_id, chunk_idx) AS rank
+               FROM sc)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, chunk_idx,
+                cosine
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     // DSIR replayed bucket-for-bucket: word bigrams, md5-prefix bucket
     // hash (first 8 hex chars as an int, mod B — identical arithmetic
     // on both engines), add-one smoothing over B, per-doc occurrence
