@@ -686,12 +686,17 @@ object PipelineQueries {
             k -> slice(_toks, cast(k * $stride + 1 as int), $chunk))""")))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
         col("col").as("_ctoks"))
-    val emb = chunks.withColumn("vec", expr(
-      s"""transform(sequence(0, ${dim - 1}), j ->
-          aggregate(_ctoks, 0.0D, (acc, t) ->
-            acc + (cast(conv(substring(md5(concat(t, '#',
-              cast(j as string))), 1, 8), 16, 10) as long) % 2001L
-              - 1000L) / 1000.0D))"""))
+    // ONE md5 per token; each dim reads its own 4-hex-char slice of
+    // the digest (32 hex chars / 4 = exactly 8 dims). The per-(dim,
+    // token) variant re-hashed every token 8× — hashing is the embed
+    // cost, the slices are near-free.
+    val emb = chunks
+      .withColumn("_hs", expr("transform(_ctoks, t -> md5(t))"))
+      .withColumn("vec", expr(
+        s"""transform(sequence(0, ${dim - 1}), j ->
+            aggregate(_hs, 0.0D, (acc, h) ->
+              acc + (cast(conv(substring(h, cast(j * 4 + 1 as int), 4),
+                16, 10) as long) % 2001L - 1000L) / 1000.0D))"""))
       .select(col("doc_id"), col("chunk_idx"), col("vec"))
     val q = emb.filter(col("doc_id") < 3 && col("chunk_idx") === 0)
       .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
@@ -1919,13 +1924,16 @@ object PipelineQueries {
          c AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
                       w[(k*48+1):least(k*48+64, len(w))] AS ctoks
                FROM k),
+         h AS (SELECT doc_id, chunk_idx,
+                      list_transform(ctoks, t -> md5(t)) AS hs
+               FROM c),
          e AS (SELECT doc_id, chunk_idx,
                       list_transform(range(0, 8), j ->
-                        list_sum(list_transform(ctoks, t ->
-                          (CAST(('0x' || substr(md5(t || '#' ||
-                             CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                        list_sum(list_transform(hs, hh ->
+                          (CAST(('0x' || substr(hh,
+                             CAST(j * 4 + 1 AS INT), 4)) AS BIGINT)
                            % 2001 - 1000) / 1000.0))) AS vec
-               FROM c),
+               FROM h),
          q AS (SELECT doc_id AS query_id, vec AS qvec FROM e
                WHERE doc_id < 3 AND chunk_idx = 0),
          sc AS (SELECT q.query_id, e.doc_id, e.chunk_idx,
