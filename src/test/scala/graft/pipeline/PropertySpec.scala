@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Seeded property tests: each operator's distributed plan is replayed
+  * against a LOCAL reference implementation over randomized inputs —
+  * the shapes a fixture corpus can't cover (adversarial budgets, odd
+  * shard layouts, random graphs). Fixed seeds keep every run
+  * deterministic; case counts are small because each case is a Spark
+  * job, and the generators bias toward boundary-heavy smallness.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+
+  private val params = Gen.Parameters.default
+  private def draw[A](g: Gen[A], seed: rng.Seed): (A, rng.Seed) =
+    (g.pureApply(params, seed), seed.next)
+
+  test("property: tokenBudgetMix equals the local flat greedy and " +
+      "never exceeds a stratum's budget (both boundary paths)") {
+    val spark = s
+    import spark.implicits._
+    val corpusGen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("en", "fr", "de")
+        toks <- Gen.choose(1, 50)
+        // coarse levels on purpose: boundary TIES are the hard case
+        q <- Gen.oneOf(0.1, 0.5, 0.9)
+      } yield (lang, toks, q))
+    } yield rows.zipWithIndex.map { case ((l, t, q), i) =>
+      (i.toLong, l, t.toLong, q)
+    }
+    var seed = rng.Seed(99L)
+    for (_ <- 1 to 6; parts <- Seq(0, 4)) {
+      val (rows, s1) = draw(corpusGen, seed)
+      val (budget, s2) = draw(Gen.choose(1L, 120L), s1)
+      seed = s2
+      val df = rows.toDF("doc_id", "lang", "n_tokens", "quality_score")
+      val kept = Sampling.tokenBudgetMix(df, budget,
+          boundaryRangePartitions = parts)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // PREFIX greedy (the operator's contract): the first overshooting
+      // doc CUTS its stratum — later, smaller docs do not backfill
+      val local = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        var acc = 0L
+        var open = true
+        rs.sortBy(r => (-r._4, r._1)).flatMap { r =>
+          if (open && acc + r._3 <= budget) { acc += r._3; Some(r._1) }
+          else { open = false; None }
+        }
+      }.toSet
+      assert(kept == local,
+        s"budget=$budget parts=$parts kept=$kept local=$local rows=$rows")
+      val perStratum = rows.filter(r => kept(r._1)).groupBy(_._2)
+        .view.mapValues(_.map(_._3).sum)
+      assert(perStratum.values.forall(_ <= budget),
+        s"hard cap violated: $perStratum budget=$budget")
+    }
+  }
+
+  test("property: packCounts offsets are the per-shard prefix sums and " +
+      "the seq ids are exact integer arithmetic") {
+    val spark = s
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(3, 50)
+      seqLen <- Gen.oneOf(8, 64, 512)
+      shards <- Gen.oneOf(1, 3, 8)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 200L))
+    } yield (toks.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      seqLen, shards)
+    var seed = rng.Seed(7L)
+    for (_ <- 1 to 6) {
+      val ((rows, seqLen, shards), s1) = draw(gen, seed)
+      seed = s1
+      val df = rows.toDF("doc_id", "n_tokens")
+      val out = Packing.packCounts(df, col("n_tokens"), seqLen, shards)
+        .select("doc_id", "n_tokens", "shard", "start_offset",
+          "first_seq", "last_seq")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(out.length == rows.length, "every doc packs exactly once")
+      out.groupBy(_._3).foreach { case (_, shardRows) =>
+        var acc = 0L
+        shardRows.sortBy(_._1).foreach {
+          case (id, n, _, off, first, last) =>
+            assert(off == acc, s"doc $id offset $off != prefix $acc")
+            assert(first == off / seqLen && last == (off + n - 1) / seqLen,
+              s"doc $id seq span wrong")
+            acc += n
+        }
+      }
+    }
+  }
+
+  test("property: components equals a local union-find on random " +
+      "edge sets") {
+    val spark = s
+    import spark.implicits._
+    val gen = for {
+      nodes <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, nodes.toLong - 1)
+        b <- Gen.choose(0L, nodes.toLong - 1)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    var seed = rng.Seed(13L)
+    for (_ <- 1 to 6) {
+      val (edges, s1) = draw(gen, seed)
+      seed = s1
+      val got = Dedup.components(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // local union-find with min-id labels
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val local = ids.map(x => x -> find(x)).toMap
+      assert(got == local,
+        s"components mismatch on $edges: got=$got local=$local")
+    }
+  }
+
+  test("property: heavyHitters with ample counters equals the local " +
+      "exact top-k with a TRUE certificate") {
+    val spark = s
+    import spark.implicits._
+    val vocab = ('a' to 't').map(_.toString)
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      docs <- Gen.listOfN(n, Gen.nonEmptyListOf(
+        // zipf-ish: early vocab words much likelier
+        Gen.frequency(vocab.zipWithIndex.map { case (w, i) =>
+          (vocab.size - i, Gen.const(w))
+        }: _*)))
+    } yield docs.zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString(" "))
+    }
+    var seed = rng.Seed(23L)
+    for (_ <- 1 to 5) {
+      val (docs, s1) = draw(gen, seed)
+      seed = s1
+      val got = TextAnalysis.heavyHitters(
+          docs.toDF("doc_id", "text"), topK = 5, counters = 64)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.forall(_._3),
+        s"counters=64 >= vocab=20 must certify exactness: ${got.toSeq}")
+      val local = docs.flatMap(_._2.split("\\s+")).groupBy(identity)
+        .view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(5)
+      assert(got.map(r => (r._1, r._2)).toSeq == local,
+        s"top-k mismatch: got=${got.toSeq} local=$local")
+    }
+  }
+}
