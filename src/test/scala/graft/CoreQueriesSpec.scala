@@ -35,6 +35,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  test("no query plan contains a CartesianProduct") {
+    // Suite-wide scale guard: every deliberate cross join in the repo
+    // broadcasts a metadata-sized side (scalar rows, query sets,
+    // centroids), which plans as BroadcastNestedLoopJoin — bounded by
+    // the broadcast. A CartesianProductExec means a cross join LOST its
+    // broadcast (e.g. a size estimate pushed the small side past the
+    // threshold), which at cluster scale is a partitions²-task job —
+    // the regression this guard exists to catch at test time.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product:\n${plan.take(600)}")
+    }
+  }
+
   test("filter and projection are pushed to the parquet scan") {
     val plan = graft.queries.CoreQueries.ordersDateRange(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
