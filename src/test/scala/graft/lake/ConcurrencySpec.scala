@@ -69,6 +69,59 @@ class ConcurrencySpec extends AnyFunSuite {
       "colliding $row_id across concurrent appends")
   }
 
+  test("optimize racing appends loses no rows and keeps lineage unique") {
+    // The classic lakehouse race: compaction REPLACES files while
+    // writers append new ones. The optimistic loop must converge to
+    // the serial outcome — an optimize that loses to an append reloads
+    // and re-selects files, never resurrecting replaced bytes or
+    // dropping a concurrently appended row.
+    import s.implicits._
+    val t = fresh(10)
+    (0 until 4).foreach { i =>
+      t.append(Seq((2000L + i, s"pre$i")).toDF("custkey", "name"))
+    }
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // 1 compactor × 3 rounds, 3 appenders × 3 appends
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          val mine = LakeTable.forLocation(s, t.location)
+          (0 until 3).foreach(_ => mine.optimize())
+        } catch { case e: Throwable => errs.add(e) }
+      }
+    })
+    (0 until 3).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try {
+            val mine = LakeTable.forLocation(s, t.location)
+            (0 until 3).foreach { i =>
+              mine.append(Seq((3000L + w * 100 + i, s"w$w-$i"))
+                .toDF("custkey", "name"))
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers hung")
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    val rows = t.read().select("custkey").collect().map(_.getLong(0)).toSet
+    val expected = (0L until 10L).toSet ++ (0 until 4).map(2000L + _) ++
+      (for (w <- 0 until 3; i <- 0 until 3) yield 3000L + w * 100 + i)
+    assert(rows == expected,
+      s"row set diverged: missing=${expected -- rows} extra=${rows -- expected}")
+    val ids = t.readWithMetaColumns().select(col("$row_id")).collect()
+      .map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      "colliding $row_id after optimize races")
+  }
+
   test("append racing DML retries to serial semantics") {
     import s.implicits._
     val t = fresh(100)
