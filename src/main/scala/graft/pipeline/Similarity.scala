@@ -304,6 +304,38 @@ object Similarity {
     import spark.implicits._
     val v = vectors.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
+    val cents = kmeansTrainOn(v, k, iters)
+    val fin = v.select(
+      graft.functions.VectorExpressions.nearestCentroidNative(col("_v"),
+        cents).as("_m"))
+    val c0 = cents.sortBy(_._1).map { case (i, c) => (i, c(0)) }
+      .toDF("cell", "c0")
+    fin.select(col("_m.cell").cast("int").as("cell"), col("_m.cosine"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cosine")), 6).as("mean_cosine"))
+      .join(broadcast(c0), Seq("cell"))
+      .select(col("cell"), col("n_members"), col("mean_cosine"),
+        round(col("c0"), 6).as("c0"))
+      .orderBy("cell")
+  }
+
+  /** The deterministic Lloyd loop shared by [[kmeansFit]] (audit-stats
+    * caller) and [[buildIvfDeterministic]] (quantizer caller): md5-
+    * ranked seeding, cosine-argmax assignment through the zero-shuffle
+    * [[graft.functions.NearestCentroid]] kernel, ONE vector-sum
+    * aggregate per mean update (k×partitions fixed-size partials),
+    * centroids on the 1e-12 grid. Returns the trained centroid set —
+    * metadata-sized (k×dim doubles).
+    */
+  def kmeansTrain(vectors: DataFrame, k: Int, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : Seq[(Int, Array[Double])] =
+    kmeansTrainOn(vectors.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v")), k, iters)
+
+  private def kmeansTrainOn(v: DataFrame, k: Int, iters: Int)
+      : Seq[(Int, Array[Double])] = {
     var cents: Seq[(Int, Array[Double])] =
       v.orderBy(md5(col("_id").cast("string")), col("_id")).limit(k)
         .collect().zipWithIndex
@@ -333,19 +365,36 @@ object Similarity {
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     }
-    val fin = v.select(
-      graft.functions.VectorExpressions.nearestCentroidNative(col("_v"),
-        cents).as("_m"))
-    val c0 = cents.sortBy(_._1).map { case (i, c) => (i, c(0)) }
-      .toDF("cell", "c0")
-    fin.select(col("_m.cell").cast("int").as("cell"), col("_m.cosine"))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_members"),
-        round(avg(col("cosine")), 6).as("mean_cosine"))
-      .join(broadcast(c0), Seq("cell"))
-      .select(col("cell"), col("n_members"), col("mean_cosine"),
-        round(col("c0"), 6).as("c0"))
-      .orderBy("cell")
+    cents
+  }
+
+  /** [[buildIvf]] with the ORACLE-REPLAYABLE quantizer: centroids from
+    * the in-house deterministic Lloyd loop ([[kmeansTrain]] — md5
+    * seeding, fixed iterations, gridded means) instead of MLlib's
+    * library-internal k-means||. Everything downstream (L2 cell
+    * assignment, persistence layout, probe shape) is IDENTICAL — this
+    * exists so the whole IVF probe, quantizer included, can replay in
+    * ANSI SQL and the `sim_topk_ivf` row hash-checks instead of being
+    * the one recall-gated exception. Also drops the MLlib dependency
+    * from streaming ingest scenarios (class-loading alone dominated
+    * small fits).
+    */
+  def buildIvfDeterministic(vectors: DataFrame, nlist: Int,
+      iters: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id", maxTrainRows: Long = 0L): IvfIndex = {
+    val train =
+      if (maxTrainRows <= 0L) vectors
+      else {
+        val n = vectors.count()
+        if (n <= maxTrainRows) vectors
+        else vectors.sample(withReplacement = false,
+          maxTrainRows.toDouble / n, seed = 42)
+      }
+    val centroids = kmeansTrain(train, nlist, iters, vecCol, idCol)
+      .toArray
+    val assignments = vectors
+      .transform(assignCells(centroids, vecCol, idCol))
+    IvfIndex(centroids, assignments)
   }
 
   /** Distributed PCA model: everything in it is metadata-sized (d and

@@ -395,7 +395,7 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-")
         .resolve("index").toString
       Similarity.persistIvf(
-        Similarity.buildIvf(emb, nlist = 16, maxTrainRows = 4096), dir)
+        Similarity.buildIvfDeterministic(emb, nlist = 16), dir)
       dir
     })
     Similarity.ivfTopK(Similarity.loadIvf(s, loc), emb.filter(col("vec_id") < 5),
@@ -1693,10 +1693,73 @@ object PipelineQueries {
     // byte-identical results to the Column-API plan by construction
     "sim_topk_bruteforce" -> SimTopKOracle,
     "sim_topk_sql" -> SimTopKOracle,
-    // The ANN index is approximate, so the oracle pins the deterministic
-    // PROPERTY (5 queries × 10 exact neighbors, probe recalls ≥ 50% of
-    // them at nprobe=4/16 with the seeded index) rather than the
-    // approximate listing itself.
+    // The ENTIRE IVF probe replayed — quantizer included: the md5-
+    // seeded 2-iteration cosine-Lloyd fit (the embedding_kmeans CTEs at
+    // k=16), L2 cell assignment of every vector, each query's 4 nearest
+    // cells by centroid distance, cosine ranking within the probed
+    // cells. Possible since buildIvfDeterministic replaced the MLlib
+    // quantizer for this index: approximate-by-construction, yet every
+    // row hash-checks.
+    "sim_topk_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         seed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                  FROM v ORDER BY h, vec_id LIMIT 16),
+         init AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                    AS INT) AS cell, v FROM seed),
+         s1 AS (SELECT a.vec_id, a.v, i.cell,
+                       list_cosine_similarity(a.v, i.v) AS sim
+                FROM v a CROSS JOIN init i),
+         a1 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s1)
+                WHERE rn = 1),
+         u1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a1)
+                GROUP BY cell, pos),
+         c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u1
+                GROUP BY cell),
+         s2 AS (SELECT a.vec_id, a.v, c.cell,
+                       list_cosine_similarity(a.v, c.v) AS sim
+                FROM v a CROSS JOIN c1 c),
+         a2 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s2)
+                WHERE rn = 1),
+         u2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a2)
+                GROUP BY cell, pos),
+         c2 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u2
+                GROUP BY cell),
+         asg AS (SELECT vec_id, v, cell FROM
+                  (SELECT a.vec_id, a.v, c.cell,
+                          row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_distance(a.v, c.v), c.cell)
+                            AS rn
+                   FROM v a CROSS JOIN c2 c)
+                 WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qvec FROM v
+               WHERE vec_id < 5),
+         probe AS (SELECT query_id, qvec, cell FROM
+                    (SELECT q.query_id, q.qvec, c.cell,
+                            row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(q.qvec, c.v),
+                                       c.cell) AS rn
+                     FROM q CROSS JOIN c2 c)
+                   WHERE rn <= 4),
+         sc AS (SELECT p.query_id, a.vec_id,
+                       list_cosine_similarity(a.v, p.qvec) AS cos
+                FROM probe p JOIN asg a USING (cell))
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor,
+                round(cos, 6) AS cosine
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rank FROM sc)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // The recall row stays as the QUALITY gate (now over the
+    // deterministic-quantizer index): probe recalls ≥ 50% of the exact
+    // neighbor set at nprobe=4/16.
     "sim_topk_ivf_recall" ->
       """SELECT CAST(count(*) AS INT) AS n_queries,
                 CAST(10 * count(*) AS INT) AS n_exact,

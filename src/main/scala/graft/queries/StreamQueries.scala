@@ -443,7 +443,7 @@ object StreamQueries {
       val base = java.nio.file.Files.createTempDirectory("graft-sann-")
       val idxLoc = base.resolve("index").toString
       graft.pipeline.Similarity.persistIvf(
-        graft.pipeline.Similarity.buildIvf(
+        graft.pipeline.Similarity.buildIvfDeterministic(
           emb.filter(col("vec_id") % 2 === 0), nlist = 16,
           maxTrainRows = 4096), idxLoc)
       val stream = s.readStream.schema(raw.schema)
