@@ -812,10 +812,10 @@ object Similarity {
     * the shortlist ever reads true vectors. The recall certificate is
     * measured against the exact full-corpus L2 top-k, so probe misses
     * AND quantization misses both count against it. Measured recall@10
-    * across the fixture SFs: 0.5–0.8 (nprobe/nlist = 1/4 coverage on
-    * iid-gaussian vectors, whose neighbors have the weakest cell
-    * locality possible); gated at 0.4 with margin, the
-    * [[ivfTopK]]-recall-row stance.
+    * across the fixture SFs: 0.5–0.7 with the deterministic in-house
+    * quantizer (nprobe/nlist = 1/4 coverage on iid-gaussian vectors,
+    * whose neighbors have the weakest cell locality possible); gated
+    * at 0.4 with margin, the [[ivfTopK]]-recall-row stance.
     */
   def ivfPqCertified(vectors: DataFrame, nlist: Int = 16, nprobe: Int = 4,
       nQueries: Int = 5, k: Int = 10, shortlist: Int = 100,
@@ -825,7 +825,8 @@ object Similarity {
     import spark.implicits._
     val v = vectors.select(col(idCol),
       col(vecCol).cast("array<double>").as("_v"))
-    val idx = buildIvf(v, nlist, "_v", idCol, maxTrainRows = 4096)
+    val idx = buildIvfDeterministic(v, nlist, vecCol = "_v", idCol = idCol,
+      maxTrainRows = 4096)
     val cents = idx.centroids.toMap
     val centDf = broadcast(idx.centroids.toSeq
       .map { case (i, c) => (i, c.toSeq) }.toDF("cell", "cvec"))
