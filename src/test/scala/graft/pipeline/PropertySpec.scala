@@ -135,6 +135,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: semanticDedup equals the local cell-scoped dominance " +
+      "rule on random vector sets") {
+    val spark = s
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(6, 40)
+      dim <- Gen.oneOf(4, 8)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.choose(-5, 5).map(_.toDouble)))
+      // sprinkle exact copies so pairs actually cross the threshold
+      dup <- Gen.choose(1, 4)
+    } yield {
+      val base = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val twins = base.take(dup).map { case (id, v) =>
+        (1000L + id, v)
+      }
+      base ++ twins
+    }
+    var seed = rng.Seed(31L)
+    for (_ <- 1 to 5) {
+      val (rows, s1) = draw(gen, seed)
+      seed = s1
+      // drop all-zero vectors: cosine is undefined there, and the
+      // operator's null-denominator convention isn't the property under
+      // test
+      val live = rows.filter(_._2.exists(_ != 0.0))
+      val nCells = math.min(3, live.size)
+      val df = live.toDF("vec_id", "embedding")
+      val cents = live.take(nCells).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }
+      val got = Dedup.semanticDedup(df,
+          cents.toDF("cell", "cvec"), cosineThreshold = 0.999)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+          r.getBoolean(2)))).toMap
+      // local reference
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        dot / (na * nb)
+      }
+      val assign = live.map { case (id, v) =>
+        val best = cents.map { case (c, cv) => (c, cos(v, cv)) }
+          .sortBy { case (c, sim) => (-sim, c) }.head._1
+        id -> best
+      }.toMap
+      val vmap = live.toMap
+      live.foreach { case (id, v) =>
+        val cell = assign(id)
+        val dominated = live.exists { case (oid, ov) =>
+          oid < id && assign(oid) == cell &&
+            math.rint(cos(ov, v) * 1e6) / 1e6 >= 0.999
+        }
+        assert(got(id) == ((cell, !dominated)),
+          s"vec $id: got=${got(id)} want=(${cell}, ${!dominated})")
+      }
+    }
+  }
+
   test("property: heavyHitters with ample counters equals the local " +
       "exact top-k with a TRUE certificate") {
     val spark = s
