@@ -356,8 +356,11 @@ object Sampling {
       .agg(count(lit(1)).as("_tc"))
     val rc = grams.filter(!col("_t")).groupBy(col("bkt"))
       .agg(count(lit(1)).as("_rc"))
-    val tt = broadcast(grams.filter(col("_t")).agg(count(lit(1)).as("_T")))
-    val rt = broadcast(grams.filter(!col("_t")).agg(count(lit(1)).as("_R")))
+    // totals fold over the ≤B-row count frames, NOT the gram stream —
+    // a separate corpus aggregate here would re-explode every document
+    // twice for two scalars the bucket counts already contain
+    val tt = broadcast(tc.agg(sum(col("_tc")).as("_T")))
+    val rt = broadcast(rc.agg(sum(col("_rc")).as("_R")))
     // λ on the raw-side bucket set — candidates can only hit buckets
     // their own grams created, so this covers every scored lookup
     val lam = rc.join(tc, Seq("bkt"), "left").crossJoin(tt).crossJoin(rt)

@@ -664,17 +664,16 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val (nq, recall, mse, totalVar) =
+    val (nq, recall, mse, totalVar, codeBits) =
       pqMetrics(vectors, nQueries, k, shortlist, vecCol, idCol)
-    val model0 = (8, 16) // (m, ksub) — pqFit defaults, for code_bits
-    Seq((nq, k, model0._1 * (63 - java.lang.Long
-        .numberOfLeadingZeros(model0._2.toLong)).toInt,
-      recall >= recallBar, mse <= mseBarFrac * totalVar))
+    Seq((nq, k, codeBits, recall >= recallBar,
+      mse <= mseBarFrac * totalVar))
       .toDF("n_queries", "k", "code_bits", "recall_ok", "mse_ok")
   }
 
   /** Raw PQ quality metrics — (nQueries, recall@k of the two-stage
-    * retrieval, reconstruction MSE, corpus total variance). The
+    * retrieval, reconstruction MSE, corpus total variance, code bits
+    * from the fitted model's actual geometry). The
     * retrieval is PQ as actually deployed: ADC scores the WHOLE corpus
     * from codes (m table lookups per candidate — the cheap stage),
     * keeps a `shortlist`-sized candidate set per query, and re-ranks
@@ -684,7 +683,7 @@ object Similarity {
     */
   private[graft] def pqMetrics(vectors: DataFrame, nQueries: Int,
       k: Int, shortlist: Int, vecCol: String, idCol: String)
-      : (Int, Double, Double, Double) = {
+      : (Int, Double, Double, Double, Int) = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val model = pqFit(vectors, vecCol = vecCol, idCol = idCol)
@@ -772,7 +771,9 @@ object Similarity {
     val hits = approxTop.join(exactTop, Seq("query_id", idCol))
       .count()
     val recall = hits.toDouble / (qRows.length.toLong * k)
-    (qRows.length, recall, mse, totalVar)
+    (qRows.length, recall, mse, totalVar,
+      model.m * (63 - java.lang.Long
+        .numberOfLeadingZeros(model.ksub.toLong)).toInt)
   }
 
   /** ADC distance table of one (residual) query against the codebooks:
