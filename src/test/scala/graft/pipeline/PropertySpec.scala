@@ -194,6 +194,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: dsirScores equals a local reference (md5 buckets, " +
+      "add-one smoothing, occurrence log-ratio sums) on random corpora") {
+    val spark = s
+    import spark.implicits._
+    val words = Seq("the", "cat", "sat", "mat", "dog", "zzz", "qqq")
+    val gen = for {
+      n <- Gen.choose(4, 24)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(2, 10)
+        ws <- Gen.listOfN(len, Gen.oneOf(words))
+        t <- Gen.oneOf(true, false)
+      } yield (ws.mkString(" "), t))
+    } yield docs.zipWithIndex.map { case ((txt, t), i) =>
+      (i.toLong, txt, t)
+    }
+    def bucket(gram: String, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    val B = 64
+    var seed = rng.Seed(47L)
+    for (_ <- 1 to 5) {
+      val (docs, s1) = draw(gen, seed)
+      seed = s1
+      // need both a target and a candidate side
+      if (docs.exists(_._3) && docs.exists(!_._3)) {
+        val df = docs.toDF("doc_id", "text", "is_t")
+        val got = Sampling.dsirScores(df, col("is_t"), buckets = B)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val grams = docs.flatMap { case (id, txt, t) =>
+          val ws = txt.split("\\s+")
+          ws.zip(ws.drop(1)).map { case (a, b) =>
+            (id, t, bucket(s"$a $b", B))
+          }
+        }
+        val tCnt = grams.filter(_._2).groupBy(_._3)
+          .view.mapValues(_.size.toLong).toMap
+        val rCnt = grams.filter(!_._2).groupBy(_._3)
+          .view.mapValues(_.size.toLong).toMap
+        val tTot = tCnt.values.sum
+        val rTot = rCnt.values.sum
+        val local = grams.filter(!_._2).groupBy(_._1)
+          .view.mapValues { gs =>
+            val sum = gs.map { case (_, _, bkt) =>
+              math.log((tCnt.getOrElse(bkt, 0L) + 1.0) / (tTot + B)) -
+                math.log((rCnt(bkt) + 1.0) / (rTot + B))
+            }.sum
+            BigDecimal(sum).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble
+          }.toMap
+        assert(got.keySet == local.keySet,
+          s"scored doc sets differ: ${got.keySet} vs ${local.keySet}")
+        got.foreach { case (id, sc) =>
+          assert(math.abs(sc - local(id)) <= 1e-6,
+            s"doc $id: got $sc local ${local(id)}")
+        }
+      }
+    }
+  }
+
   test("property: heavyHitters with ample counters equals the local " +
       "exact top-k with a TRUE certificate") {
     val spark = s
