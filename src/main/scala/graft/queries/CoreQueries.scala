@@ -660,6 +660,25 @@ object CoreQueries {
       .orderBy(col("orderstatus").asc_nulls_last,
         col("orderpriority").asc_nulls_last)
 
+  /** CUBE over (status, priority) with `grouping_id` disambiguating
+    * the four aggregation levels — the full lattice in ONE Expand +
+    * one hash-agg shuffle (4× row expansion map-side, partials still
+    * combine before the exchange). grouping_id matters because a NULL
+    * group key is ambiguous with a NULL-valued key; the bitmask is the
+    * portable disambiguator both engines agree on.
+    */
+  def cubeVolume(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderstatus").as("orderstatus"),
+        col("o_orderpriority").as("orderpriority"),
+        col("o_totalprice"))
+      .cube(col("orderstatus"), col("orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("orderstatus").asc_nulls_last,
+        col("orderpriority").asc_nulls_last)
+
   /** Semi-join at fact scale — `EXISTS`: customers having at least one
     * URGENT order. left_semi keeps the probe side unduplicated (no
     * post-join distinct) and ships only the join key from the build
@@ -1110,6 +1129,7 @@ object CoreQueries {
     "q_approx_distinct"   -> approxDistinct _,
     "q_approx_quantiles"  -> approxQuantiles _,
     "q_rank_functions"    -> rankFunctions _,
+    "q_cube_volume"       -> cubeVolume _,
     "q_pivot_status"      -> pivotStatus _,
     "q_unpivot_status"    -> unpivotStatus _,
     "q_grouping_sets"     -> groupingSets _,
@@ -1373,6 +1393,17 @@ object CoreQueries {
                 round(quantile_cont(value, 0.99), 6) AS p99,
                 count(*) AS n, true AS gk_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_cube_volume" ->
+      """SELECT orderstatus, orderpriority, total, n, gid FROM (
+           SELECT o_orderstatus AS orderstatus,
+                  o_orderpriority AS orderpriority,
+                  round(sum(o_totalprice), 2) AS total,
+                  count(*) AS n,
+                  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT)
+                    AS gid
+           FROM orders
+           GROUP BY CUBE (o_orderstatus, o_orderpriority))
+         ORDER BY gid, orderstatus NULLS LAST, orderpriority NULLS LAST""",
     "q_rank_functions" ->
       """SELECT orderkey, priority, rnk, drnk, prnk, cdist, quartile,
                 prev_price
