@@ -605,6 +605,16 @@ object Dedup {
     * exactly. Comparison uses the 1e-6-ROUNDED cosine so a boundary
     * pair cannot flap between engines.
     *
+    * The assigned frame is consumed three times (both self-join sides
+    * + the kept projection); the two join sides share one canonical
+    * cell exchange (ReuseExchange), and the third pass re-runs the
+    * scan + argmax rather than caching — deliberately: the frame
+    * carries the corpus's VECTORS, and at the scales this operator
+    * targets, persisting that is more expensive than one extra
+    * codegen'd scan. A deployment running repeated semantic dedups
+    * persists the (id, cell) assignment as a table instead (the
+    * [[Similarity.persistIvf]] layout).
+    *
     * Output: (id, cell, kept) for every input row.
     */
   def semanticDedup(vectors: DataFrame, centroids: DataFrame,

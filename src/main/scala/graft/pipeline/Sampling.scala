@@ -260,12 +260,21 @@ object Sampling {
         // distributed prefix sum over id ranges. Range partition i holds
         // strictly smaller ids than i+1, so global exclusive prefix =
         // (sum of whole earlier ranges) + (local exclusive prefix within
-        // the range). Both branches below reference the SAME ranged
-        // frame, so the range exchange is planned once and reused —
-        // the sampled range boundaries cannot diverge between them.
+        // the range). The ranged frame is MATERIALIZED (localCheckpoint)
+        // before its two consumers read it: RangePartitioner samples its
+        // boundaries, so two independent instantiations of this subtree
+        // (exchange reuse disabled, or a future plan change breaking
+        // canonicalized equality) could draw DIFFERENT boundaries — the
+        // offsets' _pid would then describe partitions the main branch
+        // doesn't have, silently corrupting every prefix. Correctness
+        // must not depend on an optimizer reuse rule; the frame is the
+        // boundary tie group, which this path exists to handle at bulk,
+        // and executor-storage materialization is the price of making
+        // the shared partitioning physical.
         val ranged = boundary
           .repartitionByRange(boundaryRangePartitions, col(idCol))
           .withColumn("_pid", spark_partition_id())
+          .localCheckpoint(true)
         val wOff = Window.partitionBy(col(stratumCol), col(qualityCol))
           .orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)

@@ -424,7 +424,11 @@ object Similarity {
     */
   def pcaFit(vectors: DataFrame, k: Int,
       vecCol: String = "embedding"): PcaModel = {
+    // null vectors are dropped BEFORE counting: the sum aggregates skip
+    // them, and dividing a null-skipping sum by a null-including count
+    // would silently deflate the mean and covariance
     val row = vectors.select(col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
       .agg(count(lit(1)).as("n"),
         graft.functions.VectorSumAgg.vectorSum(col("_v")).as("s"),
         graft.functions.VectorSumAgg.outerProductSum(col("_v")).as("g"))
@@ -606,8 +610,12 @@ object Similarity {
   def pqFit(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 2, vecCol: String = "embedding",
       idCol: String = "vec_id"): PqModel = {
+    // a null vector can neither seed a codebook nor encode (PqEncode
+    // yields a null code array, which the update explode would turn
+    // into a null cell) — drop them up front
     val v = vectors.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
     val seedRows = v.orderBy(md5(col("_id").cast("string")), col("_id"))
       .limit(ksub).collect()
     require(seedRows.length == ksub,
@@ -689,8 +697,11 @@ object Similarity {
     val model = pqFit(vectors, vecCol = vecCol, idCol = idCol)
     val m = model.m; val ksub = model.ksub; val dsub = model.dsub
     val flat = model.books.flatten.flatten
+    // same null stance as pcaFit: the stats row divides null-skipping
+    // sums by the row count, so null vectors must not be counted
     val v = vectors.select(col(idCol),
       col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
     val enc = v.select(col(idCol), col("_v"),
       graft.functions.VectorExpressions.pqEncodeNative(col("_v"),
         model.books).as("codes"))

@@ -301,9 +301,17 @@ object TextAnalysis {
     import spark.implicits._
     val words = df.select(
       explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
-    val candidates = words.as[String].mapPartitions { it =>
+    // ONE MG pass yields both the candidates AND the corpus word total
+    // (a null-word sentinel row per partition) — a separate count(N)
+    // aggregate would re-explode every document a third time for one
+    // scalar the pass already iterates over. The summary frame is
+    // counters×tasks rows; localCheckpoint so its two consumers don't
+    // re-run the pass.
+    val mg = words.as[String].mapPartitions { it =>
         val counts = new scala.collection.mutable.HashMap[String, Long]()
+        var total = 0L
         it.foreach { w =>
+          total += 1L
           counts.get(w) match {
             case Some(c) => counts.update(w, c + 1L)
             case None if counts.size < counters => counts.update(w, 1L)
@@ -318,19 +326,31 @@ object TextAnalysis {
               }
           }
         }
-        counts.keysIterator
-      }.toDF("word").distinct()
+        Iterator.single((null: String, total)) ++
+          counts.keysIterator.map((_, -1L))
+      }.toDF("word", "cnt").localCheckpoint(true)
+    val candidates = mg.filter(col("word").isNotNull)
+      .select("word").distinct()
+    val total = broadcast(mg.filter(col("word").isNull)
+      .agg(sum(col("cnt")).as("_total")))
     val exact = words.join(broadcast(candidates), Seq("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val total = broadcast(words.agg(count(lit(1)).as("_total")))
     val whole = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // The certificate needs BOTH halves: the pigeonhole bound (no
+    // non-candidate can outrank a returned row) AND completeness (the
+    // result actually fills topK slots — with undersized counters MG
+    // can retire every rare word, leaving < topK candidates whose
+    // counts all clear the bound while the true top-k has more rows).
+    // A corpus whose whole vocabulary is smaller than topK reports
+    // false too — a conservative under-claim, never a lie.
     exact.orderBy(col("n").desc, col("word")).limit(topK)
       .crossJoin(total)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("n").desc, col("word"))))
       .withColumn("provably_exact",
-        min(col("n")).over(whole) * (counters + 1) > col("_total"))
+        (min(col("n")).over(whole) * (counters + 1) > col("_total")) &&
+          count(lit(1)).over(whole) === topK)
       .select(col("rk").cast("int").as("rk"), col("word"), col("n"),
         col("provably_exact"))
   }

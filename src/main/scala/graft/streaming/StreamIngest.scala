@@ -206,7 +206,10 @@ object StreamIngest {
   private[streaming] def parseDelta(s: String): Map[String, Long] =
     s.split('|').filter(_.nonEmpty).map { kv =>
       val i = kv.lastIndexOf(':')
-      require(i > 0, s"malformed budget delta fragment: '$kv'")
+      // i == 0 is LEGAL: an empty stratum value ("" — dirty but real
+      // data) encodes to an empty key, giving ':123'. Only a fragment
+      // with no separator at all is malformed.
+      require(i >= 0, s"malformed budget delta fragment: '$kv'")
       decodeKey(kv.substring(0, i)) -> kv.substring(i + 1).toLong
     }.toMap
 
@@ -254,7 +257,17 @@ object StreamIngest {
           val delta = admitted.groupBy(col(stratumCol))
             .agg(sum(col(tokensCol)).cast("long").as("t"))
             .collect()
-            .map(r => s"${encodeKey(r.getString(0))}:${r.getLong(1)}")
+            .map { r =>
+              // a NULL stratum has no delta-map identity (the spent
+              // fold is keyed by String) — reject loudly rather than
+              // NPE in encodeKey or silently mis-budget; '' round-trips
+              // fine (parseDelta accepts the empty key)
+              val k = r.getString(0)
+              require(k != null,
+                s"budget ingest: NULL $stratumCol in admitted batch — " +
+                  "strata must be non-null for the cross-batch ledger")
+              s"${encodeKey(k)}:${r.getLong(1)}"
+            }
             .sorted.mkString("|")
           kept.append(admitted, summary = Map(
             BatchStamp -> stamp(queryName, batchId),
