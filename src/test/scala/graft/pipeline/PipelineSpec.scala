@@ -1092,6 +1092,14 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"PCA projection must not shuffle:\n${plan.take(800)}")
+    // null vectors must not bias the fit: the sum aggregates skip
+    // them, so the count must too (a null-including count silently
+    // deflated mean and covariance)
+    val withNull = Seq(Some(Seq(2.0, 0.0)), Some(Seq(4.0, 0.0)),
+      Option.empty[Seq[Double]]).toDF("embedding")
+    val nm = Similarity.pcaFit(withNull, k = 1)
+    assert(nm.n == 2 && nm.mean(0) == 3.0,
+      s"null row leaked into the count: n=${nm.n} mean=${nm.mean.toSeq}")
   }
 
   test("DSIR: target-resembling candidates outrank alien ones; the " +
@@ -1197,5 +1205,14 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     assert(tiny.forall(!_.getBoolean(3)),
       "undersized counters must yield provably_exact = false")
+    // completeness half of the certificate: topK above the vocabulary
+    // size cannot fill its slots, and a result with fewer than topK
+    // rows must NOT claim exactness even though every returned count
+    // clears the pigeonhole bound
+    val wide = TextAnalysis.heavyHitters(docs, topK = 50, counters = 256)
+      .collect()
+    assert(wide.length < 50, "fixture vocabulary must be under topK")
+    assert(wide.forall(!_.getBoolean(3)),
+      "an unfilled top-k must not certify exactness")
   }
 }

@@ -446,5 +446,15 @@ class StreamingSpec extends AnyFunSuite {
       .sorted.mkString("|")
     assert(StreamIngest.parseDelta(delta) ==
       strata.zipWithIndex.map { case (k, i) => k -> (i + 1).toLong }.toMap)
+    // an EMPTY stratum value is dirty-but-real data: its fragment is
+    // ':123' and must round-trip (the malformed-fragment guard once
+    // rejected its own encoder's output, permanently failing the
+    // stream on the next batch's ledger fold)
+    assert(StreamIngest.encodeKey("") == "")
+    assert(StreamIngest.parseDelta(":7|en:3") == Map("" -> 7L, "en" -> 3L))
+    // no separator at all is still malformed
+    intercept[IllegalArgumentException] {
+      StreamIngest.parseDelta("en3")
+    }
   }
 }
