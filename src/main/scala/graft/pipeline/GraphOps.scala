@@ -91,10 +91,14 @@ object GraphOps {
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val seed = seeds.select(col(nodeCol).cast("long").as("node"),
       col(labelCol).cast("int").as("_seed"))
+    // node set = edge endpoints ∪ seed ids: a clamped seed with no
+    // incident edge still has a KNOWN label and must appear in the
+    // output rather than be silently dropped
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seed.select(col("node"))).distinct()
     var labels = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("_seed").as("lbl"))
     for (_ <- 1 to iters) {

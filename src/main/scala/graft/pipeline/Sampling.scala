@@ -367,9 +367,13 @@ object Sampling {
       .agg(count(lit(1)).as("_rc"))
     // totals fold over the ≤B-row count frames, NOT the gram stream —
     // a separate corpus aggregate here would re-explode every document
-    // twice for two scalars the bucket counts already contain
-    val tt = broadcast(tc.agg(sum(col("_tc")).as("_T")))
-    val rt = broadcast(rc.agg(sum(col("_rc")).as("_R")))
+    // twice for two scalars the bucket counts already contain. coalesce:
+    // an EMPTY side (targetFilter matches nothing, or only sub-2-word
+    // docs) sums to NULL, which would silently null every lam/score —
+    // with 0 the add-one smoothing degenerates gracefully to the
+    // uniform prior, matching the oracle's count(*) semantics.
+    val tt = broadcast(tc.agg(coalesce(sum(col("_tc")), lit(0L)).as("_T")))
+    val rt = broadcast(rc.agg(coalesce(sum(col("_rc")), lit(0L)).as("_R")))
     // λ on the raw-side bucket set — candidates can only hit buckets
     // their own grams created, so this covers every scored lookup
     val lam = rc.join(tc, Seq("bkt"), "left").crossJoin(tt).crossJoin(rt)

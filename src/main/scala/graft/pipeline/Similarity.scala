@@ -214,8 +214,12 @@ object Similarity {
     val frac =
       if (maxTrainRows <= 0L) sampleFraction
       else {
-        // parquet-metadata count: cheap, and the cap only needs an
-        // upper-bound-accurate fraction
+        // On a bare parquet scan this count is metadata-only; on a
+        // filtered/derived frame it is a full (column-pruned) pass —
+        // acceptable because the fit itself makes 10. The seeded
+        // Bernoulli sample enforces the row cap only APPROXIMATELY
+        // (binomial around the target), which is fine: the cap bounds
+        // training cost, it is not a semantic contract.
         val n = vectors.count()
         math.min(sampleFraction,
           if (n <= maxTrainRows) 1.0 else maxTrainRows.toDouble / n)
@@ -616,19 +620,28 @@ object Similarity {
     val v = vectors.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
       .filter(col("_v").isNotNull)
-    val seedRows = v.orderBy(md5(col("_id").cast("string")), col("_id"))
+    // Model dimension = the first md5-ranked row's; rows of any OTHER
+    // dimension are then excluded from seeding and training the same way
+    // nulls are — a stray short vector would otherwise make PqEncode
+    // yield a null code array, which the update explode turns into an
+    // opaque NPE at collect (the old first-seed-only check missed it).
+    val d0row = v.orderBy(md5(col("_id").cast("string")), col("_id"))
+      .limit(1).collect()
+    require(d0row.nonEmpty, "pqFit: empty corpus")
+    val d0 = d0row(0).getSeq[Double](1).length
+    require(d0 % m == 0, s"pqFit: dim $d0 not divisible by m=$m")
+    val dsub = d0 / m
+    val vt = v.filter(size(col("_v")) === lit(d0))
+    val seedRows = vt.orderBy(md5(col("_id").cast("string")), col("_id"))
       .limit(ksub).collect()
     require(seedRows.length == ksub,
       s"pqFit: corpus smaller than ksub=$ksub")
-    val d0 = seedRows(0).getSeq[Double](1).length
-    require(d0 % m == 0, s"pqFit: dim $d0 not divisible by m=$m")
-    val dsub = d0 / m
     var books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
       (s, c) =>
         seedRows(c).getSeq[Double](1).slice(s * dsub, (s + 1) * dsub).toArray
     }
     for (_ <- 1 to iters) {
-      val enc = v.select(graft.functions.VectorExpressions
+      val enc = vt.select(graft.functions.VectorExpressions
         .pqEncodeNative(col("_v"), books).as("codes"), col("_v"))
       val subs = enc.select(explode(array((0 until m).map { s =>
           struct(lit(s).as("s"), element_at(col("codes"), s + 1).as("cell"),

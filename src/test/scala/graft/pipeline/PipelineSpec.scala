@@ -1154,6 +1154,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(tie(4L) == Some(10), "vote ties must break to the smallest label")
   }
 
+  test("label propagation: an isolated seed (no incident edge) still " +
+      "appears in the output with its clamped label") {
+    val spark = s
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq((1L, 7), (42L, 9)).toDF("node", "label")
+    val out = GraphOps.labelPropagation(edges, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(out.get(42L).contains(Some(9)),
+      s"isolated seed dropped or unlabeled: $out")
+  }
+
+  test("DSIR: an empty target corpus degenerates to the uniform prior " +
+      "instead of nulling every score") {
+    val spark = s
+    import spark.implicits._
+    val dsir = Sampling.dsirScores(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+        .toDF("doc_id", "text"),
+      targetFilter = lit(false), buckets = 16).collect()
+    assert(dsir.length == 2 && dsir.forall(!_.isNullAt(1)),
+      s"empty-target scores must be non-null: ${dsir.toSeq}")
+  }
+
+  test("PQ fit: rows of a different dim than the model's are excluded " +
+      "from seeding AND training (no opaque NPE from a stray short row)") {
+    val spark = s
+    import spark.implicits._
+    // 20 full-dim rows + one short row whose md5 ranks INSIDE the seed
+    // window (verified: '99' ranks 11th among these ids) — it must be
+    // excluded from the codebook and the update pass alike
+    val full = (1L to 20L).map(i => (i, Seq.tabulate(8)(j => (i + j).toDouble)))
+    val mixed = (full :+ (99L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val m = Similarity.pqFit(mixed, m = 2, ksub = 16, iters = 1)
+    assert(m.dsub == 4 && m.books.length == 2 &&
+      m.books.forall(_.forall(_.length == 4)),
+      "fit must succeed with the short row excluded and books rectangular")
+  }
+
   test("product quantization: fused encode matches a hand argmin, fit " +
       "is deterministic, encoding never shuffles") {
     import org.apache.spark.sql.{functions => F}
