@@ -64,12 +64,23 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Pass-major order (all queries, then repeat): back-to-back repeats
-    // of one query would overstate cache warmth relative to real runs.
-    val samples = (1 to Passes).flatMap { _ =>
-      batchSel.map { case (name, fn) => name -> timeOnce(name, fn) }
+    // of one query would overstate cache warmth relative to real runs,
+    // and a single box-contention window can inflate at most ONE pass
+    // of each query instead of all three samples of whichever queries
+    // it covered (r6-r8 each burned a triage on exactly that).
+    val samples = (1 to Passes).flatMap { pass =>
+      batchSel.map { case (name, fn) => (name, pass, timeOnce(name, fn)) }
     }
+    // Raw per-pass samples, pass-ordered. The MEDIAN stays the headline
+    // (continuity with r1-r8 artifacts); min rides beside it because
+    // min-of-passes is the noise-immune estimator — contention only ever
+    // ADDS time, so a median ≫ min with a calm min is external
+    // interference, not a regression, and the artifact now proves which.
+    val rawSamples: Map[String, Seq[Double]] = batchSel.map(_._1).map { name =>
+      name -> samples.collect { case (`name`, _, Some(t)) => t }
+    }.toMap
     val results: Map[String, Option[Double]] = batchSel.map(_._1).map { name =>
-      val xs = samples.collect { case (`name`, Some(t)) => t }.sorted
+      val xs = rawSamples(name).sorted
       name -> (if (xs.isEmpty) None else Some(xs(xs.size / 2)))
     }.toMap ++ streamResults
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
@@ -113,10 +124,21 @@ object Bench {
     try spark.stop() catch { case _: Throwable => () }
     val splitJson = streamSplit.toSeq.sortBy(_._1).map {
       case (k, (setup, stream)) =>
-        f""""$k":{"scenario_s":$setup%.3f,"stream_s":$stream%.3f}"""
+        val batches = Option(
+            graft.queries.StreamQueries.streamBatchSecs.get(k))
+          .map(_.map(b => f"$b%.3f").mkString("[", ",", "]"))
+          .getOrElse("[]")
+        f""""$k":{"scenario_s":$setup%.3f,"stream_s":$stream%.3f,"batches":$batches}"""
+    }.mkString("{", ",", "}")
+    // per-pass raw samples + min, for batch queries (streaming is
+    // cold-once by policy — one sample, nothing to min over)
+    val samplesJson = rawSamples.toSeq.sortBy(_._1).map { case (k, xs) =>
+      val arr = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      val mn = if (xs.isEmpty) "null" else f"${xs.min}%.3f"
+      s""""$k":{"min":$mn,"samples":$arr}"""
     }.mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"metric":"per_query","queries":$qs,"stream_split":$splitJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","queries":$qs,"batch_samples":$samplesJson,"stream_split":$splitJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The per-query breakdown also lands in a FILE: a fixed-size tail
     // capture of stdout beheaded it in r4/r5, losing ~20 of 130
     // timings to the artifact. A repo file survives regardless of

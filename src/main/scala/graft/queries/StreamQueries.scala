@@ -44,10 +44,55 @@ object StreamQueries {
   val streamPhaseSecs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
+  /** Per-MICRO-BATCH wall seconds of each query's most recent run
+    * (trigger-ordered). `stream_s` alone can't distinguish first-batch
+    * JIT/spin-up from steady-state per-batch rate — and the latter is
+    * the scale-relevant number (a 100 TB ingest pays spin-up once and
+    * the per-batch rate forever). Recorded via a scoped
+    * StreamingQueryListener: batch durations come from the engine's own
+    * StreamingQueryProgress, so foreachBatch sinks and memory sinks
+    * report identically.
+    */
+  val streamBatchSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+
   private def timedStream[T](name: String)(body: => T): T = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val durations =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val terminated = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        started.incrementAndGet()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        durations.add(e.progress.batchDuration / 1000.0)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        terminated.incrementAndGet()
+    }
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    session.foreach(_.streams.addListener(listener))
     val t0 = System.nanoTime()
     try body
-    finally streamPhaseSecs.put(name, (System.nanoTime() - t0) / 1e9)
+    finally {
+      streamPhaseSecs.put(name, (System.nanoTime() - t0) / 1e9)
+      // listener events ride an async bus: the terminated event is
+      // ordered AFTER every progress event of its query, so once the
+      // terminated count catches the started count all batch durations
+      // have landed (bounded wait — an artifact field must never hang
+      // the bench)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (terminated.get() < started.get() &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+      session.foreach(_.streams.removeListener(listener))
+      import scala.jdk.CollectionConverters._
+      streamBatchSecs.put(name,
+        durations.iterator().asScala.map(_.doubleValue).toSeq)
+    }
   }
 
   /** Watermarked hourly tumbling windows, streaming execution; same
