@@ -671,13 +671,30 @@ object PipelineQueries {
     * md5-derived value in [−1, 1]) — the offline stand-in for a model
     * encoder, chosen because it is replayable in ANSI SQL, so the
     * WHOLE chain (chunk grid, embedding arithmetic, cosine ranking)
-    * hash-checks instead of hiding behind a recall gate. Scale shape:
-    * chunk+embed is one generate + one projection (no shuffle); the
-    * query side is 3 broadcast rows; ranking shuffles (query_id,
-    * doc_id, chunk_idx, cosine) only. Ranked on the ROUNDED cosine
-    * with (doc_id, chunk_idx) tie-break so engine ulps can't reorder.
+    * hash-checks instead of hiding behind a recall gate.
+    *
+    * Scale shape: chunk+embed is one generate + one projection (no
+    * shuffle). Retrieval is the [[Similarity.knnGraph]] blocked route
+    * with the QUERIES as kernel rows: corpus chunks pack into
+    * id-sorted block rows once, each query row meets each block in a
+    * join on the (B+3)-row key table, and the fused
+    * [[graft.functions.TopKNeighborsAgainst]] kernel selects the
+    * per-block top-5 inside one projection — nQueries×B kernel rows,
+    * never the corpus×queries row expansion, and the merge window
+    * ranks ≤(B+3)×5 id-sized candidates per query instead of
+    * funneling every scored corpus row into nQueries partitions.
+    * Own-document exclusion is by CONSTRUCTION (the
+    * [[Similarity.hardNegatives]] key idiom): each query doc's chunks
+    * pack under their own key, which that query never joins — so no
+    * per-candidate filter can eat into a block's top-k. Ranked on the
+    * EXACT cosine with encoded-id tie-break (= (doc_id, chunk_idx)
+    * lexicographic — the packing is monotonic), the kernel's own
+    * insertion order, mirrored by the oracle ([[Similarity.knnGraph]]
+    * established raw-cosine rank parity with DuckDB on these
+    * fixtures); output rounds for display.
     */
   def pipelineRag(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExpressions.topKNeighborsAgainst
     val stride = 48; val chunk = 64; val dim = 8
     val chunks = Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_toks"))
@@ -700,17 +717,52 @@ object PipelineQueries {
       .select(col("doc_id"), col("chunk_idx"), col("vec"))
     val q = emb.filter(col("doc_id") < 3 && col("chunk_idx") === 0)
       .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+    // (doc_id, chunk_idx) packed into one long, monotonic in the pair
+    // (chunk_idx < 2^20 ⇔ docs under ~50M tokens — far past any real
+    // document), so the kernel's id-asc tie-break IS the (doc_id,
+    // chunk_idx) tie-break and decode is a shift + mask.
+    val b = s.sessionState.conf.numShufflePartitions
+    val packed = emb.select(
+        when(col("doc_id") < 3, col("doc_id")).otherwise(lit(-1L))
+          .as("_excl"),
+        when(col("doc_id") < 3, lit(0L))
+          .otherwise(pmod(xxhash64(col("doc_id"), col("chunk_idx")),
+            lit(b.toLong))).as("_blk"),
+        (col("doc_id") * lit(1048576L) + col("chunk_idx")).as("_cid"),
+        col("vec"))
+      .groupBy(col("_excl"), col("_blk"))
+      .agg(sort_array(collect_list(
+        struct(col("_cid").as("id"), col("vec").as("v")))).as("_p"))
+      .select(col("_excl"), col("_blk"),
+        transform(col("_p"), st => struct(
+          st("id").as("id"), st("v").as("v"),
+          sqrt(aggregate(st("v"), lit(0.0d),
+            (acc, x) => acc + x * x)).as("nrm"))).as("_block"))
+    val keys = packed.select(col("_excl"), col("_blk"))
+    // the (query × block-key) side is nQueries×(B+3) skinny rows —
+    // broadcast it EXPLICITLY so the packed corpus streams through the
+    // join without ever re-shuffling its vector blocks (static stats
+    // over-estimate the filtered query side and would sort-merge)
+    val cand = broadcast(q.crossJoin(broadcast(keys))
+        .filter(col("_excl") =!= col("query_id")))
+      .join(packed, Seq("_excl", "_blk"))
+      .select(col("query_id"),
+        // selfId −1: no encoded cid is negative, and own-doc exclusion
+        // already happened at the key level
+        topKNeighborsAgainst(col("qvec"), lit(-1L), col("_block"), 5)
+          .as("_c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_idx"))
-    emb.crossJoin(broadcast(q))
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("cosine",
-        round(Similarity.cosine(col("vec"), col("qvec")), 6))
+      .orderBy(col("cosine").desc, col("_cid"))
+    cand.select(col("query_id"), explode(col("_c")).as("e"))
+      .select(col("query_id"), col("e.neighbor").as("_cid"),
+        col("e.cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("chunk_idx"), col("cosine"))
+      .select(col("query_id"), col("rank"),
+        shiftright(col("_cid"), 20).as("doc_id"),
+        col("_cid").bitwiseAND(lit(1048575L)).cast("int").as("chunk_idx"),
+        round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -2000,14 +2052,13 @@ object PipelineQueries {
          q AS (SELECT doc_id AS query_id, vec AS qvec FROM e
                WHERE doc_id < 3 AND chunk_idx = 0),
          sc AS (SELECT q.query_id, e.doc_id, e.chunk_idx,
-                       round(list_cosine_similarity(e.vec, q.qvec), 6)
-                         AS cosine
+                       list_cosine_similarity(e.vec, q.qvec) AS cos
                 FROM e CROSS JOIN q WHERE e.doc_id <> q.query_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, doc_id, chunk_idx) AS rank
+                 ORDER BY cos DESC, doc_id, chunk_idx) AS rank
                FROM sc)
          SELECT query_id, CAST(rank AS INT) AS rank, doc_id, chunk_idx,
-                cosine
+                round(cos, 6) AS cosine
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     // DSIR replayed bucket-for-bucket: word bigrams, md5-prefix bucket
     // hash (first 8 hex chars as an int, mod B — identical arithmetic

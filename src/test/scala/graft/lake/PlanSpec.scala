@@ -158,6 +158,34 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("rag retrieval: fused kernel scores; only the corpus pack moves " +
+      "vectors — ranking exchanges are id-sized") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = graft.queries.PipelineQueries.pipelineRag(s, sf)
+        .queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("topkneighborsagainst"),
+        "retrieval must score through the fused top-k kernel")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // exchanges allowed to carry array payloads: the ONE corpus pack
+      // aggregate (its partial rows hold the collect_list buffer). The
+      // kernel join rides a broadcast of the skinny query×key side, and
+      // everything after the kernel — merge explode, ranking window,
+      // final sort — must move (query_id, cid, cosine)-sized rows only:
+      // an array on any of those re-ships corpus vectors at 100 TB.
+      val arrayCarrying = shuffles.filter(_.output.exists(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      assert(arrayCarrying.size <= 1,
+        s"${arrayCarrying.size} exchanges carry arrays:\n" +
+          arrayCarrying.map(_.simpleStringWithNodeId()).mkString("\n"))
+      assert(shuffles.forall(!_.output.exists(_.name == "qvec")),
+        "query vectors must ride the broadcast, never a shuffle")
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("temperature sampling never shuffles the corpus") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val conf = s.conf
