@@ -166,6 +166,81 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
 
+  /** Iterative BPE tokenizer TRAINING — [[bpePairCounts]] looped into
+    * the real algorithm (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): `rounds`
+    * deterministic merge rounds, each counting adjacent-symbol pairs
+    * weighted by word frequency, picking the top pair by (count desc,
+    * pair asc), and merging its non-overlapping occurrences
+    * left-to-right in every word. Returns the merge table
+    * (merge_round, lhs, rhs, n) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus collapses ONCE to the weighted
+    * vocabulary ((word, count) — the dictionary real BPE trainers
+    * iterate on), checkpointed so no round re-reads the corpus. Each
+    * round is two vocabulary-bounded exchanges: the pair count
+    * (map-side combinable (lhs, rhs, partial)) and a TakeOrdered(1)
+    * argmax; the round's pick is the only driver-side collect — ONE
+    * row, metadata-sized by contract (the [[Similarity.kmeansTrain]]
+    * idiom).
+    *
+    * Cross-engine determinism: a word's segmentation is encoded as a
+    * U+0001-wrapped string (each symbol as ␁sym␁, concatenated), so a
+    * merge is a LITERAL string replace of ␁lhs␁␁rhs␁ with ␁lhs·rhs␁ —
+    * left-to-right non-overlapping in Spark and DuckDB alike, with
+    * the double separator making symbol boundaries unambiguous (a
+    * pair can never match across or inside another symbol). Words
+    * containing the separator are excluded from training (documented
+    * contract; U+0001 does not occur in text).
+    */
+  def bpeTrain(df: DataFrame, rounds: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, "bpeTrain: rounds must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sep = "\u0001"
+    val enc = concat_ws("", transform(
+      sequence(lit(1), length(col("w"))),
+      i => concat(lit(sep), col("w").substr(i, lit(1)), lit(sep))))
+    var vocab = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(!col("w").contains(sep))
+      .groupBy(col("w")).agg(count(lit(1)).as("weight"))
+      .select(enc.as("s"), col("weight"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = split(trim(col("s"), sep), sep + sep)
+      val top = vocab
+        .select(col("weight"), syms.as("_syms"))
+        .filter(size(col("_syms")) >= 2)
+        .select(col("weight"), explode(expr(
+          """transform(sequence(1, size(_syms) - 1),
+             i -> struct(element_at(_syms, i) as lhs,
+                         element_at(_syms, i + 1) as rhs))""")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("weight")).cast("long").as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, l, rt, n))
+        // literal (non-regex) replace: ␁lhs␁␁rhs␁ → ␁lhs·rhs␁ —
+        // left-to-right, non-overlapping, identical in both engines
+        vocab = vocab.withColumn("s", replace(col("s"),
+          lit(sep + l + sep + sep + rt + sep), lit(sep + l + rt + sep)))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "n")
+  }
+
   /** Word n-grams WITH duplicates (the repetition metrics need
     * multiplicities; [[Dedup.shingles]] dedups). Same shifted-zip_with
     * shape and same short-text convention: fewer than n words collapse

@@ -608,6 +608,18 @@ object PipelineQueries {
   def textBpePairs(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bpePairCounts(Tables.documents(s, d))
 
+  /** Iterative BPE tokenizer TRAINING: 6 deterministic merge rounds
+    * over the weighted corpus vocabulary ([[TextAnalysis.bpeTrain]]) —
+    * the merge table a tokenizer ships. The oracle unrolls all 6
+    * rounds (count → argmax → literal-replace merge → recount) in one
+    * CTE chain, so a drift in ANY round's pick or merge breaks the
+    * hash — the [[GraphOps.labelPropagation]] unrolled-iteration
+    * stance.
+    */
+  def textBpeTrain(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables.documents(s, d), rounds = 6)
+      .orderBy("merge_round")
+
   /** The same decontamination answered through the Bloom-sketch probe:
     * must produce EXACTLY the exact-set answer (the sketch is sized so
     * false positives are ~1e-12 on this corpus — the oracle is the same
@@ -1009,25 +1021,45 @@ object PipelineQueries {
     * (`pipeline_pretrain`): documents arrive as a STREAM and are
     * near-dup-suppressed at the door (the chain's head is
     * stream_dedup_ingest's kept table — per-batch LSH probe of the
-    * persisted index), then quality-scored and gated, admitted
-    * best-first under a per-lang token budget, and laid out as packed
-    * training sequences (shard / start offset / sequence span). Every
-    * stage is oracled on its own elsewhere; this row set pins their
-    * COMPOSITION — ingest → curate → mix → shape — against one SQL
-    * replay, so a column-contract or ordering drift between stages
-    * cannot hide behind individually-green pieces.
+    * persisted index), then quality-scored and gated, DSIR-ranked
+    * against the curated top-quality slice (the published pretraining
+    * recipe: mid-quality candidates are admitted only if their
+    * hashed-bigram distribution RESEMBLES the hand-curated set —
+    * [[Sampling.dsirSelect]], Xie et al. 2023), admitted best-first
+    * under a per-lang token budget, and laid out as packed training
+    * sequences (shard / start offset / sequence span). Every stage is
+    * oracled on its own elsewhere; this row set pins their
+    * COMPOSITION — ingest → curate → resample → mix → shape — against
+    * one SQL replay, so a column-contract or ordering drift between
+    * stages cannot hide behind individually-green pieces.
     */
   def pipelinePretrain(s: SparkSession, d: String): DataFrame = {
     val kept = StreamQueries.dedupIngestKept(s, d)
-    // text is consumed AT THE SCAN (scoring + token counting) and
-    // dropped before the mix: the budget's boundary window and the pack
-    // shuffle both move narrow (id, stratum, tokens, quality) rows
-    // only — at corpus scale the chain never exchanges document bodies.
+    // text is consumed AT THE SCAN (scoring + token counting + DSIR
+    // gram hashing) and dropped before the mix: the DSIR exchanges
+    // carry (bucket, count) and (doc_id, score) rows, the budget's
+    // boundary window and the pack shuffle move narrow (id, stratum,
+    // tokens, quality) rows only — at corpus scale the chain never
+    // exchanges document bodies.
     val scored = TextAnalysis.qualityScore(kept)
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
     val gated = scored.filter(col("quality_score") >= 0.5)
+    // DSIR stage: target = the curated top-quality slice (≥ 0.8), in
+    // unconditionally; candidates (0.5 ≤ q < 0.8) enter the budget
+    // pool only if they rank in the top-150 by hashed-bigram
+    // importance against that target. The selection itself is
+    // TakeOrdered over (doc_id, score) rows; membership joins back by
+    // a broadcast semi-join, so the corpus (and its text) never
+    // shuffles for this stage.
+    val curated = gated.filter(col("quality_score") >= 0.8)
       .select("doc_id", "lang", "n_tokens", "quality_score")
-    val admitted = Sampling.tokenBudgetMix(gated, budgetTokens = 4000L)
+    val resembling = Sampling.dsirSelect(gated,
+        targetFilter = col("quality_score") >= 0.8, n = 150)
+      .select("doc_id")
+    val pool = curated.unionByName(gated
+      .join(broadcast(resembling), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_tokens", "quality_score"))
+    val admitted = Sampling.tokenBudgetMix(pool, budgetTokens = 4000L)
     Packing.packCounts(admitted, col("n_tokens"),
         carryCols = Seq("lang", "quality_score"))
       .select(col("doc_id"), col("lang"), col("quality_score"),
@@ -1115,6 +1147,7 @@ object PipelineQueries {
     "text_decontaminate"   -> textDecontaminate _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_bpe_pairs"       -> textBpePairs _,
+    "text_bpe_train"       -> textBpeTrain _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "embedding_kmeans"     -> embeddingKmeans _,
     "dedup_cross_corpus"   -> dedupCrossCorpus _,
@@ -1175,6 +1208,57 @@ object PipelineQueries {
        SELECT g.doc_id, count(*) AS n_shared
        FROM g JOIN bench USING (gram) WHERE g.bucket < 80
        GROUP BY g.doc_id ORDER BY g.doc_id"""
+
+  /** The BPE training loop unrolled: per round r, y_r decodes the
+    * separator-wrapped segmentation strings, p_r counts weighted
+    * adjacent pairs, b_r picks the (count desc, pair asc) argmax, e_r
+    * applies the LITERAL replace merge — byte-identical mechanics to
+    * [[graft.pipeline.TextAnalysis.bpeTrain]] (same chr(1) encoding,
+    * same left-to-right non-overlapping replace). Generated, not
+    * hand-unrolled, so the round template cannot drift between rounds.
+    */
+  private val BpeTrainOracle: String = {
+    val rounds = 6
+    val header =
+      """WITH wt AS (
+           SELECT w, count(*) AS weight FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS w
+             FROM documents)
+           WHERE length(w) >= 1 AND NOT contains(w, chr(1))
+           GROUP BY w),
+         e0 AS (
+           SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                    i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(1)),
+                  '') AS s,
+                  weight
+           FROM wt)"""
+    val steps = (1 to rounds).map { r =>
+      val merge = if (r < rounds) s""",
+         e$r AS (SELECT replace(e${r - 1}.s,
+                   chr(1) || b$r.lhs || chr(1) || chr(1) || b$r.rhs || chr(1),
+                   chr(1) || b$r.lhs || b$r.rhs || chr(1)) AS s,
+                   e${r - 1}.weight
+                 FROM e${r - 1} CROSS JOIN b$r)""" else ""
+      s""",
+         y$r AS (SELECT weight,
+                   string_split(trim(s, chr(1)), chr(1) || chr(1)) AS syms
+                 FROM e${r - 1}),
+         p$r AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+                   CAST(sum(weight) AS BIGINT) AS n
+                 FROM (SELECT weight,
+                         unnest(list_transform(range(1, len(syms)),
+                           i -> {'lhs': syms[i], 'rhs': syms[i + 1]})) AS pr
+                       FROM y$r)
+                 GROUP BY 1, 2),
+         b$r AS (SELECT lhs, rhs, n FROM p$r
+                 ORDER BY n DESC, lhs, rhs LIMIT 1)$merge"""
+    }.mkString
+    val sel = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INT) AS merge_round, lhs, rhs, n FROM b$r")
+      .mkString("\n         UNION ALL ")
+    s"$header$steps\n         $sel ORDER BY merge_round"
+  }
 
   private val SimTopKOracle =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
@@ -2479,10 +2563,12 @@ object PipelineQueries {
          FROM mixed GROUP BY 1, 2 ORDER BY lang, source""",
     // The full chain replayed: the ingest-dedup waves' kept set (same
     // CTEs as stream_dedup_ingest), quality-scored (same arithmetic as
-    // text_quality / stream_token_budget), gated at 0.5, flat-greedy
-    // token budget per lang (cum over quality desc, id — the level
-    // decomposition's exact flat equivalent), then the pack layout
-    // (same md5-shard + prefix-sum arithmetic as pack_sequences).
+    // text_quality / stream_token_budget), gated at 0.5, DSIR-resampled
+    // (same bucket/smoothing CTEs as sample_dsir — target = the >= 0.8
+    // curated slice, candidates keep only the top-150 by importance),
+    // flat-greedy token budget per lang (cum over quality desc, id —
+    // the level decomposition's exact flat equivalent), then the pack
+    // layout (same md5-shard + prefix-sum arithmetic as pack_sequences).
     "pipeline_pretrain" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
@@ -2541,10 +2627,46 @@ object PipelineQueries {
              AS quality_score
            FROM kept),
          g AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         bk AS (SELECT bi.doc_id, bi.is_t,
+                  CAST(('0x' || substr(md5(bi.gram), 1, 8)) AS BIGINT)
+                    % 1024 AS bkt
+                FROM (
+                  SELECT k.doc_id, g2.quality_score >= 0.8 AS is_t,
+                         unnest(list_transform(range(1, len(
+                             string_split_regex(trim(lower(k.text)),
+                               '\s+'))),
+                           i -> string_split_regex(trim(lower(k.text)),
+                                  '\s+')[i] || ' ' ||
+                                string_split_regex(trim(lower(k.text)),
+                                  '\s+')[i + 1])) AS gram
+                  FROM kept k JOIN g g2 USING (doc_id)) bi),
+         dtc AS (SELECT bkt, count(*) AS tc FROM bk WHERE is_t
+                 GROUP BY bkt),
+         drc AS (SELECT bkt, count(*) AS rc FROM bk WHERE NOT is_t
+                 GROUP BY bkt),
+         dtt AS (SELECT count(*) AS t FROM bk WHERE is_t),
+         drt AS (SELECT count(*) AS r FROM bk WHERE NOT is_t),
+         dlam AS (SELECT drc.bkt,
+                    ln((coalesce(dtc.tc, 0) + 1.0) / (dtt.t + 1024)) -
+                    ln((drc.rc + 1.0) / (drt.r + 1024)) AS lam
+                  FROM drc LEFT JOIN dtc USING (bkt)
+                  CROSS JOIN dtt CROSS JOIN drt),
+         dsc AS (SELECT bk.doc_id, round(sum(dlam.lam), 6) AS score
+                 FROM bk JOIN dlam USING (bkt) WHERE NOT bk.is_t
+                 GROUP BY bk.doc_id),
+         dsel AS (SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER
+                      (ORDER BY score DESC, doc_id) AS rk
+                    FROM dsc)
+                  WHERE rk <= 150),
+         pool AS (SELECT * FROM g WHERE quality_score >= 0.8
+                  UNION ALL
+                  SELECT g.* FROM g JOIN dsel USING (doc_id)
+                  WHERE g.quality_score < 0.8),
          r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
                  ORDER BY quality_score DESC, doc_id
                  ROWS UNBOUNDED PRECEDING) AS cum
-               FROM g),
+               FROM pool),
          a AS (SELECT * FROM r WHERE cum <= 4000),
          t AS (SELECT doc_id, lang, quality_score, n_tokens,
                  CAST(('0x' || substr(md5('pack:' ||
@@ -2623,6 +2745,7 @@ object PipelineQueries {
            FROM w WHERE length(w) >= 2)
          SELECT pair, count(*) AS n
          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""",
+    "text_bpe_train" -> BpeTrainOracle,
     "embedding_centroid_assign" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
                     FROM embeddings WHERE vec_id < 8)

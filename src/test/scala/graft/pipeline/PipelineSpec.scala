@@ -1167,6 +1167,24 @@ class PipelineSpec extends AnyFunSuite {
       s"isolated seed dropped or unlabeled: $out")
   }
 
+  test("BPE training: frequency weighting, left-to-right non-overlap, " +
+      "lexicographic tie-break, early exhaustion") {
+    val spark = s
+    import spark.implicits._
+    // vocabulary: aaa ×1, bc ×2, ab ×3
+    val docs = Seq((1L, "aaa bc bc"), (2L, "ab ab ab"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, rounds = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, "a", "b", 3L),   // weighted by word frequency, not distinct words
+      (2, "a", "a", 2L),   // tie with (b,c) at 2 breaks lexicographically
+      (3, "b", "c", 2L),   // aaa merged ONCE (non-overlapping): [aa, a]
+      (4, "aa", "a", 1L)), // the merged symbol pairs with the remainder
+      s"merge table diverged: ${out.toSeq}")
+    // round 5 finds no pairs left — the loop must stop, not emit junk
+  }
+
   test("DSIR: an empty target corpus degenerates to the uniform prior " +
       "instead of nulling every score") {
     val spark = s
