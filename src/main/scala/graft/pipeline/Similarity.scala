@@ -920,7 +920,12 @@ object Similarity {
       .toDF("nlist", "nprobe", "n_queries", "k", "recall_ok")
   }
 
-  private def assignCells(centroids: Array[(Int, Array[Double])],
+  /** L2 nearest-centroid assignment (ties to the lowest cell) — the
+    * index's own layout rule, shared by the build/refresh paths and the
+    * streaming semantic-dedup ingest (which must assign batches exactly
+    * the way the index it probes was laid out).
+    */
+  private[graft] def assignCells(centroids: Array[(Int, Array[Double])],
       vecCol: String, idCol: String)(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._

@@ -435,6 +435,32 @@ object StreamQueries {
   def dedupIngestKept(s: SparkSession, d: String): DataFrame =
     graft.lake.LakeTable.forLocation(s, dedupIngestLoc(s, d)).read()
 
+  /** Build a file-stream dir of ordered arrival waves: each frame lands
+    * as one parquet file whose mtime pins its trigger order (the file
+    * source batches by modification time — write-timing alone is a
+    * race).
+    */
+  private def buildWavesDir(prefix: String, frames: Seq[DataFrame])
+      : String = {
+    val waves = java.nio.file.Files.createTempDirectory(prefix)
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"$prefix$i-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = waves.resolve(s"wave-${i + 1}.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (frames.size - i) * 60000L))
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    waves.toString
+  }
+
   private val annIngestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val vecWavesCache =
@@ -527,6 +553,90 @@ object StreamQueries {
         lit(idx.table.get.properties("graft.test.ids_exact").toBoolean)
           .as("ids_exact"),
         (col("_n_hits") * lit(2L) >= col("_n_exact")).as("recall_ge_05"))
+  }
+
+  private val semDedupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val semWavesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A jittered near-twin of each embedding (the `dedup_semantic`
+    * planted-pair idiom: cosine ≈ 0.999 at step 0.01) — FLOAT
+    * arithmetic end-to-end so the oracle replays the jitter
+    * bit-for-bit.
+    */
+  private def twin(emb: DataFrame, idOffset: Long, step: Float): DataFrame =
+    emb.select((col("vec_id") + lit(idOffset)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0f) + pmod(i, lit(5)).cast("float") * lit(step)))
+        .as("embedding"))
+
+  /** Arrival waves for the semantic-dedup ingest: wave 1 = the odd-id
+    * originals (novel — admitted) plus twins of the SEEDED even half
+    * (dominated by the index state); wave 2 = two jitter generations
+    * of the odd half (dominated by wave 1's admissions — the
+    * cross-batch rule — or, where a twin pair lands in a cell away
+    * from its original, by the smaller-id batch-mate rule).
+    */
+  private def semWavesDir(s: SparkSession, d: String): String =
+    semWavesCache.computeIfAbsent(d, _ => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val w1 = emb.filter(col("vec_id") % 2 === 1)
+        .unionByName(twin(emb.filter(col("vec_id") % 2 === 0),
+          10000000L, 0.01f))
+      val w2 = twin(emb.filter(col("vec_id") % 2 === 1), 10000000L, 0.01f)
+        .unionByName(twin(emb.filter(col("vec_id") % 2 === 1),
+          20000000L, 0.02f))
+      buildWavesDir("graft-semw-", Seq(w1, w2))
+    })
+
+  /** Streaming SEMANTIC dedup at ingest — the cosine mirror of
+    * [[streamDedupIngest]]'s syntactic suppression: the even-id half
+    * seeds a deterministic IVF index (fit is oracle-replayable —
+    * [[graft.pipeline.Similarity.buildIvfDeterministic]]); the waves
+    * then stream through
+    * [[graft.streaming.StreamIngest.semanticDedupIngestAvailable]],
+    * each batch assigned to existing cells and admitted only if no
+    * already-admitted same-cell vector (seed or earlier batch) nor a
+    * smaller-id same-cell batch-mate dominates it at rounded cosine
+    * ≥ 0.98. The oracle replays the ENTIRE flow — md5-seeded 2-round
+    * Lloyd fit, L2 cell assignment, and the greedy wave dominance — so
+    * the quantizer, the geometry, the keep-first policy, and the
+    * index-state round-trip are all hash-checked.
+    */
+  def streamSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val loc = semDedupCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-semdedup-")
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val idxLoc = base.resolve("index").toString
+      graft.pipeline.Similarity.persistIvf(
+        graft.pipeline.Similarity.buildIvfDeterministic(
+          emb.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 2),
+        idxLoc)
+      val keptT = graft.lake.LakeTable.create(s,
+        base.resolve("kept").toString,
+        Left(graft.pipeline.Similarity.loadIvf(s, idxLoc)
+          .table.get.read().schema))
+      val waveSchema = s.read.parquet(s"$d/embeddings.parquet")
+        .select("vec_id", "embedding").schema
+      val stream = s.readStream.schema(waveSchema)
+        .option("maxFilesPerTrigger", "1").parquet(semWavesDir(s, d))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val batches = timedStream("stream_semantic_dedup") {
+        graft.streaming.StreamIngest.semanticDedupIngestAvailable(
+          stream, idxLoc, keptT, cosineThreshold = 0.98,
+          "vec_sem_dedup", base.resolve("ckpt").toString)
+      }
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      base.resolve("kept").toString
+    })
+    graft.lake.LakeTable.forLocation(s, loc).read()
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
   }
 
   private val budgetIngestCache =
@@ -672,6 +782,7 @@ object StreamQueries {
     dedupStreamDir(d)
     ijoinStreamDir(s, d)
     docWavesDir(s, d)
+    semWavesDir(s, d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -687,7 +798,8 @@ object StreamQueries {
     "stream_interval_join_outer" -> streamIntervalJoinOuter _,
     "stream_dedup_ingest" -> streamDedupIngest _,
     "stream_token_budget" -> streamTokenBudget _,
-    "stream_ann_ingest" -> streamAnnIngest _
+    "stream_ann_ingest" -> streamAnnIngest _,
+    "stream_semantic_dedup" -> streamSemanticDedup _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -701,6 +813,103 @@ object StreamQueries {
                 CAST(1 AS BOOLEAN) AS ids_exact,
                 CAST(1 AS BOOLEAN) AS recall_ge_05
          FROM embeddings""",
+    // The ENTIRE semantic-dedup ingest replayed: md5-seeded 2-round
+    // cosine-Lloyd quantizer fit on the even half (the sim_topk_ivf
+    // CTEs), float-jittered twins (the dedup_semantic CTE), L2 cell
+    // assignment of seed state and both waves, then the greedy wave
+    // dominance — dropped iff an admitted same-cell vector (seed or
+    // wave-1 admission) or a smaller-id same-cell wave-mate sits at
+    // rounded cosine >= 0.98.
+    "stream_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sv AS (SELECT vec_id, v FROM v WHERE vec_id % 2 = 0),
+         seed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                  FROM sv ORDER BY h, vec_id LIMIT 16),
+         init AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                    AS INT) AS cell, v FROM seed),
+         s1 AS (SELECT a.vec_id, a.v, i.cell,
+                       list_cosine_similarity(a.v, i.v) AS sim
+                FROM sv a CROSS JOIN init i),
+         a1 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s1)
+                WHERE rn = 1),
+         u1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a1)
+                GROUP BY cell, pos),
+         c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u1
+                GROUP BY cell),
+         s2 AS (SELECT a.vec_id, a.v, c.cell,
+                       list_cosine_similarity(a.v, c.v) AS sim
+                FROM sv a CROSS JOIN c1 c),
+         a2 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s2)
+                WHERE rn = 1),
+         u2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a2)
+                GROUP BY cell, pos),
+         c2 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u2
+                GROUP BY cell),
+         tw1 AS (SELECT vec_id + 10000000 AS vec_id,
+                        (list_transform(range(1, len(embedding) + 1),
+                          i -> embedding[i] *
+                            CAST(1.0 + ((i - 1) % 5) * 0.01 AS FLOAT)))
+                          ::DOUBLE[] AS v
+                 FROM embeddings),
+         tw2 AS (SELECT vec_id + 20000000 AS vec_id,
+                        (list_transform(range(1, len(embedding) + 1),
+                          i -> embedding[i] *
+                            CAST(1.0 + ((i - 1) % 5) * 0.02 AS FLOAT)))
+                          ::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id % 2 = 1),
+         w1 AS (SELECT vec_id, v FROM v WHERE vec_id % 2 = 1
+                UNION ALL
+                SELECT vec_id, v FROM tw1 WHERE vec_id % 2 = 0),
+         w2 AS (SELECT vec_id, v FROM tw1 WHERE vec_id % 2 = 1
+                UNION ALL
+                SELECT vec_id, v FROM tw2),
+         st0 AS (SELECT vec_id, v, cell FROM
+                  (SELECT a.vec_id, a.v, c.cell,
+                          row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_distance(a.v, c.v), c.cell) AS rn
+                   FROM sv a CROSS JOIN c2 c) WHERE rn = 1),
+         g1 AS (SELECT vec_id, v, cell FROM
+                 (SELECT a.vec_id, a.v, c.cell,
+                         row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY list_distance(a.v, c.v), c.cell) AS rn
+                  FROM w1 a CROSS JOIN c2 c) WHERE rn = 1),
+         g2 AS (SELECT vec_id, v, cell FROM
+                 (SELECT a.vec_id, a.v, c.cell,
+                         row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY list_distance(a.v, c.v), c.cell) AS rn
+                  FROM w2 a CROSS JOIN c2 c) WHERE rn = 1),
+         k1 AS (SELECT a.vec_id, a.v, a.cell FROM g1 a
+                WHERE NOT EXISTS (SELECT 1 FROM st0 s
+                        WHERE s.cell = a.cell
+                          AND round(list_cosine_similarity(a.v, s.v), 6)
+                              >= 0.98)
+                  AND NOT EXISTS (SELECT 1 FROM g1 m
+                        WHERE m.cell = a.cell AND m.vec_id < a.vec_id
+                          AND round(list_cosine_similarity(a.v, m.v), 6)
+                              >= 0.98)),
+         st1 AS (SELECT vec_id, v, cell FROM st0
+                 UNION ALL SELECT vec_id, v, cell FROM k1),
+         k2 AS (SELECT a.vec_id, a.v, a.cell FROM g2 a
+                WHERE NOT EXISTS (SELECT 1 FROM st1 s
+                        WHERE s.cell = a.cell
+                          AND round(list_cosine_similarity(a.v, s.v), 6)
+                              >= 0.98)
+                  AND NOT EXISTS (SELECT 1 FROM g2 m
+                        WHERE m.cell = a.cell AND m.vec_id < a.vec_id
+                          AND round(list_cosine_similarity(a.v, m.v), 6)
+                              >= 0.98))
+         SELECT vec_id, cell FROM k1
+         UNION ALL SELECT vec_id, cell FROM k2
+         ORDER BY vec_id""",
     // every event arrives twice in the stream; the oracle is the plain
     // table — exactly-once or the row counts diverge
     "stream_dedup" ->

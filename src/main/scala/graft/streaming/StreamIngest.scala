@@ -186,6 +186,102 @@ object StreamIngest {
     committed
   }
 
+  /** Streaming SEMANTIC dedup at ingest — the cosine mirror of
+    * [[dedupIngestAvailable]]'s syntactic LSH suppression, composing
+    * the persisted ANN index ([[annIngestAvailable]]'s state) with
+    * [[graft.pipeline.Dedup.semanticDedup]]'s cell-scoped dominance
+    * rule: each micro-batch is assigned to its nearest EXISTING
+    * centroid (L2 — the index's own layout rule, so probes and state
+    * share one geometry), and a vector is dropped iff an
+    * already-ADMITTED same-cell vector (seed index or any earlier
+    * batch) or a smaller-id same-cell batch-mate dominates it at
+    * rounded cosine ≥ `cosineThreshold`. Survivors append to the
+    * cell-partitioned index table (they are the state later batches
+    * probe) and to `kept`, both batch-stamped.
+    *
+    * Scale shape: the state probe reads ONLY the batch's cells —
+    * `read(cell IN …)` prunes index FILES by partition, so a batch
+    * touching few cells never scans the rest of a 100 TB index; the
+    * mate check is the [[graft.pipeline.Dedup.semanticDedup]]
+    * cell-bounded self-join over the batch alone. The cell list is the
+    * one driver-side collect — ≤ nlist rows, metadata-sized by
+    * contract.
+    *
+    * Crash consistency: the two appends are not one atomic commit, but
+    * a replayed batch is safe end-to-end — the state probe excludes
+    * same-id rows, and no batch-mate the original run ADMITTED can
+    * dominate another admitted mate (if it did, the mate rule would
+    * have dropped the larger id), so a replay that finds its own rows
+    * already indexed reproduces the identical kept set; each append is
+    * then skipped or taken independently by its own table's stamp.
+    */
+  def semanticDedupIngestAvailable(stream: DataFrame, indexLoc: String,
+      kept: LakeTable, cosineThreshold: Double, queryName: String,
+      checkpointDir: String, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Long = {
+    import org.apache.spark.sql.functions.{col, round}
+    import graft.pipeline.Similarity
+    import graft.functions.VectorExpressions.cosineNative
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(kept, queryName)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val idx = Similarity.loadIvf(spark, indexLoc)
+          // one materialization feeds the probe, the mate join, and
+          // both appends — the assignment must not re-plan per consumer
+          val assigned = batch.select(col(idCol), col(vecCol))
+            .transform(Similarity.assignCells(idx.centroids, vecCol, idCol))
+            .localCheckpoint(true)
+          val cells = assigned.select(col("cell")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val state = idx.table.get
+            .read(col("cell").isin(cells: _*))
+            .select(col("cell"), col(idCol).as("_sid"),
+              col(vecCol).as("_sv"))
+          val byState = assigned.join(state, Seq("cell"))
+            // self-exclusion: a REPLAYED batch finds its own admitted
+            // rows in the state; without this, every one of them would
+            // dominate itself (cosine 1) and the replay would emit an
+            // empty kept set instead of the original one
+            .filter(col("_sid") =!= col(idCol))
+            .filter(round(cosineNative(col(vecCol), col("_sv")), 6)
+              >= cosineThreshold)
+            .select(col(idCol))
+          val a = assigned.select(col(idCol).as("_id_a"), col("cell"),
+            col(vecCol).as("_va"))
+          val b = assigned.select(col(idCol).as("_id_b"), col("cell"),
+            col(vecCol).as("_vb"))
+          val byMate = a.join(b, Seq("cell"))
+            .filter(col("_id_a") < col("_id_b"))
+            .filter(round(cosineNative(col("_va"), col("_vb")), 6)
+              >= cosineThreshold)
+            .select(col("_id_b").as(idCol))
+          val keptRows = assigned
+            .join(byState.union(byMate).distinct(), Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          val idxTable = idx.table.get
+          if (!committedBatches(idxTable, queryName).contains(batchId))
+            idxTable.append(
+              keptRows.repartition(col("cell")),
+              summary = Map(BatchStamp -> stamp(queryName, batchId)))
+          if (!seen.contains(batchId)) {
+            kept.append(keptRows,
+              summary = Map(BatchStamp -> stamp(queryName, batchId)))
+            seen += batchId
+            committed += 1
+          }
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Summary key carrying a batch's admitted-token deltas per stratum
     * (`en:123|fr:45`) on budget-ingest snapshots. The running totals
     * are the FOLD of these deltas over the snapshot chain — pure

@@ -457,4 +457,79 @@ class StreamingSpec extends AnyFunSuite {
       StreamIngest.parseDelta("en3")
     }
   }
+
+  test("semantic dedup ingest: cross-batch suppression, index round-trip, " +
+      "and a half-committed replay reproduces the original kept set") {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("semdedup-test-")
+    // 24 well-separated 24-dim originals (own hot axis each — pairwise
+    // cosine ≈ 0.34, far under the 0.98 bar); twins are colinear scalar
+    // multiples (cosine exactly 1)
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(24)(j => if (j == i.toInt) 10.0 else 1.0)
+    val all = (0L until 24L).map(i => (i, vec(i)))
+    // parquet round-trip: the index schema must carry the same
+    // element-nullability as the parquet-backed stream it will ingest
+    all.toDF("vec_id", "embedding").write
+      .parquet(base.resolve("emb").toString)
+    val emb = s.read.parquet(base.resolve("emb").toString)
+    val idxLoc = base.resolve("index").toString
+    graft.pipeline.Similarity.persistIvf(
+      graft.pipeline.Similarity.buildIvfDeterministic(
+        emb.filter(col("vec_id") % 2 === 0), nlist = 4, iters = 1), idxLoc)
+    // wave 1: odd originals + twins of evens (suppressed by the seed);
+    // wave 2: twins of odds (suppressed by wave 1's admissions)
+    def twin(rows: Seq[(Long, Seq[Double])], off: Long) =
+      rows.map { case (i, v) => (i + off, v.map(_ * 1.0001)) }
+    val odd = all.filter(_._1 % 2 == 1)
+    val even = all.filter(_._1 % 2 == 0)
+    val w1 = (odd ++ twin(even, 1000L)).toDF("vec_id", "embedding")
+    val w2 = twin(odd, 1000L).toDF("vec_id", "embedding")
+    val waves = java.nio.file.Files.createTempDirectory("semw-test-")
+    Seq(w1 -> 1, w2 -> 2).foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"semw$i-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = waves.resolve(s"wave-$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (3 - i) * 60000L))
+    }
+    def stream = s.readStream.schema(w1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(waves.toString)
+    val idxT = graft.pipeline.Similarity.loadIvf(s, idxLoc).table.get
+    val seedRows = idxT.read().count()
+    val kept1 = graft.lake.LakeTable.create(s,
+      base.resolve("kept1").toString, Left(idxT.read().schema))
+    val n = StreamIngest.semanticDedupIngestAvailable(stream, idxLoc,
+      kept1, cosineThreshold = 0.98, "sd", base.resolve("c1").toString)
+    assert(n == 2, s"expected 2 micro-batches, got $n")
+    val keptIds = kept1.read().select("vec_id").as[Long].collect().sorted
+    // every odd original admitted, every twin suppressed: twins of evens
+    // by the seeded state, twins of odds by wave 1's admissions (the
+    // cross-batch rule — they are NOT in the seed index)
+    assert(keptIds.toSeq == odd.map(_._1).sorted,
+      s"kept ${keptIds.toSeq}")
+    // admitted rows joined the index state
+    val idxRows = idxT.read().count()
+    assert(idxRows == seedRows + keptIds.length,
+      s"index grew $seedRows -> $idxRows for ${keptIds.length} admissions")
+    // REPLAY with the index already containing the admissions (the
+    // index-committed/kept-uncommitted crash): a fresh checkpoint
+    // replays batch ids 0 and 1 — self-exclusion must reproduce the
+    // SAME kept set into a fresh kept table, and the stamped index
+    // appends must be skipped (no double-indexed vectors)
+    val kept2 = graft.lake.LakeTable.create(s,
+      base.resolve("kept2").toString, Left(idxT.read().schema))
+    val n2 = StreamIngest.semanticDedupIngestAvailable(stream, idxLoc,
+      kept2, cosineThreshold = 0.98, "sd", base.resolve("c2").toString)
+    assert(n2 == 2)
+    assert(kept2.read().select("vec_id").as[Long].collect().sorted.toSeq
+      == keptIds.toSeq, "replay must reproduce the original kept set")
+    assert(idxT.read().count() == idxRows,
+      "stamped index appends must not double-index on replay")
+  }
 }
