@@ -195,18 +195,38 @@ object TextAnalysis {
     */
   def bpeTrain(df: DataFrame, rounds: Int = 6,
       textCol: String = "text"): DataFrame = {
-    require(rounds >= 1, "bpeTrain: rounds must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val sep = "\u0001"
-    val enc = concat_ws("", transform(
-      sequence(lit(1), length(col("w"))),
-      i => concat(lit(sep), col("w").substr(i, lit(1)), lit(sep))))
+    bpeMerges(df, rounds, textCol)
+      .toDF("merge_round", "lhs", "rhs", "n")
+  }
+
+  /** The separator of the BPE segmentation encoding (each symbol rides
+    * as (sep)sym(sep)): U+0001 never occurs in text; words containing
+    * it are excluded from training.
+    */
+  private val BpeSep = "\u0001"
+
+  /** Wrap each character of `w` as (sep)c(sep) — the initial
+    * segmentation.
+    */
+  private def bpeInitEncode(w: Column): Column =
+    concat_ws("", transform(sequence(lit(1), length(w)),
+      i => concat(lit(BpeSep), w.substr(i, lit(1)), lit(BpeSep))))
+
+  /** The trained merge table as driver-side rows (round, lhs, rhs,
+    * count) — ≤`rounds` rows, metadata-sized by contract. See
+    * [[bpeTrain]].
+    */
+  def bpeMerges(df: DataFrame, rounds: Int = 6,
+      textCol: String = "text"): Seq[(Int, String, String, Long)] = {
+    require(rounds >= 1, "bpeTrain: rounds must be >= 1")
+    val sep = BpeSep
     var vocab = df
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(!col("w").contains(sep))
       .groupBy(col("w")).agg(count(lit(1)).as("weight"))
-      .select(enc.as("s"), col("weight"))
+      .select(bpeInitEncode(col("w")).as("s"), col("weight"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -238,7 +258,40 @@ object TextAnalysis {
         r += 1
       }
     }
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "n")
+    merges.toSeq
+  }
+
+  /** APPLY a trained BPE merge table — the tokenizer's encode step,
+    * closing the train → apply loop: per document, every word is
+    * segmented to characters and the `rounds` merges replay IN TRAINING
+    * ORDER (each a literal left-to-right non-overlapping replace — the
+    * exact mechanics the trainer used), yielding the post-merge token
+    * count a packing/budget stage would consume. One explode + one
+    * codegen'd projection (the merge chain folds into `rounds` chained
+    * replaces — merges are plan-shipped constants), then a
+    * map-side-combinable per-doc count aggregate: the corpus never
+    * shuffles, only (id, partial count) rows do.
+    *
+    * Output: (idCol, n_words, n_bpe_tokens). Convention: an empty
+    * text's single empty "word" counts 1 token (the [[tokenCounts]]
+    * stance); a word containing the U+0001 separator encodes
+    * deterministically but meaninglessly — the trainer never produces
+    * merges containing it, so its count degrades to its char count.
+    */
+  def bpeEncode(df: DataFrame, rounds: Int = 6,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sep = BpeSep
+    val encoded = bpeMerges(df, rounds, textCol)
+      .foldLeft(bpeInitEncode(col("_w"))) { case (c, (_, l, r, _)) =>
+        replace(c, lit(sep + l + sep + sep + r + sep),
+          lit(sep + l + r + sep))
+      }
+    df.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("_w"))
+      .select(col(idCol), size(split(trim(encoded, sep), sep + sep)).as("_n"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum(col("_n")).cast("long").as("n_bpe_tokens"))
   }
 
   /** Word n-grams WITH duplicates (the repetition metrics need

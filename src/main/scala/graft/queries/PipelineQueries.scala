@@ -620,6 +620,15 @@ object PipelineQueries {
     TextAnalysis.bpeTrain(Tables.documents(s, d), rounds = 6)
       .orderBy("merge_round")
 
+  /** The tokenizer's ENCODE step over the same 6 trained merges:
+    * per-document post-merge token counts — what a budget/packing
+    * stage consumes once a real tokenizer replaces whitespace counts.
+    * The oracle replays training AND application per word.
+    */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeEncode(Tables.documents(s, d), rounds = 6)
+      .orderBy("doc_id")
+
   /** The same decontamination answered through the Bloom-sketch probe:
     * must produce EXACTLY the exact-set answer (the sketch is sized so
     * false positives are ~1e-12 on this corpus — the oracle is the same
@@ -1148,6 +1157,7 @@ object PipelineQueries {
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_bpe_pairs"       -> textBpePairs _,
     "text_bpe_train"       -> textBpeTrain _,
+    "text_bpe_encode"      -> textBpeEncode _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "embedding_kmeans"     -> embeddingKmeans _,
     "dedup_cross_corpus"   -> dedupCrossCorpus _,
@@ -1217,8 +1227,11 @@ object PipelineQueries {
     * same left-to-right non-overlapping replace). Generated, not
     * hand-unrolled, so the round template cannot drift between rounds.
     */
-  private val BpeTrainOracle: String = {
-    val rounds = 6
+  /** The training CTE chain shared by the train and encode oracles:
+    * defines b1..b`rounds` (each round's argmax pair) and the merged
+    * vocabularies e1..e(`rounds`−1) between them.
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
     val header =
       """WITH wt AS (
            SELECT w, count(*) AS weight FROM (
@@ -1254,10 +1267,49 @@ object PipelineQueries {
          b$r AS (SELECT lhs, rhs, n FROM p$r
                  ORDER BY n DESC, lhs, rhs LIMIT 1)$merge"""
     }.mkString
-    val sel = (1 to rounds)
+    s"$header$steps"
+  }
+
+  private val BpeRounds = 6
+
+  private val BpeTrainOracle: String = {
+    val sel = (1 to BpeRounds)
       .map(r => s"SELECT CAST($r AS INT) AS merge_round, lhs, rhs, n FROM b$r")
       .mkString("\n         UNION ALL ")
-    s"$header$steps\n         $sel ORDER BY merge_round"
+    s"${bpeOracleCtes(BpeRounds)}\n         $sel ORDER BY merge_round"
+  }
+
+  /** The encode oracle replays the merges over each DOCUMENT's words:
+    * de_r applies round r's pick with the same literal replace. LEFT
+    * JOIN ON TRUE + CASE (not CROSS JOIN): a corpus that exhausts its
+    * pairs before round `rounds` leaves the later b_r empty, and the
+    * document chain must pass through unchanged — exactly the Scala
+    * side's fold over the merges actually found.
+    */
+  private val BpeEncodeOracle: String = {
+    val docChain = (1 to BpeRounds).map { r =>
+      s""",
+         de$r AS (SELECT doc_id, CASE WHEN b$r.lhs IS NULL THEN s
+                    ELSE replace(s,
+                      chr(1) || b$r.lhs || chr(1) || chr(1) || b$r.rhs
+                        || chr(1),
+                      chr(1) || b$r.lhs || b$r.rhs || chr(1)) END AS s
+                  FROM de${r - 1} LEFT JOIN b$r ON TRUE)"""
+    }.mkString
+    s"""${bpeOracleCtes(BpeRounds)},
+         dw AS (SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS w
+                FROM documents),
+         de0 AS (SELECT doc_id,
+                   array_to_string(list_transform(range(1, length(w) + 1),
+                     i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(1)),
+                   '') AS s
+                 FROM dw)$docChain
+         SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+                CAST(sum(len(string_split(trim(s, chr(1)),
+                  chr(1) || chr(1)))) AS BIGINT) AS n_bpe_tokens
+         FROM de$BpeRounds GROUP BY doc_id ORDER BY doc_id"""
   }
 
   private val SimTopKOracle =
@@ -2746,6 +2798,7 @@ object PipelineQueries {
          SELECT pair, count(*) AS n
          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""",
     "text_bpe_train" -> BpeTrainOracle,
+    "text_bpe_encode" -> BpeEncodeOracle,
     "embedding_centroid_assign" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
                     FROM embeddings WHERE vec_id < 8)

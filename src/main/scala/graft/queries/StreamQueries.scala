@@ -370,27 +370,9 @@ object StreamQueries {
   private def docWavesDir(s: SparkSession, d: String): String =
     docWavesCache.computeIfAbsent(d, _ => {
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val waves = java.nio.file.Files.createTempDirectory("graft-waves-")
-      def wave(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("wave-")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = waves.resolve(name)
-        java.nio.file.Files.move(part, dst)
-        // the file source batches by modification time: pin the waves'
-        // order explicitly rather than trusting write-timing
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - mtimeOffsetSec * 1000))
-        java.nio.file.Files.walk(tmp)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      wave(docs.filter(col("doc_id") % 2 === 0), "wave-1.parquet", 120)
-      wave(docs.filter(col("doc_id") % 2 === 1), "wave-2.parquet", 60)
-      waves.toString
+      buildWavesDir("graft-waves-", Seq(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)))
     })
 
   /** Near-duplicate suppression AT INGEST: the documents corpus arrives
@@ -473,25 +455,9 @@ object StreamQueries {
   private def vecWavesDir(s: SparkSession, d: String): String =
     vecWavesCache.computeIfAbsent(d, _ => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      val waves = java.nio.file.Files.createTempDirectory("graft-vwaves-")
-      def wave(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("vwave-")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = waves.resolve(name)
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - mtimeOffsetSec * 1000))
-        java.nio.file.Files.walk(tmp)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      wave(emb.filter(col("vec_id") % 4 === 1), "wave-1.parquet", 120)
-      wave(emb.filter(col("vec_id") % 4 === 3), "wave-2.parquet", 60)
-      waves.toString
+      buildWavesDir("graft-vwaves-", Seq(
+        emb.filter(col("vec_id") % 4 === 1),
+        emb.filter(col("vec_id") % 4 === 3)))
     })
 
   /** Continuous VECTOR indexing: the even-id half of the embeddings

@@ -1185,6 +1185,21 @@ class PipelineSpec extends AnyFunSuite {
     // round 5 finds no pairs left — the loop must stop, not emit junk
   }
 
+  test("BPE encode: merges replay in training order per word; a corpus " +
+      "that exhausts its pairs early folds only the merges found") {
+    val spark = s
+    import spark.implicits._
+    val docs = Seq((1L, "aaa bc bc"), (2L, "ab ab ab"))
+      .toDF("doc_id", "text")
+    // trained merges: (a,b),(a,a),(b,c),(aa,a) — see the training test.
+    // aaa → [aa,a] → [aaa]; bc → [bc]; ab → [ab]: every word collapses
+    // to ONE token despite rounds=6 requesting more merges than exist
+    val out = TextAnalysis.bpeEncode(docs, rounds = 6).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3, 3L), (2L, 3, 3L)),
+      s"encode diverged: ${out.toSeq}")
+  }
+
   test("DSIR: an empty target corpus degenerates to the uniform prior " +
       "instead of nulling every score") {
     val spark = s
