@@ -338,12 +338,14 @@ object Sampling {
     * Σ log(p̂_target(b)/p̂_raw(b)) over its bigram OCCURRENCES with
     * add-one smoothing.
     *
-    * Scale shape: two map-side-combinable count aggregates over the
-    * gram stream (exchanges carry (bucket, partial) rows, bounded by
-    * B×tasks) + two 1-row totals; the per-bucket log-ratio table is ≤B
-    * rows, BROADCAST to the candidate gram stream, whose only shuffle
-    * is the final per-doc sum. Nothing corpus-sized ever sits on the
-    * driver.
+    * Scale shape: the gram stream explodes ONCE into a map-side-
+    * combinable per-(doc, bucket) count aggregation whose exchange all
+    * three consumers share (ReuseExchange); the bucket-level model
+    * counts roll up from it (≤B×tasks partials), the totals are two
+    * 1-row folds over those, and the per-bucket log-ratio table is ≤B
+    * rows, BROADCAST back onto the same pre-aggregated rows for the
+    * final per-doc weighted sum. Nothing corpus-sized ever sits on the
+    * driver, and the corpus is tokenized exactly once.
     *
     * Determinism/oracle: the bucket hash is the first 8 md5 hex chars
     * as an integer (the [[bucketCol]] stance — expressible identically
@@ -359,12 +361,32 @@ object Sampling {
         zip_with(ws, slice(ws, lit(2), nBi), (a, b) => concat_ws(" ", a, b)),
         lit(1), nBi)).as("gram"))
       .select(col(idCol), col("_t"),
-        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("bkt"))
-    val tc = grams.filter(col("_t")).groupBy(col("bkt"))
-      .agg(count(lit(1)).as("_tc"))
-    val rc = grams.filter(!col("_t")).groupBy(col("bkt"))
-      .agg(count(lit(1)).as("_rc"))
+        // coalesce makes bkt provably NON-NULL (grams from explode never
+        // are, but the analyzer can't see that): otherwise each bucket
+        // join pushes its own isnotnull(bkt) below the shared
+        // pre-aggregation, making the consumers' exchanges unequal and
+        // silently defeating the ReuseExchange the scale shape relies on
+        coalesce(
+          pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+            lit(buckets.toLong)),
+          lit(0L)).as("bkt"))
+    // ONE corpus explode: the per-(doc, bucket) occurrence counts feed
+    // the model counts AND the candidate scoring. The three consumers
+    // below plan the identical pre-aggregation exchange, which
+    // ReuseExchange collapses to a single execution — the gram explode
+    // (the dominant map cost at corpus scale) runs once, not three
+    // times (once per model side + once for scoring, as the
+    // per-occurrence form did). `_t` rides as an AGGREGATE output
+    // (exact — it is constant per doc), not a grouping key: a grouping
+    // key would let Catalyst push each consumer's target filter BELOW
+    // the aggregate, making the three exchanges unequal and defeating
+    // the reuse. Plan-pinned: one Generate node, ≥2 reused exchanges.
+    val db = grams.groupBy(col(idCol), col("bkt"))
+      .agg(count(lit(1)).as("_c"), max(col("_t")).as("_t"))
+    val tc = db.filter(col("_t")).groupBy(col("bkt"))
+      .agg(sum(col("_c")).as("_tc"))
+    val rc = db.filter(!col("_t")).groupBy(col("bkt"))
+      .agg(sum(col("_c")).as("_rc"))
     // totals fold over the ≤B-row count frames, NOT the gram stream —
     // a separate corpus aggregate here would re-explode every document
     // twice for two scalars the bucket counts already contain. coalesce:
@@ -382,10 +404,13 @@ object Sampling {
             (col("_T") + lit(buckets.toDouble))) -
           log((col("_rc") + lit(1.0)) /
             (col("_R") + lit(buckets.toDouble)))).as("lam"))
-    grams.filter(!col("_t"))
+    // score = Σ_buckets lam·count — identical to the per-occurrence sum
+    // term-for-term; the oracle aggregates per (doc, bucket) the same
+    // way so the 1e-6-rounded scores stay bit-comparable
+    db.filter(!col("_t"))
       .join(broadcast(lam), Seq("bkt"))
       .groupBy(col(idCol))
-      .agg(round(sum(col("lam")), 6).as("score"))
+      .agg(round(sum(col("lam") * col("_c")), 6).as("score"))
   }
 
   /** Top-`n` candidates by DSIR score (rounded-score desc, id) — the

@@ -2222,9 +2222,11 @@ object PipelineQueries {
                         ln((rc.rc + 1.0) / (rt.r + 1024)) AS lam
                  FROM rc LEFT JOIN tc USING (bkt)
                  CROSS JOIN tt CROSS JOIN rt),
-         sc AS (SELECT b.doc_id, round(sum(lam.lam), 6) AS score
-                FROM b JOIN lam USING (bkt) WHERE NOT b.is_t
-                GROUP BY b.doc_id)
+         db AS (SELECT doc_id, bkt, count(*) AS c FROM b
+                WHERE NOT is_t GROUP BY 1, 2),
+         sc AS (SELECT db.doc_id, round(sum(lam.lam * db.c), 6) AS score
+                FROM db JOIN lam USING (bkt)
+                GROUP BY db.doc_id)
          SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
            SELECT doc_id, score, row_number() OVER
              (ORDER BY score DESC, doc_id) AS rk
@@ -2703,9 +2705,12 @@ object PipelineQueries {
                     ln((drc.rc + 1.0) / (drt.r + 1024)) AS lam
                   FROM drc LEFT JOIN dtc USING (bkt)
                   CROSS JOIN dtt CROSS JOIN drt),
-         dsc AS (SELECT bk.doc_id, round(sum(dlam.lam), 6) AS score
-                 FROM bk JOIN dlam USING (bkt) WHERE NOT bk.is_t
-                 GROUP BY bk.doc_id),
+         ddb AS (SELECT doc_id, bkt, count(*) AS c FROM bk
+                 WHERE NOT is_t GROUP BY 1, 2),
+         dsc AS (SELECT ddb.doc_id, round(sum(dlam.lam * ddb.c), 6)
+                   AS score
+                 FROM ddb JOIN dlam USING (bkt)
+                 GROUP BY ddb.doc_id),
          dsel AS (SELECT doc_id FROM (
                     SELECT doc_id, row_number() OVER
                       (ORDER BY score DESC, doc_id) AS rk

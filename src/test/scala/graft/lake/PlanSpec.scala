@@ -158,6 +158,31 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("DSIR: the corpus gram stream explodes ONCE — model counts and " +
+      "scoring share the pre-aggregation exchange") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+      val plan = graft.pipeline.Sampling
+        .dsirScores(docs, col("lang") === "en")
+        .queryExecution.executedPlan
+      val gens = plan.collect { case g: GenerateExec => g }
+      // target counts, raw counts, and candidate scoring must all read
+      // the ONE (doc, bucket) pre-aggregation — a Generate per consumer
+      // re-tokenizes the corpus three times at 100 TB
+      assert(gens.size == 1,
+        s"${gens.size} gram explodes:\n${plan.toString.take(2000)}")
+      val reused = plan.collect { case r: ReusedExchangeExec => r }
+      assert(reused.size >= 2,
+        s"expected the pre-agg exchange reused by 2 consumers, " +
+          s"found ${reused.size} reuses")
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("rag retrieval: fused kernel scores; only the corpus pack moves " +
       "vectors — ranking exchanges are id-sized") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
