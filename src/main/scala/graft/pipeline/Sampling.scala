@@ -345,7 +345,14 @@ object Sampling {
     * 1-row folds over those, and the per-bucket log-ratio table is ≤B
     * rows, BROADCAST back onto the same pre-aggregated rows for the
     * final per-doc weighted sum. Nothing corpus-sized ever sits on the
-    * driver, and the corpus is tokenized exactly once.
+    * driver, and the corpus is tokenized exactly once. Tradeoff made
+    * explicit: the shared exchange carries ≤min(grams, docs×B)
+    * integer-count rows (sorted bucket ids compress well) in place of
+    * the per-occurrence form's TWO extra full corpus scans +
+    * md5-tokenize passes — the right trade wherever scan+hash CPU
+    * outweighs shuffle bytes, which is the norm for text corpora; the
+    * per-doc bucket counts are also DSIR's natural reusable artifact
+    * (they ARE the hashed feature vectors).
     *
     * Determinism/oracle: the bucket hash is the first 8 md5 hex chars
     * as an integer (the [[bucketCol]] stance — expressible identically
