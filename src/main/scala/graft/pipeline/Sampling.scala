@@ -420,6 +420,66 @@ object Sampling {
       .agg(round(sum(col("lam") * col("_c")), 6).as("score"))
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal):
+    * select `k` vectors such that each new pick is the corpus point
+    * FARTHEST (max-min squared L2) from everything already selected —
+    * the standard diverse-subset selector of a curation pipeline
+    * (seed sets for labeling, balanced eval slices, coverage-maximal
+    * few-shot pools), with the classic 2-approximation guarantee for
+    * the k-center objective.
+    *
+    * Scale shape: the selected set is metadata-sized by construction
+    * (k × dim doubles), so each of the k−1 rounds is ONE pure codegen
+    * projection over the corpus — the min-distance folds the selected
+    * vectors as plan-shipped constants, no join, no shuffle — followed
+    * by a TakeOrderedAndProject(1) argmax (per-partition top-1 +
+    * driver merge of #partitions rows). The per-round collect is ONE
+    * row — the [[graft.pipeline.Similarity.kmeansTrain]] contract.
+    *
+    * Determinism/oracle: the seed is the md5-ranked first vector (the
+    * shared uniform-permutation idiom); each argmax ranks the
+    * 1e-6-ROUNDED min squared distance with id tie-break, so
+    * engine-order ulps can't flip a pick and the whole traversal
+    * unrolls in ANSI SQL. Output: (rk, id, dist) — dist is the
+    * selection-time max-min distance (NULL for the seed), a useful
+    * coverage-radius diagnostic in its own right.
+    */
+  def coresetKCenter(vectors: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "coresetKCenter: k must be >= 1")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+    val seedRow = v.orderBy(md5(col("_id").cast("string")), col("_id"))
+      .limit(1).collect()
+    require(seedRow.nonEmpty, "coresetKCenter: empty corpus")
+    val selected = scala.collection.mutable.ArrayBuffer(
+      (seedRow(0).getLong(0), seedRow(0).getSeq[Double](1).toArray))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, selected(0)._1, None))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val dists = selected.map { case (_, c) =>
+        aggregate(zip_with(col("_v"), lit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x)
+      }
+      val minD = round(dists.reduce(least(_, _)), 6)
+      val top = v.filter(!col("_id").isin(selected.map(_._1).toSeq: _*))
+        .select(col("_id"), col("_v"), minD.as("_d"))
+        .orderBy(col("_d").desc, col("_id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        selected += ((top(0).getLong(0), top(0).getSeq[Double](1).toArray))
+        out += ((r, top(0).getLong(0), Some(top(0).getDouble(2))))
+        r += 1
+      }
+    }
+    out.toSeq.toDF("rk", idCol, "dist")
+  }
+
   /** Top-`n` candidates by DSIR score (rounded-score desc, id) — the
     * selection step of importance resampling. orderBy+limit compiles
     * to TakeOrderedAndProject (per-partition heap + driver merge of n

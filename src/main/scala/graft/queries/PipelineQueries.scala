@@ -787,6 +787,17 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Greedy k-center coreset over the embedding corpus, k=8
+    * ([[Sampling.coresetKCenter]]): each pick is the point farthest
+    * (max-min squared L2, 1e-6-rounded, id tie-break) from everything
+    * already selected. The oracle unrolls the whole traversal — seed,
+    * every round's min-distance argmax — so the greedy path itself
+    * hash-checks, not just the final set.
+    */
+  def sampleCoreset(s: SparkSession, d: String): DataFrame =
+    Sampling.coresetKCenter(Tables.embeddings(s, d), k = 8)
+      .orderBy("rk")
+
   /** DSIR importance selection: the 100 English-most candidates among
     * the non-English-labeled docs, ranked by hashed-bigram importance
     * weights against the lang='en' target corpus — "find me more data
@@ -1158,6 +1169,7 @@ object PipelineQueries {
     "text_bpe_pairs"       -> textBpePairs _,
     "text_bpe_train"       -> textBpeTrain _,
     "text_bpe_encode"      -> textBpeEncode _,
+    "sample_coreset"       -> sampleCoreset _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "embedding_kmeans"     -> embeddingKmeans _,
     "dedup_cross_corpus"   -> dedupCrossCorpus _,
@@ -1271,6 +1283,48 @@ object PipelineQueries {
   }
 
   private val BpeRounds = 6
+
+  /** The k-center traversal unrolled: per round r, d_r computes every
+    * unselected point's 1e-6-rounded min squared L2 distance to the
+    * selected set s1..s(r−1), and s_r is the (dist desc, id) argmax —
+    * identical mechanics to [[graft.pipeline.Sampling.coresetKCenter]].
+    * Generated from one round template so rounds cannot drift.
+    */
+  private val CoresetOracle: String = {
+    val k = 8
+    def selu(r: Int): String =
+      (1 to r).map(i => s"SELECT vec_id, v FROM s$i").mkString(" UNION ALL ")
+    // MATERIALIZED: each s_r is referenced by every later round twice
+    // (distance side + NOT IN side); inlined CTEs would re-evaluate the
+    // whole prefix chain per reference — exponential in k
+    val header =
+      """WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         seed AS (SELECT vec_id, v FROM v
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+         s1 AS MATERIALIZED (SELECT CAST(1 AS INT) AS rk, vec_id, v,
+                       CAST(NULL AS DOUBLE) AS dist
+                FROM seed)"""
+    val rounds = (2 to k).map { r =>
+      s""",
+         d$r AS (SELECT a.vec_id,
+                   round(min(list_sum(list_transform(
+                     range(1, len(a.v) + 1),
+                     i -> (a.v[i] - s.v[i]) * (a.v[i] - s.v[i])))), 6)
+                     AS dist
+                 FROM v a CROSS JOIN (${selu(r - 1)}) s
+                 WHERE a.vec_id NOT IN
+                   (SELECT vec_id FROM (${selu(r - 1)}))
+                 GROUP BY a.vec_id),
+         s$r AS MATERIALIZED (
+                 SELECT CAST($r AS INT) AS rk, d.vec_id, v.v, d.dist
+                 FROM d$r d JOIN v USING (vec_id)
+                 ORDER BY d.dist DESC, d.vec_id LIMIT 1)"""
+    }.mkString
+    val sel = (1 to k).map(r => s"SELECT rk, vec_id, dist FROM s$r")
+      .mkString("\n         UNION ALL ")
+    s"$header$rounds\n         $sel ORDER BY rk"
+  }
 
   private val BpeTrainOracle: String = {
     val sel = (1 to BpeRounds)
@@ -2804,6 +2858,7 @@ object PipelineQueries {
          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""",
     "text_bpe_train" -> BpeTrainOracle,
     "text_bpe_encode" -> BpeEncodeOracle,
+    "sample_coreset" -> CoresetOracle,
     "embedding_centroid_assign" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
                     FROM embeddings WHERE vec_id < 8)

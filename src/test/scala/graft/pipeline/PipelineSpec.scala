@@ -1200,6 +1200,45 @@ class PipelineSpec extends AnyFunSuite {
       s"encode diverged: ${out.toSeq}")
   }
 
+  test("k-center coreset: equals the local greedy farthest-point " +
+      "traversal; duplicates never re-selected; corpus < k stops early") {
+    val spark = s
+    import spark.implicits._
+    // 1-D-ish points on the first axis; ids 0..5 at x = 0,1,10,4,10,0
+    // (two duplicate pairs)
+    val xs = Seq(0.0, 1.0, 10.0, 4.0, 10.0, 0.0)
+    val df = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, Seq(x, 0.0)) }
+      .toDF("vec_id", "embedding")
+    val got = Sampling.coresetKCenter(df, k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // local greedy with the same md5 seed and (dist desc, id) argmax
+    def md5hex(sx: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seedId = xs.indices.map(_.toLong).minBy(i => (md5hex(i.toString), i))
+    val sel = scala.collection.mutable.ArrayBuffer(seedId)
+    val exp = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seedId, None))
+    for (r <- 2 to 6) {
+      val cand = xs.indices.map(_.toLong).filterNot(sel.contains).map { i =>
+        val d = sel.map(j => math.pow(xs(i.toInt) - xs(j.toInt), 2)).min
+        (i, math.rint(d * 1e6) / 1e6)
+      }
+      val (pick, d) = cand.sortBy { case (i, d0) => (-d0, i) }.head
+      sel += pick; exp += ((r, pick, Some(d)))
+    }
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq}\nexp ${exp.toSeq}")
+    // duplicate-heavy corpus smaller than k: selection must stop once
+    // every id is selected (distance-0 duplicates are still selected —
+    // they are distinct IDS — but nothing repeats)
+    assert(got.map(_._2).distinct.length == 6, "no id may repeat")
+    val tiny = Sampling.coresetKCenter(
+      Seq((1L, Seq(1.0)), (2L, Seq(2.0))).toDF("vec_id", "embedding"),
+      k = 5).collect()
+    assert(tiny.length == 2, s"corpus of 2 must yield 2 picks: ${tiny.toSeq}")
+  }
+
   test("DSIR: an empty target corpus degenerates to the uniform prior " +
       "instead of nulling every score") {
     val spark = s

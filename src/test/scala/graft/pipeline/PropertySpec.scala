@@ -256,6 +256,81 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: BPE train + encode equal a local reference " +
+      "(weighted argmax, greedy non-overlapping merges) on random corpora") {
+    val spark = s
+    import spark.implicits._
+    val wordGen = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val corpusGen = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n, Gen.listOfN(5, wordGen).map(_.mkString(" ")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def mergeSeq(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def localBpe(texts: Seq[String], rounds: Int)
+        : (Seq[(Int, String, String, Long)], Map[String, List[String]]) = {
+      val words = texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+      val weight = words.groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap
+      var segs: Map[String, List[String]] =
+        words.distinct.map(w => w -> w.map(_.toString).toList).toMap
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        segs.foreach { case (w, sy) =>
+          sy.zip(sy.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + weight(w)
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), n) = counts.toSeq
+            .sortBy { case ((l0, r0), n0) => (-n0, l0, r0) }.head
+          merges += ((r, l, rr, n))
+          segs = segs.view.mapValues(mergeSeq(_, l, rr)).toMap
+          r += 1
+        }
+      }
+      (merges.toSeq, segs)
+    }
+
+    var seed = rng.Seed(7L)
+    for (_ <- 1 to 5) {
+      val (docs, s1) = draw(corpusGen, seed)
+      seed = s1
+      val df = docs.toDF("doc_id", "text")
+      val (expMerges, segs) = localBpe(docs.map(_._2), rounds = 5)
+      val gotMerges = TextAnalysis.bpeTrain(df, rounds = 5).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(gotMerges == expMerges,
+        s"merge tables differ:\n got $gotMerges\n exp $expMerges\n docs $docs")
+      val gotEnc = TextAnalysis.bpeEncode(df, rounds = 5).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      docs.foreach { case (id, t) =>
+        val ws = t.trim.toLowerCase.split("\\s+").toSeq
+        val exp = (ws.length, ws.map(w => segs(w).length.toLong).sum)
+        assert(gotEnc(id) == exp,
+          s"doc $id: got ${gotEnc(id)} exp $exp text '$t'")
+      }
+    }
+  }
+
   test("property: heavyHitters with ample counters equals the local " +
       "exact top-k with a TRUE certificate") {
     val spark = s
