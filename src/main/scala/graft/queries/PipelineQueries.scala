@@ -798,6 +798,36 @@ object PipelineQueries {
     Sampling.coresetKCenter(Tables.embeddings(s, d), k = 8)
       .orderBy("rk")
 
+  /** Diverse few-shot / eval-slice selection as ONE composed flow:
+    * quality gate (≥ 0.5) → deterministic hash-embedding (the
+    * pipeline_rag encoder at whole-document level) → greedy k-center
+    * traversal (k = 16, [[Sampling.coresetKCenter]]) — "pick 16
+    * maximally-different good documents", the seed-set selection step
+    * of a labeling or few-shot pipeline. The (doc_id, 8-dim vec)
+    * projection is materialized once (72 B/doc — checkpointing it is
+    * what lets the 15 traversal rounds scan a skinny table instead of
+    * re-tokenizing the corpus per round; at petabyte scale a
+    * deployment persists this as its embedding table). The oracle
+    * replays gate, embedding arithmetic, and every traversal round.
+    */
+  def pipelineFewshot(s: SparkSession, d: String): DataFrame = {
+    val dim = 8
+    val emb = TextAnalysis.qualityScore(Tables.documents(s, d))
+      .filter(col("quality_score") >= 0.5)
+      .withColumn("_hs",
+        expr("transform(split(trim(text), '\\\\s+'), t -> md5(t))"))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${dim - 1}), j ->
+            aggregate(_hs, 0.0D, (acc, h) ->
+              acc + (cast(conv(substring(h, cast(j * 4 + 1 as int), 4),
+                16, 10) as long) % 2001L - 1000L) / 1000.0D))"""))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    Sampling.coresetKCenter(emb, k = 16)
+      .select(col("rk"), col("vec_id").as("doc_id"), col("dist"))
+      .orderBy("rk")
+  }
+
   /** DSIR importance selection: the 100 English-most candidates among
     * the non-English-labeled docs, ranked by hashed-bigram importance
     * weights against the lang='en' target corpus — "find me more data
@@ -1170,6 +1200,7 @@ object PipelineQueries {
     "text_bpe_train"       -> textBpeTrain _,
     "text_bpe_encode"      -> textBpeEncode _,
     "sample_coreset"       -> sampleCoreset _,
+    "pipeline_fewshot"     -> pipelineFewshot _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "embedding_kmeans"     -> embeddingKmeans _,
     "dedup_cross_corpus"   -> dedupCrossCorpus _,
@@ -1290,17 +1321,19 @@ object PipelineQueries {
     * identical mechanics to [[graft.pipeline.Sampling.coresetKCenter]].
     * Generated from one round template so rounds cannot drift.
     */
-  private val CoresetOracle: String = {
-    val k = 8
+  /** k-center traversal CTEs given a `v(vec_id, v)` CTE already in
+    * scope: seed + rounds 2..k + the final rk/vec_id/dist select. Both
+    * coreset oracles (raw embeddings, gated hash-embedded documents)
+    * share this so the traversal mechanics cannot drift between them.
+    */
+  private def coresetTraversalSql(k: Int): String = {
     def selu(r: Int): String =
       (1 to r).map(i => s"SELECT vec_id, v FROM s$i").mkString(" UNION ALL ")
     // MATERIALIZED: each s_r is referenced by every later round twice
     // (distance side + NOT IN side); inlined CTEs would re-evaluate the
     // whole prefix chain per reference — exponential in k
     val header =
-      """WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
-                    FROM embeddings),
-         seed AS (SELECT vec_id, v FROM v
+      """seed AS (SELECT vec_id, v FROM v
                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
          s1 AS MATERIALIZED (SELECT CAST(1 AS INT) AS rk, vec_id, v,
                        CAST(NULL AS DOUBLE) AS dist
@@ -1323,8 +1356,51 @@ object PipelineQueries {
     }.mkString
     val sel = (1 to k).map(r => s"SELECT rk, vec_id, dist FROM s$r")
       .mkString("\n         UNION ALL ")
-    s"$header$rounds\n         $sel ORDER BY rk"
+    s"$header$rounds,\n         picks AS ($sel)"
   }
+
+  private val CoresetOracle: String =
+    s"""WITH v AS MATERIALIZED (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ${coresetTraversalSql(8)}
+         SELECT rk, vec_id, dist FROM picks ORDER BY rk"""
+
+  /** Few-shot selection: v = the quality-gated corpus hash-embedded at
+    * document level (same quality arithmetic as text_quality /
+    * pipeline_pretrain, same md5-slice encoder as pipeline_rag), then
+    * the shared k-center traversal at k=16.
+    */
+  private val FewshotOracle: String =
+    s"""WITH v AS MATERIALIZED (
+           SELECT doc_id AS vec_id,
+                  list_transform(range(0, 8), j ->
+                    list_sum(list_transform(
+                      list_transform(string_split_regex(trim(text),
+                        '\\s+'), t -> md5(t)),
+                      hh -> (CAST(('0x' || substr(hh,
+                          CAST(j * 4 + 1 AS INT), 4)) AS BIGINT)
+                        % 2001 - 1000) / 1000.0))) AS v
+           FROM documents
+           WHERE round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3
+               ELSE 0 END) +
+             (CASE WHEN len(list_filter(string_split_regex(
+                 trim(lower(text)), '\\s+'),
+                 w -> list_contains(['the','a','an','and','or','of','to',
+                   'in','is','it','that','for','on','with','as','at','by'],
+                   w)))::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)),
+                   '\\s+')), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                 ::DOUBLE
+               / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+             (CASE WHEN list_sum(list_transform(string_split_regex(
+                 trim(lower(text)), '\\s+'), w -> length(w)))::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)),
+                   '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END),
+             2) >= 0.5),
+         ${coresetTraversalSql(16)}
+         SELECT rk, vec_id AS doc_id, dist FROM picks ORDER BY rk"""
 
   private val BpeTrainOracle: String = {
     val sel = (1 to BpeRounds)
@@ -2859,6 +2935,7 @@ object PipelineQueries {
     "text_bpe_train" -> BpeTrainOracle,
     "text_bpe_encode" -> BpeEncodeOracle,
     "sample_coreset" -> CoresetOracle,
+    "pipeline_fewshot" -> FewshotOracle,
     "embedding_centroid_assign" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
                     FROM embeddings WHERE vec_id < 8)
