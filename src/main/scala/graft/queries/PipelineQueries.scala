@@ -1101,14 +1101,18 @@ object PipelineQueries {
     // TakeOrdered over (doc_id, score) rows; membership joins back by
     // a broadcast semi-join, so the corpus (and its text) never
     // shuffles for this stage.
-    val curated = gated.filter(col("quality_score") >= 0.8)
-      .select("doc_id", "lang", "n_tokens", "quality_score")
     val resembling = Sampling.dsirSelect(gated,
         targetFilter = col("quality_score") >= 0.8, n = 150)
-      .select("doc_id")
-    val pool = curated.unionByName(gated
-      .join(broadcast(resembling), Seq("doc_id"), "left_semi")
-      .select("doc_id", "lang", "n_tokens", "quality_score"))
+      .select(col("doc_id"), lit(true).as("_r"))
+    // curated ∪ resembling in ONE pass over the gated corpus (a union
+    // of two filtered branches would scan + quality-score it twice);
+    // resembling ⊆ the sub-0.8 candidates by construction, so the
+    // disjunction is exactly the two-branch union
+    val pool = gated
+      .join(broadcast(resembling), Seq("doc_id"), "left")
+      .filter(col("quality_score") >= 0.8 ||
+        coalesce(col("_r"), lit(false)))
+      .select("doc_id", "lang", "n_tokens", "quality_score")
     val admitted = Sampling.tokenBudgetMix(pool, budgetTokens = 4000L)
     Packing.packCounts(admitted, col("n_tokens"),
         carryCols = Seq("lang", "quality_score"))
