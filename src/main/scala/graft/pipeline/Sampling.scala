@@ -134,6 +134,34 @@ object Sampling {
       .limit(k)
       .drop("_h")
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * each row gets key u^(1/w) for a uniform u — the k largest keys
+    * are a weighted sample without replacement. Ranked in LOG space
+    * (ln(u)/w, same order, no underflow for large weights) and ROUNDED
+    * so the ranking value is reproducible against the SQL oracle; ties
+    * break by id. u derives from the shared [[hash60]] permutation
+    * ((h+1)/2^60 ∈ (0,1]) — deterministic, retry-stable,
+    * cluster-size-independent like every sampler here.
+    *
+    * Scale shape: one codegen projection + TakeOrderedAndProject(k) —
+    * no shuffle, no full sort; identical to [[uniformSample]] but with
+    * the weight folded into the ranking key. With w = token count this
+    * is token-proportional document sampling (sample docs ∝ length ≈
+    * uniform over tokens) — the standard way to draw an
+    * inspection/eval slice that represents the TOKEN mass, not the
+    * document count.
+    */
+  def weightedSample(df: DataFrame, k: Int, weightCol: Column,
+      idCol: String = "doc_id", salt: String = "graft-w"): DataFrame = {
+    val u = (hash60(col(idCol), salt).cast("double") + lit(1.0)) /
+      lit(math.pow(2.0, 60))
+    val key = round(log(u) /
+      greatest(weightCol.cast("double"), lit(1.0)), 6)
+    df.withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic export sharding — "write the corpus as N shard
     * files, globally shuffled, reproducibly": every row gets
     * (shard, pos) where shard = md5-hash mod nShards and pos ranks the

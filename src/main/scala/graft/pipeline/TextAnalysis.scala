@@ -363,6 +363,88 @@ object TextAnalysis {
         col("rk").cast("int").as("rk"))
   }
 
+  /** BM25 (Okapi, Lucene idf) ranked retrieval — the SPARSE
+    * counterpart of the dense `pipeline_rag` chain: score documents
+    * against a small query set over exact term matches, no embedding.
+    *
+    * `queries` is a skinny (query_id, qtext) frame, assumed
+    * metadata-sized (a retrieval batch, not a corpus) — it rides every
+    * join as a BROADCAST, so the corpus-side posting lists stream
+    * through without shuffling on the query axis.
+    *
+    * Scale shape, stage by stage:
+    *  - posting lists: one explode → (doc, term) hash-agg, map-side
+    *    combined; doc length `dl` is computed BEFORE the explode and
+    *    rides it as a column, so no doc-axis join is ever needed.
+    *  - idf: the vocabulary-sized df agg immediately semi-joins the
+    *    broadcast query terms — only |query vocab| rows survive to the
+    *    scoring join, broadcast again.
+    *  - scoring: candidates = Σ_q df(term) rows (docs sharing a term
+    *    with a query — query-selectivity-bounded, never the corpus);
+    *    the per-(query, doc) sum is map-side combinable BECAUSE each
+    *    term's contribution is first rounded into integer MICRO-UNITS
+    *    (×1e6 → long): a long sum is associative and order-independent
+    *    where a double sum is not, which is also what makes the result
+    *    hash-stable against the SQL oracle.
+    *  - top-k: two-phase salted ranking (the [[vocabulary]] idiom) —
+    *    phase one ranks within (query, hash(doc) % salts), so no
+    *    single task ever sorts a query's full candidate list; provably
+    *    exact since a query's global top-k is contained in the union
+    *    of its per-salt top-k.
+    */
+  def bm25Retrieve(corpus: DataFrame, queries: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      salts: Int = 8): DataFrame = {
+    val toks = corpus.select(col(idCol).as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("_w"))
+      .select(col("doc_id"), size(col("_w")).cast("long").as("dl"),
+        explode(col("_w")).as("term"))
+    // dl is constant per doc; max() keeps the agg deterministic while
+    // letting dl ride the (doc, term) grouping instead of a re-join.
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val qterms = broadcast(queries.select(col("query_id"),
+        explode(array_distinct(split(trim(lower(col("qtext"))), "\\s+")))
+          .as("term"))
+      .distinct())
+    // df over the full vocabulary, immediately cut down to query terms
+    // (broadcast semi-join) — the surviving idf table is |query vocab|.
+    val qdf = broadcast(tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .join(qterms.select(col("term")).distinct(), Seq("term")))
+    val stats = broadcast(corpus.select(
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long").as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("_dl")).as("avgdl")))
+    // Lucene idf: ln(1 + (N - df + 0.5)/(df + 0.5)) — always ≥ 0.
+    // The expression shape below is mirrored EXACTLY by the oracle so
+    // the double math agrees bit-for-bit before the micro-unit round.
+    val contrib = tf.join(qterms, Seq("term"))
+      .join(qdf, Seq("term"))
+      .crossJoin(stats)
+      .withColumn("_micro", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / col("avgdl"))) * lit(1e6))
+        .cast("long"))
+    val perDoc = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_micro")).as("score_micro"))
+      .withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+    val w1 = Window.partitionBy(col("query_id"), col("_salt"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val cand = perDoc.withColumn("_rk1", row_number().over(w1))
+      .filter(col("_rk1") <= topK)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    cand.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"),
+        round(col("score_micro") / lit(1e6), 6).as("bm25"))
+  }
+
   /** Per-group vocabulary: top-`topK` words by total occurrence count
     * within each `groupCol` value (per-language token frequency — the
     * input to tokenizer/vocab training). One explode → (group, word)

@@ -163,6 +163,38 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Token-proportional 100-doc sample (Efraimidis–Spirakis, weight =
+    * whitespace token count): long docs proportionally more likely —
+    * the draw that represents TOKEN mass, not doc count. One codegen
+    * projection + TakeOrderedAndProject, no shuffle.
+    */
+  def sampleWeightedK(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).withColumn("n_tokens",
+      size(split(trim(col("text")), "\\s+")))
+    Sampling.weightedSample(t, k = 100, weightCol = col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("es_key"))
+      .orderBy("doc_id")
+  }
+
+  /** The salted-JOIN mirror of [[skewSaltedAgg]]: lineitem×orders on
+    * the order key with the fact side salted 8 ways and the orders
+    * side replicated — the manual pre-plan mitigation for a
+    * broadcast-ineligible skewed join ([[graft.operators.Skew]]).
+    * Aggregated per status afterward; the oracle is the PLAIN join —
+    * salting must be semantically invisible.
+    */
+  def skewSaltedJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("okey"),
+          col("l_quantity")),
+        Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+          col("o_orderstatus")),
+        key = "okey", saltFactor = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderstatus")
+
   /** Token-budgeted per-language mixing: admit the best-quality docs
     * per lang while cumulative whitespace tokens stay under 10k — the
     * budget knob that decides a pretraining mix by TOKENS, not docs.
@@ -548,6 +580,25 @@ object PipelineQueries {
   def textTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfIdf(Tables.documents(s, d))
       .orderBy("doc_id", "rk")
+
+  /** BM25 ranked retrieval — the sparse mirror of [[pipelineRag]]:
+    * three query docs (their first 16 tokens as the query string)
+    * retrieve top-10 from the rest of the corpus by Okapi BM25 with
+    * the Lucene idf. Own-document exclusion is by CONSTRUCTION (query
+    * docs are not in the scored corpus). Scores ride as integer
+    * micro-units through the per-(query, doc) sum so the cross-term
+    * double addition is order-independent — hash-stable against the
+    * oracle AND map-side combinable ([[TextAnalysis.bm25Retrieve]]).
+    */
+  def pipelineBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val q = docs.filter(col("doc_id") < 3).select(
+      col("doc_id").as("query_id"),
+      concat_ws(" ",
+        slice(split(trim(lower(col("text"))), "\\s+"), 1, 16)).as("qtext"))
+    TextAnalysis.bm25Retrieve(docs.filter(col("doc_id") >= 3), q)
+      .orderBy("query_id", "rank")
+  }
 
   /** Deterministic 80/10/10 train/valid/test assignment by salted md5
     * of the doc id — stable across runs and cluster sizes.
@@ -1235,12 +1286,15 @@ object PipelineQueries {
     "knn_label_prop"       -> knnLabelProp _,
     "sample_dsir"          -> sampleDsir _,
     "pipeline_rag"         -> pipelineRag _,
+    "pipeline_bm25"        -> pipelineBm25 _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
     "text_oov_rate"        -> textOovRate _,
     "attribution_last_touch" -> attributionLastTouch _,
     "sample_uniform_k"     -> sampleUniformK _,
+    "sample_weighted_k"    -> sampleWeightedK _,
+    "skew_salted_join"     -> skewSaltedJoin _,
     "text_char_entropy"    -> textCharEntropy _,
     "text_pii_mask"        -> textPiiMask _,
     "multimodal_features"  -> multimodalFeatures _,
@@ -2244,6 +2298,30 @@ object PipelineQueries {
              18, 15))::UBIGINT, doc_id
            LIMIT 100)
          ORDER BY doc_id""",
+    // Efraimidis–Spirakis replayed: u = (h60+1)/2^60 from the same md5
+    // permutation, key = round(ln(u)/w, 6) — the expression SHAPE
+    // mirrors the Spark side so the doubles agree before the round.
+    "sample_weighted_k" ->
+      """SELECT doc_id, lang, n_tokens, es_key FROM (
+           SELECT doc_id, lang, n_tokens,
+                  round(ln((('0x' || substr(
+                      md5('graft-w:' || CAST(doc_id AS VARCHAR)), 18, 15))
+                      ::UBIGINT + 1.0) / 1152921504606846976.0)
+                    / greatest(CAST(n_tokens AS DOUBLE), 1.0), 6) AS es_key
+           FROM (
+             SELECT doc_id, lang,
+                    CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                      AS n_tokens
+             FROM documents)
+           ORDER BY es_key DESC, doc_id LIMIT 100)
+         ORDER BY doc_id""",
+    // The salted join must be semantically invisible: oracle = the
+    // PLAIN lineitem×orders join, no salt anywhere.
+    "skew_salted_join" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // The flat greedy token budget: per lang, cumulative whitespace
     // tokens over (quality desc, doc_id) ≤ 10000 — the Spark side's
     // level-aggregate + boundary-prefix decomposition must equal this
@@ -2297,6 +2375,52 @@ object PipelineQueries {
                 round(k.cos, 6) AS cosine, (m.src IS NOT NULL) AS mutual
          FROM k LEFT JOIN k m ON m.src = k.dst AND m.dst = k.src
          ORDER BY k.src, k.rank""",
+    // BM25 replayed term-identically: same tokenization, same Lucene
+    // idf expression SHAPE (double math agrees before the micro-unit
+    // round), integer micro-unit per-term contributions so the
+    // cross-term sum is order-independent in both engines.
+    "pipeline_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+                  unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS term
+           FROM documents WHERE doc_id >= 3),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           FROM toks GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         stats AS (
+           SELECT count(*) AS n_docs,
+                  avg(len(string_split_regex(trim(lower(text)), '\s+')))
+                    AS avgdl
+           FROM documents WHERE doc_id >= 3),
+         qt AS (
+           SELECT DISTINCT doc_id AS query_id,
+                  unnest(list_slice(
+                    string_split_regex(trim(lower(text)), '\s+'), 1, 16))
+                    AS term
+           FROM documents WHERE doc_id < 3),
+         c AS (
+           SELECT qt.query_id, tf.doc_id,
+                  CAST(round(
+                    ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+                      * 1000000.0) AS BIGINT) AS micro
+           FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+                CROSS JOIN stats),
+         s AS (
+           SELECT query_id, doc_id, sum(micro) AS score_micro
+           FROM c GROUP BY query_id, doc_id),
+         r AS (
+           SELECT query_id, doc_id, score_micro,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+                round(score_micro / 1000000.0, 6) AS bm25
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     // The whole retrieval chain replayed: the text_chunks grid, the
     // md5-projection embedder (same hex-prefix arithmetic as
     // sample_dsir's buckets), and rounded-cosine ranking.

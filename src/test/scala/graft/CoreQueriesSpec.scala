@@ -141,6 +141,25 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("weighted sampling is one projection + TakeOrdered — no shuffle " +
+      "before the final per-doc sort") {
+    // Efraimidis–Spirakis: the ranking key is computed row-local, so
+    // the ONLY exchange the selection may pay is the trailing
+    // display-order sort of 100 rows; the corpus itself never shuffles.
+    val df = graft.pipeline.Sampling.weightedSample(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("n_tokens", org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text")), "\\s+"))),
+      k = 100,
+      weightCol = org.apache.spark.sql.functions.col("n_tokens"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange"),
+      s"corpus must not shuffle for a top-k sample:\n${plan.take(1500)}")
+  }
+
   test("approx_count_distinct tracks the exact count (100 TB swap-in)") {
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet(s"$sf/events.parquet")

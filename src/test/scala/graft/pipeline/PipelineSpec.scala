@@ -1327,4 +1327,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(wide.forall(!_.getBoolean(3)),
       "an unfilled top-k must not certify exactness")
   }
+
+  test("bm25: equals a local reference; salted top-k is salt-invariant") {
+    val corpus = docs.filter(col("doc_id") >= 3)
+    val q = docs.filter(col("doc_id") < 3).select(
+      col("doc_id").as("query_id"),
+      concat_ws(" ",
+        slice(split(trim(lower(col("text"))), "\\s+"), 1, 16)).as("qtext"))
+    def rows(salts: Int) =
+      TextAnalysis.bm25Retrieve(corpus, q, salts = salts)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val got = rows(salts = 8)
+    assert(got == rows(salts = 1),
+      "two-phase salted ranking must be exact for any salt count")
+    // local reference: same tokenization, Lucene idf, micro-unit longs
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+", -1).toSeq).toMap
+    val corpusToks = texts.filter(_._1 >= 3)
+    val n = corpusToks.size
+    val avgdl = corpusToks.values.map(_.size).sum.toDouble / n
+    val tf = corpusToks.toSeq.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, os) => (id, w, os.size, ws.size) }
+    }
+    val dfreq = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size }
+    val expected = texts.filter(_._1 < 3).toSeq.flatMap { case (qid, ws) =>
+      val qts = ws.take(16).distinct.toSet
+      tf.filter(t => qts(t._2))
+        .groupBy(_._1)
+        .map { case (docId, ts) =>
+          val micro = ts.map { case (_, w, f, dl) =>
+            val df = dfreq(w)
+            math.round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+              f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+          }.sum
+          (docId, micro)
+        }.toSeq
+        .sortBy { case (id, m) => (-m, id) }.take(10).zipWithIndex
+        .map { case ((id, m), i) =>
+          (qid, i + 1, id,
+            BigDecimal(m / 1e6).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected, "distributed BM25 must equal the local replay")
+  }
 }
