@@ -134,6 +134,34 @@ object Sampling {
       .limit(k)
       .drop("_h")
 
+  /** Curriculum ordering: assign every doc a training STAGE by quality
+    * band (clean docs first — the easy-to-hard schedule curriculum
+    * pretraining reads), and inside each stage a deterministic
+    * position from the shared md5 permutation, sharded the
+    * [[shardExport]] way so no single task ranks a whole stage.
+    * Reading shards 0..N−1 of stage 0, then stage 1, … replays ONE
+    * deterministic curriculum order.
+    *
+    * Stages compare the ROUNDED quality score (the published signal —
+    * the [[TextAnalysis.qualityGate]] reproducibility rule), so the
+    * band edges are immune to last-ulp drift. Scale shape: one
+    * codegen projection + a (stage, shard) hash exchange + per-cell
+    * sorts; parallelism = stages×nShards — pick nShards ≫ executors.
+    */
+  def curriculumOrder(df: DataFrame, qualityCol: Column, nShards: Int = 8,
+      idCol: String = "doc_id", salt: String = "graft-cur"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val stage = when(qualityCol >= 0.8, 0).when(qualityCol >= 0.5, 1)
+      .when(qualityCol >= 0.3, 2).otherwise(3)
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("_h"), col(idCol))
+    df.withColumn("stage", stage)
+      .withColumn("_h", hash60(col(idCol), salt))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
     * each row gets key u^(1/w) for a uniform u — the k largest keys
     * are a weighted sample without replacement. Ranked in LOG space

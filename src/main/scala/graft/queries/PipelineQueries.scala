@@ -176,6 +176,18 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Curriculum ordering over the corpus: quality bands as training
+    * stages (clean first), md5-deterministic sharded position inside
+    * each stage — reading (stage, shard, pos) ascending replays the
+    * easy-to-hard schedule ([[Sampling.curriculumOrder]]).
+    */
+  def sampleCurriculum(s: SparkSession, d: String): DataFrame =
+    Sampling.curriculumOrder(
+        TextAnalysis.qualityScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("lang"), col("quality_score")),
+        qualityCol = col("quality_score"))
+      .orderBy("stage", "shard", "pos")
+
   /** The salted-JOIN mirror of [[skewSaltedAgg]]: lineitem×orders on
     * the order key with the fact side salted 8 ways and the orders
     * side replicated — the manual pre-plan mitigation for a
@@ -1294,6 +1306,7 @@ object PipelineQueries {
     "attribution_last_touch" -> attributionLastTouch _,
     "sample_uniform_k"     -> sampleUniformK _,
     "sample_weighted_k"    -> sampleWeightedK _,
+    "sample_curriculum"    -> sampleCurriculum _,
     "skew_salted_join"     -> skewSaltedJoin _,
     "text_char_entropy"    -> textCharEntropy _,
     "text_pii_mask"        -> textPiiMask _,
@@ -2315,6 +2328,46 @@ object PipelineQueries {
              FROM documents)
            ORDER BY es_key DESC, doc_id LIMIT 100)
          ORDER BY doc_id""",
+    // Same quality CTE as sample_token_budget; stages compare the
+    // ROUNDED score, position ranks the md5 permutation per
+    // (stage, shard).
+    "sample_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  round(
+                    (CASE WHEN length(text) BETWEEN 100 AND 20000
+                          THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(list_filter(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        w -> list_contains(['the','a','an','and','or','of',
+                          'to','in','is','it','that','for','on','with','as',
+                          'at','by'], w)))::DOUBLE
+                      / greatest(len(string_split_regex(trim(lower(text)),
+                          '\s+')), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(regexp_extract_all(text,
+                        '[^A-Za-z0-9\s]'))::DOUBLE
+                      / greatest(length(text), 1) <= 0.2
+                      THEN 0.2 ELSE 0 END) +
+                    (CASE WHEN list_sum(list_transform(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        w -> length(w)))::DOUBLE
+                      / greatest(len(string_split_regex(trim(lower(text)),
+                          '\s+')), 1) BETWEEN 2.0 AND 12.0
+                      THEN 0.2 ELSE 0 END), 2) AS quality_score
+           FROM documents),
+         h AS (
+           SELECT doc_id, lang, quality_score,
+                  CASE WHEN quality_score >= 0.8 THEN 0
+                       WHEN quality_score >= 0.5 THEN 1
+                       WHEN quality_score >= 0.3 THEN 2 ELSE 3 END AS stage,
+                  ('0x' || substr(md5('graft-cur:' ||
+                    CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT AS h60
+           FROM t)
+         SELECT doc_id, lang, quality_score, stage,
+                CAST(h60 % 8 AS INT) AS shard,
+                CAST(row_number() OVER (PARTITION BY stage, h60 % 8
+                  ORDER BY h60, doc_id) AS INT) AS pos
+         FROM h ORDER BY stage, shard, pos""",
     // The salted join must be semantically invisible: oracle = the
     // PLAIN lineitem×orders join, no salt anywhere.
     "skew_salted_join" ->
