@@ -692,6 +692,25 @@ object PipelineQueries {
     TextAnalysis.bpeEncode(Tables.documents(s, d), rounds = 6)
       .orderBy("doc_id")
 
+  /** Tokenizer FERTILITY per language (BPE tokens per word) — the
+    * standard tokenizer-eval metric for how well a merge table fits
+    * each language's morphology. Composes [[TextAnalysis.bpeEncode]]'s
+    * per-doc counts with the doc→lang map (a skinny doc-count-sized
+    * join) and aggregates; the oracle replays training AND encoding,
+    * then the same per-lang ratio.
+    */
+  def textBpeFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.bpeEncode(docs, rounds = 6)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")).cast("double") /
+          sum(col("n_words")).cast("double"), 4).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** The same decontamination answered through the Bloom-sketch probe:
     * must produce EXACTLY the exact-set answer (the sketch is sized so
     * false positives are ~1e-12 on this corpus — the oracle is the same
@@ -1266,6 +1285,7 @@ object PipelineQueries {
     "text_bpe_pairs"       -> textBpePairs _,
     "text_bpe_train"       -> textBpeTrain _,
     "text_bpe_encode"      -> textBpeEncode _,
+    "text_bpe_fertility"   -> textBpeFertility _,
     "sample_coreset"       -> sampleCoreset _,
     "pipeline_fewshot"     -> pipelineFewshot _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
@@ -1487,7 +1507,7 @@ object PipelineQueries {
     * document chain must pass through unchanged — exactly the Scala
     * side's fold over the merges actually found.
     */
-  private val BpeEncodeOracle: String = {
+  private def bpeEncodeCtes: String = {
     val docChain = (1 to BpeRounds).map { r =>
       s""",
          de$r AS (SELECT doc_id, CASE WHEN b$r.lhs IS NULL THEN s
@@ -1506,12 +1526,30 @@ object PipelineQueries {
                    array_to_string(list_transform(range(1, length(w) + 1),
                      i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(1)),
                    '') AS s
-                 FROM dw)$docChain
+                 FROM dw)$docChain"""
+  }
+
+  private val BpeEncodeOracle: String =
+    s"""$bpeEncodeCtes
          SELECT doc_id, CAST(count(*) AS INT) AS n_words,
                 CAST(sum(len(string_split(trim(s, chr(1)),
                   chr(1) || chr(1)))) AS BIGINT) AS n_bpe_tokens
          FROM de$BpeRounds GROUP BY doc_id ORDER BY doc_id"""
-  }
+
+  /** Fertility = the encode chain re-aggregated per language. */
+  private val BpeFertilityOracle: String =
+    s"""$bpeEncodeCtes,
+         counts AS (
+           SELECT doc_id, count(*) AS nw,
+                  sum(len(string_split(trim(s, chr(1)),
+                    chr(1) || chr(1)))) AS nb
+           FROM de$BpeRounds GROUP BY doc_id)
+         SELECT d.lang, CAST(sum(c.nw) AS BIGINT) AS n_words,
+                CAST(sum(c.nb) AS BIGINT) AS n_bpe_tokens,
+                round(CAST(sum(c.nb) AS DOUBLE) / CAST(sum(c.nw) AS DOUBLE),
+                  4) AS fertility
+         FROM counts c JOIN documents d USING (doc_id)
+         GROUP BY d.lang ORDER BY d.lang"""
 
   private val SimTopKOracle =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
@@ -3115,6 +3153,7 @@ object PipelineQueries {
          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""",
     "text_bpe_train" -> BpeTrainOracle,
     "text_bpe_encode" -> BpeEncodeOracle,
+    "text_bpe_fertility" -> BpeFertilityOracle,
     "sample_coreset" -> CoresetOracle,
     "pipeline_fewshot" -> FewshotOracle,
     "embedding_centroid_assign" ->
