@@ -90,4 +90,48 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Span-level contamination PROVENANCE: for every contaminated
+    * (corpus doc, benchmark doc) pair, how many distinct `k`-grams they
+    * share and WHERE the overlap starts on each side (1-based word
+    * position of the earliest shared gram) — the report a human
+    * auditor or an span-excision pass acts on, where [[ngramOverlap]]
+    * only answers "how much".
+    *
+    * Scale shape: grams ride as 64-bit xxhash values with their word
+    * position (the [[ngramOverlap]] hashing rationale — 8 bytes, not
+    * 8-word strings); the benchmark side pre-aggregates to one
+    * (bench doc, gram) → min-position row and BROADCASTS, so the
+    * corpus-side probe is map-side and the corpus never shuffles
+    * before the per-pair aggregation — which carries only matched
+    * rows (contamination-sized, not corpus-sized) and is map-side
+    * combinable (min/min, then count over the deduped gram rows).
+    * Gram multiplicity inside a doc collapses to the earliest
+    * occurrence, so the first exchange is bounded by distinct shared
+    * grams, not occurrences.
+    */
+  def ngramOverlapSpans(corpus: DataFrame, benchmark: DataFrame,
+      k: Int = 8, textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    def posGrams(df: DataFrame, id: String): DataFrame = {
+      val words = split(trim(lower(col(textCol))), "\\s+")
+      val m = greatest(size(words) - (k - 1), lit(1))
+      df.select(col(idCol).as(id),
+          posexplode(transform(sequence(lit(1), m),
+            i => xxhash64(concat_ws(" ", slice(words, i, lit(k)))))))
+        .select(col(id), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("_gram"))
+    }
+    val bench = broadcast(posGrams(benchmark, "bench_id")
+      .groupBy(col("bench_id"), col("_gram"))
+      .agg(min(col("pos")).as("bench_pos")))
+    posGrams(corpus, idCol)
+      .join(bench, Seq("_gram"))
+      .groupBy(col(idCol), col("bench_id"), col("_gram"))
+      .agg(min(col("pos")).as("_cpos"), min(col("bench_pos")).as("_bpos"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("_cpos")).as("first_pos"),
+        min(col("_bpos")).as("first_bench_pos"))
+  }
 }

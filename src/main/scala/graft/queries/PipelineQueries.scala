@@ -711,6 +711,21 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Span-level contamination provenance: which benchmark doc each
+    * contaminated train doc overlaps, how many distinct 8-grams they
+    * share, and the 1-based word position where the overlap starts on
+    * each side ([[Decontaminate.ngramOverlapSpans]]) — the report an
+    * excision pass acts on. Same bucket split as `text_decontaminate`.
+    */
+  def textDecontaminateSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket", Sampling.bucketCol(col("doc_id")))
+    Decontaminate.ngramOverlapSpans(
+        corpus = docs.filter(col("bucket") < 80),
+        benchmark = docs.filter(col("bucket") >= 90), k = 8)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** The same decontamination answered through the Bloom-sketch probe:
     * must produce EXACTLY the exact-set answer (the sketch is sized so
     * false positives are ~1e-12 on this corpus — the oracle is the same
@@ -1281,6 +1296,7 @@ object PipelineQueries {
     "sample_stratified"    -> sampleStratified _,
     "filter_blocklist"     -> filterBlocklist _,
     "text_decontaminate"   -> textDecontaminate _,
+    "text_decontaminate_spans" -> textDecontaminateSpans _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_bpe_pairs"       -> textBpePairs _,
     "text_bpe_train"       -> textBpeTrain _,
@@ -3140,6 +3156,37 @@ object PipelineQueries {
     // ONE string for both keys: the Bloom-sketch probe must reproduce
     // the exact-set overlap bit for bit (fp-free at this sizing)
     "text_decontaminate" -> DecontaminateOracle,
+    // Positional grams (DuckDB zips parallel unnests), benchmark side
+    // pre-reduced to (bench doc, gram) -> min pos — the Spark side
+    // joins 64-bit gram hashes instead of strings, same semantics.
+    "text_decontaminate_spans" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 AS bucket,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, bucket,
+                  CAST(unnest(range(1, greatest(len(words) - 7, 1) + 1))
+                    AS INT) AS pos,
+                  unnest(list_transform(
+                    range(1, greatest(len(words) - 7, 1) + 1),
+                    i -> array_to_string(words[i:least(i+7, len(words))],
+                      ' '))) AS gram
+           FROM s),
+         bench AS (
+           SELECT doc_id AS bench_id, gram, min(pos) AS bench_pos
+           FROM g WHERE bucket >= 90 GROUP BY doc_id, gram),
+         c AS (
+           SELECT g.doc_id, bench.bench_id, g.gram,
+                  min(g.pos) AS cpos, min(bench.bench_pos) AS bpos
+           FROM g JOIN bench USING (gram) WHERE g.bucket < 80
+           GROUP BY g.doc_id, bench.bench_id, g.gram)
+         SELECT doc_id, bench_id, count(*) AS n_shared,
+                CAST(min(cpos) AS INT) AS first_pos,
+                CAST(min(bpos) AS INT) AS first_bench_pos
+         FROM c GROUP BY doc_id, bench_id ORDER BY doc_id, bench_id""",
     "text_decontaminate_bloom" -> DecontaminateOracle,
     "text_bpe_pairs" ->
       """WITH w AS (
