@@ -134,4 +134,52 @@ object Decontaminate {
         min(col("_cpos")).as("first_pos"),
         min(col("_bpos")).as("first_bench_pos"))
   }
+
+  /** Contamination EXCISION — act on the span report instead of
+    * dropping whole documents: delete every word covered by a `k`-gram
+    * the document shares with the benchmark, keep the rest. The
+    * output is the report-sized table of AFFECTED docs (word count,
+    * words removed, cleaned text) — the repair a surgical
+    * decontamination pass applies where [[ngramOverlap]] would discard
+    * the entire document.
+    *
+    * Scale shape: the probe is [[ngramOverlapSpans]]'s (hashed grams,
+    * broadcast benchmark set, corpus never shuffles); matched
+    * positions expand k ways and collapse to ONE covered-position-set
+    * row per affected doc (contamination-sized), which BROADCASTS back
+    * onto the corpus scan — the rewrite itself is a pure codegen
+    * filter-by-index HOF, no corpus exchange anywhere.
+    */
+  def exciseOverlaps(corpus: DataFrame, benchmark: DataFrame,
+      k: Int = 8, textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    def words0(df: DataFrame) = split(trim(lower(col(textCol))), "\\s+")
+    def posGrams(df: DataFrame): DataFrame = {
+      val words = words0(df)
+      val m = greatest(size(words) - (k - 1), lit(1))
+      df.select(col(idCol),
+          posexplode(transform(sequence(lit(1), m),
+            i => xxhash64(concat_ws(" ", slice(words, i, lit(k)))))))
+        .select(col(idCol), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("_gram"))
+    }
+    val benchGrams = broadcast(posGrams(benchmark).select("_gram").distinct())
+    // matched gram start positions → covered word indices → one
+    // sorted-array row per affected doc (dedup via the set agg)
+    val covered = posGrams(corpus)
+      .join(benchGrams, Seq("_gram"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("_i"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_i"))).as("_cov"))
+    val words = words0(corpus)
+    corpus.join(broadcast(covered), Seq(idCol))
+      .select(col(idCol), words.as("_w"), col("_cov"))
+      .select(col(idCol), size(col("_w")).as("n_words"),
+        filter(col("_w"),
+          (_, i) => !array_contains(col("_cov"), i + 1)).as("_kept"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - size(col("_kept"))).as("n_removed"),
+        concat_ws(" ", col("_kept")).as("clean_text"))
+  }
 }

@@ -726,6 +726,20 @@ object PipelineQueries {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Surgical decontamination: EXCISE the shared 8-gram spans from
+    * contaminated train docs instead of dropping them
+    * ([[Decontaminate.exciseOverlaps]]) — word count, words removed,
+    * and the cleaned text per affected doc. Same bucket split.
+    */
+  def textDecontaminateExcise(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket", Sampling.bucketCol(col("doc_id")))
+    Decontaminate.exciseOverlaps(
+        corpus = docs.filter(col("bucket") < 80),
+        benchmark = docs.filter(col("bucket") >= 90), k = 8)
+      .orderBy("doc_id")
+  }
+
   /** The same decontamination answered through the Bloom-sketch probe:
     * must produce EXACTLY the exact-set answer (the sketch is sized so
     * false positives are ~1e-12 on this corpus — the oracle is the same
@@ -1297,6 +1311,7 @@ object PipelineQueries {
     "filter_blocklist"     -> filterBlocklist _,
     "text_decontaminate"   -> textDecontaminate _,
     "text_decontaminate_spans" -> textDecontaminateSpans _,
+    "text_decontaminate_excise" -> textDecontaminateExcise _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_bpe_pairs"       -> textBpePairs _,
     "text_bpe_train"       -> textBpeTrain _,
@@ -2422,6 +2437,41 @@ object PipelineQueries {
                 CAST(row_number() OVER (PARTITION BY stage, h60 % 8
                   ORDER BY h60, doc_id) AS INT) AS pos
          FROM h ORDER BY stage, shard, pos""",
+    // Excision replayed: matched gram starts expand to covered word
+    // indices; the rewrite keeps exactly the uncovered words in order.
+    "text_decontaminate_excise" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 AS bucket,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, bucket,
+                  CAST(unnest(range(1, greatest(len(words) - 7, 1) + 1))
+                    AS INT) AS pos,
+                  unnest(list_transform(
+                    range(1, greatest(len(words) - 7, 1) + 1),
+                    i -> array_to_string(words[i:least(i+7, len(words))],
+                      ' '))) AS gram
+           FROM s),
+         bench AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90),
+         m AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (gram)
+               WHERE g.bucket < 80),
+         cov AS (
+           SELECT doc_id, list(DISTINCT p) AS cov FROM (
+             SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM m)
+           GROUP BY doc_id),
+         kept AS (
+           SELECT s.doc_id, len(s.words) AS n_words,
+                  list_transform(list_filter(range(1, len(s.words) + 1),
+                    i -> NOT list_contains(cov.cov, i)),
+                    i -> s.words[i]) AS kw
+           FROM s JOIN cov USING (doc_id))
+         SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                CAST(n_words - len(kw) AS INT) AS n_removed,
+                coalesce(array_to_string(kw, ' '), '') AS clean_text
+         FROM kept ORDER BY doc_id""",
     // The salted join must be semantically invisible: oracle = the
     // PLAIN lineitem×orders join, no salt anywhere.
     "skew_salted_join" ->
