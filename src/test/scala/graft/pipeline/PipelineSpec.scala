@@ -1328,6 +1328,27 @@ class PipelineSpec extends AnyFunSuite {
       "an unfilled top-k must not certify exactness")
   }
 
+  test("excision leaves no residual benchmark overlap on this corpus") {
+    val withBucket = docs.withColumn("bucket",
+      Sampling.bucketCol(col("doc_id")))
+    val corpus = withBucket.filter(col("bucket") < 80)
+    val bench = withBucket.filter(col("bucket") >= 90)
+    val cleaned = Decontaminate.exciseOverlaps(corpus, bench, k = 8)
+    assert(cleaned.filter(col("n_removed") <= 0).count() == 0,
+      "every reported doc must actually lose words")
+    assert(cleaned.filter(col("n_removed") > col("n_words")).count() == 0)
+    // Re-probe the cleaned text: the original shared grams are gone by
+    // construction; this also pins that excision-created adjacencies
+    // (words newly juxtaposed across a cut) introduce no NEW overlap
+    // on this corpus — the caveat a user of span excision must watch.
+    val reprobe = Decontaminate.ngramOverlap(
+      cleaned.filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      bench, k = 8)
+    assert(reprobe.count() == 0,
+      "excised docs must no longer share any 8-gram with the benchmark")
+  }
+
   test("bm25: equals a local reference; salted top-k is salt-invariant") {
     val corpus = docs.filter(col("doc_id") >= 3)
     val q = docs.filter(col("doc_id") < 3).select(
