@@ -361,6 +361,64 @@ object StreamQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val docWavesCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val decontIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val decontWavesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The train-side (bucket < 80) documents as two ordered arrival
+    * waves — setup for the decontamination door; the bucket ≥ 90 slice
+    * is the static benchmark set.
+    */
+  private def decontWavesDir(s: SparkSession, d: String): String =
+    decontWavesCache.computeIfAbsent(d, _ => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .withColumn("bucket",
+          graft.pipeline.Sampling.bucketCol(col("doc_id")))
+        .filter(col("bucket") < 80).drop("bucket")
+      buildWavesDir("graft-dcwaves-", Seq(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)))
+    })
+
+  /** Benchmark decontamination AT INGEST: the train-side corpus
+    * arrives as two micro-batch waves; each batch's hashed 8-grams
+    * probe the broadcast benchmark gram set and contaminated docs are
+    * dropped at the door
+    * ([[graft.streaming.StreamIngest.decontaminateIngestAvailable]]).
+    * The benchmark set is STATIC, so per-doc verdicts are
+    * wave-independent and the oracle is the batch decontamination
+    * filter itself — no wave replay needed, unlike the dedup door.
+    */
+  private def decontIngestLoc(s: SparkSession, d: String): String =
+    decontIngestCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-sdecont-")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val bench = docs
+        .withColumn("bucket",
+          graft.pipeline.Sampling.bucketCol(col("doc_id")))
+        .filter(col("bucket") >= 90)
+        .select(explode(graft.functions.ShingleExpressions.hashedShingles(
+          trim(lower(col("text"))), 8)).as("_gram"))
+        .distinct()
+        .localCheckpoint(true)
+      val keptT = graft.lake.LakeTable.create(s,
+        base.resolve("kept").toString, Left(docs.schema))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(decontWavesDir(s, d))
+      val batches = timedStream("stream_decontaminate_ingest") {
+        graft.streaming.StreamIngest.decontaminateIngestAvailable(
+          stream, bench, keptT, k = 8, "docs_decont_ingest",
+          base.resolve("ckpt").toString)
+      }
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      base.resolve("kept").toString
+    })
+
+  def streamDecontaminateIngest(s: SparkSession, d: String): DataFrame =
+    graft.lake.LakeTable.forLocation(s, decontIngestLoc(s, d)).read()
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
 
   /** The documents corpus as two ordered arrival waves (even doc ids,
     * then odd) in a file-stream dir — scenario SETUP shared by the
@@ -763,12 +821,37 @@ object StreamQueries {
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_outer" -> streamIntervalJoinOuter _,
     "stream_dedup_ingest" -> streamDedupIngest _,
+    "stream_decontaminate_ingest" -> streamDecontaminateIngest _,
     "stream_token_budget" -> streamTokenBudget _,
     "stream_ann_ingest" -> streamAnnIngest _,
     "stream_semantic_dedup" -> streamSemanticDedup _
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The door's verdicts are wave-independent (static benchmark), so
+    // the oracle is the plain batch decontamination filter: train-side
+    // docs minus those sharing any 8-gram with the bucket>=90 slice.
+    "stream_decontaminate_ingest" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 AS bucket,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, bucket, unnest(list_distinct(
+             list_transform(range(1, greatest(len(words) - 7, 1) + 1),
+               i -> array_to_string(words[i:least(i+7, len(words))], ' '))))
+               AS gram
+           FROM s),
+         bench AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+                 WHERE g.bucket < 80)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN s USING (doc_id)
+              LEFT JOIN bad ON bad.doc_id = d.doc_id
+         WHERE s.bucket < 80 AND bad.doc_id IS NULL
+         ORDER BY d.doc_id""",
     // Deterministic properties of the streamed index: every source
     // vector indexed exactly once (multiset equality, computed
     // in-scenario), and probe recall@10 >= 50% vs exact brute force —

@@ -148,6 +148,49 @@ object StreamIngest {
     committed
   }
 
+  /** Benchmark-decontamination DOOR at ingest: per micro-batch, drop
+    * any document sharing a word `k`-gram with the (static) benchmark
+    * gram set and append the survivors batch-stamped — the streaming
+    * mirror of [[graft.pipeline.Decontaminate.ngramOverlap]], keeping
+    * a continuously-ingested corpus benchmark-clean by construction
+    * instead of scanning it afterwards.
+    *
+    * Unlike the dedup/ANN doors there is NO evolving index state: the
+    * benchmark set is fixed, so per-doc verdicts are batch-independent
+    * and the whole door is one broadcast semi-probe per batch (the
+    * batch's hashed grams against the bench hash set) — O(batch) work,
+    * nothing persisted but the kept rows. `benchGrams` should be
+    * materialized once by the caller (it is re-read every batch).
+    */
+  def decontaminateIngestAvailable(stream: DataFrame,
+      benchGrams: DataFrame, kept: LakeTable, k: Int, queryName: String,
+      checkpointDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(kept, queryName)
+    val bench = broadcast(benchGrams)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seen.contains(batchId) && !batch.isEmpty) {
+          val grams = batch.select(col("doc_id"),
+            explode(graft.functions.ShingleExpressions.hashedShingles(
+              trim(lower(col("text"))), k)).as("_gram"))
+          val contaminated = grams.join(bench, Seq("_gram"), "left_semi")
+            .select("doc_id").distinct()
+          kept.append(batch.join(contaminated, Seq("doc_id"), "left_anti"),
+            summary = Map(BatchStamp -> stamp(queryName, batchId)))
+          seen += batchId
+          committed += 1
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Start an EMBEDDING stream ingesting into a persisted IVF index —
     * continuous vector indexing, the ANN analog of
     * [[dedupIngestAvailable]]: each micro-batch assigns its vectors to
