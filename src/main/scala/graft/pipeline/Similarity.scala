@@ -1174,6 +1174,101 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Cross-corpus exact top-k: every `queries` row's k nearest
+    * `corpus` rows — [[knnGraph]]'s blocked kernel shape with the two
+    * sides decoupled (the corpus packs into blocks, the query side
+    * replicates ×B), which is what retrieval, hard-negative mining and
+    * bitext mining all want. Same exactness argument as [[knnGraph]]:
+    * the union of per-block top-ks contains the global top-k, and the
+    * merge exchange carries only (qid, nid, cosine) — no vectors.
+    * Cosines are emitted UNROUNDED — callers that derive further
+    * arithmetic (margin ratios) round once at their own edge.
+    */
+  private def crossTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      vecCol: String, idCol: String, nBlocks: Int = 0): DataFrame = {
+    import graft.functions.VectorExpressions.topKNeighborsAgainst
+    val b = if (nBlocks > 0) nBlocks
+      else queries.sparkSession.sessionState.conf.numShufflePartitions
+    val q = queries.select(col(idCol).cast("long").as("_qid"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val packed = corpus
+      .select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .groupBy(pmod(xxhash64(col("_id")), lit(b.toLong)).as("_blk"))
+      .agg(sort_array(collect_list(
+        struct(col("_id").as("id"), col("_v").as("v")))).as("_p"))
+      .select(col("_blk"),
+        transform(col("_p"), s => struct(
+          s("id").as("id"), s("v").as("v"),
+          sqrt(aggregate(s("v"), lit(0.0d),
+            (acc, x) => acc + x * x)).as("nrm"))).as("_block"))
+    val cand = q
+      .withColumn("_blk", explode(sequence(lit(0L), lit(b.toLong - 1L))))
+      .repartition(b, col("_blk"))
+      .join(packed, Seq("_blk"))
+      // selfId = -1: cross-corpus sides may share an id space; the
+      // caller decides disjointness, the kernel must not drop anything.
+      .select(col("_qid"),
+        topKNeighborsAgainst(col("_qv"), lit(-1L), col("_block"), k)
+          .as("_c"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("cosine").desc, col("_nid"))
+    cand.select(col("_qid"), explode(col("_c")).as("e"))
+      .select(col("_qid"), col("e.neighbor").as("_nid"),
+        col("e.cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Margin-based parallel-pair mining — the published bitext-mining
+    * criterion (Artetxe & Schwenk's ratio margin, the CCMatrix recipe):
+    * a source row's best target match is kept when its cosine stands
+    * out from BOTH endpoints' neighborhoods,
+    * `margin = cos(x,y) / ((avgK(x→tgt) + avgK(y→src)) / 2)`, with a
+    * `mutual` flag when y's best source is x back. Two blocked
+    * [[crossTopK]] passes (forward and backward — cosine is symmetric,
+    * so the backward pass rescores the same pair space, never a
+    * recomputation drift) and id-only joins after: the margin algebra
+    * touches k·N-row edge lists, no vectors.
+    *
+    * Scale shape: each direction is the knnGraph block-join (per-task
+    * memory = one corpus block, B the knob); everything downstream of
+    * the kernels carries (id, id, double) rows. At 100 TB the exact
+    * cross pass becomes the IVF-cell route per direction — the margin
+    * algebra is unchanged.
+    */
+  def bitextMine(vectors: DataFrame, srcFilter: Column, tgtFilter: Column,
+      k: Int = 4, marginThreshold: Double = 1.0,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      nBlocks: Int = 0): DataFrame = {
+    val src = vectors.filter(srcFilter)
+    val tgt = vectors.filter(tgtFilter)
+    val fwd = crossTopK(src, tgt, k, vecCol, idCol, nBlocks)
+      .localCheckpoint()
+    val bwd = crossTopK(tgt, src, k, vecCol, idCol, nBlocks)
+      .localCheckpoint()
+    val degSrc = fwd.groupBy(col("_qid").as("src_id"))
+      .agg(avg(col("cosine")).as("_dsrc"))
+    val degTgt = bwd.groupBy(col("_qid").as("tgt_id"))
+      .agg(avg(col("cosine")).as("_dtgt"))
+    val best = fwd.filter(col("rank") === 1)
+      .select(col("_qid").as("src_id"), col("_nid").as("tgt_id"),
+        col("cosine"))
+    val mut = broadcast(bwd.filter(col("rank") === 1)
+      .select(col("_qid").as("tgt_id"), col("_nid").as("src_id"),
+        lit(1).as("_m")))
+    val den = (col("_dsrc") + col("_dtgt")) / 2
+    best.join(degSrc, Seq("src_id")).join(degTgt, Seq("tgt_id"))
+      .join(mut, Seq("tgt_id", "src_id"), "left")
+      .withColumn("margin", when(den > 0, col("cosine") / den))
+      .filter(col("margin").isNotNull &&
+        col("margin") >= marginThreshold)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cosine"), 6).as("cosine"),
+        round(col("margin"), 6).as("margin"),
+        col("_m").isNotNull.as("mutual"))
+  }
+
   /** mutual = the reversed (dst, src) pair is itself an edge; the edge
     * set is k·N rows of ids — broadcast-sized relative to the corpus at
     * any k that makes sense. `edges` must be materialized (both sides

@@ -824,4 +824,65 @@ object TextAnalysis {
       .agg(sum(col("n")).as("c1"))
     scoreAgainst(docBigrams(df, textCol, idCol), c2, c1, idCol)
   }
+
+  /** Reference-corpus quality classifier — the published selection
+    * recipe (fastText-style linear classifier over bag-of-words, as
+    * used by the CCNet/LLaMA/DCLM pipelines: train
+    * "curated reference vs rest", keep what scores reference-like) —
+    * here as multinomial Naive Bayes with add-one smoothing, the
+    * counts-only member of that family: the model is EXACTLY two
+    * aggregations, so training is one shuffle and the learned weights
+    * replay in an ANSI oracle (a gradient-trained fastText would be
+    * neither). `positive` marks the reference side (e.g.
+    * `col("source").isin(...)` — label provenance, not text rules, per
+    * the recipe). Emits per-doc smoothed log-odds, the sign decision,
+    * and matched-token count.
+    *
+    * Scale shape: token counts map-side-combine before the one
+    * training shuffle (vocabulary-sized, words as keys); the vocabulary
+    * cap — top `vocabCap` by (count desc, word asc), a deterministic
+    * TakeOrderedAndProject — bounds the weight table no matter the
+    * corpus, so scoring is a BROADCAST join that filters the exploded
+    * token stream before anything shuffles; the only wide exchange
+    * carries (doc, partial-sum) pairs after map-side combine. Totals
+    * and the class prior ride broadcast 1-row aggregates. No driver
+    * collect anywhere; at 100 TB the same plan stands — the cap is the
+    * knob that keeps the weight broadcast executor-memory-sized.
+    */
+  def nbClassifier(df: DataFrame, positive: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      vocabCap: Int = 4096): DataFrame = {
+    val toks = df.select(col(idCol), positive.as("_pos"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val counts = toks.groupBy(col("w")).agg(
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("_pos"), 0L).otherwise(1L)).as("c_neg"))
+    val vocab = counts
+      .orderBy((col("c_pos") + col("c_neg")).desc, col("w"))
+      .limit(vocabCap)
+    val tot = broadcast(vocab.agg(
+      sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"),
+      count(lit(1)).as("v")))
+    val weights = broadcast(vocab.crossJoin(tot).select(col("w"),
+      (log((col("c_pos") + lit(1.0)) / (col("n_pos") + col("v"))) -
+        log((col("c_neg") + lit(1.0)) / (col("n_neg") + col("v"))))
+        .as("wt")))
+    // Laplace prior over document counts: defined even when one class
+    // is empty (the +1 on both sides), matching the smoothed weights.
+    val prior = broadcast(df.agg(
+      log((sum(when(positive, 1L).otherwise(0L)) + lit(1.0)) /
+        (sum(when(positive, 0L).otherwise(1L)) + lit(1.0))).as("prior")))
+    val matched = toks.join(weights, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("wt")).as("_s"), count(lit(1)).as("n_matched"))
+    // Left join back over all ids: a doc with no in-vocabulary token
+    // scores the bare prior instead of vanishing.
+    df.select(col(idCol)).join(matched, Seq(idCol), "left")
+      .crossJoin(prior)
+      .select(col(idCol),
+        round(coalesce(col("_s"), lit(0.0)) + col("prior"), 6)
+          .as("log_odds"),
+        (coalesce(col("_s"), lit(0.0)) + col("prior") > 0).as("predicted"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
 }

@@ -1010,6 +1010,30 @@ object PipelineQueries {
   def textCorpusStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusStats(Tables.documents(s, d))
 
+  /** Reference-vs-rest quality classifier (the CCNet/LLaMA/DCLM
+    * selection recipe): sources src0/src1 play the curated reference
+    * corpus, the Naive-Bayes log-odds score says how reference-like
+    * every document reads. Label provenance (the `source` column), not
+    * text rules — the model DISCOVERS the reference's vocabulary
+    * instead of being told the rules.
+    */
+  def textNbClassifier(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.nbClassifier(Tables.documents(s, d),
+        positive = col("source").isin("src0", "src1"))
+      .orderBy("doc_id")
+
+  /** Margin-based pair mining across the two embedding half-corpora
+    * (vec_id parity plays the two languages): each even vector's best
+    * odd match, kept when the CCMatrix ratio margin clears 1.0, with
+    * the mutual-best flag. The oracle replays the full criterion from
+    * all-pairs cosines.
+    */
+  def simBitextMine(s: SparkSession, d: String): DataFrame =
+    Similarity.bitextMine(Tables.embeddings(s, d),
+        srcFilter = col("vec_id") % 2 === 0,
+        tgtFilter = col("vec_id") % 2 === 1)
+      .orderBy("src_id")
+
   // Memoized PER JVM AND DATASET DIR, like dedupIdxCache/ivfCache: the
   // fixture parquet under a dir is immutable for a process lifetime, so
   // the trained model is too. A session that mutates `documents` in
@@ -1325,6 +1349,8 @@ object PipelineQueries {
     "sample_shard_export"  -> sampleShardExport _,
     "text_lm_score"        -> textLmScore _,
     "text_corpus_stats"    -> textCorpusStats _,
+    "text_nb_classifier"   -> textNbClassifier _,
+    "sim_bitext_mine"      -> simBitextMine _,
     "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
@@ -1641,8 +1667,100 @@ object PipelineQueries {
               CROSS JOIN v
        GROUP BY b.doc_id ORDER BY b.doc_id"""
 
+  /** The rule-gate CTE chain (w → g → sig → v) shared by the
+    * batch gate oracle and the streaming quality-door oracle — one
+    * definition, so the two checks can never drift.
+    */
+  /** The rule-gate CTE chain (w -> g -> sig -> v) shared by the
+    * batch gate oracle and the streaming quality-door oracle - one
+    * definition, so the two checks can never drift.
+    */
+  private[queries] val QualityGateCtes: String =
+    """WITH w AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, text, words,
+                  list_transform(range(1, greatest(len(words) - 9, 1) + 1),
+                    i -> array_to_string(words[i:least(i+9, len(words))], ' '))
+                    AS grams
+           FROM w),
+         sig AS (
+           SELECT doc_id, text,
+                  round(len(list_filter(words, w -> list_contains(
+                      ['the','a','an','and','or','of','to','in',
+                       'is','it','that','for','on','with','as','at','by'], w)))::DOUBLE
+                    / greatest(len(words), 1), 4) AS stopword_ratio,
+                  round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                    / greatest(length(text), 1), 4) AS punct_ratio,
+                  round(list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                    / greatest(len(words), 1), 4) AS mean_word_len,
+                  round((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(list_filter(words, w -> list_contains(
+                        ['the','a','an','and','or','of','to','in',
+                         'is','it','that','for','on','with','as','at','by'], w)))::DOUBLE
+                      / greatest(len(words), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+                    (CASE WHEN list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                      / greatest(len(words), 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2)
+                    AS quality_score,
+                  round(1.0::DOUBLE - len(list_distinct(grams))::DOUBLE
+                    / greatest(len(grams), 1), 4) AS dup_gram_frac
+           FROM g),
+         v AS (
+           SELECT doc_id, quality_score, dup_gram_frac,
+                  list_filter([
+                    CASE WHEN length(text) < 100 THEN 'too_short' END,
+                    CASE WHEN length(text) > 20000 THEN 'too_long' END,
+                    CASE WHEN stopword_ratio < 0.01 THEN 'low_stopword' END,
+                    CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+                    CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                      THEN 'odd_word_len' END,
+                    CASE WHEN dup_gram_frac > 0.3 THEN 'repetitive' END],
+                    x -> x IS NOT NULL) AS hit
+           FROM sig)"""
+
   val oracleSql: Map[String, String] = Map(
     "sim_topk_matryoshka" -> MatryoshkaOracle,
+    // Full Artetxe–Schwenk replay from all-pairs cosines: forward/
+    // backward top-4 neighborhood averages, ratio margin, forward-best
+    // selection, mutual-best flag. The backward CTE re-ranks the SAME
+    // scored pair space (cosine is symmetric), exactly as the Spark
+    // side's second kernel pass reproduces identical arithmetic.
+    "sim_bitext_mine" ->
+      """WITH src AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS sv
+                      FROM embeddings WHERE vec_id % 2 = 0),
+         tgt AS (SELECT vec_id AS tid, embedding::DOUBLE[] AS tv
+                 FROM embeddings WHERE vec_id % 2 = 1),
+         fw AS (SELECT sid, tid,
+                       list_cosine_similarity(sv, tv) AS cos,
+                       row_number() OVER (PARTITION BY sid
+                         ORDER BY list_cosine_similarity(sv, tv) DESC,
+                                  tid) AS r
+                FROM src, tgt),
+         bw AS (SELECT tid, sid, cos,
+                       row_number() OVER (PARTITION BY tid
+                         ORDER BY cos DESC, sid) AS r
+                FROM fw),
+         degs AS (SELECT sid, avg(cos) AS dsrc FROM fw
+                  WHERE r <= 4 GROUP BY 1),
+         degt AS (SELECT tid, avg(cos) AS dtgt FROM bw
+                  WHERE r <= 4 GROUP BY 1),
+         best AS (SELECT sid, tid, cos FROM fw WHERE r = 1),
+         mut AS (SELECT tid, sid FROM bw WHERE r = 1)
+         SELECT b.sid AS src_id, b.tid AS tgt_id,
+                round(b.cos, 6) AS cosine,
+                round(b.cos / ((d1.dsrc + d2.dtgt) / 2), 6) AS margin,
+                (m.sid IS NOT NULL) AS mutual
+         FROM best b
+         JOIN degs d1 USING (sid)
+         JOIN degt d2 USING (tid)
+         LEFT JOIN mut m ON m.tid = b.tid AND m.sid = b.sid
+         WHERE (d1.dsrc + d2.dtgt) / 2 > 0
+           AND b.cos / ((d1.dsrc + d2.dtgt) / 2) >= 1.0
+         ORDER BY src_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY doc_id""",
@@ -2304,55 +2422,10 @@ object PipelineQueries {
     // Verdict thresholds compare the ROUNDED signals (same values the
     // signal queries publish), so the gate replays exactly; the
     // quality_score CASEs reuse text_quality's raw-ratio arithmetic.
-    "text_quality_gate" ->
-      """WITH w AS (
-           SELECT doc_id, text,
-                  string_split_regex(trim(lower(text)), '\s+') AS words
-           FROM documents),
-         g AS (
-           SELECT doc_id, text, words,
-                  list_transform(range(1, greatest(len(words) - 9, 1) + 1),
-                    i -> array_to_string(words[i:least(i+9, len(words))], ' '))
-                    AS grams
-           FROM w),
-         sig AS (
-           SELECT doc_id, text,
-                  round(len(list_filter(words, w -> list_contains(
-                      ['the','a','an','and','or','of','to','in',
-                       'is','it','that','for','on','with','as','at','by'], w)))::DOUBLE
-                    / greatest(len(words), 1), 4) AS stopword_ratio,
-                  round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
-                    / greatest(length(text), 1), 4) AS punct_ratio,
-                  round(list_sum(list_transform(words, w -> length(w)))::DOUBLE
-                    / greatest(len(words), 1), 4) AS mean_word_len,
-                  round((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0 END) +
-                    (CASE WHEN len(list_filter(words, w -> list_contains(
-                        ['the','a','an','and','or','of','to','in',
-                         'is','it','that','for','on','with','as','at','by'], w)))::DOUBLE
-                      / greatest(len(words), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
-                    (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
-                      / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
-                    (CASE WHEN list_sum(list_transform(words, w -> length(w)))::DOUBLE
-                      / greatest(len(words), 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2)
-                    AS quality_score,
-                  round(1.0::DOUBLE - len(list_distinct(grams))::DOUBLE
-                    / greatest(len(grams), 1), 4) AS dup_gram_frac
-           FROM g),
-         v AS (
-           SELECT doc_id, quality_score, dup_gram_frac,
-                  list_filter([
-                    CASE WHEN length(text) < 100 THEN 'too_short' END,
-                    CASE WHEN length(text) > 20000 THEN 'too_long' END,
-                    CASE WHEN stopword_ratio < 0.01 THEN 'low_stopword' END,
-                    CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
-                    CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
-                      THEN 'odd_word_len' END,
-                    CASE WHEN dup_gram_frac > 0.3 THEN 'repetitive' END],
-                    x -> x IS NOT NULL) AS hit
-           FROM sig)
+    "text_quality_gate" -> (QualityGateCtes + """
          SELECT doc_id, quality_score, dup_gram_frac, (len(hit) = 0) AS keep,
                 coalesce(array_to_string(hit, ','), '') AS reasons
-         FROM v ORDER BY doc_id""",
+         FROM v ORDER BY doc_id"""),
     // The as-of self-join on events: DuckDB's ASOF LEFT JOIN is the
     // reference semantics (<=, most recent); click ties pre-deduped
     // identically on both sides.
@@ -3412,6 +3485,41 @@ object PipelineQueries {
                   ORDER BY hv, doc_id) AS INT) AS pos
          FROM h ORDER BY shard, pos""",
     "text_lm_score" -> lmScoreOracle,
+    // Replays the whole NB training run: counts → capped vocabulary
+    // (same (count desc, word) tie-break) → smoothed weights → per-doc
+    // log-odds. A weight the Spark side learns differently breaks the
+    // hash.
+    "text_nb_classifier" ->
+      """WITH tok AS (
+           SELECT doc_id, source IN ('src0', 'src1') AS pos,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         cnt AS (SELECT w,
+                        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                        sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+                 FROM tok GROUP BY 1),
+         vocab AS (SELECT * FROM cnt
+                   ORDER BY c_pos + c_neg DESC, w LIMIT 4096),
+         tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                        count(*) AS v
+                 FROM vocab),
+         wt AS (SELECT w,
+                       ln((c_pos + 1.0) / (n_pos + v)) -
+                       ln((c_neg + 1.0) / (n_neg + v)) AS wt
+                FROM vocab CROSS JOIN tot),
+         pri AS (SELECT ln((sum(CASE WHEN source IN ('src0', 'src1')
+                                 THEN 1 ELSE 0 END) + 1.0) /
+                          (sum(CASE WHEN source IN ('src0', 'src1')
+                                 THEN 0 ELSE 1 END) + 1.0)) AS prior
+                 FROM documents),
+         m AS (SELECT doc_id, sum(wt) AS s, count(*) AS n_matched
+               FROM tok JOIN wt USING (w) GROUP BY 1)
+         SELECT d.doc_id,
+                round(coalesce(m.s, 0) + pri.prior, 6) AS log_odds,
+                (coalesce(m.s, 0) + pri.prior > 0) AS predicted,
+                coalesce(m.n_matched, 0) AS n_matched
+         FROM documents d LEFT JOIN m USING (doc_id) CROSS JOIN pri
+         ORDER BY d.doc_id""",
     // the persisted-model path must reproduce the inline scores exactly
     "text_lm_score_persisted" -> lmScoreOracle,
     "text_corpus_stats" ->

@@ -420,6 +420,38 @@ object StreamQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  private val qgateIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Rule-gated ingest: the corpus arrives as the same two waves as the
+    * dedup door, each micro-batch quality-gated at the door
+    * ([[graft.streaming.StreamIngest.qualityGateIngestAvailable]]) —
+    * only `keep` documents ever land. Verdicts are per-document rules
+    * (no cross-batch state), so the oracle is the batch gate's kept
+    * set, wave-independent.
+    */
+  private def qgateIngestLoc(s: SparkSession, d: String): String =
+    qgateIngestCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-sqgate-")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val keptT = graft.lake.LakeTable.create(s,
+        base.resolve("kept").toString, Left(docs.schema))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docWavesDir(s, d))
+      val batches = timedStream("stream_quality_gate") {
+        graft.streaming.StreamIngest.qualityGateIngestAvailable(
+          stream, keptT, "docs_qgate_ingest",
+          base.resolve("ckpt").toString)
+      }
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      base.resolve("kept").toString
+    })
+
+  def streamQualityGate(s: SparkSession, d: String): DataFrame =
+    graft.lake.LakeTable.forLocation(s, qgateIngestLoc(s, d)).read()
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** The documents corpus as two ordered arrival waves (even doc ids,
     * then odd) in a file-stream dir — scenario SETUP shared by the
     * ingest-dedup query and pre-built by [[warmupDirs]] so the timed
@@ -822,12 +854,20 @@ object StreamQueries {
     "stream_interval_join_outer" -> streamIntervalJoinOuter _,
     "stream_dedup_ingest" -> streamDedupIngest _,
     "stream_decontaminate_ingest" -> streamDecontaminateIngest _,
+    "stream_quality_gate" -> streamQualityGate _,
     "stream_token_budget" -> streamTokenBudget _,
     "stream_ann_ingest" -> streamAnnIngest _,
     "stream_semantic_dedup" -> streamSemanticDedup _
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Per-document rule verdicts are wave-independent, so the door's
+    // oracle is the batch gate's kept set — the shared CTE chain, with
+    // the door's own projection.
+    "stream_quality_gate" -> (PipelineQueries.QualityGateCtes + """
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN v USING (doc_id)
+         WHERE len(v.hit) = 0 ORDER BY d.doc_id"""),
     // The door's verdicts are wave-independent (static benchmark), so
     // the oracle is the plain batch decontamination filter: train-side
     // docs minus those sharing any 8-gram with the bucket>=90 slice.

@@ -191,6 +191,40 @@ object StreamIngest {
     committed
   }
 
+  /** The QUALITY door — fourth of the ingest doors (after syntactic
+    * LSH, semantic cosine, benchmark decontamination): each micro-batch
+    * runs the rule gate ([[graft.pipeline.TextAnalysis.qualityGate]])
+    * and only `keep` documents land, batch-stamped for replay
+    * idempotence. Verdicts are PER-DOCUMENT rules — no evolving index,
+    * no cross-batch state — so outcomes are wave-independent and the
+    * oracle is the plain batch gate. Per-batch cost is O(batch): the
+    * gate is one codegen'd projection + a doc-local n-gram distinct,
+    * and the left-semi verdict join stays inside the batch.
+    */
+  def qualityGateIngestAvailable(stream: DataFrame, kept: LakeTable,
+      queryName: String, checkpointDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(kept, queryName)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seen.contains(batchId) && !batch.isEmpty) {
+          val kept_ids = graft.pipeline.TextAnalysis.qualityGate(batch)
+            .filter(col("keep")).select("doc_id")
+          kept.append(batch.join(kept_ids, Seq("doc_id"), "left_semi"),
+            summary = Map(BatchStamp -> stamp(queryName, batchId)))
+          seen += batchId
+          committed += 1
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Start an EMBEDDING stream ingesting into a persisted IVF index —
     * continuous vector indexing, the ANN analog of
     * [[dedupIngestAvailable]]: each micro-batch assigns its vectors to

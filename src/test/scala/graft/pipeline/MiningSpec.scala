@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Closed-form checks for the reference-classifier and bitext-mining
+  * operators: NB weights hand-computed on a 3-doc corpus, the margin
+  * criterion replayed against in-test brute force on the fixture.
+  */
+class MiningSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val s = spark
+  private lazy val emb = s.read.parquet(s"$sf/embeddings.parquet")
+
+  test("NB classifier: hand-computed smoothed log-odds, bare-prior " +
+      "fallback for out-of-vocabulary docs") {
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a b", "ref"),
+      (2L, "c c b", "web"),
+      (3L, "zzz", "web")
+    ).toDF("doc_id", "text", "src")
+    val out = TextAnalysis.nbClassifier(docs, col("src") === "ref")
+      .orderBy("doc_id").collect()
+    // counts: a=(2,0) b=(1,1) c=(0,2) zzz=(0,1); n_pos=3, n_neg=4, v=4
+    // wt(w) = ln((c_pos+1)/(3+4)) - ln((c_neg+1)/(4+4))
+    // prior = ln((1+1)/(2+1)) = ln(2/3)
+    val prior = math.log(2.0 / 3)
+    val wtA = math.log(3.0 / 7) - math.log(1.0 / 8)
+    val wtB = math.log(2.0 / 7) - math.log(2.0 / 8)
+    val wtZ = math.log(1.0 / 7) - math.log(2.0 / 8)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r1 = out(0)
+    assert(r1.getDouble(1) == r6(2 * wtA + wtB + prior))
+    assert(r1.getBoolean(2), "doc 1 is reference-vocabulary heavy")
+    assert(r1.getLong(3) == 3)
+    // doc 3's lone token is trained as a negative-class word
+    val r3 = out(2)
+    assert(r3.getDouble(1) == r6(wtZ + prior))
+    assert(!r3.getBoolean(2))
+    assert(r3.getLong(3) == 1)
+  }
+
+  test("NB classifier: vocabulary cap keeps top-by-(count, word) — " +
+      "deterministic tie-break") {
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a b", "ref"),
+      (2L, "c c b", "web"),
+      (3L, "zzz", "web")
+    ).toDF("doc_id", "text", "src")
+    // all of a/b/c tie at count 2 (zzz at 1) — cap 1 must keep 'a'
+    // (word asc breaks the tie), so doc 2's tokens all fall out of
+    // vocabulary and it scores the bare prior.
+    val out = TextAnalysis.nbClassifier(docs, col("src") === "ref",
+        vocabCap = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(3) == 2, "doc 1 keeps its two 'a' tokens")
+    assert(out(1).getLong(3) == 0, "doc 2 fully out-of-vocabulary")
+    // a fully-OOV doc scores the bare class prior
+    assert(out(1).getDouble(1) ==
+      BigDecimal(math.log(2.0 / 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("bitext mining equals brute-force margin criterion on the " +
+      "fixture slice") {
+    // In-test ground truth: all-pairs cosines over the same slice,
+    // dataframe-side (no kernel), replaying the full criterion.
+    val lim = 300L
+    val v = emb.filter(col("vec_id") < lim)
+    val mined = Similarity.bitextMine(v,
+      srcFilter = col("vec_id") % 2 === 0,
+      tgtFilter = col("vec_id") % 2 === 1)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+
+    def side(parity: Int, id: String, vc: String) =
+      v.filter(col("vec_id") % 2 === parity)
+        .select(col("vec_id").as(id),
+          col("embedding").cast("array<double>").as(vc))
+    val cos = (a: String, b: String) => {
+      val dot = aggregate(zip_with(col(a), col(b), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      val n = (c: String) => sqrt(aggregate(col(c), lit(0.0d),
+        (acc, x) => acc + x * x))
+      dot / (n(a) * n(b))
+    }
+    val pairs = side(0, "sid", "sv").crossJoin(side(1, "tid", "tv"))
+      .select(col("sid"), col("tid"), cos("sv", "tv").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bySrc = pairs.groupBy(_._1)
+    val byTgt = pairs.groupBy(_._2)
+    def topK[A](xs: Array[(Long, Long, Double)], other: ((Long, Long, Double)) => Long, k: Int) =
+      xs.sortBy(t => (-t._3, other(t))).take(k)
+    val degS = bySrc.map { case (sid, xs) =>
+      sid -> topK(xs, _._2, 4).map(_._3).sum / math.min(4, xs.length) }
+    val degT = byTgt.map { case (tid, xs) =>
+      tid -> topK(xs, _._1, 4).map(_._3).sum / math.min(4, xs.length) }
+    val bestS = bySrc.map { case (sid, xs) => sid -> topK(xs, _._2, 1).head }
+    val bestT = byTgt.map { case (tid, xs) => tid -> topK(xs, _._1, 1).head }
+    val expect = bestS.values.flatMap { case (sid, tid, c) =>
+      val den = (degS(sid) + degT(tid)) / 2
+      val margin = c / den
+      if (den > 0 && margin >= 1.0)
+        Some((tid, sid,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(margin).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          bestT(tid)._1 == sid))
+      else None
+    }.toArray.sortBy(_._2)
+    assert(mined.toSeq == expect.toSeq)
+  }
+}

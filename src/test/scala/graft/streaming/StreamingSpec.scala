@@ -532,4 +532,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(idxT.read().count() == idxRows,
       "stamped index appends must not double-index on replay")
   }
+
+  test("quality-gate door equals the batch gate and skips replays") {
+    val base = java.nio.file.Files.createTempDirectory("qgate-test-")
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    // two arrival waves: even doc ids, then odd
+    val wavesDir = base.resolve("waves").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$wavesDir/w0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$wavesDir/w1")
+    def stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$wavesDir/w*")
+    val kept = graft.lake.LakeTable.create(s,
+      base.resolve("kept").toString, Left(docs.schema))
+    val n = StreamIngest.qualityGateIngestAvailable(stream, kept, "qg",
+      base.resolve("ckpt").toString)
+    assert(n == 2, s"expected 2 micro-batches, got $n")
+    val streamed = kept.read().select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = graft.pipeline.TextAnalysis.qualityGate(docs)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch,
+      "door verdicts are per-doc rules — must equal the batch gate")
+    // fresh checkpoint replays both batch ids: stamps must reject them
+    val n2 = StreamIngest.qualityGateIngestAvailable(stream, kept, "qg",
+      base.resolve("ckpt2").toString)
+    assert(n2 == 0 && kept.read().count() == batch.size,
+      "replayed batches must not double-land")
+  }
 }
