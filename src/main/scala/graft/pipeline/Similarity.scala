@@ -1269,6 +1269,30 @@ object Similarity {
         col("_m").isNotNull.as("mutual"))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of the 8-gram text probe
+    * ([[Decontaminate]]): a train item is contaminated when some
+    * benchmark item sits at rounded cosine ≥ `tau`, the same dominance
+    * arithmetic as [[Dedup.semanticDedup]] but against a STATIC
+    * benchmark set. Emits every train row with its nearest benchmark
+    * neighbor and the verdict — the audit view; filters compose
+    * downstream (`!dropped` is the kept set).
+    *
+    * Scale shape: one blocked [[crossTopK]] pass at k=1 — benchmark
+    * packs into blocks (benchmarks are the small side by construction),
+    * train rows stream through the fused kernel, and the verdict is a
+    * projection. No shuffle after the kernel merge.
+    */
+  def semanticDecontaminate(vectors: DataFrame, trainFilter: Column,
+      benchFilter: Column, tau: Double = 0.98,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      nBlocks: Int = 0): DataFrame =
+    crossTopK(vectors.filter(trainFilter), vectors.filter(benchFilter),
+        k = 1, vecCol, idCol, nBlocks)
+      .select(col("_qid").as(idCol), col("_nid").as("bench_id"),
+        round(col("cosine"), 6).as("cosine"),
+        (round(col("cosine"), 6) >= tau).as("dropped"))
+
   /** mutual = the reversed (dst, src) pair is itself an edge; the edge
     * set is k·N rows of ids — broadcast-sized relative to the corpus at
     * any k that makes sense. `edges` must be materialized (both sides

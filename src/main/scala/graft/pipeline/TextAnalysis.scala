@@ -825,6 +825,37 @@ object TextAnalysis {
     scoreAgainst(docBigrams(df, textCol, idCol), c2, c1, idCol)
   }
 
+  /** Perplexity-band bucketing — the CCNet recipe: score every
+    * document with the reference LM ([[lmScore]]), learn head/middle/
+    * tail cutoffs ONCE from a bounded deterministic sample, assign by
+    * comparison. The cutoff learning is the published design's scale
+    * story: terciles of a capped sample (doc_id ≡ 0 mod 10, first
+    * `sampleCap` by id — collect is `sampleCap`-bounded by contract,
+    * never corpus-sized), and assignment is a broadcast-free map-only
+    * comparison — no global sort, no single-partition ranking window
+    * over the corpus. Cutoffs compare ROUNDED scores against rounded
+    * scores, so the banding replays exactly in an ANSI oracle.
+    */
+  def pplBuckets(df: DataFrame, trainFilter: Column,
+      sampleCap: Int = 1000, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = lmScore(df, trainFilter, textCol, idCol)
+    val xs = scored.filter(col(idCol) % 10 === 0)
+      .orderBy(col(idCol)).limit(sampleCap)
+      .select(col("lm_score")).collect().map(_.getDouble(0))
+      .sortBy(x => -x)
+    val n = xs.length
+    require(n >= 3, s"ppl bucketing needs >= 3 sampled docs, got $n")
+    // the score at rank ceil(n/3) / ceil(2n/3) in descending order —
+    // a VALUE from the sorted multiset, so tie order can't matter
+    val cut1 = xs((n + 2) / 3 - 1)
+    val cut2 = xs((2 * n + 2) / 3 - 1)
+    scored.withColumn("bucket",
+      when(col("lm_score") >= cut1, "head")
+        .when(col("lm_score") >= cut2, "middle")
+        .otherwise("tail"))
+  }
+
   /** Reference-corpus quality classifier — the published selection
     * recipe (fastText-style linear classifier over bag-of-words, as
     * used by the CCNet/LLaMA/DCLM pipelines: train

@@ -1022,6 +1022,28 @@ object PipelineQueries {
         positive = col("source").isin("src0", "src1"))
       .orderBy("doc_id")
 
+  /** CCNet perplexity banding: LM-score the corpus (model trained on
+    * the doc_id ≡ 0 mod 5 split), learn head/middle/tail cutoffs from
+    * the capped deterministic sample, assign every scored doc a band.
+    */
+  def textPplBuckets(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pplBuckets(Tables.documents(s, d),
+        trainFilter = col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+
+  /** Semantic benchmark decontamination on the embedding corpus: the
+    * bucket < 80 slice is the train side, bucket ≥ 90 the benchmark
+    * (same md5 split as the text decontamination family); every train
+    * vector reports its nearest benchmark neighbor and whether it is
+    * dominated at rounded cosine ≥ 0.98.
+    */
+  def embeddingDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val b = graft.pipeline.Sampling.bucketCol(col("vec_id"))
+    Similarity.semanticDecontaminate(Tables.embeddings(s, d),
+        trainFilter = b < 80, benchFilter = b >= 90)
+      .orderBy("vec_id")
+  }
+
   /** Margin-based pair mining across the two embedding half-corpora
     * (vec_id parity plays the two languages): each even vector's best
     * odd match, kept when the CCMatrix ratio margin clears 1.0, with
@@ -1351,6 +1373,8 @@ object PipelineQueries {
     "text_corpus_stats"    -> textCorpusStats _,
     "text_nb_classifier"   -> textNbClassifier _,
     "sim_bitext_mine"      -> simBitextMine _,
+    "text_ppl_buckets"     -> textPplBuckets _,
+    "embedding_decontaminate" -> embeddingDecontaminate _,
     "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
@@ -3485,6 +3509,50 @@ object PipelineQueries {
                   ORDER BY hv, doc_id) AS INT) AS pos
          FROM h ORDER BY shard, pos""",
     "text_lm_score" -> lmScoreOracle,
+    // The full banding replayed: LM scores (the shared lmScore CTEs),
+    // the capped mod-10 sample, tercile cutoff VALUES by rank in the
+    // sorted multiset (tie order can't matter), band by comparison of
+    // rounded scores.
+    "text_ppl_buckets" -> ("WITH scored AS (" + lmScoreOracle + ")," +
+      """
+         samp AS (SELECT lm_score FROM scored WHERE doc_id % 10 = 0
+                  ORDER BY doc_id LIMIT 1000),
+         r AS (SELECT lm_score,
+                      row_number() OVER (ORDER BY lm_score DESC) AS rk,
+                      count(*) OVER () AS cnt
+               FROM samp),
+         cuts AS (SELECT
+                max(CASE WHEN rk = CAST(ceil(cnt / 3.0) AS INT)
+                    THEN lm_score END) AS cut1,
+                max(CASE WHEN rk = CAST(ceil(2 * cnt / 3.0) AS INT)
+                    THEN lm_score END) AS cut2
+              FROM r)
+         SELECT s.doc_id, s.lm_score, s.n_bigrams,
+                CASE WHEN s.lm_score >= c.cut1 THEN 'head'
+                     WHEN s.lm_score >= c.cut2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM scored s CROSS JOIN cuts c ORDER BY s.doc_id"""),
+    // Exact nearest-benchmark cosine per train vector, verdict on the
+    // ROUNDED score — the same dominance arithmetic dedup_semantic
+    // pins, against the static md5-bucketed benchmark slice.
+    "embedding_decontaminate" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  ('0x' || substr(md5('graft:' ||
+                     CAST(vec_id AS VARCHAR)), 18, 15))::UBIGINT % 100
+                    AS bucket
+                  FROM embeddings),
+         tr AS (SELECT vec_id AS tid, v FROM v WHERE bucket < 80),
+         be AS (SELECT vec_id AS bid, v AS bv FROM v WHERE bucket >= 90),
+         sc AS (SELECT tid, bid,
+                       list_cosine_similarity(v, bv) AS cos,
+                       row_number() OVER (PARTITION BY tid
+                         ORDER BY list_cosine_similarity(v, bv) DESC,
+                                  bid) AS r
+                FROM tr, be)
+         SELECT tid AS vec_id, bid AS bench_id,
+                round(cos, 6) AS cosine,
+                (round(cos, 6) >= 0.98) AS dropped
+         FROM sc WHERE r = 1 ORDER BY vec_id""",
     // Replays the whole NB training run: counts → capped vocabulary
     // (same (count desc, word) tie-break) → smoothed weights → per-doc
     // log-odds. A weight the Spark side learns differently breaks the

@@ -116,4 +116,46 @@ class MiningSpec extends AnyFunSuite {
     }.toArray.sortBy(_._2)
     assert(mined.toSeq == expect.toSeq)
   }
+
+  test("ppl banding: bands are score-monotonic and cover every " +
+      "scored doc") {
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.pplBuckets(docs,
+      trainFilter = col("doc_id") % 5 === 0)
+    val byBand = out.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("lm_score").as("lo"),
+        max("lm_score").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byBand.keySet == Set("head", "middle", "tail"))
+    assert(byBand.values.map(_._1).sum == out.count())
+    // every head score >= every middle score >= every tail score
+    assert(byBand("head")._2 >= byBand("middle")._3)
+    assert(byBand("middle")._2 >= byBand("tail")._3)
+  }
+
+  test("semantic decontamination drops a planted benchmark twin and " +
+      "keeps a far vector") {
+    import s.implicits._
+    // bucketCol(md5) splits: find one train id and one bench id from
+    // the real corpus split, then plant vectors directly.
+    val b = Sampling.bucketCol(col("vec_id"))
+    val ids = emb.select(col("vec_id"), b.as("bkt")).collect()
+    val trainIds = ids.filter(_.getLong(1) < 80).map(_.getLong(0)).sorted
+    val benchId = ids.filter(_.getLong(1) >= 90).map(_.getLong(0)).min
+    val tw = trainIds(0); val far = trainIds(1)
+    val vecs = Seq(
+      (tw, Array(1.0f, 0.0f, 0.0f)),   // exact twin of the benchmark
+      (far, Array(-1.0f, 0.0f, 0.0f)), // antipode: cosine -1
+      (benchId, Array(1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(vecs,
+        trainFilter = b < 80, benchFilter = b >= 90)
+      .orderBy("vec_id").collect()
+    assert(out.length == 2)
+    val m = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(m(tw) == ((benchId, 1.0, true)))
+    assert(m(far) == ((benchId, -1.0, false)))
+  }
 }
