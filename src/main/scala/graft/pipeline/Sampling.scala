@@ -551,4 +551,29 @@ object Sampling {
       .withColumn("rk", row_number().over(w))
       .select(col(idCol), col("score"), col("rk").cast("int").as("rk"))
   }
+
+  /** Model-informed mixture reweighting — the DoReMi idea with the
+    * reference LM standing in for the proxy model: per-domain mean LM
+    * score, softmaxed at `temperature` into sampling weights that
+    * upweight domains the reference model likes. The weights feed
+    * [[temperatureSample]]/[[epochMix]] as the per-domain rates. One
+    * aggregation tree: doc scores → domain means (map-side combined)
+    * → a broadcast 1-row partition-function aggregate; output is
+    * domain-count-sized. Only LM-scorable docs (≥ 2 words) enter the
+    * means — the same support the scores themselves have.
+    */
+  def domainWeights(df: DataFrame, trainFilter: Column,
+      temperature: Double = 1.0, domainCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = TextAnalysis.lmScore(df, trainFilter, textCol, idCol)
+    val means = df.select(col(idCol), col(domainCol))
+      .join(scored, Seq(idCol))
+      .groupBy(col(domainCol))
+      .agg(avg(col("lm_score")).as("_mean"), count(lit(1)).as("n_docs"))
+    val z = broadcast(means.agg(
+      sum(exp(col("_mean") / temperature)).as("_z")))
+    means.crossJoin(z).select(col(domainCol), col("n_docs"),
+      round(col("_mean"), 6).as("mean_lm_score"),
+      round(exp(col("_mean") / temperature) / col("_z"), 6).as("weight"))
+  }
 }

@@ -1044,6 +1044,39 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Three quality signals voting — the multi-filter selection a
+    * production curation pipeline runs (rule gate + learned reference
+    * classifier + LM perplexity band), majority-kept. Docs the LM
+    * can't score (< 2 words) count as a tail-band vote against.
+    */
+  def pipelineQualityVote(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gate = TextAnalysis.qualityGate(docs)
+      .select(col("doc_id"), col("keep").as("rule_keep"))
+    val nb = TextAnalysis.nbClassifier(docs,
+        col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("predicted").as("nb_keep"))
+    val ppl = TextAnalysis.pplBuckets(docs,
+        trainFilter = col("doc_id") % 5 === 0)
+      .select(col("doc_id"), (col("bucket") =!= "tail").as("ppl_keep"))
+    docs.select(col("doc_id"))
+      .join(gate, Seq("doc_id")).join(nb, Seq("doc_id"))
+      .join(ppl, Seq("doc_id"), "left")
+      .withColumn("ppl_keep", coalesce(col("ppl_keep"), lit(false)))
+      .withColumn("votes", (col("rule_keep").cast("int") +
+        col("nb_keep").cast("int") + col("ppl_keep").cast("int")))
+      .withColumn("kept", col("votes") >= 2)
+      .orderBy("doc_id")
+  }
+
+  /** DoReMi-lite mixture weights: per-source softmaxed mean LM score —
+    * the domain reweighting step between scoring and sampling.
+    */
+  def sampleDomainWeights(s: SparkSession, d: String): DataFrame =
+    Sampling.domainWeights(Tables.documents(s, d),
+        trainFilter = col("doc_id") % 5 === 0)
+      .orderBy("source")
+
   /** Margin-based pair mining across the two embedding half-corpora
     * (vec_id parity plays the two languages): each even vector's best
     * odd match, kept when the CCMatrix ratio margin clears 1.0, with
@@ -1375,6 +1408,8 @@ object PipelineQueries {
     "sim_bitext_mine"      -> simBitextMine _,
     "text_ppl_buckets"     -> textPplBuckets _,
     "embedding_decontaminate" -> embeddingDecontaminate _,
+    "pipeline_quality_vote" -> pipelineQualityVote _,
+    "sample_domain_weights" -> sampleDomainWeights _,
     "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
@@ -1745,6 +1780,59 @@ object PipelineQueries {
                     CASE WHEN dup_gram_frac > 0.3 THEN 'repetitive' END],
                     x -> x IS NOT NULL) AS hit
            FROM sig)"""
+
+  private val NbClassifierOracle =
+    """WITH tok AS (
+           SELECT doc_id, source IN ('src0', 'src1') AS pos,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         cnt AS (SELECT w,
+                        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                        sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+                 FROM tok GROUP BY 1),
+         vocab AS (SELECT * FROM cnt
+                   ORDER BY c_pos + c_neg DESC, w LIMIT 4096),
+         tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                        count(*) AS v
+                 FROM vocab),
+         wt AS (SELECT w,
+                       ln((c_pos + 1.0) / (n_pos + v)) -
+                       ln((c_neg + 1.0) / (n_neg + v)) AS wt
+                FROM vocab CROSS JOIN tot),
+         pri AS (SELECT ln((sum(CASE WHEN source IN ('src0', 'src1')
+                                 THEN 1 ELSE 0 END) + 1.0) /
+                          (sum(CASE WHEN source IN ('src0', 'src1')
+                                 THEN 0 ELSE 1 END) + 1.0)) AS prior
+                 FROM documents),
+         m AS (SELECT doc_id, sum(wt) AS s, count(*) AS n_matched
+               FROM tok JOIN wt USING (w) GROUP BY 1)
+         SELECT d.doc_id,
+                round(coalesce(m.s, 0) + pri.prior, 6) AS log_odds,
+                (coalesce(m.s, 0) + pri.prior > 0) AS predicted,
+                coalesce(m.n_matched, 0) AS n_matched
+         FROM documents d LEFT JOIN m USING (doc_id) CROSS JOIN pri
+         ORDER BY d.doc_id"""
+
+  private val PplBucketsOracle =
+    ("WITH scored AS (" + lmScoreOracle + ")," +
+      """
+         samp AS (SELECT lm_score FROM scored WHERE doc_id % 10 = 0
+                  ORDER BY doc_id LIMIT 1000),
+         r AS (SELECT lm_score,
+                      row_number() OVER (ORDER BY lm_score DESC) AS rk,
+                      count(*) OVER () AS cnt
+               FROM samp),
+         cuts AS (SELECT
+                max(CASE WHEN rk = CAST(ceil(cnt / 3.0) AS INT)
+                    THEN lm_score END) AS cut1,
+                max(CASE WHEN rk = CAST(ceil(2 * cnt / 3.0) AS INT)
+                    THEN lm_score END) AS cut2
+              FROM r)
+         SELECT s.doc_id, s.lm_score, s.n_bigrams,
+                CASE WHEN s.lm_score >= c.cut1 THEN 'head'
+                     WHEN s.lm_score >= c.cut2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM scored s CROSS JOIN cuts c ORDER BY s.doc_id""")
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_matryoshka" -> MatryoshkaOracle,
@@ -3513,25 +3601,7 @@ object PipelineQueries {
     // the capped mod-10 sample, tercile cutoff VALUES by rank in the
     // sorted multiset (tie order can't matter), band by comparison of
     // rounded scores.
-    "text_ppl_buckets" -> ("WITH scored AS (" + lmScoreOracle + ")," +
-      """
-         samp AS (SELECT lm_score FROM scored WHERE doc_id % 10 = 0
-                  ORDER BY doc_id LIMIT 1000),
-         r AS (SELECT lm_score,
-                      row_number() OVER (ORDER BY lm_score DESC) AS rk,
-                      count(*) OVER () AS cnt
-               FROM samp),
-         cuts AS (SELECT
-                max(CASE WHEN rk = CAST(ceil(cnt / 3.0) AS INT)
-                    THEN lm_score END) AS cut1,
-                max(CASE WHEN rk = CAST(ceil(2 * cnt / 3.0) AS INT)
-                    THEN lm_score END) AS cut2
-              FROM r)
-         SELECT s.doc_id, s.lm_score, s.n_bigrams,
-                CASE WHEN s.lm_score >= c.cut1 THEN 'head'
-                     WHEN s.lm_score >= c.cut2 THEN 'middle'
-                     ELSE 'tail' END AS bucket
-         FROM scored s CROSS JOIN cuts c ORDER BY s.doc_id"""),
+    "text_ppl_buckets" -> PplBucketsOracle,
     // Exact nearest-benchmark cosine per train vector, verdict on the
     // ROUNDED score — the same dominance arithmetic dedup_semantic
     // pins, against the static md5-bucketed benchmark slice.
@@ -3557,37 +3627,42 @@ object PipelineQueries {
     // (same (count desc, word) tie-break) → smoothed weights → per-doc
     // log-odds. A weight the Spark side learns differently breaks the
     // hash.
-    "text_nb_classifier" ->
-      """WITH tok AS (
-           SELECT doc_id, source IN ('src0', 'src1') AS pos,
-                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-           FROM documents),
-         cnt AS (SELECT w,
-                        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
-                        sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
-                 FROM tok GROUP BY 1),
-         vocab AS (SELECT * FROM cnt
-                   ORDER BY c_pos + c_neg DESC, w LIMIT 4096),
-         tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
-                        count(*) AS v
-                 FROM vocab),
-         wt AS (SELECT w,
-                       ln((c_pos + 1.0) / (n_pos + v)) -
-                       ln((c_neg + 1.0) / (n_neg + v)) AS wt
-                FROM vocab CROSS JOIN tot),
-         pri AS (SELECT ln((sum(CASE WHEN source IN ('src0', 'src1')
-                                 THEN 1 ELSE 0 END) + 1.0) /
-                          (sum(CASE WHEN source IN ('src0', 'src1')
-                                 THEN 0 ELSE 1 END) + 1.0)) AS prior
-                 FROM documents),
-         m AS (SELECT doc_id, sum(wt) AS s, count(*) AS n_matched
-               FROM tok JOIN wt USING (w) GROUP BY 1)
+    "text_nb_classifier" -> NbClassifierOracle,
+    // The three quality oracles COMPOSED: the gate CTE chain plus the
+    // classifier and banding oracles nested verbatim as subqueries —
+    // the ensemble can only be green if each member is, under the
+    // exact join/coalesce semantics the Spark plan uses.
+    "pipeline_quality_vote" -> (QualityGateCtes + """,
+         nb AS (""" + NbClassifierOracle + """),
+         band AS (""" + PplBucketsOracle + """)
          SELECT d.doc_id,
-                round(coalesce(m.s, 0) + pri.prior, 6) AS log_odds,
-                (coalesce(m.s, 0) + pri.prior > 0) AS predicted,
-                coalesce(m.n_matched, 0) AS n_matched
-         FROM documents d LEFT JOIN m USING (doc_id) CROSS JOIN pri
-         ORDER BY d.doc_id""",
+                (len(v.hit) = 0) AS rule_keep,
+                nb.predicted AS nb_keep,
+                (coalesce(band.bucket, 'tail') <> 'tail') AS ppl_keep,
+                (CAST(len(v.hit) = 0 AS INT) +
+                 CAST(nb.predicted AS INT) +
+                 CAST(coalesce(band.bucket, 'tail') <> 'tail' AS INT))
+                  AS votes,
+                ((CAST(len(v.hit) = 0 AS INT) +
+                  CAST(nb.predicted AS INT) +
+                  CAST(coalesce(band.bucket, 'tail') <> 'tail' AS INT))
+                  >= 2) AS kept
+         FROM documents d
+         JOIN v USING (doc_id)
+         JOIN nb USING (doc_id)
+         LEFT JOIN band USING (doc_id)
+         ORDER BY d.doc_id"""),
+    // Domain means over the shared LM scores, softmaxed at T=1.
+    "sample_domain_weights" -> ("WITH scored AS (" + lmScoreOracle +
+      """),
+         m AS (SELECT d.source, avg(s.lm_score) AS mean_s,
+                      count(*) AS n_docs
+               FROM documents d JOIN scored s USING (doc_id)
+               GROUP BY 1),
+         z AS (SELECT sum(exp(mean_s)) AS z FROM m)
+         SELECT m.source, m.n_docs, round(m.mean_s, 6) AS mean_lm_score,
+                round(exp(m.mean_s) / z.z, 6) AS weight
+         FROM m CROSS JOIN z ORDER BY m.source"""),
     // the persisted-model path must reproduce the inline scores exactly
     "text_lm_score_persisted" -> lmScoreOracle,
     "text_corpus_stats" ->

@@ -158,4 +158,38 @@ class MiningSpec extends AnyFunSuite {
     assert(m(tw) == ((benchId, 1.0, true)))
     assert(m(far) == ((benchId, -1.0, false)))
   }
+
+  test("domain weights form a distribution and cover every domain") {
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.domainWeights(docs,
+      trainFilter = col("doc_id") % 5 === 0).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(out.length == nSources)
+    val ws = out.map(_.getDouble(3))
+    assert(ws.forall(_ > 0))
+    assert(math.abs(ws.sum - 1.0) < 1e-4,
+      s"softmax weights must sum to ~1, got ${ws.sum}")
+  }
+
+  test("quality vote: kept iff >= 2 of the three signals, short docs " +
+      "count as a tail vote") {
+    import s.implicits._
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      // plant a doc the LM can't score (1 word): its ppl vote is false
+      .unionByName(Seq((999999L, "solo", "en", "src0", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.queries.PipelineQueries
+      .pipelineQualityVote(s, sf)
+    val rows = out.collect()
+    assert(rows.forall { r =>
+      val votes = Seq(r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+        .count(identity)
+      r.getInt(4) == votes && r.getBoolean(5) == (votes >= 2)
+    })
+    // the planted doc is not in the fixture query; check the rule
+    // directly on the composed frame over the augmented corpus
+    val gate = TextAnalysis.qualityGate(docs)
+      .filter(col("doc_id") === 999999L).collect()
+    assert(gate.length == 1)
+  }
 }
