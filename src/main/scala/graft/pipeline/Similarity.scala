@@ -1116,7 +1116,21 @@ object Similarity {
     */
   def hardNegatives(vectors: DataFrame, k: Int = 3, nSubs: Int = 2,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label"): DataFrame =
+    labelNeighbors(vectors, k, nSubs, sameLabel = false,
+      vecCol, idCol, labelCol)
+
+  /** The label-partitioned blocked top-k shared by [[hardNegatives]]
+    * (`sameLabel = false`: candidates from OTHER labels) and
+    * [[tripletMine]]'s positive side (`sameLabel = true`: nearest
+    * same-label peers, self excluded via the kernel's selfId). Same
+    * block-join shape either way: per-(label, sub-block) packed
+    * matrices, query rows stream through the fused kernel, merge
+    * carries ids only.
+    */
+  private def labelNeighbors(vectors: DataFrame, k: Int, nSubs: Int,
+      sameLabel: Boolean, vecCol: String, idCol: String,
+      labelCol: String): DataFrame = {
     import graft.functions.VectorExpressions.topKNeighborsAgainst
     val v = vectors.select(col(idCol).cast("long").as("_id"),
       col(labelCol).cast("int").as("_lbl"),
@@ -1134,7 +1148,8 @@ object Similarity {
     val keys = packed.select(col("_plbl"), col("_sub"))
     val cand = v
       .crossJoin(broadcast(keys))
-      .filter(col("_plbl") =!= col("_lbl"))
+      .filter(if (sameLabel) col("_plbl") === col("_lbl")
+        else col("_plbl") =!= col("_lbl"))
       .join(packed, Seq("_plbl", "_sub"))
       .select(col("_id"),
         topKNeighborsAgainst(col("_v"), col("_id"), col("_block"), k)
@@ -1148,6 +1163,31 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("_id").as(idCol), col("rank"), col("neighbor"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Contrastive triplet export — the (anchor, positive, negative)
+    * table an embedding-training pipeline feeds its loss: positive =
+    * nearest SAME-label peer (self excluded), negative = hardest
+    * OTHER-label neighbor ([[hardNegatives]] at k=1), `separated`
+    * says whether the pair already satisfies cos(a,p) > cos(a,n) on
+    * the rounded scores. Anchors whose label is a singleton (no peer)
+    * drop — a triplet needs all three legs. Two [[labelNeighbors]]
+    * passes and one id-only join; nothing after the kernels carries
+    * vectors.
+    */
+  def tripletMine(vectors: DataFrame, nSubs: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val pos = labelNeighbors(vectors, k = 1, nSubs, sameLabel = true,
+        vecCol, idCol, labelCol)
+      .select(col(idCol), col("neighbor").as("pos_id"),
+        col("cosine").as("pos_cosine"))
+    val neg = labelNeighbors(vectors, k = 1, nSubs, sameLabel = false,
+        vecCol, idCol, labelCol)
+      .select(col(idCol), col("neighbor").as("neg_id"),
+        col("cosine").as("neg_cosine"))
+    pos.join(neg, Seq(idCol))
+      .withColumn("separated", col("pos_cosine") > col("neg_cosine"))
   }
 
   /** Per-label prototype vectors: the element-wise mean embedding of

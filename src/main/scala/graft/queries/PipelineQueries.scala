@@ -1077,6 +1077,14 @@ object PipelineQueries {
         trainFilter = col("doc_id") % 5 === 0)
       .orderBy("source")
 
+  /** Contrastive triplets over the embedding corpus: nearest
+    * same-label positive, hardest other-label negative, and whether
+    * the anchor already separates them.
+    */
+  def sampleTriplets(s: SparkSession, d: String): DataFrame =
+    Similarity.tripletMine(Tables.embeddings(s, d))
+      .orderBy("vec_id")
+
   /** Margin-based pair mining across the two embedding half-corpora
     * (vec_id parity plays the two languages): each even vector's best
     * odd match, kept when the CCMatrix ratio margin clears 1.0, with
@@ -1410,6 +1418,7 @@ object PipelineQueries {
     "embedding_decontaminate" -> embeddingDecontaminate _,
     "pipeline_quality_vote" -> pipelineQualityVote _,
     "sample_domain_weights" -> sampleDomainWeights _,
+    "sample_triplets"      -> sampleTriplets _,
     "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
@@ -3652,6 +3661,30 @@ object PipelineQueries {
          JOIN nb USING (doc_id)
          LEFT JOIN band USING (doc_id)
          ORDER BY d.doc_id"""),
+    // Both triplet legs replayed from all-pairs cosines with the
+    // kernel's (cosine desc, id) tie-break; separation compares the
+    // ROUNDED legs, as the Spark side does.
+    "sample_triplets" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         p AS (SELECT a.vec_id, b.vec_id AS pos_id,
+                      list_cosine_similarity(a.v, b.v) AS c,
+                      row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                 b.vec_id) AS r
+               FROM v a JOIN v b
+                 ON a.label = b.label AND a.vec_id <> b.vec_id),
+         n AS (SELECT a.vec_id, b.vec_id AS neg_id,
+                      list_cosine_similarity(a.v, b.v) AS c,
+                      row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                 b.vec_id) AS r
+               FROM v a JOIN v b ON a.label <> b.label)
+         SELECT p.vec_id, p.pos_id, round(p.c, 6) AS pos_cosine,
+                n.neg_id, round(n.c, 6) AS neg_cosine,
+                (round(p.c, 6) > round(n.c, 6)) AS separated
+         FROM p JOIN n ON p.vec_id = n.vec_id AND p.r = 1 AND n.r = 1
+         ORDER BY p.vec_id""",
     // Domain means over the shared LM scores, softmaxed at T=1.
     "sample_domain_weights" -> ("WITH scored AS (" + lmScoreOracle +
       """),

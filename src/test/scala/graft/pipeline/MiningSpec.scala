@@ -159,6 +159,18 @@ class MiningSpec extends AnyFunSuite {
     assert(m(far) == ((benchId, -1.0, false)))
   }
 
+  test("triplets: positive shares the anchor's label, negative never " +
+      "does, self never a positive") {
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.tripletMine(emb).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      a != p && labels(p) == labels(a) && labels(n) != labels(a)
+    })
+  }
+
   test("domain weights form a distribution and cover every domain") {
     val docs = s.read.parquet(s"$sf/documents.parquet")
     val out = Sampling.domainWeights(docs,
