@@ -566,10 +566,14 @@ object Sampling {
       temperature: Double = 1.0, domainCol: String = "source",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val scored = TextAnalysis.lmScore(df, trainFilter, textCol, idCol)
+    // materialized ONCE (domain-count-sized): both the partition
+    // function and the output read it — without this the corpus-scale
+    // scoring subtree underneath would run twice
     val means = df.select(col(idCol), col(domainCol))
       .join(scored, Seq(idCol))
       .groupBy(col(domainCol))
       .agg(avg(col("lm_score")).as("_mean"), count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val z = broadcast(means.agg(
       sum(exp(col("_mean") / temperature)).as("_z")))
     means.crossJoin(z).select(col(domainCol), col("n_docs"),

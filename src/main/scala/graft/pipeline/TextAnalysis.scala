@@ -888,9 +888,13 @@ object TextAnalysis {
     val counts = toks.groupBy(col("w")).agg(
       sum(when(col("_pos"), 1L).otherwise(0L)).as("c_pos"),
       sum(when(col("_pos"), 0L).otherwise(1L)).as("c_neg"))
+    // materialized ONCE (≤ vocabCap rows): totals AND weights read it —
+    // without this the corpus-scale count aggregation underneath would
+    // run twice
     val vocab = counts
       .orderBy((col("c_pos") + col("c_neg")).desc, col("w"))
       .limit(vocabCap)
+      .localCheckpoint()
     val tot = broadcast(vocab.agg(
       sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"),
       count(lit(1)).as("v")))
