@@ -856,6 +856,26 @@ object TextAnalysis {
         .otherwise("tail"))
   }
 
+  /** Corpus diversity as distinct-n: for each n-gram order, the
+    * distinct/total ratio over the whole corpus — the distinct-n
+    * metric of generation-diversity evaluation, applied corpus-wide
+    * (synthetic-data pipelines watch it collapse). One exchange per
+    * order, each a map-side-combinable count over 64-bit-hashable
+    * string grams; the output is `maxN` rows. Exact by design (the
+    * oracle is exact); at 100 TB the same shape runs with an HLL
+    * sketch swapped into the distinct side.
+    */
+  def distinctNgramRatios(df: DataFrame, maxN: Int = 3,
+      textCol: String = "text"): DataFrame =
+    (1 to maxN).map { n =>
+      df.select(explode(ngramsAll(col(textCol), n)).as("g"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(lit(n).as("n"), col("total"), col("n_distinct"),
+          round(col("n_distinct").cast("double") /
+            greatest(col("total"), lit(1L)), 6).as("ratio"))
+    }.reduce(_ unionByName _)
+
   /** Reference-corpus quality classifier — the published selection
     * recipe (fastText-style linear classifier over bag-of-words, as
     * used by the CCNet/LLaMA/DCLM pipelines: train
@@ -883,7 +903,21 @@ object TextAnalysis {
   def nbClassifier(df: DataFrame, positive: Column,
       textCol: String = "text", idCol: String = "doc_id",
       vocabCap: Int = 4096): DataFrame = {
-    val toks = df.select(col(idCol), positive.as("_pos"),
+    val (weights, prior) = nbTrain(df, positive, textCol, idCol,
+      vocabCap)
+    nbScore(df, weights, prior, textCol, idCol)
+  }
+
+  /** The trained model halves: the capped `(w, wt)` weight table and
+    * the 1-row Laplace document prior — both broadcast-sized by the
+    * cap, so a scorer (batch or per-micro-batch door) ships them with
+    * the plan. Split out of [[nbClassifier]] so train-once/score-many
+    * callers don't re-aggregate the reference corpus per scoring call.
+    */
+  def nbTrain(df: DataFrame, positive: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      vocabCap: Int = 4096): (DataFrame, DataFrame) = {
+    val toks = df.select(positive.as("_pos"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
     val counts = toks.groupBy(col("w")).agg(
       sum(when(col("_pos"), 1L).otherwise(0L)).as("c_pos"),
@@ -898,22 +932,32 @@ object TextAnalysis {
     val tot = broadcast(vocab.agg(
       sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"),
       count(lit(1)).as("v")))
-    val weights = broadcast(vocab.crossJoin(tot).select(col("w"),
+    val weights = vocab.crossJoin(tot).select(col("w"),
       (log((col("c_pos") + lit(1.0)) / (col("n_pos") + col("v"))) -
         log((col("c_neg") + lit(1.0)) / (col("n_neg") + col("v"))))
-        .as("wt")))
+        .as("wt"))
     // Laplace prior over document counts: defined even when one class
     // is empty (the +1 on both sides), matching the smoothed weights.
-    val prior = broadcast(df.agg(
+    val prior = df.agg(
       log((sum(when(positive, 1L).otherwise(0L)) + lit(1.0)) /
-        (sum(when(positive, 0L).otherwise(1L)) + lit(1.0))).as("prior")))
-    val matched = toks.join(weights, Seq("w"))
+        (sum(when(positive, 0L).otherwise(1L)) + lit(1.0))).as("prior"))
+    (weights, prior)
+  }
+
+  /** Score documents against a trained model ([[nbTrain]]): broadcast
+    * weight join filters the exploded token stream before the one
+    * (doc, partial-sum) exchange; the left join back over all ids
+    * keeps fully-out-of-vocabulary docs at the bare prior.
+    */
+  def nbScore(df: DataFrame, weights: DataFrame, prior: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val matched = toks.join(broadcast(weights), Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(col("wt")).as("_s"), count(lit(1)).as("n_matched"))
-    // Left join back over all ids: a doc with no in-vocabulary token
-    // scores the bare prior instead of vanishing.
     df.select(col(idCol)).join(matched, Seq(idCol), "left")
-      .crossJoin(prior)
+      .crossJoin(broadcast(prior))
       .select(col(idCol),
         round(coalesce(col("_s"), lit(0.0)) + col("prior"), 6)
           .as("log_odds"),

@@ -1077,6 +1077,40 @@ object PipelineQueries {
         trainFilter = col("doc_id") % 5 === 0)
       .orderBy("source")
 
+  /** Cross-signal agreement of the learned classifier against the
+    * rule gate — the eval step of the classifier-selection recipe:
+    * confusion counts + precision/recall of "reference-like" as a
+    * predictor of "passes the rules". One aggregation row.
+    */
+  def textNbAgreement(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nb = TextAnalysis.nbClassifier(docs,
+        col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("predicted"))
+    val gate = TextAnalysis.qualityGate(docs)
+      .select(col("doc_id"), col("keep"))
+    nb.join(gate, Seq("doc_id"))
+      .agg(
+        sum(when(col("predicted") && col("keep"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("predicted") && !col("keep"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("predicted") && col("keep"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("predicted") && !col("keep"), 1L).otherwise(0L))
+          .as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)), 6)
+          .as("precision"),
+        round(col("tp") / greatest(col("tp") + col("fn"), lit(1L)), 6)
+          .as("recall"))
+  }
+
+  /** Corpus distinct-n diversity at orders 1..3. */
+  def textDistinctNgrams(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.distinctNgramRatios(Tables.documents(s, d))
+      .orderBy("n")
+
   /** Contrastive triplets over the embedding corpus: nearest
     * same-label positive, hardest other-label negative, and whether
     * the anchor already separates them.
@@ -1419,6 +1453,8 @@ object PipelineQueries {
     "pipeline_quality_vote" -> pipelineQualityVote _,
     "sample_domain_weights" -> sampleDomainWeights _,
     "sample_triplets"      -> sampleTriplets _,
+    "text_nb_agreement"    -> textNbAgreement _,
+    "text_distinct_ngrams" -> textDistinctNgrams _,
     "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
@@ -1790,7 +1826,7 @@ object PipelineQueries {
                     x -> x IS NOT NULL) AS hit
            FROM sig)"""
 
-  private val NbClassifierOracle =
+  private[queries] val NbClassifierOracle =
     """WITH tok AS (
            SELECT doc_id, source IN ('src0', 'src1') AS pos,
                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -3685,6 +3721,61 @@ object PipelineQueries {
                 (round(p.c, 6) > round(n.c, 6)) AS separated
          FROM p JOIN n ON p.vec_id = n.vec_id AND p.r = 1 AND n.r = 1
          ORDER BY p.vec_id""",
+    // Confusion of the nested classifier oracle against the nested
+    // rule-gate chain; integer sums cast to BIGINT (DuckDB sums to
+    // HUGEINT), ratios through DOUBLE division.
+    "text_nb_agreement" -> (QualityGateCtes + """,
+         nb AS (""" + NbClassifierOracle + """),
+         c AS (SELECT
+                 CAST(sum(CASE WHEN nb.predicted AND len(v.hit) = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN nb.predicted AND len(v.hit) <> 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN NOT nb.predicted AND len(v.hit) = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN NOT nb.predicted AND len(v.hit) <> 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+               FROM v JOIN nb USING (doc_id))
+         SELECT tp, fp, fn, tn,
+                round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6)
+                  AS precision,
+                round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6)
+                  AS recall
+         FROM c"""),
+    // The three n-gram orders with ngramsAll's exact short-doc
+    // semantics (the same list_transform shape the gate oracle pins).
+    "text_distinct_ngrams" ->
+      """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+                      AS ws
+                    FROM documents),
+         g1 AS (SELECT unnest(list_transform(
+                  range(1, greatest(len(ws), 1) + 1),
+                  i -> array_to_string(ws[i:least(i, len(ws))], ' ')))
+                  AS g FROM w),
+         g2 AS (SELECT unnest(list_transform(
+                  range(1, greatest(len(ws) - 1, 1) + 1),
+                  i -> array_to_string(ws[i:least(i + 1, len(ws))], ' ')))
+                  AS g FROM w),
+         g3 AS (SELECT unnest(list_transform(
+                  range(1, greatest(len(ws) - 2, 1) + 1),
+                  i -> array_to_string(ws[i:least(i + 2, len(ws))], ' ')))
+                  AS g FROM w)
+         SELECT 1 AS n, CAST(count(*) AS BIGINT) AS total,
+                CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+                round(count(DISTINCT g)::DOUBLE / greatest(count(*), 1), 6)
+                  AS ratio
+         FROM g1
+         UNION ALL
+         SELECT 2, CAST(count(*) AS BIGINT),
+                CAST(count(DISTINCT g) AS BIGINT),
+                round(count(DISTINCT g)::DOUBLE / greatest(count(*), 1), 6)
+         FROM g2
+         UNION ALL
+         SELECT 3, CAST(count(*) AS BIGINT),
+                CAST(count(DISTINCT g) AS BIGINT),
+                round(count(DISTINCT g)::DOUBLE / greatest(count(*), 1), 6)
+         FROM g3
+         ORDER BY n""",
     // Domain means over the shared LM scores, softmaxed at T=1.
     "sample_domain_weights" -> ("WITH scored AS (" + lmScoreOracle +
       """),

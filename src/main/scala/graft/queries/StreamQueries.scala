@@ -452,6 +452,54 @@ object StreamQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  private val clsGateIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Classifier-gated ingest: the reference classifier is trained ONCE
+    * on the static corpus (the text_nb_classifier model — src0/src1
+    * as the curated reference), its weight table and prior
+    * materialized, then every arriving micro-batch is scored at the
+    * door and only reference-like docs land
+    * ([[graft.streaming.StreamIngest.classifierGateIngestAvailable]]).
+    * Static model → wave-independent verdicts → the oracle is the
+    * batch classifier's kept set.
+    */
+  private def clsGateIngestLoc(s: SparkSession, d: String): String =
+    clsGateIngestCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-scgate-")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      // materialized: weights are vocabCap-sized, prior is one row —
+      // without this each micro-batch would re-aggregate the corpus
+      val (w, p) = graft.pipeline.TextAnalysis.nbTrain(docs,
+        col("source").isin("src0", "src1"))
+      val weights = w.localCheckpoint()
+      val prior = p.localCheckpoint()
+      // offline threshold calibration: the median rounded score of the
+      // capped mod-10 sample (same estimator shape as pplBuckets'
+      // cutoffs — bounded collect, deterministic)
+      val xs = graft.pipeline.TextAnalysis.nbScore(docs, weights, prior)
+        .filter(col("doc_id") % 10 === 0).orderBy("doc_id").limit(1000)
+        .select(col("log_odds")).collect().map(_.getDouble(0))
+        .sortBy(x => -x)
+      val thr = xs((xs.length + 1) / 2 - 1)
+      val keptT = graft.lake.LakeTable.create(s,
+        base.resolve("kept").toString, Left(docs.schema))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docWavesDir(s, d))
+      val batches = timedStream("stream_classifier_gate") {
+        graft.streaming.StreamIngest.classifierGateIngestAvailable(
+          stream, weights, prior, thr, keptT, "docs_cls_ingest",
+          base.resolve("ckpt").toString)
+      }
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      base.resolve("kept").toString
+    })
+
+  def streamClassifierGate(s: SparkSession, d: String): DataFrame =
+    graft.lake.LakeTable.forLocation(s, clsGateIngestLoc(s, d)).read()
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** The documents corpus as two ordered arrival waves (even doc ids,
     * then odd) in a file-stream dir — scenario SETUP shared by the
     * ingest-dedup query and pre-built by [[warmupDirs]] so the timed
@@ -855,6 +903,7 @@ object StreamQueries {
     "stream_dedup_ingest" -> streamDedupIngest _,
     "stream_decontaminate_ingest" -> streamDecontaminateIngest _,
     "stream_quality_gate" -> streamQualityGate _,
+    "stream_classifier_gate" -> streamClassifierGate _,
     "stream_token_budget" -> streamTokenBudget _,
     "stream_ann_ingest" -> streamAnnIngest _,
     "stream_semantic_dedup" -> streamSemanticDedup _
@@ -864,6 +913,23 @@ object StreamQueries {
     // Per-document rule verdicts are wave-independent, so the door's
     // oracle is the batch gate's kept set — the shared CTE chain, with
     // the door's own projection.
+    // Static model + offline-calibrated threshold, wave-independent
+    // verdicts: the batch classifier scores with the sample-median cut
+    // replayed (rounded scores both sides).
+    "stream_classifier_gate" -> ("WITH nb AS (" +
+      PipelineQueries.NbClassifierOracle + """),
+         samp AS (SELECT log_odds FROM nb WHERE doc_id % 10 = 0
+                  ORDER BY doc_id LIMIT 1000),
+         r AS (SELECT log_odds,
+                      row_number() OVER (ORDER BY log_odds DESC) AS rk,
+                      count(*) OVER () AS cnt
+               FROM samp),
+         t AS (SELECT max(CASE WHEN rk = CAST(ceil(cnt / 2.0) AS INT)
+                      THEN log_odds END) AS thr
+               FROM r)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN nb USING (doc_id) CROSS JOIN t
+         WHERE nb.log_odds >= t.thr ORDER BY d.doc_id"""),
     "stream_quality_gate" -> (PipelineQueries.QualityGateCtes + """
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN v USING (doc_id)

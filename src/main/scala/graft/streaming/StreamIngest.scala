@@ -225,6 +225,48 @@ object StreamIngest {
     committed
   }
 
+  /** The CLASSIFIER door — fifth ingest door: documents land only if
+    * the trained reference classifier ([[graft.pipeline.TextAnalysis
+    * .nbTrain]]) scores them reference-like. The model is STATIC
+    * (trained once in the scenario, weight table + prior broadcast
+    * into every micro-batch's score plan) — exactly how a lab ships a
+    * selection classifier into ingestion: train offline, apply at the
+    * door. No evolving state → verdicts are wave-independent and the
+    * oracle is the batch classifier filter. Per-batch cost is
+    * O(batch): a broadcast weight join + one batch-local aggregation.
+    */
+  def classifierGateIngestAvailable(stream: DataFrame,
+      weights: DataFrame, prior: DataFrame, threshold: Double,
+      kept: LakeTable, queryName: String,
+      checkpointDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(kept, queryName)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seen.contains(batchId) && !batch.isEmpty) {
+          // calibrated cut on the ROUNDED score, not the log-odds
+          // sign: a thin reference corpus makes the prior strongly
+          // negative and a sign cut would admit nothing — the
+          // published recipe thresholds at a score percentile learned
+          // offline, which is what `threshold` carries
+          val keptIds = graft.pipeline.TextAnalysis
+            .nbScore(batch, weights, prior)
+            .filter(col("log_odds") >= threshold).select("doc_id")
+          kept.append(batch.join(keptIds, Seq("doc_id"), "left_semi"),
+            summary = Map(BatchStamp -> stamp(queryName, batchId)))
+          seen += batchId
+          committed += 1
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Start an EMBEDDING stream ingesting into a persisted IVF index —
     * continuous vector indexing, the ANN analog of
     * [[dedupIngestAvailable]]: each micro-batch assigns its vectors to

@@ -171,6 +171,20 @@ class MiningSpec extends AnyFunSuite {
     })
   }
 
+  test("distinct-n ratios rise with order; confusion counts cover " +
+      "the corpus") {
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val dn = TextAnalysis.distinctNgramRatios(docs).orderBy("n")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(dn.map(_._1).toSeq == Seq(1, 2, 3))
+    // higher-order grams are strictly more distinctive on any real text
+    assert(dn(0)._3 <= dn(1)._3 && dn(1)._3 <= dn(2)._3)
+    val ag = graft.queries.PipelineQueries.textNbAgreement(s, sf)
+      .collect().head
+    assert((0 to 3).map(ag.getLong).sum == docs.count(),
+      "tp+fp+fn+tn must partition the corpus")
+  }
+
   test("domain weights form a distribution and cover every domain") {
     val docs = s.read.parquet(s"$sf/documents.parquet")
     val out = Sampling.domainWeights(docs,

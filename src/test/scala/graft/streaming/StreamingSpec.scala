@@ -563,4 +563,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == 0 && kept.read().count() == batch.size,
       "replayed batches must not double-land")
   }
+
+  test("classifier door: per-batch scoring against the static model " +
+      "equals the batch classifier, idempotent under replay") {
+    val base = java.nio.file.Files.createTempDirectory("cgate-test-")
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val wavesDir = base.resolve("waves").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$wavesDir/w0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$wavesDir/w1")
+    def stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$wavesDir/w*")
+    val positive = col("source").isin("src0", "src1")
+    val (w, p) = graft.pipeline.TextAnalysis.nbTrain(docs, positive)
+    val weights = w.localCheckpoint(); val prior = p.localCheckpoint()
+    val scores = graft.pipeline.TextAnalysis
+      .nbScore(docs, weights, prior).localCheckpoint()
+    val xs = scores.filter(col("doc_id") % 10 === 0)
+      .orderBy("doc_id").limit(1000)
+      .select(col("log_odds")).collect().map(_.getDouble(0))
+      .sortBy(x => -x)
+    val thr = xs((xs.length + 1) / 2 - 1)
+    val kept = graft.lake.LakeTable.create(s,
+      base.resolve("kept").toString, Left(docs.schema))
+    val n = StreamIngest.classifierGateIngestAvailable(stream, weights,
+      prior, thr, kept, "cg", base.resolve("ckpt").toString)
+    assert(n == 2)
+    val streamed = kept.read().select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = scores.filter(col("log_odds") >= thr).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch,
+      "static model + per-doc verdicts must equal the batch classifier")
+    assert(batch.nonEmpty && batch.size < docs.count(),
+      "the calibrated cut must keep a strict non-empty subset")
+    val n2 = StreamIngest.classifierGateIngestAvailable(stream, weights,
+      prior, thr, kept, "cg", base.resolve("ckpt2").toString)
+    assert(n2 == 0 && kept.read().count() == batch.size,
+      "replayed batches must not double-land")
+  }
 }
