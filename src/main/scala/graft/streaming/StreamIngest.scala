@@ -267,6 +267,85 @@ object StreamIngest {
     committed
   }
 
+  /** The COMPOSED door — the full document-side ingest funnel in one
+    * stream: per micro-batch, the three STATIC verdicts first
+    * (benchmark decontamination, rule quality gate, calibrated
+    * classifier cut — per-doc, wave-independent, cheapest first is
+    * irrelevant since all three are O(batch) and independent), then
+    * the STATEFUL near-dup probe against the persisted LSH index;
+    * only fully-cleared docs are admitted to the output AND the index,
+    * batch-stamped on both. This is the ingestion layout a curation
+    * pipeline actually deploys: static model/benchmark artifacts
+    * broadcast into every batch, one evolving index, every batch
+    * O(batch + probe).
+    *
+    * Replay semantics match the single doors': static verdicts are
+    * wave-independent; the dedup stage's greedy wave order replays
+    * exactly as [[dedupIngestAvailable]]'s (earlier-wave and
+    * smaller-id admissions dominate), restricted to the statically-
+    * cleared set — which is precisely the composed oracle.
+    */
+  def curateIngestAvailable(stream: DataFrame, benchGrams: DataFrame,
+      weights: DataFrame, prior: DataFrame, scoreThreshold: Double,
+      benchK: Int, indexLoc: String, kept: LakeTable,
+      dedupThreshold: Double, queryName: String,
+      checkpointDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(kept, queryName)
+    val bench = broadcast(benchGrams)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val grams = batch.select(col("doc_id"),
+            explode(graft.functions.ShingleExpressions.hashedShingles(
+              trim(lower(col("text"))), benchK)).as("_gram"))
+          val contaminated = grams.join(bench, Seq("_gram"), "left_semi")
+            .select("doc_id").distinct()
+          val qualIds = graft.pipeline.TextAnalysis.qualityGate(batch)
+            .filter(col("keep")).select("doc_id")
+          val clsIds = graft.pipeline.TextAnalysis
+            .nbScore(batch, weights, prior)
+            .filter(col("log_odds") >= scoreThreshold).select("doc_id")
+          // one materialization: the statically-cleared slice feeds the
+          // dedup probe AND both appends
+          val statics = batch
+            .join(contaminated, Seq("doc_id"), "left_anti")
+            .join(qualIds, Seq("doc_id"), "left_semi")
+            .join(clsIds, Seq("doc_id"), "left_semi")
+            .localCheckpoint(true)
+          val idx = graft.pipeline.IncrementalDedup.load(
+            batch.sparkSession, indexLoc)
+          val (nb, nt) = graft.pipeline.IncrementalDedup
+            .sketch(idx, statics)
+          val bands = nb.localCheckpoint(true)
+          val toks = nt.localCheckpoint(true)
+          val losers = graft.pipeline.IncrementalDedup
+            .nearDupPairsSketched(idx, bands, toks, dedupThreshold)
+            .select(col("id_b").as("doc_id")).distinct()
+          val keptRows = statics.join(losers, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          val keptIds = keptRows.select("doc_id")
+          graft.pipeline.IncrementalDedup.appendIdempotentSketched(idx,
+            bands.join(keptIds, Seq("doc_id"), "left_semi"),
+            toks.join(keptIds, Seq("doc_id"), "left_semi"),
+            BatchStamp, stamp(queryName, batchId))
+          if (!seen.contains(batchId)) {
+            kept.append(keptRows,
+              summary = Map(BatchStamp -> stamp(queryName, batchId)))
+            seen += batchId
+            committed += 1
+          }
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** Start an EMBEDDING stream ingesting into a persisted IVF index —
     * continuous vector indexing, the ANN analog of
     * [[dedupIngestAvailable]]: each micro-batch assigns its vectors to

@@ -604,4 +604,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == 0 && kept.read().count() == batch.size,
       "replayed batches must not double-land")
   }
+
+  test("composed door: every admitted doc clears all four verdicts, " +
+      "no near-dup pair survives, replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("curate-test-")
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val wavesDir = base.resolve("waves").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$wavesDir/w0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$wavesDir/w1")
+    def stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$wavesDir/w*")
+    val bucket = graft.pipeline.Sampling.bucketCol(col("doc_id"))
+    val bench = docs.filter(bucket >= 90)
+      .select(explode(graft.functions.ShingleExpressions.hashedShingles(
+        trim(lower(col("text"))), 8)).as("_gram"))
+      .distinct().localCheckpoint(true)
+    val positive = col("source").isin("src0", "src1")
+    val (w, p) = graft.pipeline.TextAnalysis.nbTrain(docs, positive)
+    val weights = w.localCheckpoint(); val prior = p.localCheckpoint()
+    val scores = graft.pipeline.TextAnalysis
+      .nbScore(docs, weights, prior).localCheckpoint()
+    val xs = scores.filter(col("doc_id") % 10 === 0)
+      .orderBy("doc_id").limit(1000)
+      .select(col("log_odds")).collect().map(_.getDouble(0))
+      .sortBy(x => -x)
+    val thr = xs((xs.length + 1) / 2 - 1)
+    val idxLoc = base.resolve("index").toString
+    graft.pipeline.IncrementalDedup.build(docs.limit(0), idxLoc)
+    val kept = graft.lake.LakeTable.create(s,
+      base.resolve("kept").toString, Left(docs.schema))
+    val n = StreamIngest.curateIngestAvailable(stream, bench, weights,
+      prior, thr, benchK = 8, idxLoc, kept, dedupThreshold = 0.5,
+      "cu", base.resolve("ckpt").toString)
+    assert(n == 2)
+    val keptDf = kept.read().localCheckpoint(true)
+    val keptIds = keptDf.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty)
+    // verdict 1: rule gate
+    val gateKeep = graft.pipeline.TextAnalysis.qualityGate(docs)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(gateKeep))
+    // verdict 2: classifier threshold
+    val clsKeep = scores.filter(col("log_odds") >= thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(clsKeep))
+    // verdict 3: zero benchmark overlap on re-probe
+    val overlap = keptDf.select(col("doc_id"),
+        explode(graft.functions.ShingleExpressions.hashedShingles(
+          trim(lower(col("text"))), 8)).as("_gram"))
+      .join(bench, Seq("_gram"), "left_semi").count()
+    assert(overlap == 0, "admitted docs must share no benchmark gram")
+    // verdict 4: no near-dup pair survives among the admitted
+    val pairs = graft.pipeline.Dedup.ngramJaccard(keptDf, k = 3,
+      threshold = 0.5).count()
+    assert(pairs == 0, "no near-dup pair may survive the funnel")
+    // replay: fresh checkpoint, same stamps -> nothing double-lands
+    val n2 = StreamIngest.curateIngestAvailable(stream, bench, weights,
+      prior, thr, benchK = 8, idxLoc, kept, dedupThreshold = 0.5,
+      "cu", base.resolve("ckpt2").toString)
+    assert(n2 == 0 && kept.read().count() == keptIds.size)
+  }
 }
