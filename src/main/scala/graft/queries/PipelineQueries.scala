@@ -1111,6 +1111,38 @@ object PipelineQueries {
     TextAnalysis.distinctNgramRatios(Tables.documents(s, d))
       .orderBy("n")
 
+  /** Per-language accuracy of the trigram language identifier against
+    * the labeled column — the eval row for the langid profile model.
+    */
+  def textLangidEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("lang"))
+      .join(TextAnalysis.languageId(docs), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted_lang") === col("lang"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("lang"), col("n_docs"), col("n_correct"),
+        round(col("n_correct") / greatest(col("n_docs"), lit(1L)), 6)
+          .as("accuracy"))
+      .orderBy("lang")
+  }
+
+  /** Token-count distribution in power-of-two buckets (data-card
+    * shape metric): bucket = floor(log2(tokens)) via binary-string
+    * length — integer arithmetic, identical in any engine, no
+    * float-log boundary risk at exact powers of two.
+    */
+  def textTokenHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+        .cast("long").as("t"))
+      .select((length(bin(col("t"))) - 1).as("bucket"), col("t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("t")).as("min_tokens"),
+        max(col("t")).as("max_tokens"))
+      .orderBy("bucket")
+
   /** Contrastive triplets over the embedding corpus: nearest
     * same-label positive, hardest other-label negative, and whether
     * the anchor already separates them.
@@ -1455,6 +1487,8 @@ object PipelineQueries {
     "sample_triplets"      -> sampleTriplets _,
     "text_nb_agreement"    -> textNbAgreement _,
     "text_distinct_ngrams" -> textDistinctNgrams _,
+    "text_langid_eval"     -> textLangidEval _,
+    "text_token_histogram" -> textTokenHistogram _,
     "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
@@ -1878,6 +1912,43 @@ object PipelineQueries {
                      WHEN s.lm_score >= c.cut2 THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM scored s CROSS JOIN cuts c ORDER BY s.doc_id""")
+
+  private[queries] val LangidOracle =
+    """WITH s AS (
+           SELECT doc_id, lang,
+                  lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
+           FROM documents),
+         tri AS (
+           SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS tri
+           FROM s, UNNEST(range(1, greatest(length(s) - 2, 0) + 1)) AS t(i)),
+         prof AS (
+           SELECT lang AS profile_lang, tri,
+                  1.0::DOUBLE / (rank + 10) AS weight
+           FROM (
+             SELECT lang, tri, count(*) AS cnt,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY count(*) DESC, tri) AS rank
+             FROM tri WHERE doc_id % 5 = 0
+             GROUP BY lang, tri)
+           WHERE rank <= 200),
+         tf AS (
+           SELECT doc_id, tri, count(*) AS tf
+           FROM tri GROUP BY doc_id, tri),
+         sc AS (
+           SELECT f.doc_id, p.profile_lang,
+                  sum(p.weight * f.tf) AS score
+           FROM tf f JOIN prof p USING (tri)
+           GROUP BY f.doc_id, p.profile_lang),
+         best AS (
+           SELECT doc_id, profile_lang AS predicted_lang,
+                  round(score, 4) AS lang_score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, profile_lang) AS rn
+           FROM sc)
+         SELECT b.doc_id, b.predicted_lang, b.lang_score,
+                b.predicted_lang = d.lang AS correct
+         FROM best b JOIN documents d USING (doc_id)
+         WHERE rn = 1 ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_matryoshka" -> MatryoshkaOracle,
@@ -3526,42 +3597,26 @@ object PipelineQueries {
     // non-ANSI piece is the xxhash64 trigram key, which is injective on
     // this corpus (profile rank ties break on the trigram STRING on both
     // engines).
-    "text_langid" ->
-      """WITH s AS (
-           SELECT doc_id, lang,
-                  lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
-           FROM documents),
-         tri AS (
-           SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS tri
-           FROM s, UNNEST(range(1, greatest(length(s) - 2, 0) + 1)) AS t(i)),
-         prof AS (
-           SELECT lang AS profile_lang, tri,
-                  1.0::DOUBLE / (rank + 10) AS weight
-           FROM (
-             SELECT lang, tri, count(*) AS cnt,
-                    row_number() OVER (PARTITION BY lang
-                      ORDER BY count(*) DESC, tri) AS rank
-             FROM tri WHERE doc_id % 5 = 0
-             GROUP BY lang, tri)
-           WHERE rank <= 200),
-         tf AS (
-           SELECT doc_id, tri, count(*) AS tf
-           FROM tri GROUP BY doc_id, tri),
-         sc AS (
-           SELECT f.doc_id, p.profile_lang,
-                  sum(p.weight * f.tf) AS score
-           FROM tf f JOIN prof p USING (tri)
-           GROUP BY f.doc_id, p.profile_lang),
-         best AS (
-           SELECT doc_id, profile_lang AS predicted_lang,
-                  round(score, 4) AS lang_score,
-                  row_number() OVER (PARTITION BY doc_id
-                    ORDER BY score DESC, profile_lang) AS rn
-           FROM sc)
-         SELECT b.doc_id, b.predicted_lang, b.lang_score,
-                b.predicted_lang = d.lang AS correct
-         FROM best b JOIN documents d USING (doc_id)
-         WHERE rn = 1 ORDER BY doc_id""",
+    "text_langid" -> LangidOracle,
+    // Accuracy per true language over the nested langid oracle.
+    "text_langid_eval" -> ("WITH li AS (" + LangidOracle + """)
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN li.correct THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+                round(sum(CASE WHEN li.correct THEN 1 ELSE 0 END)::DOUBLE
+                  / greatest(count(*), 1), 6) AS accuracy
+         FROM documents d JOIN li USING (doc_id)
+         GROUP BY d.lang ORDER BY d.lang"""),
+    // floor(log2(tokens)) via binary-string length: integer-exact at
+    // power-of-two boundaries in both engines.
+    "text_token_histogram" ->
+      """WITH t AS (SELECT greatest(len(string_split_regex(trim(text),
+                      '\s+')), 1)::BIGINT AS t
+                    FROM documents)
+         SELECT CAST(length(bin(t)) - 1 AS INT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                min(t) AS min_tokens, max(t) AS max_tokens
+         FROM t GROUP BY 1 ORDER BY bucket""",
     // the ENTIRE 2-iteration Lloyd loop replayed: md5 seeding, two
     // argmax-cosine assignment rounds, two elementwise-mean updates,
     // final audit stats — cell membership must match integrally, so
