@@ -1237,6 +1237,44 @@ object PipelineQueries {
       .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
   }
 
+  /** Per-stage attrition of the [[pipelineCurate]] funnel — the
+    * "where did my data go" table a curation pipeline publishes next
+    * to its dataset card: one row per stage (ingest → blocklist →
+    * exact dedup → quality gate → stratified sample) with surviving
+    * docs, surviving tokens, and the stage's drop count
+    * ([[graft.pipeline.Attrition.report]]). Flags are computed on a
+    * NARROW projection (text is consumed at the scan for the hash,
+    * quality score, and token count, then dropped), so the dedup
+    * window's exchange and the final partial-aggregate exchange carry
+    * id-width rows — never document bodies.
+    */
+  def pipelineAttrition(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_th"))
+    val okBlock = col("source").isNull ||
+      !col("source").isin("src3", "src7", "src11")
+    val rate = when(col("lang") === "en", lit(30))
+      .when(col("lang") === "de", lit(60)).otherwise(lit(100))
+    val narrow = TextAnalysis.qualityScore(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("_toks"),
+        okBlock.as("_ok_block"), md5(col("text")).as("_th"),
+        col("quality_score").as("_q"),
+        Sampling.bucketCol(col("doc_id")).as("_bucket"), rate.as("_rate"))
+    // first allowed id per text group: blocklist runs BEFORE dedup
+    // (pipelineCurate's order), so a blocked copy holding the min id
+    // must not shadow an allowed duplicate
+    val flagged = narrow.withColumn("_first",
+      min(when(col("_ok_block"), col("doc_id"))).over(w))
+    Attrition.report(flagged, Seq(
+        "blocklist" -> col("_ok_block"),
+        "exact_dedup" -> (col("doc_id") === col("_first")),
+        "quality_gate" -> (col("_q") >= 0.8),
+        "stratified_sample" -> (col("_bucket") < col("_rate"))),
+      tokens = col("_toks"))
+      .orderBy("stage_ord")
+  }
+
   /** Corpus-level duplicated-line removal (CCNet/Dolma boilerplate
     * strip). The synthetic corpus has no newlines, so the query first
     * segments every document into 3-word lines with a deterministic
@@ -1492,6 +1530,7 @@ object PipelineQueries {
     "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
+    "pipeline_attrition"   -> pipelineAttrition _,
     "pipeline_curate_neardup" -> pipelineCurateNearDup _,
     "pipeline_pretrain"    -> pipelinePretrain _,
     "dedup_lines"          -> dedupLines _,
@@ -3256,6 +3295,76 @@ object PipelineQueries {
                 CAST(sum(len(string_split_regex(trim(text), '\s+')))
                   AS BIGINT) AS n_tokens
          FROM sampled GROUP BY 1, 2 ORDER BY lang, source""",
+    // attrition = the curate funnel's flags refolded as cumulative
+    // conjunctions; each stage row recounts the same per-doc verdicts
+    // the pipeline_curate CTE chain filters on
+    "pipeline_attrition" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT
+                    AS toks,
+                  (source IS NULL OR
+                   source NOT IN ('src3','src7','src11')) AS ok_block,
+                  md5(text) AS th,
+                  round(
+                    (CASE WHEN length(text) BETWEEN 100 AND 20000
+                          THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(list_filter(
+                            string_split_regex(trim(lower(text)), '\s+'),
+                            w -> list_contains(['the','a','an','and','or',
+                              'of','to','in','is','it','that','for','on',
+                              'with','as','at','by'], w)))::DOUBLE
+                          / greatest(len(string_split_regex(
+                              trim(lower(text)), '\s+')), 1) >= 0.01
+                          THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(regexp_extract_all(text,
+                            '[^A-Za-z0-9\s]'))::DOUBLE
+                          / greatest(length(text), 1) <= 0.2
+                          THEN 0.2 ELSE 0 END) +
+                    (CASE WHEN list_sum(list_transform(
+                            string_split_regex(trim(lower(text)), '\s+'),
+                            w -> length(w)))::DOUBLE
+                          / greatest(len(string_split_regex(
+                              trim(lower(text)), '\s+')), 1)
+                            BETWEEN 2.0 AND 12.0
+                          THEN 0.2 ELSE 0 END), 2) AS q,
+                  ('0x' || substr(md5('graft:' ||
+                      CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT % 100
+                    AS bucket,
+                  CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60
+                    ELSE 100 END AS rate
+           FROM documents),
+         g AS (
+           SELECT *, min(CASE WHEN ok_block THEN doc_id END)
+                       OVER (PARTITION BY th) AS first_id
+           FROM f),
+         s AS (
+           SELECT toks,
+                  ok_block AS s1,
+                  ok_block AND doc_id = first_id AS s2,
+                  ok_block AND doc_id = first_id AND q >= 0.8 AS s3,
+                  ok_block AND doc_id = first_id AND q >= 0.8 AND
+                    bucket < rate AS s4
+           FROM g),
+         a AS (
+           SELECT count(*)::BIGINT AS n0,
+                  coalesce(sum(toks), 0)::BIGINT AS t0,
+                  (count(*) FILTER (WHERE s1))::BIGINT AS n1,
+                  coalesce(sum(toks) FILTER (WHERE s1), 0)::BIGINT AS t1,
+                  (count(*) FILTER (WHERE s2))::BIGINT AS n2,
+                  coalesce(sum(toks) FILTER (WHERE s2), 0)::BIGINT AS t2,
+                  (count(*) FILTER (WHERE s3))::BIGINT AS n3,
+                  coalesce(sum(toks) FILTER (WHERE s3), 0)::BIGINT AS t3,
+                  (count(*) FILTER (WHERE s4))::BIGINT AS n4,
+                  coalesce(sum(toks) FILTER (WHERE s4), 0)::BIGINT AS t4
+           FROM s)
+         SELECT 0 AS stage_ord, 'ingest' AS stage, n0 AS n_docs,
+                t0 AS n_tokens, 0::BIGINT AS n_dropped FROM a
+         UNION ALL SELECT 1, 'blocklist', n1, t1, n0 - n1 FROM a
+         UNION ALL SELECT 2, 'exact_dedup', n2, t2, n1 - n2 FROM a
+         UNION ALL SELECT 3, 'quality_gate', n3, t3, n2 - n3 FROM a
+         UNION ALL SELECT 4, 'stratified_sample', n4, t4, n3 - n4 FROM a
+         ORDER BY stage_ord""",
     // The five-stage chain replayed exactly: blocklist, exact all-pairs
     // Jaccard graph + recursive-CTE closure (the LSH's banded recall is
     // total at this sf — any miss hash-mismatches), per-cluster argmax

@@ -550,6 +550,43 @@ object StreamQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Per-batch admission report of the composed door — the attrition
+    * record each ingest snapshot publishes in its commit summary
+    * (docs in, statics-cleared, dedup-suppressed, admitted), read back
+    * from the kept table's snapshot log. This is the streaming mirror
+    * of `pipeline_attrition`: the funnel's drop accounting, here at
+    * micro-batch granularity and persisted WITH the data it describes
+    * (an auditor replays admission rates from the table alone, no
+    * side channel). Metadata-sized by contract — one row per
+    * committed batch, driver-side snapshot list, no corpus read. The
+    * oracle replays both waves' verdict counts from the documents
+    * table. Named to sort AFTER stream_curate_ingest so the shared
+    * scenario's cost stays attributed to the ingest row in the bench's
+    * sorted schedule.
+    */
+  def streamCurateReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = graft.lake.LakeTable.forLocation(s, curateIngestLoc(s, d))
+    val prefix = "docs_curate_ingest:"
+    val rows = t.meta.snapshots.flatMap { sn =>
+      sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
+        .filter(_.startsWith(prefix))
+        .map { st =>
+          (st.substring(prefix.length).toLong,
+            sn.summary(graft.streaming.StreamIngest.DocsInKey).toLong,
+            sn.summary(
+              graft.streaming.StreamIngest.StaticsClearedKey).toLong,
+            sn.summary(graft.streaming.StreamIngest.AdmittedKey).toLong)
+        }
+    }
+    rows.toDF("batch_id", "docs_in", "statics_cleared", "admitted")
+      .withColumn("dedup_suppressed",
+        col("statics_cleared") - col("admitted"))
+      .select(col("batch_id"), col("docs_in"), col("statics_cleared"),
+        col("dedup_suppressed"), col("admitted"))
+      .orderBy("batch_id")
+  }
+
   /** The documents corpus as two ordered arrival waves (even doc ids,
     * then odd) in a file-stream dir — scenario SETUP shared by the
     * ingest-dedup query and pre-built by [[warmupDirs]] so the timed
@@ -955,6 +992,7 @@ object StreamQueries {
     "stream_quality_gate" -> streamQualityGate _,
     "stream_classifier_gate" -> streamClassifierGate _,
     "stream_curate_ingest" -> streamCurateIngest _,
+    "stream_curate_report" -> streamCurateReport _,
     "stream_token_budget" -> streamTokenBudget _,
     "stream_ann_ingest" -> streamAnnIngest _,
     "stream_semantic_dedup" -> streamSemanticDedup _
@@ -1024,6 +1062,79 @@ object StreamQueries {
          JOIN (SELECT doc_id FROM kept1
                UNION ALL SELECT doc_id FROM kept2) k USING (doc_id)
          ORDER BY doc_id"""),
+    // The same composed replay, refolded as per-wave admission COUNTS
+    // (wave 1 = even ids, wave 2 = odd — docWavesDir's split): this is
+    // the oracle for the summary metadata the door stamps on each
+    // commit, so a drifting count in the door's bookkeeping (not just
+    // its kept rows) hash-mismatches.
+    "stream_curate_report" -> (PipelineQueries.QualityGateCtes + """,
+         nb AS (""" + PipelineQueries.NbClassifierOracle + """),
+         samp AS (SELECT log_odds FROM nb WHERE doc_id % 10 = 0
+                  ORDER BY doc_id LIMIT 1000),
+         r AS (SELECT log_odds,
+                      row_number() OVER (ORDER BY log_odds DESC) AS rk,
+                      count(*) OVER () AS cnt
+               FROM samp),
+         t AS (SELECT max(CASE WHEN rk = CAST(ceil(cnt / 2.0) AS INT)
+                      THEN log_odds END) AS thr
+               FROM r),
+         dws AS (SELECT doc_id,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 AS bucket,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+                 FROM documents),
+         dg AS (SELECT doc_id, bucket, unnest(list_distinct(
+                  list_transform(range(1, greatest(len(words) - 7, 1) + 1),
+                    i -> array_to_string(words[i:least(i+7, len(words))], ' '))))
+                  AS gram
+                FROM dws),
+         bgrams AS (SELECT DISTINCT gram FROM dg WHERE bucket >= 90),
+         bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bgrams USING (gram)),
+         stat AS (SELECT d.doc_id FROM documents d
+                  JOIN v USING (doc_id)
+                  JOIN nb USING (doc_id) CROSS JOIN t
+                  LEFT JOIN bad ON bad.doc_id = d.doc_id
+                  WHERE len(v.hit) = 0 AND nb.log_odds >= t.thr
+                    AND bad.doc_id IS NULL),
+         sh AS (SELECT doc_id, list_distinct(
+                  list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                    i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+                  AS sh
+                FROM dws JOIN stat USING (doc_id)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                     >= 0.5),
+         kept1 AS (SELECT st.doc_id FROM stat st
+                   WHERE st.doc_id % 2 = 0
+                     AND NOT EXISTS (SELECT 1 FROM p
+                       WHERE p.id_b = st.doc_id AND p.id_a % 2 = 0)),
+         kept2 AS (SELECT st.doc_id FROM stat st
+                   WHERE st.doc_id % 2 = 1
+                     AND NOT EXISTS (SELECT 1 FROM p JOIN kept1 k
+                       ON (p.id_a = k.doc_id AND p.id_b = st.doc_id)
+                       OR (p.id_b = k.doc_id AND p.id_a = st.doc_id))
+                     AND NOT EXISTS (SELECT 1 FROM p
+                       WHERE p.id_b = st.doc_id AND p.id_a % 2 = 1))
+         SELECT CAST(0 AS BIGINT) AS batch_id,
+                (SELECT count(*) FROM documents
+                 WHERE doc_id % 2 = 0)::BIGINT AS docs_in,
+                (SELECT count(*) FROM stat
+                 WHERE doc_id % 2 = 0)::BIGINT AS statics_cleared,
+                ((SELECT count(*) FROM stat WHERE doc_id % 2 = 0) -
+                 (SELECT count(*) FROM kept1))::BIGINT AS dedup_suppressed,
+                (SELECT count(*) FROM kept1)::BIGINT AS admitted
+         UNION ALL
+         SELECT CAST(1 AS BIGINT),
+                (SELECT count(*) FROM documents
+                 WHERE doc_id % 2 = 1)::BIGINT,
+                (SELECT count(*) FROM stat
+                 WHERE doc_id % 2 = 1)::BIGINT,
+                ((SELECT count(*) FROM stat WHERE doc_id % 2 = 1) -
+                 (SELECT count(*) FROM kept2))::BIGINT,
+                (SELECT count(*) FROM kept2)::BIGINT
+         ORDER BY batch_id"""),
     // Static model + offline-calibrated threshold, wave-independent
     // verdicts: the batch classifier scores with the sample-median cut
     // replayed (rounded scores both sides).

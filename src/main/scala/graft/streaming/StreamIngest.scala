@@ -26,6 +26,12 @@ object StreamIngest {
   /** Summary key carrying `<queryName>:<batchId>` on ingest snapshots. */
   val BatchStamp = "graft.streaming.batch"
 
+  /** Summary keys for the composed door's per-batch admission metrics
+    * (the attrition record each ingest snapshot publishes). */
+  val DocsInKey = "graft.ingest.docs_in"
+  val StaticsClearedKey = "graft.ingest.statics_cleared"
+  val AdmittedKey = "graft.ingest.admitted"
+
   private def stamp(queryName: String, batchId: Long) = s"$queryName:$batchId"
 
   /** Already-committed batch ids for `queryName` (all branches' history
@@ -334,8 +340,18 @@ object StreamIngest {
             toks.join(keptIds, Seq("doc_id"), "left_semi"),
             BatchStamp, stamp(queryName, batchId))
           if (!seen.contains(batchId)) {
-            kept.append(keptRows,
-              summary = Map(BatchStamp -> stamp(queryName, batchId)))
+            // Per-batch admission metrics ride the commit summary —
+            // the attrition record an ingest door publishes with every
+            // snapshot (docs in, statics-cleared, admitted; dedup
+            // suppression is the difference). All three counts are
+            // cheap by construction: two are over the just-checkpointed
+            // frames, one over the batch source. Replayed batches skip
+            // this append entirely, so replay cannot double-count.
+            kept.append(keptRows, summary = Map(
+              BatchStamp -> stamp(queryName, batchId),
+              DocsInKey -> batch.count().toString,
+              StaticsClearedKey -> statics.count().toString,
+              AdmittedKey -> keptRows.count().toString))
             seen += batchId
             committed += 1
           }

@@ -762,6 +762,38 @@ class PipelineSpec extends AnyFunSuite {
       "corpus should exercise both mutual and one-way edges")
   }
 
+  test("attrition report: constructed funnel — conjunctive stages, " +
+      "null flags fail, drop accounting telescopes, one-exchange plan") {
+    import TestSpark.spark.implicits._
+    // 5 docs: passes all | fails stage A | passes A fails B |
+    // null flag at A (must count as dropped, not kept) | fails C
+    val df = Seq(
+      (1L, 10L, Some(true), true, true),
+      (2L, 20L, Some(false), true, true),
+      (3L, 30L, Some(true), false, true),
+      (4L, 40L, None: Option[Boolean], true, true),
+      (5L, 50L, Some(true), true, false))
+      .toDF("doc_id", "toks", "fa", "fb", "fc")
+    val out = Attrition.report(df, Seq(
+        "a" -> col("fa"), "b" -> col("fb"), "c" -> col("fc")),
+      tokens = col("toks"))
+      .orderBy("stage_ord")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0, "ingest", 5L, 150L, 0L),
+      (1, "a", 3L, 90L, 2L),      // doc 2 (false) + doc 4 (null)
+      (2, "b", 2L, 60L, 1L),      // doc 3
+      (3, "c", 1L, 10L, 1L)))     // doc 5
+    // the drop column must telescope back to the ingest count
+    assert(out.map(_._5).sum == out.head._3 - out.last._3)
+    // one corpus pass, one exchange: the single global aggregation
+    val plan = Attrition.report(df, Seq("a" -> col("fa")), col("toks"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"report must add exactly the final-agg exchange:\n$plan")
+  }
+
   test("quality gate: constructed pathologies trip their named rules") {
     import TestSpark.spark.implicits._
     val varied = "the sun rose over a quiet town and it was warm for the " +

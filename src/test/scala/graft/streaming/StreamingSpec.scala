@@ -663,10 +663,38 @@ class StreamingSpec extends AnyFunSuite {
     val pairs = graft.pipeline.Dedup.ngramJaccard(keptDf, k = 3,
       threshold = 0.5).count()
     assert(pairs == 0, "no near-dup pair may survive the funnel")
-    // replay: fresh checkpoint, same stamps -> nothing double-lands
+    // admission metrics: each committed snapshot's summary must
+    // reconcile with the data it describes — docs_in covers the wave,
+    // admitted matches the batch's landed rows, and the funnel
+    // inequality docs_in >= statics_cleared >= admitted holds
+    val metrics = kept.meta.snapshots.flatMap { sn =>
+      sn.summary.get(StreamIngest.BatchStamp)
+        .filter(_.startsWith("cu:"))
+        .map(st => (st.stripPrefix("cu:").toLong,
+          sn.summary(StreamIngest.DocsInKey).toLong,
+          sn.summary(StreamIngest.StaticsClearedKey).toLong,
+          sn.summary(StreamIngest.AdmittedKey).toLong))
+    }.sortBy(_._1)
+    assert(metrics.map(_._1) == Seq(0L, 1L),
+      s"one metrics record per committed batch: $metrics")
+    val waveSizes = Seq(
+      docs.filter(col("doc_id") % 2 === 0).count(),
+      docs.filter(col("doc_id") % 2 === 1).count())
+    metrics.foreach { case (b, in, stat, adm) =>
+      assert(in == waveSizes(b.toInt), s"batch $b docs_in $in")
+      assert(in >= stat && stat >= adm && adm >= 0,
+        s"funnel inequality violated at batch $b: $in >= $stat >= $adm")
+    }
+    assert(metrics.map(_._4).sum == keptIds.size,
+      "admitted counts must sum to the landed rows")
+    // replay: fresh checkpoint, same stamps -> nothing double-lands,
+    // and no second metrics record appears for a replayed batch
     val n2 = StreamIngest.curateIngestAvailable(stream, bench, weights,
       prior, thr, benchK = 8, idxLoc, kept, dedupThreshold = 0.5,
       "cu", base.resolve("ckpt2").toString)
     assert(n2 == 0 && kept.read().count() == keptIds.size)
+    val stamps2 = kept.meta.snapshots.flatMap(
+      _.summary.get(StreamIngest.BatchStamp)).filter(_.startsWith("cu:"))
+    assert(stamps2.size == 2, s"replay must not re-stamp: $stamps2")
   }
 }
