@@ -46,10 +46,18 @@ object Attrition {
       acc && coalesce(flag, lit(false))
     }
     val names = ingestName +: stages.map(_._1)
+    // Outer coalesce: `sum` over ZERO rows is NULL, so an empty input
+    // must still report zeros, not a null-count row (the SQL oracle's
+    // count(*) would say 0 and hash-mismatch a null). Inner coalesce:
+    // a null token count on a surviving row must read as 0, not
+    // silently drop the row from the token sum while the doc count
+    // keeps it.
     val aggs = surv.zipWithIndex.flatMap { case (sv, k) =>
       Seq(
-        sum(when(sv, lit(1L)).otherwise(lit(0L))).as(s"_n$k"),
-        sum(when(sv, tokens.cast("long")).otherwise(lit(0L))).as(s"_t$k"))
+        coalesce(sum(when(sv, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as(s"_n$k"),
+        coalesce(sum(when(sv, coalesce(tokens.cast("long"), lit(0L)))
+          .otherwise(lit(0L))), lit(0L)).as(s"_t$k"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = names.zipWithIndex.map { case (name, k) =>

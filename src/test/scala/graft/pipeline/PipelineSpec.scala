@@ -792,6 +792,21 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size == 1,
       s"report must add exactly the final-agg exchange:\n$plan")
+    // empty input: zeros, never a null-count row (sum over zero rows
+    // is NULL — the report must coalesce, like its SQL oracle does)
+    val empty = Attrition.report(df.filter(lit(false)),
+        Seq("a" -> col("fa")), col("toks"))
+      .orderBy("stage_ord")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(empty.toSeq == Seq((0L, 0L, 0L), (0L, 0L, 0L)))
+    // null tokens on a surviving row: counted as a doc, contributes 0
+    // tokens (must not silently vanish from one metric but not the other)
+    val nt = Seq((1L, Some(7L), true), (2L, None: Option[Long], true))
+      .toDF("doc_id", "toks", "f")
+    val ntOut = Attrition.report(nt, Seq("s" -> col("f")), col("toks"))
+      .orderBy("stage_ord").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(ntOut.toSeq == Seq((2L, 7L), (2L, 7L)))
   }
 
   test("quality gate: constructed pathologies trip their named rules") {
