@@ -184,6 +184,40 @@ object Similarity {
     * 100 TB maintenance path — appending a day's vectors touches only
     * the new data, never the existing index files.
     */
+  /** Assignment-quality stats of a vector batch against a FIXED
+    * centroid set: (count, mean squared L2 distance to the nearest
+    * centroid, 1e-6 rounded) — the drift signal behind the "when do I
+    * re-fit the quantizer" maintenance decision [[refreshIvf]]'s
+    * scaladoc leaves to the owner: a rising mean assignment distance
+    * across ingest batches says the arriving distribution has walked
+    * away from the fitted cells. Same distance arithmetic as
+    * [[assignCells]] (direct Σ(x−y)², not a sqrt round-trip), same
+    * broadcast-centroids shape: one O(batch×nlist) scored expansion,
+    * one per-id min, one global average — nothing corpus-shaped, and
+    * the result is two scalars.
+    */
+  def assignmentStats(vectors: DataFrame,
+      centroids: Array[(Int, Array[Double])],
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): (Long, Double) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = broadcast(
+      centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+        .toDF("cell", "cvec"))
+    val row = vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(cents)
+      .withColumn("dist",
+        aggregate(zip_with(col("_v"), col("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+      .groupBy(col(idCol)).agg(min(col("dist")).as("_d"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg(col("_d")), 6).as("m"))
+      .collect().head
+    (row.getLong(0), row.getDouble(1))
+  }
+
   def refreshIvf(spark: org.apache.spark.sql.SparkSession, location: String,
       newVectors: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id",

@@ -697,11 +697,15 @@ object StreamQueries {
     * — the same deterministic-bar shape as `sim_topk_ivf_recall`, now
     * over an index whose second half never saw the quantizer fit.
     */
-  def streamAnnIngest(s: SparkSession, d: String): DataFrame = {
+  /** The ANN ingest scenario (seed index build + two streamed waves),
+    * cached per dataset dir — shared by the ingest row and the drift
+    * report row.
+    */
+  private def annIngestLoc(s: SparkSession, d: String): String = {
     val raw = s.read.parquet(s"$d/embeddings.parquet")
     val emb = raw.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    val loc = annIngestCache.computeIfAbsent(d, _ => {
+    annIngestCache.computeIfAbsent(d, _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-sann-")
       val idxLoc = base.resolve("index").toString
       graft.pipeline.Similarity.persistIvf(
@@ -727,6 +731,13 @@ object StreamQueries {
       t.setProperties(Map("graft.test.ids_exact" -> exactlyOnce.toString))
       idxLoc
     })
+  }
+
+  def streamAnnIngest(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/embeddings.parquet")
+    val emb = raw.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val loc = annIngestLoc(s, d)
     val idx = graft.pipeline.Similarity.loadIvf(s, loc)
     val queries = emb.filter(col("vec_id") < 5)
     val exact = graft.pipeline.Similarity
@@ -744,6 +755,42 @@ object StreamQueries {
         lit(idx.table.get.properties("graft.test.ids_exact").toBoolean)
           .as("ids_exact"),
         (col("_n_hits") * lit(2L) >= col("_n_exact")).as("recall_ge_05"))
+  }
+
+  /** Quantizer-drift report of the ANN ingest door: per committed
+    * batch, the assignment-quality stats the door stamped into the
+    * index snapshot (vector count + mean squared L2 distance to the
+    * nearest FIXED centroid — [[graft.pipeline.Similarity
+    * .assignmentStats]]), read back from the snapshot log. This is
+    * the observable behind `refreshIvf`'s documented
+    * re-fit-on-drift maintenance decision: a rising mean across
+    * batches says the arriving distribution has walked away from the
+    * fitted cells, and it is answerable from the index table alone.
+    * Metadata-sized (one row per batch, driver-side snapshot list).
+    * Oracle replays the deterministic seed fit (md5-seeded 2-round
+    * Lloyd over the even half — the `sim_topk_ivf` CTE machinery) and
+    * recomputes each wave's mean assignment distance, so drifting
+    * bookkeeping hash-mismatches. Named to sort after
+    * `stream_ann_ingest` so the shared scenario's cost stays on the
+    * ingest row in the bench's sorted schedule.
+    */
+  def streamAnnReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val loc = annIngestLoc(s, d)
+    val t = graft.pipeline.Similarity.loadIvf(s, loc).table.get
+    val prefix = "vec_ann_ingest:"
+    val rows = t.meta.snapshots.flatMap { sn =>
+      sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
+        .filter(_.startsWith(prefix))
+        .map { st =>
+          (st.substring(prefix.length).toLong,
+            sn.summary(graft.streaming.StreamIngest.NVectorsKey).toLong,
+            sn.summary(
+              graft.streaming.StreamIngest.MeanSqDistKey).toDouble)
+        }
+    }
+    rows.toDF("batch_id", "n_vectors", "mean_sq_dist")
+      .orderBy("batch_id")
   }
 
   private val semDedupCache =
@@ -995,6 +1042,7 @@ object StreamQueries {
     "stream_curate_report" -> streamCurateReport _,
     "stream_token_budget" -> streamTokenBudget _,
     "stream_ann_ingest" -> streamAnnIngest _,
+    "stream_ann_report" -> streamAnnReport _,
     "stream_semantic_dedup" -> streamSemanticDedup _
   )
 
@@ -1190,6 +1238,57 @@ object StreamQueries {
                 CAST(1 AS BOOLEAN) AS ids_exact,
                 CAST(1 AS BOOLEAN) AS recall_ge_05
          FROM embeddings""",
+    // The drift report's stats recomputed from scratch: the seed
+    // quantizer fit replayed (md5-seeded 2-round cosine-Lloyd on the
+    // even half — the same CTEs as stream_semantic_dedup's), then each
+    // wave's mean squared L2 distance to its nearest fitted centroid.
+    // Wave 1 = vec_id ≡ 1 (mod 4), wave 2 = ≡ 3 (vecWavesDir's split).
+    "stream_ann_report" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sv AS (SELECT vec_id, v FROM v WHERE vec_id % 2 = 0),
+         seed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                  FROM sv ORDER BY h, vec_id LIMIT 16),
+         init AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                    AS INT) AS cell, v FROM seed),
+         s1 AS (SELECT a.vec_id, a.v, i.cell,
+                       list_cosine_similarity(a.v, i.v) AS sim
+                FROM sv a CROSS JOIN init i),
+         a1 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s1)
+                WHERE rn = 1),
+         u1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a1)
+                GROUP BY cell, pos),
+         c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u1
+                GROUP BY cell),
+         s2 AS (SELECT a.vec_id, a.v, c.cell,
+                       list_cosine_similarity(a.v, c.v) AS sim
+                FROM sv a CROSS JOIN c1 c),
+         a2 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s2)
+                WHERE rn = 1),
+         u2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a2)
+                GROUP BY cell, pos),
+         c2 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u2
+                GROUP BY cell),
+         waves AS (SELECT vec_id, v,
+                          CASE WHEN vec_id % 4 = 1 THEN 0 ELSE 1 END
+                            AS batch_id
+                   FROM v WHERE vec_id % 2 = 1),
+         d AS (SELECT w.batch_id, w.vec_id,
+                      min(pow(list_distance(w.v, c.v), 2)) AS dd
+               FROM waves w CROSS JOIN c2 c
+               GROUP BY w.batch_id, w.vec_id)
+         SELECT CAST(batch_id AS BIGINT) AS batch_id,
+                count(*)::BIGINT AS n_vectors,
+                round(avg(dd), 6) AS mean_sq_dist
+         FROM d GROUP BY batch_id ORDER BY batch_id""",
     // The ENTIRE semantic-dedup ingest replayed: md5-seeded 2-round
     // cosine-Lloyd quantizer fit on the even half (the sim_topk_ivf
     // CTEs), float-jittered twins (the dedup_semantic CTE), L2 cell

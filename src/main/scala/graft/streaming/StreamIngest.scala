@@ -32,6 +32,11 @@ object StreamIngest {
   val StaticsClearedKey = "graft.ingest.statics_cleared"
   val AdmittedKey = "graft.ingest.admitted"
 
+  /** Summary keys for the ANN door's per-batch assignment-quality
+    * metrics (the quantizer-drift signal each index snapshot carries). */
+  val NVectorsKey = "graft.ingest.n_vectors"
+  val MeanSqDistKey = "graft.ingest.mean_sq_dist"
+
   private def stamp(queryName: String, batchId: Long) = s"$queryName:$batchId"
 
   /** Already-committed batch ids for `queryName` (all branches' history
@@ -386,11 +391,24 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val table = graft.pipeline.Similarity
-            .loadIvf(spark, indexLoc).table.get
-          if (!committedBatches(table, queryName).contains(batchId)) {
+          val idx = graft.pipeline.Similarity.loadIvf(spark, indexLoc)
+          if (!committedBatches(idx.table.get, queryName)
+              .contains(batchId)) {
+            // Drift signal on the commit: the batch's assignment
+            // quality against the FIXED centroids (count + mean
+            // squared L2 to the nearest cell) rides the snapshot
+            // summary, so "has the arriving distribution walked away
+            // from the quantizer" is answerable from the index table
+            // alone — the observable behind refreshIvf's documented
+            // re-fit-on-drift maintenance decision. One O(batch×nlist)
+            // pass; replayed batches skip the append, so replay cannot
+            // double-report.
+            val (n, meanSqDist) = graft.pipeline.Similarity
+              .assignmentStats(batch, idx.centroids)
             graft.pipeline.Similarity.refreshIvf(spark, indexLoc, batch,
-              summary = Map(BatchStamp -> stamp(queryName, batchId)))
+              summary = Map(BatchStamp -> stamp(queryName, batchId),
+                NVectorsKey -> n.toString,
+                MeanSqDistKey -> meanSqDist.toString))
             committed += 1
           }
         }

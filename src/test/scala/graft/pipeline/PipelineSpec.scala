@@ -429,6 +429,24 @@ class PipelineSpec extends AnyFunSuite {
       "replayed batch must be rejected by its stamp")
     assert(Similarity.loadIvf(s, idxLoc).table.get.read().count() == n1,
       "replay must not add index rows")
+    // drift metrics: exactly one record (replay must not re-report),
+    // reconciling with the wave and the independent stats computation
+    val recs = Similarity.loadIvf(s, idxLoc).table.get.meta.snapshots
+      .flatMap { sn =>
+        sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
+          .filter(_.startsWith("ann_idem:"))
+          .map(_ => (
+            sn.summary(graft.streaming.StreamIngest.NVectorsKey).toLong,
+            sn.summary(
+              graft.streaming.StreamIngest.MeanSqDistKey).toDouble))
+      }
+    assert(recs.size == 1, s"one drift record, got $recs")
+    val odd = embD.filter(col("vec_id") % 2 === 1)
+    val (wantN, wantD) = Similarity.assignmentStats(odd,
+      Similarity.loadIvf(s, idxLoc).centroids)
+    assert(recs.head == ((wantN, wantD)),
+      s"stamped stats ${recs.head} != recomputed ($wantN, $wantD)")
+    assert(wantN == odd.count() && wantD > 0.0)
   }
 
   test("two-phase domain cap is exact for any salt count") {
