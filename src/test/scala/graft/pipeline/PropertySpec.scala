@@ -20,6 +20,51 @@ class PropertySpec extends AnyFunSuite {
   private def draw[A](g: Gen[A], seed: rng.Seed): (A, rng.Seed) =
     (g.pureApply(params, seed), seed.next)
 
+  test("property: attrition report equals the local cumulative fold " +
+      "over random flag funnels (nulls, empty stages, token sums)") {
+    val spark = s
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.choose(0, 40) // 0 on purpose: the empty-input edge
+      rows <- Gen.listOfN(n, for {
+        fa <- Gen.oneOf(Some(true), Some(false), None) // null verdicts
+        fb <- Gen.oneOf(true, false)
+        fc <- Gen.oneOf(true, false)
+        toks <- Gen.oneOf(Some(0L), Some(7L), Some(31L),
+          None: Option[Long]) // null token counts
+      } yield (fa, fb, fc, toks))
+    } yield rows.zipWithIndex.map { case ((a, b, c, t), i) =>
+      (i.toLong, a, b, c, t)
+    }
+    var seed = rng.Seed(7L)
+    for (_ <- 1 to 8) {
+      val (rows, s1) = draw(rowsGen, seed)
+      seed = s1
+      val df = rows.toDF("doc_id", "fa", "fb", "fc", "toks")
+      val got = Attrition.report(df, Seq("a" -> col("fa"),
+          "b" -> col("fb"), "c" -> col("fc")), col("toks"))
+        .orderBy("stage_ord").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      // local fold: survive stage k iff flags 1..k all TRUE (null =
+      // fail); tokens of survivors with null-as-0
+      val survs = Seq[((Option[Boolean], Boolean, Boolean)) => Boolean](
+        _ => true,
+        f => f._1.contains(true),
+        f => f._1.contains(true) && f._2,
+        f => f._1.contains(true) && f._2 && f._3)
+      val names = Seq("ingest", "a", "b", "c")
+      val local = survs.zip(names).map { case (p, nm) =>
+        val kept = rows.filter(r => p((r._2, r._3, r._4)))
+        (nm, kept.size.toLong, kept.map(_._5.getOrElse(0L)).sum)
+      }
+      val expect = local.zipWithIndex.map { case ((nm, n, t), k) =>
+        (nm, n, t, if (k == 0) 0L else local(k - 1)._2 - n)
+      }
+      assert(got.toSeq == expect, s"rows=$rows")
+    }
+  }
+
   test("property: tokenBudgetMix equals the local flat greedy and " +
       "never exceeds a stratum's budget (both boundary paths)") {
     val spark = s
