@@ -74,6 +74,37 @@ object Packing {
         expr(s"(start_offset + n_tokens - 1) div ${seqLen}L"))
   }
 
+  /** Per-shard packing-efficiency report — the utilization numbers a
+    * pipeline watches when shaping training data: documents, tokens,
+    * emitted sequences, documents straddling a sequence boundary
+    * (they need cross-document attention masking or boundary resets),
+    * tail waste (the only padding concat-and-split produces: the
+    * unfilled end of each shard's last sequence) and utilization
+    * (tokens / capacity). One aggregation over [[packSequences]]'s
+    * narrow per-doc rows — shards×1 output rows, no extra corpus
+    * pass; `n_seqs = ceil(tokens/seqLen)` is exact because the shard
+    * stream is gapless by construction (PackingSpec pins that).
+    */
+  def packReport(df: DataFrame, seqLen: Int = 512, shards: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id",
+      salt: String = "pack"): DataFrame = {
+    val capacity = expr(s"n_seqs * ${seqLen}L")
+    packSequences(df, seqLen, shards, textCol, idCol, salt)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum((col("first_seq") =!= col("last_seq")).cast("long"))
+          .as("n_split_docs"))
+      .withColumn("n_seqs",
+        expr(s"(n_tokens + ${seqLen - 1}L) div ${seqLen}L"))
+      .withColumn("tail_waste", capacity - col("n_tokens"))
+      .withColumn("utilization",
+        round(col("n_tokens").cast("double") / capacity, 6))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_seqs"), col("n_split_docs"), col("tail_waste"),
+        col("utilization"))
+  }
+
   /** Sliding-window chunking for embedding/retrieval pipelines: each
     * document yields chunks of up to `chunk` tokens starting every
     * `stride` tokens (overlap = chunk - stride), covering every token.

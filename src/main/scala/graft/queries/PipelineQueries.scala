@@ -527,6 +527,14 @@ object PipelineQueries {
   def packSequences(s: SparkSession, d: String): DataFrame =
     Packing.packSequences(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Per-shard packing-efficiency report: documents, tokens, emitted
+    * sequences, boundary-straddling documents, tail waste and
+    * utilization — the numbers a pipeline watches when shaping
+    * training data ([[graft.pipeline.Packing.packReport]]).
+    */
+  def packReport(s: SparkSession, d: String): DataFrame =
+    Packing.packReport(Tables.documents(s, d)).orderBy("shard")
+
   /** Sliding-window chunking (64-token chunks every 48): chunk index,
     * size and content md5 per document.
     */
@@ -1540,6 +1548,7 @@ object PipelineQueries {
     "sample_epoch_mix"     -> sampleEpochMix _,
     "text_fingerprint"     -> textFingerprint _,
     "pack_sequences"       -> packSequences _,
+    "pack_report"          -> packReport _,
     "text_chunks"          -> textChunks _,
     "text_quality_gate"    -> textQualityGate _,
     "knn_graph"            -> knnGraph _,
@@ -2671,6 +2680,37 @@ object PipelineQueries {
                 start_offset // 512 AS first_seq,
                 (start_offset + n_tokens - 1) // 512 AS last_seq
          FROM c ORDER BY doc_id""",
+    // the pack CTE refolded as per-shard utilization accounting:
+    // n_seqs = ceil(tokens/512) is exact because each shard's token
+    // stream is gapless; tail waste is the only padding
+    // concat-and-split produces
+    "pack_report" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 4 AS BIGINT) AS shard,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS start_offset
+           FROM t),
+         a AS (
+           SELECT shard, count(*)::BIGINT AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN start_offset // 512 <>
+                    (start_offset + n_tokens - 1) // 512 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_split_docs
+           FROM c GROUP BY shard)
+         SELECT shard, n_docs, n_tokens,
+                (n_tokens + 511) // 512 AS n_seqs, n_split_docs,
+                ((n_tokens + 511) // 512) * 512 - n_tokens AS tail_waste,
+                round(n_tokens / (((n_tokens + 511) // 512) * 512.0), 6)
+                  AS utilization
+         FROM a ORDER BY shard""",
     // Chunk slices are 1-based inclusive in DuckDB, (start, length) in
     // Spark — both truncate at the token count; the md5 compares chunk
     // CONTENT, not just shape.

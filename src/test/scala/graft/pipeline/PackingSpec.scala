@@ -31,6 +31,18 @@ class PackingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 0L, 0L), (300L, 0L, 1L), (600L, 1L, 2L)))
   }
 
+  test("pack report: exact utilization accounting on a constructed " +
+      "shard (tail waste, boundary straddles, ceil sequence count)") {
+    // one shard, seqLen=10, token stream 4+5+3+9 = 21:
+    // offsets 0,4,9,12 → doc 2 (9..11) and doc 3 (12..20) straddle a
+    // boundary; 3 sequences of capacity 30 → tail waste 9
+    val out = Packing.packReport(docsOf(Seq(4, 5, 3, 9)), seqLen = 10,
+        shards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq == Seq((0L, 4L, 21L, 3L, 2L, 9L, 0.7)))
+  }
+
   test("per-shard streams are gapless and start at zero") {
     val docs = s.read.parquet(s"$sf/documents.parquet")
     val packed = Packing.packSequences(docs, seqLen = 512, shards = 4)
