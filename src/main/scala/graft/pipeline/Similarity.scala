@@ -212,8 +212,10 @@ object Similarity {
         aggregate(zip_with(col("_v"), col("cvec"),
           (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
       .groupBy(col(idCol)).agg(min(col("dist")).as("_d"))
+      // coalesce: avg over ZERO rows is null — an empty batch reports
+      // (0, 0.0) instead of throwing at the row accessor
       .agg(count(lit(1)).cast("long").as("n"),
-        round(avg(col("_d")), 6).as("m"))
+        round(coalesce(avg(col("_d")), lit(0.0d)), 6).as("m"))
       .collect().head
     (row.getLong(0), row.getDouble(1))
   }

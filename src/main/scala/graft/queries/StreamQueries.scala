@@ -568,16 +568,18 @@ object StreamQueries {
     import s.implicits._
     val t = graft.lake.LakeTable.forLocation(s, curateIngestLoc(s, d))
     val prefix = "docs_curate_ingest:"
+    // metric keys via Option: a pre-metrics snapshot (an older table
+    // read by this query) yields no report row instead of throwing
     val rows = t.meta.snapshots.flatMap { sn =>
-      sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
-        .filter(_.startsWith(prefix))
-        .map { st =>
-          (st.substring(prefix.length).toLong,
-            sn.summary(graft.streaming.StreamIngest.DocsInKey).toLong,
-            sn.summary(
-              graft.streaming.StreamIngest.StaticsClearedKey).toLong,
-            sn.summary(graft.streaming.StreamIngest.AdmittedKey).toLong)
-        }
+      for {
+        st <- sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
+        if st.startsWith(prefix)
+        in <- sn.summary.get(graft.streaming.StreamIngest.DocsInKey)
+        cl <- sn.summary.get(
+          graft.streaming.StreamIngest.StaticsClearedKey)
+        ad <- sn.summary.get(graft.streaming.StreamIngest.AdmittedKey)
+      } yield (st.substring(prefix.length).toLong,
+        in.toLong, cl.toLong, ad.toLong)
     }
     rows.toDF("batch_id", "docs_in", "statics_cleared", "admitted")
       .withColumn("dedup_suppressed",
@@ -779,15 +781,15 @@ object StreamQueries {
     val loc = annIngestLoc(s, d)
     val t = graft.pipeline.Similarity.loadIvf(s, loc).table.get
     val prefix = "vec_ann_ingest:"
+    // metric keys via Option: a pre-metrics snapshot (an older index
+    // read by this query) yields no report row instead of throwing
     val rows = t.meta.snapshots.flatMap { sn =>
-      sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
-        .filter(_.startsWith(prefix))
-        .map { st =>
-          (st.substring(prefix.length).toLong,
-            sn.summary(graft.streaming.StreamIngest.NVectorsKey).toLong,
-            sn.summary(
-              graft.streaming.StreamIngest.MeanSqDistKey).toDouble)
-        }
+      for {
+        st <- sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
+        if st.startsWith(prefix)
+        n <- sn.summary.get(graft.streaming.StreamIngest.NVectorsKey)
+        m <- sn.summary.get(graft.streaming.StreamIngest.MeanSqDistKey)
+      } yield (st.substring(prefix.length).toLong, n.toLong, m.toDouble)
     }
     rows.toDF("batch_id", "n_vectors", "mean_sq_dist")
       .orderBy("batch_id")
