@@ -178,6 +178,15 @@ object Sampling {
     * uniform over tokens) — the standard way to draw an
     * inspection/eval slice that represents the TOKEN mass, not the
     * document count.
+    *
+    * CONTRACT: weights are expected ≥ 1 (counts — tokens, bytes,
+    * occurrences). Weights below 1 — fractional importance weights,
+    * zeros, negatives, and NULLs cast to NULL — are CLAMPED to 1 (the
+    * `greatest(w, 1.0)` below), i.e. treated as unit weight, NOT
+    * rejected and NOT honored as Efraimidis–Spirakis w<1 keys. The
+    * clamp is what keeps `ln(u)/w` finite and the rounded ranking key
+    * oracle-reproducible; callers with fractional weights must rescale
+    * them into counts (e.g. multiply by 10^6 and round) before calling.
     */
   def weightedSample(df: DataFrame, k: Int, weightCol: Column,
       idCol: String = "doc_id", salt: String = "graft-w"): DataFrame = {
@@ -446,6 +455,56 @@ object Sampling {
     // the reuse. Plan-pinned: one Generate node, ≥2 reused exchanges.
     val db = grams.groupBy(col(idCol), col("bkt"))
       .agg(count(lit(1)).as("_c"), max(col("_t")).as("_t"))
+    scoreBucketCounts(db, buckets, idCol)
+  }
+
+  /** [[dsirScores]] for a corpus whose per-doc metadata (candidacy +
+    * target flag) is ALREADY computed — the composed-pipeline shape:
+    * `text` carries (id, text) only, `meta` carries (id, targetCol)
+    * for exactly the docs admitted to the model (inner membership —
+    * docs absent from `meta` count on NEITHER side). The gram explode
+    * and the per-(doc, bucket) pre-aggregation run over `text` with
+    * no metadata attached, and `meta` joins onto the PRE-AGGREGATED
+    * narrow (id, bkt, count) rows — so a caller that materialized its
+    * scoring pass once (e.g. a checkpointed quality projection) never
+    * re-runs it here, and document text still never rides an exchange:
+    * the join moves integer count rows and the metadata frame only.
+    * Same model arithmetic, smoothing, and rounding as [[dsirScores]]
+    * — the two agree bucket-for-bucket on identical inputs.
+    */
+  def dsirScoresPreScored(text: DataFrame, meta: DataFrame,
+      buckets: Int = 1024, textCol: String = "text",
+      idCol: String = "doc_id", targetCol: String = "_t"): DataFrame = {
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    val nBi = greatest(size(ws) - 1, lit(0))
+    val grams = text.select(col(idCol),
+      explode(slice(
+        zip_with(ws, slice(ws, lit(2), nBi), (a, b) => concat_ws(" ", a, b)),
+        lit(1), nBi)).as("gram"))
+      .select(col(idCol),
+        coalesce(
+          pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+            lit(buckets.toLong)),
+          lit(0L)).as("bkt"))
+    // ONE corpus explode; the (id, bkt, count) pre-aggregation is the
+    // shared subtree all three consumers reuse — the meta join sits
+    // ABOVE it, so per-consumer target filters push into the (cheap,
+    // narrow) meta side and can never split the expensive exchange
+    val counts = grams.groupBy(col(idCol), col("bkt"))
+      .agg(count(lit(1)).as("_c"))
+    val db = counts.join(
+      meta.select(col(idCol), col(targetCol).cast("boolean").as("_t")),
+      Seq(idCol))
+    scoreBucketCounts(db, buckets, idCol)
+  }
+
+  /** Shared DSIR scoring tail over per-(doc, bucket) counts
+    * `db = (idCol, bkt, _c, _t)`: model counts, smoothed log-ratio
+    * table, broadcast-back weighted sum. Factored so [[dsirScores]]
+    * and [[dsirScoresPreScored]] stay arithmetic-identical.
+    */
+  private def scoreBucketCounts(db: DataFrame, buckets: Int,
+      idCol: String): DataFrame = {
     val tc = db.filter(col("_t")).groupBy(col("bkt"))
       .agg(sum(col("_c")).as("_tc"))
     val rc = db.filter(!col("_t")).groupBy(col("bkt"))
@@ -544,10 +603,24 @@ object Sampling {
     */
   def dsirSelect(df: DataFrame, targetFilter: Column, n: Int,
       buckets: Int = 1024, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    rankTopScores(dsirScores(df, targetFilter, buckets, textCol, idCol),
+      n, idCol)
+
+  /** [[dsirSelect]] over [[dsirScoresPreScored]] — same rounded-score
+    * ranking with id tie-break.
+    */
+  def dsirSelectPreScored(text: DataFrame, meta: DataFrame, n: Int,
+      buckets: Int = 1024, textCol: String = "text",
+      idCol: String = "doc_id", targetCol: String = "_t"): DataFrame =
+    rankTopScores(
+      dsirScoresPreScored(text, meta, buckets, textCol, idCol, targetCol),
+      n, idCol)
+
+  private def rankTopScores(scores: DataFrame, n: Int,
+      idCol: String): DataFrame = {
     val w = Window.orderBy(col("score").desc, col(idCol))
-    dsirScores(df, targetFilter, buckets, textCol, idCol)
-      .orderBy(col("score").desc, col(idCol)).limit(n)
+    scores.orderBy(col("score").desc, col(idCol)).limit(n)
       .withColumn("rk", row_number().over(w))
       .select(col(idCol), col("score"), col("rk").cast("int").as("rk"))
   }

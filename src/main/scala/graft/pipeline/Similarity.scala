@@ -1330,9 +1330,12 @@ object Similarity {
     val best = fwd.filter(col("rank") === 1)
       .select(col("_qid").as("src_id"), col("_nid").as("tgt_id"),
         col("cosine"))
-    val mut = broadcast(bwd.filter(col("rank") === 1)
+    // one row per TARGET vector — corpus-sized, so NOT broadcast: the
+    // mutual flag rides the same narrow-row shuffle join as the degree
+    // frames (AQE may still pick broadcast when the side is small)
+    val mut = bwd.filter(col("rank") === 1)
       .select(col("_qid").as("tgt_id"), col("_nid").as("src_id"),
-        lit(1).as("_m")))
+        lit(1).as("_m"))
     val den = (col("_dsrc") + col("_dtgt")) / 2
     best.join(degSrc, Seq("src_id")).join(degTgt, Seq("tgt_id"))
       .join(mut, Seq("tgt_id", "src_id"), "left")
@@ -1352,7 +1355,9 @@ object Similarity {
     * arithmetic as [[Dedup.semanticDedup]] but against a STATIC
     * benchmark set. Emits every train row with its nearest benchmark
     * neighbor and the verdict — the audit view; filters compose
-    * downstream (`!dropped` is the kept set).
+    * downstream (`!dropped` is the kept set). An EMPTY benchmark
+    * slice short-circuits to all-kept (one row per train vector,
+    * null bench_id/cosine, dropped=false) — never an empty frame.
     *
     * Scale shape: one blocked [[crossTopK]] pass at k=1 — benchmark
     * packs into blocks (benchmarks are the small side by construction),
@@ -1362,12 +1367,25 @@ object Similarity {
   def semanticDecontaminate(vectors: DataFrame, trainFilter: Column,
       benchFilter: Column, tau: Double = 0.98,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      nBlocks: Int = 0): DataFrame =
-    crossTopK(vectors.filter(trainFilter), vectors.filter(benchFilter),
-        k = 1, vecCol, idCol, nBlocks)
-      .select(col("_qid").as(idCol), col("_nid").as("bench_id"),
-        round(col("cosine"), 6).as("cosine"),
-        (round(col("cosine"), 6) >= tau).as("dropped"))
+      nBlocks: Int = 0): DataFrame = {
+    val train = vectors.filter(trainFilter)
+    val bench = vectors.filter(benchFilter)
+    // An empty benchmark slice must mean "nothing is contaminated",
+    // not "no rows": the k=1 inner kernel would emit an EMPTY frame,
+    // and a caller composing the documented kept-set filter (!dropped)
+    // would silently drop the whole train corpus. One limit-1 probe
+    // decides the branch; the non-empty hot path's plan is unchanged.
+    if (bench.isEmpty)
+      train.select(col(idCol),
+        lit(null).cast(vectors.schema(idCol).dataType).as("bench_id"),
+        lit(null).cast("double").as("cosine"),
+        lit(false).as("dropped"))
+    else
+      crossTopK(train, bench, k = 1, vecCol, idCol, nBlocks)
+        .select(col("_qid").as(idCol), col("_nid").as("bench_id"),
+          round(col("cosine"), 6).as("cosine"),
+          (round(col("cosine"), 6) >= tau).as("dropped"))
+  }
 
   /** mutual = the reversed (dst, src) pair is itself an edge; the edge
     * set is k·N rows of ids — broadcast-sized relative to the corpus at

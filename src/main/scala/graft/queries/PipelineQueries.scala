@@ -620,6 +620,48 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval fusion — reciprocal-rank fusion (RRF, Cormack &
+    * Clarke 2009) of the two retrieval stacks the repo already ships
+    * over the SAME query set: the sparse [[pipelineBm25]] top-10 doc
+    * list and the dense [[pipelineRag]] top-5 chunk list collapsed to
+    * doc level (each doc's best chunk rank). Per (query, doc):
+    * `score = Σ_lists 1/(60 + rank)` — the canonical k=60 constant —
+    * computed in integer MICRO-units (`1000000 div (60 + rank)`, pure
+    * long arithmetic) so the cross-list sum is order-independent and
+    * the final ranking hash-stable against the SQL oracle; a doc
+    * absent from one list contributes 0 for it. This is the fusion a
+    * production RAG corpus pipeline actually deploys: lexical recall
+    * catches what the embedder misses and vice versa, and rank-space
+    * fusion needs no score calibration between the two systems.
+    *
+    * Scale shape: both members keep their own shapes (BM25's
+    * broadcast-idf salted top-k; the rag blocked kernel); the fusion
+    * itself touches only the two RETRIEVED lists — ≤ (10+5)×queries
+    * id-and-rank rows — so its full-outer join and ranking window are
+    * retrieval-batch-sized, never corpus-sized, at any scale.
+    */
+  def pipelineHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val sparse = pipelineBm25(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val dense = pipelineRag(s, d)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("rank")).as("dense_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+        coalesce(expr("1000000 div (60 + dense_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"),
+        round(col("rrf_micro") / lit(1e6), 6).as("rrf"),
+        col("bm25_rank").cast("int").as("bm25_rank"),
+        col("dense_rank").cast("int").as("dense_rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic 80/10/10 train/valid/test assignment by salted md5
     * of the doc id — stable across runs and cluster sizes.
     */
@@ -1403,21 +1445,34 @@ object PipelineQueries {
     // exchanges document bodies.
     val scored = TextAnalysis.qualityScore(kept)
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+    // The narrow gated projection is materialized ONCE (~28 B/doc —
+    // the pipeline_fewshot idiom): BOTH downstream consumers (the DSIR
+    // metadata join and the budget pool) read this checkpoint. r9 left
+    // this frame lazy, so the kept-table scan + quality scoring ran
+    // once per consumer and the composed row cost more than its stages
+    // standalone (1.64 → 5.07 s).
     val gated = scored.filter(col("quality_score") >= 0.5)
+      .select("doc_id", "lang", "n_tokens", "quality_score")
+      .localCheckpoint(true)
     // DSIR stage: target = the curated top-quality slice (≥ 0.8), in
     // unconditionally; candidates (0.5 ≤ q < 0.8) enter the budget
     // pool only if they rank in the top-150 by hashed-bigram
-    // importance against that target. The selection itself is
-    // TakeOrdered over (doc_id, score) rows; membership joins back by
-    // a broadcast semi-join, so the corpus (and its text) never
-    // shuffles for this stage.
-    val resembling = Sampling.dsirSelect(gated,
-        targetFilter = col("quality_score") >= 0.8, n = 150)
+    // importance against that target. Candidacy + target flag come
+    // from the CHECKPOINTED narrow frame, joined after the
+    // per-(doc, bucket) pre-aggregation (dsirSelectPreScored), so the
+    // gram explode reads (doc_id, text) straight off the kept table —
+    // quality scoring never re-runs and text never rides an exchange.
+    // The selection itself is TakeOrdered over (doc_id, score) rows;
+    // membership joins back by a broadcast semi-join.
+    val resembling = Sampling.dsirSelectPreScored(
+        kept.select(col("doc_id"), col("text")),
+        gated.select(col("doc_id"),
+          (col("quality_score") >= 0.8).as("_t")),
+        n = 150)
       .select(col("doc_id"), lit(true).as("_r"))
-    // curated ∪ resembling in ONE pass over the gated corpus (a union
-    // of two filtered branches would scan + quality-score it twice);
-    // resembling ⊆ the sub-0.8 candidates by construction, so the
-    // disjunction is exactly the two-branch union
+    // curated ∪ resembling in ONE pass over the checkpointed gated
+    // frame; resembling ⊆ the sub-0.8 candidates by construction, so
+    // the disjunction is exactly the two-branch union
     val pool = gated
       .join(broadcast(resembling), Seq("doc_id"), "left")
       .filter(col("quality_score") >= 0.8 ||
@@ -1562,6 +1617,7 @@ object PipelineQueries {
     "sample_dsir"          -> sampleDsir _,
     "pipeline_rag"         -> pipelineRag _,
     "pipeline_bm25"        -> pipelineBm25 _,
+    "pipeline_hybrid_rrf"  -> pipelineHybridRrf _,
     "knn_pagerank"         -> knnPagerank _,
     "sim_hard_negatives"   -> simHardNegatives _,
     "embedding_prototypes" -> embeddingPrototypes _,
@@ -2991,6 +3047,97 @@ object PipelineQueries {
          SELECT query_id, CAST(rank AS INT) AS rank, doc_id, chunk_idx,
                 round(cos, 6) AS cosine
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // RRF fusion with BOTH member chains nested verbatim (b_ = the
+    // pipeline_bm25 CTEs, d_ = the pipeline_rag CTEs): doc-level dense
+    // ranks via min chunk rank, reciprocal ranks in integer micro-units
+    // (1000000 // (60+rank) — pure long arithmetic on both engines),
+    // full-outer fusion, micro-sum ranking with doc-id tie-break.
+    "pipeline_hybrid_rrf" ->
+      """WITH b_toks AS (
+           SELECT doc_id,
+                  len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+                  unnest(string_split_regex(trim(lower(text)), '\s+'))
+                    AS term
+           FROM documents WHERE doc_id >= 3),
+         b_tf AS (
+           SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           FROM b_toks GROUP BY doc_id, term),
+         b_dfq AS (SELECT term, count(*) AS df FROM b_tf GROUP BY term),
+         b_stats AS (
+           SELECT count(*) AS n_docs,
+                  avg(len(string_split_regex(trim(lower(text)), '\s+')))
+                    AS avgdl
+           FROM documents WHERE doc_id >= 3),
+         b_qt AS (
+           SELECT DISTINCT doc_id AS query_id,
+                  unnest(list_slice(
+                    string_split_regex(trim(lower(text)), '\s+'), 1, 16))
+                    AS term
+           FROM documents WHERE doc_id < 3),
+         b_c AS (
+           SELECT b_qt.query_id, b_tf.doc_id,
+                  CAST(round(
+                    ln(1.0 + (b_stats.n_docs - b_dfq.df + 0.5)
+                        / (b_dfq.df + 0.5))
+                      * b_tf.tf * 2.2
+                      / (b_tf.tf + 1.2 *
+                         (0.25 + 0.75 * b_tf.dl / b_stats.avgdl))
+                      * 1000000.0) AS BIGINT) AS micro
+           FROM b_tf JOIN b_qt USING (term) JOIN b_dfq USING (term)
+                CROSS JOIN b_stats),
+         b_s AS (
+           SELECT query_id, doc_id, sum(micro) AS score_micro
+           FROM b_c GROUP BY query_id, doc_id),
+         b_r AS (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id) AS bm25_rank
+           FROM b_s),
+         b_list AS (SELECT query_id, doc_id, bm25_rank FROM b_r
+                    WHERE bm25_rank <= 10),
+         d_s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                 FROM documents),
+         d_k AS (SELECT doc_id, w,
+                        unnest(range(0, (len(w) - 1) // 48 + 1)) AS k
+                 FROM d_s),
+         d_c AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+                        w[(k*48+1):least(k*48+64, len(w))] AS ctoks
+                 FROM d_k),
+         d_h AS (SELECT doc_id, chunk_idx,
+                        list_transform(ctoks, t -> md5(t)) AS hs
+                 FROM d_c),
+         d_e AS (SELECT doc_id, chunk_idx,
+                        list_transform(range(0, 8), j ->
+                          list_sum(list_transform(hs, hh ->
+                            (CAST(('0x' || substr(hh,
+                               CAST(j * 4 + 1 AS INT), 4)) AS BIGINT)
+                             % 2001 - 1000) / 1000.0))) AS vec
+                 FROM d_h),
+         d_q AS (SELECT doc_id AS query_id, vec AS qvec FROM d_e
+                 WHERE doc_id < 3 AND chunk_idx = 0),
+         d_sc AS (SELECT d_q.query_id, d_e.doc_id, d_e.chunk_idx,
+                         list_cosine_similarity(d_e.vec, d_q.qvec) AS cos
+                  FROM d_e CROSS JOIN d_q
+                  WHERE d_e.doc_id <> d_q.query_id),
+         d_r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, doc_id, chunk_idx) AS rank
+                 FROM d_sc),
+         d_list AS (SELECT query_id, doc_id, min(rank) AS dense_rank
+                    FROM d_r WHERE rank <= 5 GROUP BY query_id, doc_id),
+         fused AS (
+           SELECT query_id, doc_id, bm25_rank, dense_rank,
+                  coalesce(1000000 // (60 + bm25_rank), 0) +
+                  coalesce(1000000 // (60 + dense_rank), 0) AS rrf_micro
+           FROM b_list FULL JOIN d_list USING (query_id, doc_id)),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_micro DESC, doc_id) AS rank
+           FROM fused)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+                round(rrf_micro / 1000000.0, 6) AS rrf,
+                CAST(bm25_rank AS INT) AS bm25_rank,
+                CAST(dense_rank AS INT) AS dense_rank
+         FROM ranked ORDER BY query_id, rank""",
     // DSIR replayed bucket-for-bucket: word bigrams, md5-prefix bucket
     // hash (first 8 hex chars as an int, mod B — identical arithmetic
     // on both engines), add-one smoothing over B, per-doc occurrence

@@ -1284,7 +1284,9 @@ object StreamQueries {
                             AS batch_id
                    FROM v WHERE vec_id % 2 = 1),
          d AS (SELECT w.batch_id, w.vec_id,
-                      min(pow(list_distance(w.v, c.v), 2)) AS dd
+                      min(list_sum(list_transform(range(1, len(w.v) + 1),
+                        i -> (w.v[i] - c.v[i]) * (w.v[i] - c.v[i]))))
+                        AS dd
                FROM waves w CROSS JOIN c2 c
                GROUP BY w.batch_id, w.vec_id)
          SELECT CAST(batch_id AS BIGINT) AS batch_id,

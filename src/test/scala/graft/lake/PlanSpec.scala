@@ -183,6 +183,40 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("DSIR pre-scored: gram explode once, pre-agg exchange reused " +
+      "across consumers, no exchange carries text") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.{
+      ReusedExchangeExec, ShuffleExchangeExec}
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // the pipeline_pretrain shape: text rides (id, text) into the
+      // gram explode; candidacy/target metadata joins onto the
+      // PRE-AGGREGATED (id, bkt, count) rows. Per-consumer target
+      // filters push into the narrow meta side — the expensive
+      // explode + pre-agg subtree must stay ONE reused exchange, and
+      // document text must never sit on any exchange.
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+      val plan = graft.pipeline.Sampling.dsirScoresPreScored(
+          docs.select(col("doc_id"), col("text")),
+          docs.select(col("doc_id"), (col("lang") === "en").as("_t")))
+        .queryExecution.executedPlan
+      val gens = plan.collect { case g: GenerateExec => g }
+      assert(gens.size == 1,
+        s"${gens.size} gram explodes:\n${plan.toString.take(2000)}")
+      val reused = plan.collect { case r: ReusedExchangeExec => r }
+      assert(reused.size >= 2,
+        s"expected the pre-agg exchange reused by 2 consumers, " +
+          s"found ${reused.size} reuses")
+      val carrying = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.output.exists(_.name == "text"))
+      assert(carrying.isEmpty, "document text on an exchange:\n" +
+        carrying.map(_.simpleStringWithNodeId()).mkString("\n"))
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("rag retrieval: fused kernel scores; only the corpus pack moves " +
       "vectors — ranking exchanges are id-sized") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -159,6 +159,21 @@ class MiningSpec extends AnyFunSuite {
     assert(m(far) == ((benchId, -1.0, false)))
   }
 
+  test("semantic decontamination: empty benchmark slice keeps every " +
+      "train row — never a silently empty frame") {
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(vecs,
+        trainFilter = col("vec_id") > 0, benchFilter = col("vec_id") < 0)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.forall(r => r.isNullAt(1) && r.isNullAt(2) &&
+      !r.getBoolean(3)), "all-kept with null neighbor columns")
+  }
+
   test("triplets: positive shares the anchor's label, negative never " +
       "does, self never a positive") {
     val labels = emb.select(col("vec_id"), col("label")).collect()

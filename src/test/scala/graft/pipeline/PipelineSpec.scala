@@ -1189,6 +1189,30 @@ class PipelineSpec extends AnyFunSuite {
       s"the ≤B-row log-ratio table must broadcast:\n${plan.take(800)}")
   }
 
+  test("DSIR pre-scored variant agrees with the inline variant " +
+      "score-for-score; docs absent from meta count on neither side") {
+    val spark = s
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "t"),
+      (2L, "the dog sat on the rug", "t"),
+      (3L, "the cat sat on the rug", "c"),
+      (4L, "zzz qqq xxx www yyy vvv", "c"),
+      // NOT in meta: its grams must influence neither model side —
+      // identical text to doc 3, so any leak would shift doc 3's score
+      (5L, "the cat sat on the rug", "x"))
+      .toDF("doc_id", "text", "kind")
+    val admitted = docs.filter(col("kind") =!= "x")
+    val base = Sampling.dsirScores(admitted, col("kind") === "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pre = Sampling.dsirScoresPreScored(
+        docs.select(col("doc_id"), col("text")),
+        admitted.select(col("doc_id"), (col("kind") === "t").as("_t")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pre == base, s"pre=$pre base=$base")
+    assert(!pre.contains(5L), "doc outside meta must not be scored")
+  }
+
   test("label propagation: majority vote, smallest-label ties, clamped " +
       "seeds, unlabeled islands stay null, second round reaches 2 hops") {
     val spark = s
