@@ -148,6 +148,48 @@ object Bench {
       java.nio.file.Paths.get("bench_queries.json"),
       (perQueryLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // Cross-round floor ledger: per-query min over every Bench run,
+    // keyed by SF dir (a sf0.01 dev run must not pollute the sf0.1
+    // floor). Contention only ever ADDS time, so the accumulated
+    // min-of-mins is the calm-box estimate a verdict should compare
+    // against — durable across rounds instead of re-derived from one
+    // possibly-drifted artifact. Merge-updates only the queries this
+    // run timed; never raises an existing floor.
+    try {
+      import org.json4s._
+      val floorPath = java.nio.file.Paths.get("BENCH_FLOOR.json")
+      val existing: Map[String, Map[String, Double]] =
+        if (java.nio.file.Files.exists(floorPath))
+          org.json4s.jackson.JsonMethods.parse(new String(
+              java.nio.file.Files.readAllBytes(floorPath),
+              java.nio.charset.StandardCharsets.UTF_8)) match {
+            case JObject(sfs) => sfs.toMap.collect {
+              case (sfKey, JObject(qsF)) => sfKey -> qsF.toMap.collect {
+                case (q, JDouble(x)) => q -> x
+                case (q, JInt(x)) => q -> x.toDouble
+                case (q, JDecimal(x)) => q -> x.toDouble
+              }
+            }
+            case _ => Map.empty[String, Map[String, Double]]
+          }
+        else Map.empty[String, Map[String, Double]]
+      val runMins: Map[String, Double] =
+        rawSamples.collect { case (k, xs) if xs.nonEmpty => k -> xs.min }
+          .toMap ++
+        streamResults.collect { case (k, Some(v)) => k -> v }.toMap
+      val prev = existing.getOrElse(sfDir, Map.empty[String, Double])
+      val merged = prev ++ runMins.map { case (k, v) =>
+        k -> math.min(v, prev.getOrElse(k, Double.MaxValue))
+      }
+      val out = (existing + (sfDir -> merged)).toSeq.sortBy(_._1)
+        .map { case (sfKey, qsF) =>
+          val body = qsF.toSeq.sortBy(_._1)
+            .map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+          s""""$sfKey":{$body}"""
+        }.mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.write(floorPath,
+        out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     println(perQueryLine)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"streaming_total":$streamTotal%.3f,"batch_queries":${batchR.size},"streaming_queries":${streamR.size},"failed":$failedJson%s,"sf":"$sfDir"}""")
     Console.out.flush()

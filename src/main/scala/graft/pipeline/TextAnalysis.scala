@@ -191,7 +191,12 @@ object TextAnalysis {
     * (map-side combinable (lhs, rhs, partial)) and a TakeOrdered(1)
     * argmax; the round's pick is the only driver-side collect — ONE
     * row, metadata-sized by contract (the [[Similarity.kmeansTrain]]
-    * idiom).
+    * idiom). The vocab re-checkpoints every [[BpeCheckpointEvery]]
+    * rounds so the live plan never exceeds that many chained replaces
+    * — total cost is linear in rounds all the way to real 32k-merge
+    * vocabularies (each round still pays one vocab pass + one driver
+    * round-trip; a large training run wants the vocab CACHED hot,
+    * which the eager localCheckpoint provides).
     *
     * Cross-engine determinism: a word's segmentation is encoded as a
     * U+0001-wrapped string (each symbol as ␁sym␁, concatenated), so a
@@ -209,6 +214,19 @@ object TextAnalysis {
     bpeMerges(df, rounds, textCol)
       .toDF("merge_round", "lhs", "rhs", "n")
   }
+
+  /** How many merge rounds may chain lazily before the vocabulary is
+    * re-checkpointed. Each round stacks one literal-replace projection
+    * onto the vocab plan; left unbounded, a 32k-merge training run
+    * would hand Catalyst a 32k-deep expression chain whose ANALYSIS
+    * cost grows superlinearly with rounds. Re-checkpointing every 8
+    * rounds caps the live plan at 8 replaces — the vocab is
+    * vocabulary-sized (the collapsed dictionary, not the corpus), so
+    * the periodic materialization is cheap, and total work becomes
+    * linear in rounds. Verified at rounds=32 against a driver-side
+    * reference trainer (PipelineSpec).
+    */
+  private val BpeCheckpointEvery = 8
 
   /** The separator of the BPE segmentation encoding (each symbol rides
     * as (sep)sym(sep)): U+0001 never occurs in text; words containing
@@ -264,6 +282,12 @@ object TextAnalysis {
         // left-to-right, non-overlapping, identical in both engines
         vocab = vocab.withColumn("s", replace(col("s"),
           lit(sep + l + sep + sep + rt + sep), lit(sep + l + rt + sep)))
+        // bound the live plan: without this, round r's vocab carries r
+        // chained replaces and analysis cost grows superlinearly in
+        // rounds — the difference between "fine at 6" and "dead at a
+        // real tokenizer's 32k merges" (see [[BpeCheckpointEvery]])
+        if (r % BpeCheckpointEvery == 0 && r < rounds)
+          vocab = vocab.localCheckpoint(true)
         r += 1
       }
     }
@@ -279,7 +303,13 @@ object TextAnalysis {
     * codegen'd projection (the merge chain folds into `rounds` chained
     * replaces — merges are plan-shipped constants), then a
     * map-side-combinable per-doc count aggregate: the corpus never
-    * shuffles, only (id, partial count) rows do.
+    * shuffles, only (id, partial count) rows do. Ceiling: the chain is
+    * ONE projection, so past a few hundred merges Spark's codegen
+    * splits/falls back and per-row cost grows linearly in merges — a
+    * full 32k-merge deployment encodes via a trie/priority-queue
+    * tokenizer in a mapPartitions kernel instead of chained replaces;
+    * this replay form exists because it is expressible identically in
+    * ANSI SQL and therefore oracle-checkable.
     *
     * Output: (idCol, n_words, n_bpe_tokens). Convention: an empty
     * text's single empty "word" counts 1 token (the [[tokenCounts]]

@@ -1487,6 +1487,52 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Attrition accounting for the [[pipelinePretrain]] chain — the
+    * "where did my data go" row set for the composed flow: ingest (the
+    * stream-dedup kept table) → quality gate (≥ 0.5) → DSIR pool
+    * (curated ∪ resembling) → token budget. Each stage's survivors,
+    * surviving tokens, and drop count, from ONE corpus pass over
+    * per-row flags ([[Attrition.report]]): the kept table is scanned
+    * and quality-scored ONCE into a checkpointed narrow projection
+    * that feeds the gate flag, the DSIR metadata, the budget pool, AND
+    * the report fold; the DSIR selection and the admitted set join
+    * back as broadcast id-flags (≤150 rows and budget-bounded
+    * respectively). Text is consumed at the scan — the report's only
+    * exchange carries one metadata-sized aggregate partial per task.
+    */
+  def pipelinePretrainAttrition(s: SparkSession, d: String): DataFrame = {
+    val kept = StreamQueries.dedupIngestKept(s, d)
+    val scored = TextAnalysis.qualityScore(kept)
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .select("doc_id", "lang", "n_tokens", "quality_score")
+      .localCheckpoint(true)
+    val gated = scored.filter(col("quality_score") >= 0.5)
+    val resembling = Sampling.dsirSelectPreScored(
+        kept.select(col("doc_id"), col("text")),
+        gated.select(col("doc_id"),
+          (col("quality_score") >= 0.8).as("_t")),
+        n = 150)
+      .select(col("doc_id"), lit(true).as("_r"))
+    val pool = gated
+      .join(broadcast(resembling), Seq("doc_id"), "left")
+      .filter(col("quality_score") >= 0.8 ||
+        coalesce(col("_r"), lit(false)))
+      .select("doc_id", "lang", "n_tokens", "quality_score")
+    val admitted = Sampling.tokenBudgetMix(pool, budgetTokens = 4000L)
+      .select(col("doc_id"), lit(true).as("_adm"))
+    val flags = scored
+      .join(broadcast(resembling), Seq("doc_id"), "left")
+      .join(broadcast(admitted), Seq("doc_id"), "left")
+    Attrition.report(flags, Seq(
+        "quality_gate" -> (col("quality_score") >= 0.5),
+        "dsir_pool" -> (col("quality_score") >= 0.8 ||
+          coalesce(col("_r"), lit(false))),
+        "token_budget" -> coalesce(col("_adm"), lit(false))),
+      tokens = col("n_tokens"))
+      .orderBy("stage_ord")
+  }
+
   /** Per-doc OOV rate vs the corpus's top-50 vocabulary (tokenizer
     * coverage signal).
     */
@@ -1596,6 +1642,7 @@ object PipelineQueries {
     "pipeline_attrition"   -> pipelineAttrition _,
     "pipeline_curate_neardup" -> pipelineCurateNearDup _,
     "pipeline_pretrain"    -> pipelinePretrain _,
+    "pipeline_pretrain_attrition" -> pipelinePretrainAttrition _,
     "dedup_lines"          -> dedupLines _,
     "dedup_substring"      -> dedupSubstring _,
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
@@ -3750,6 +3797,131 @@ object PipelineQueries {
                 start_offset // 512 AS first_seq,
                 (start_offset + n_tokens - 1) // 512 AS last_seq
          FROM c ORDER BY doc_id""",
+    // The pretrain chain's attrition rows: the SAME kept/gate/DSIR/
+    // budget CTEs as pipeline_pretrain, refolded into per-stage
+    // survivor/token/drop counts (stage k's n_dropped = stage k−1's
+    // survivors minus its own).
+    "pipeline_pretrain_attrition" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 >= 0.5),
+         kept1 AS (
+           SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 2 = 0
+             AND NOT EXISTS (SELECT 1 FROM p
+               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 0)),
+         kept2 AS (
+           SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 2 = 1
+             AND NOT EXISTS (SELECT 1 FROM p JOIN kept1 k
+               ON (p.id_a = k.doc_id AND p.id_b = d.doc_id)
+               OR (p.id_b = k.doc_id AND p.id_a = d.doc_id))
+             AND NOT EXISTS (SELECT 1 FROM p
+               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1)),
+         kept AS (
+           SELECT d.* FROM documents d
+           JOIN (SELECT doc_id FROM kept1
+                 UNION ALL SELECT doc_id FROM kept2) k USING (doc_id)),
+         q AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens,
+                  CAST(round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0
+               END) +
+             (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)),
+                 '\s+'),
+                 w -> list_contains(['the','a','an','and','or','of','to','in',
+                   'is','it','that','for','on','with','as','at','by'], w)))
+                 ::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 ::DOUBLE
+               / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+             (CASE WHEN list_sum(list_transform(string_split_regex(
+                 trim(lower(text)), '\s+'), w -> length(w)))::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2) AS DOUBLE)
+             AS quality_score
+           FROM kept),
+         g AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         bk AS (SELECT bi.doc_id, bi.is_t,
+                  CAST(('0x' || substr(md5(bi.gram), 1, 8)) AS BIGINT)
+                    % 1024 AS bkt
+                FROM (
+                  SELECT k.doc_id, g2.quality_score >= 0.8 AS is_t,
+                         unnest(list_transform(range(1, len(
+                             string_split_regex(trim(lower(k.text)),
+                               '\s+'))),
+                           i -> string_split_regex(trim(lower(k.text)),
+                                  '\s+')[i] || ' ' ||
+                                string_split_regex(trim(lower(k.text)),
+                                  '\s+')[i + 1])) AS gram
+                  FROM kept k JOIN g g2 USING (doc_id)) bi),
+         dtc AS (SELECT bkt, count(*) AS tc FROM bk WHERE is_t
+                 GROUP BY bkt),
+         drc AS (SELECT bkt, count(*) AS rc FROM bk WHERE NOT is_t
+                 GROUP BY bkt),
+         dtt AS (SELECT count(*) AS t FROM bk WHERE is_t),
+         drt AS (SELECT count(*) AS r FROM bk WHERE NOT is_t),
+         dlam AS (SELECT drc.bkt,
+                    ln((coalesce(dtc.tc, 0) + 1.0) / (dtt.t + 1024)) -
+                    ln((drc.rc + 1.0) / (drt.r + 1024)) AS lam
+                  FROM drc LEFT JOIN dtc USING (bkt)
+                  CROSS JOIN dtt CROSS JOIN drt),
+         ddb AS (SELECT doc_id, bkt, count(*) AS c FROM bk
+                 WHERE NOT is_t GROUP BY 1, 2),
+         dsc AS (SELECT ddb.doc_id, round(sum(dlam.lam * ddb.c), 6)
+                   AS score
+                 FROM ddb JOIN dlam USING (bkt)
+                 GROUP BY ddb.doc_id),
+         dsel AS (SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER
+                      (ORDER BY score DESC, doc_id) AS rk
+                    FROM dsc)
+                  WHERE rk <= 150),
+         pool AS (SELECT * FROM g WHERE quality_score >= 0.8
+                  UNION ALL
+                  SELECT g.* FROM g JOIN dsel USING (doc_id)
+                  WHERE g.quality_score < 0.8),
+         r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY quality_score DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+               FROM pool),
+         a AS (SELECT * FROM r WHERE cum <= 4000),
+         st AS (SELECT
+           (SELECT count(*) FROM q) AS n0,
+           (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q)
+             AS t0,
+           (SELECT count(*) FROM g) AS n1,
+           (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM g)
+             AS t1,
+           (SELECT count(*) FROM pool) AS n2,
+           (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM pool)
+             AS t2,
+           (SELECT count(*) FROM a) AS n3,
+           (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM a)
+             AS t3)
+         SELECT 0 AS stage_ord, 'ingest' AS stage, n0 AS n_docs,
+                t0 AS n_tokens, CAST(0 AS BIGINT) AS n_dropped FROM st
+         UNION ALL SELECT 1, 'quality_gate', n1, t1, n0 - n1 FROM st
+         UNION ALL SELECT 2, 'dsir_pool', n2, t2, n1 - n2 FROM st
+         UNION ALL SELECT 3, 'token_budget', n3, t3, n2 - n3 FROM st
+         ORDER BY stage_ord""",
     // membership vs the same deterministically-ranked top-50; NOT IN is
     // null-free here (every word row is a non-null string)
     "text_oov_rate" ->

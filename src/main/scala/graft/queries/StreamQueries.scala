@@ -891,8 +891,14 @@ object StreamQueries {
     * wave-1 cumsum ≤ B, then wave-2 cumsum ≤ B − wave-1's admitted
     * tokens, per lang.
     */
-  def streamTokenBudget(s: SparkSession, d: String): DataFrame = {
-    val loc = budgetIngestCache.computeIfAbsent(d, _ => {
+  def streamTokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.lake.LakeTable.forLocation(s, budgetIngestLoc(s, d)).read()
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"))
+      .orderBy("doc_id")
+
+  private def budgetIngestLoc(s: SparkSession, d: String): String =
+    budgetIngestCache.computeIfAbsent(d, _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-sbudget-")
       def score(df: DataFrame): DataFrame =
         graft.pipeline.TextAnalysis.qualityScore(df)
@@ -912,10 +918,40 @@ object StreamQueries {
       require(batches == 2, s"expected 2 ingest waves, got $batches")
       base.resolve("kept").toString
     })
-    graft.lake.LakeTable.forLocation(s, loc).read()
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("quality_score"))
-      .orderBy("doc_id")
+
+  /** The cross-batch token-budget LEDGER read back from the kept
+    * table's commit summaries — one row per (batch, stratum) admitted
+    * delta with the running total and the budget remaining after the
+    * batch. This is the audit view of [[StreamIngest.budgetIngestAvailable]]'s
+    * [[StreamIngest.BudgetDelta]] stamps: the deltas commit ATOMICALLY
+    * with their batch's rows, so this report replays the admission
+    * accounting from the table alone — metadata-only (a driver-side
+    * snapshot-list fold), no corpus read. Named to sort AFTER
+    * stream_token_budget so the shared scenario's cost stays
+    * attributed to the ingest row in the bench's sorted schedule.
+    */
+  def streamBudgetReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = graft.lake.LakeTable.forLocation(s, budgetIngestLoc(s, d))
+    val prefix = "docs_budget:"
+    val rows = t.meta.snapshots.flatMap { sn =>
+      for {
+        st <- sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
+        if st.startsWith(prefix)
+        dl <- sn.summary.get(graft.streaming.StreamIngest.BudgetDelta)
+      } yield (st.substring(prefix.length).toLong,
+        graft.streaming.StreamIngest.parseDelta(dl))
+    }.flatMap { case (b, m) =>
+      m.toSeq.map { case (k, v) => (b, k, v) }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("batch_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    rows.toDF("batch_id", "lang", "admitted_tokens")
+      .withColumn("cum_tokens", sum(col("admitted_tokens")).over(w))
+      .withColumn("remaining_tokens", lit(5000L) - col("cum_tokens"))
+      .orderBy("batch_id", "lang")
   }
 
   /** Stream-static enrichment join: the event stream joined to a STATIC
@@ -1043,6 +1079,7 @@ object StreamQueries {
     "stream_curate_ingest" -> streamCurateIngest _,
     "stream_curate_report" -> streamCurateReport _,
     "stream_token_budget" -> streamTokenBudget _,
+    "stream_budget_report" -> streamBudgetReport _,
     "stream_ann_ingest" -> streamAnnIngest _,
     "stream_ann_report" -> streamAnnReport _,
     "stream_semantic_dedup" -> streamSemanticDedup _
@@ -1499,6 +1536,61 @@ object StreamQueries {
          UNION ALL
          SELECT doc_id, lang, n_tokens, quality_score FROM k2
          ORDER BY doc_id""",
+    // The budget LEDGER refolded from the same two-wave greedy CTEs:
+    // per-(batch, stratum) admitted-token deltas (wave 0 = batch 0),
+    // running per-stratum totals, and the 5000-token budget remaining.
+    "stream_budget_report" ->
+      """WITH t AS (
+           SELECT doc_id, lang, doc_id % 2 AS wave,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                    AS n_tokens,
+                  round(
+                    (CASE WHEN length(text) BETWEEN 100 AND 20000
+                          THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(list_filter(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        w -> list_contains(['the','a','an','and','or','of',
+                          'to','in','is','it','that','for','on','with','as',
+                          'at','by'], w)))::DOUBLE
+                      / greatest(len(string_split_regex(trim(lower(text)),
+                          '\s+')), 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+                    (CASE WHEN len(regexp_extract_all(text,
+                        '[^A-Za-z0-9\s]'))::DOUBLE
+                      / greatest(length(text), 1) <= 0.2
+                      THEN 0.2 ELSE 0 END) +
+                    (CASE WHEN list_sum(list_transform(
+                        string_split_regex(trim(lower(text)), '\s+'),
+                        w -> length(w)))::DOUBLE
+                      / greatest(len(string_split_regex(trim(lower(text)),
+                          '\s+')), 1) BETWEEN 2.0 AND 12.0
+                      THEN 0.2 ELSE 0 END), 2) AS quality_score
+           FROM documents),
+         r1 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY quality_score DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t WHERE wave = 0),
+         k1 AS (SELECT * FROM r1 WHERE cum <= 5000),
+         s1 AS (SELECT lang, sum(n_tokens) AS spent FROM k1 GROUP BY lang),
+         r2 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY quality_score DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t WHERE wave = 1),
+         k2 AS (SELECT r2.* FROM r2 LEFT JOIN s1 USING (lang)
+                WHERE cum <= 5000 - coalesce(spent, 0)),
+         d AS (SELECT CAST(0 AS BIGINT) AS batch_id, lang,
+                      CAST(sum(n_tokens) AS BIGINT) AS admitted_tokens
+               FROM k1 GROUP BY lang
+               UNION ALL
+               SELECT CAST(1 AS BIGINT), lang,
+                      CAST(sum(n_tokens) AS BIGINT)
+               FROM k2 GROUP BY lang),
+         c AS (SELECT *, CAST(sum(admitted_tokens) OVER
+                 (PARTITION BY lang ORDER BY batch_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM d)
+         SELECT batch_id, lang, admitted_tokens, cum_tokens,
+                CAST(5000 - cum_tokens AS BIGINT) AS remaining_tokens
+         FROM c ORDER BY batch_id, lang""",
     // The ingest-dedup waves replayed with exact all-pairs Jaccard (the
     // same 3-word-shingle sets as the dedup_* oracles): kept = docs not
     // matching an admitted earlier-wave doc nor a smaller-id wave-mate.

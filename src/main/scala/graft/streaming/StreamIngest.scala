@@ -531,7 +531,7 @@ object StreamIngest {
   private[streaming] def decodeKey(k: String): String =
     k.replace("%3A", ":").replace("%7C", "|").replace("%25", "%")
 
-  private[streaming] def parseDelta(s: String): Map[String, Long] =
+  private[graft] def parseDelta(s: String): Map[String, Long] =
     s.split('|').filter(_.nonEmpty).map { kv =>
       val i = kv.lastIndexOf(':')
       // i == 0 is LEGAL: an empty stratum value ("" — dirty but real

@@ -1274,6 +1274,79 @@ class PipelineSpec extends AnyFunSuite {
     // round 5 finds no pairs left — the loop must stop, not emit junk
   }
 
+  test("BPE at tokenizer scale: 32 rounds on the real corpus match a " +
+      "driver-side reference trainer (re-checkpointed vocab plan stays " +
+      "bounded — the rounds knob, not the plan, is the cost)") {
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val rounds = 32
+    val got = TextAnalysis.bpeTrain(docs, rounds = rounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // reference: collapse to the weighted vocabulary with the SAME
+    // tokenization (Spark's lower/split — avoids locale divergence),
+    // then 32 symbol-level merge rounds on the driver. Strings compare
+    // by UTF-8 bytes to mirror Spark's binary sort order.
+    def cmpU8(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    var vocab: Seq[(Vector[String], Long)] = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(!col("w").contains(""))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+      .toSeq
+    val exp = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts((syms(i), syms(i + 1))) += c; i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), n) = counts.toSeq.reduceLeft { (a, b) =>
+          val cmp =
+            if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
+            else {
+              val cl = cmpU8(a._1._1, b._1._1)
+              if (cl != 0) cl else cmpU8(a._1._2, b._1._2)
+            }
+          if (cmp <= 0) a else b
+        }
+        exp += ((r, l, rr, n))
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              out += (l + rr); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        r += 1
+      }
+    }
+    assert(exp.length == rounds,
+      s"fixture too poor for a $rounds-round train: ${exp.length} merges")
+    assert(got == exp.toSeq,
+      s"merge tables diverged at rounds=$rounds:\n got=${got.take(8)}\n " +
+        s"exp=${exp.take(8)}")
+  }
+
   test("BPE encode: merges replay in training order per word; a corpus " +
       "that exhausts its pairs early folds only the merges found") {
     val spark = s
