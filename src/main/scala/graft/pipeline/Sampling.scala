@@ -544,12 +544,26 @@ object Sampling {
     * the k-center objective.
     *
     * Scale shape: the selected set is metadata-sized by construction
-    * (k × dim doubles), so each of the k−1 rounds is ONE pure codegen
-    * projection over the corpus — the min-distance folds the selected
-    * vectors as plan-shipped constants, no join, no shuffle — followed
-    * by a TakeOrderedAndProject(1) argmax (per-partition top-1 +
-    * driver merge of #partitions rows). The per-round collect is ONE
-    * row — the [[graft.pipeline.Similarity.kmeansTrain]] contract.
+    * (k × dim doubles), so each corpus pass is ONE pure codegen
+    * projection — the min-distance folds the selected vectors as
+    * plan-shipped constants, no join, no shuffle — followed by a
+    * TakeOrderedAndProject(`batch`) argmax (per-partition heap +
+    * driver merge). The per-pass collect is ≤ `batch` rows — the
+    * [[graft.pipeline.Similarity.kmeansTrain]] contract.
+    *
+    * Batched picks: each pass over-selects the top `batch` candidates
+    * by current max-min distance, then consumes them greedily on the
+    * driver, re-verifying each remaining candidate's distance against
+    * the picks accepted WITHIN the batch. A candidate is accepted only
+    * while its re-verified rounded distance strictly exceeds the
+    * pass's collection floor (the last collected candidate's rounded
+    * distance): every corpus point outside the batch sits at or below
+    * that floor and can only shrink, so a strict winner is the exact
+    * global argmax — the traversal is IDENTICAL to the sequential
+    * algorithm, only the driver round-trips drop ~batch-fold (16 picks
+    * in 3-4 passes instead of 15). Rounding is monotonic, so
+    * round(min(a,b)) = min(round(a), round(b)) and the driver-side
+    * re-verification on 6-dp-rounded values is exact, not approximate.
     *
     * Determinism/oracle: the seed is the md5-ranked first vector (the
     * shared uniform-permutation idiom); each argmax ranks the
@@ -560,8 +574,10 @@ object Sampling {
     * coverage-radius diagnostic in its own right.
     */
   def coresetKCenter(vectors: DataFrame, k: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      batch: Int = 8): DataFrame = {
     require(k >= 1, "coresetKCenter: k must be >= 1")
+    require(batch >= 1, "coresetKCenter: batch must be >= 1")
     val spark = vectors.sparkSession
     import spark.implicits._
     val v = vectors.select(col(idCol).cast("long").as("_id"),
@@ -574,6 +590,13 @@ object Sampling {
       (seedRow(0).getLong(0), seedRow(0).getSeq[Double](1).toArray))
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
       (1, selected(0)._1, None))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
     var r = 2
     var exhausted = false
     while (r <= k && !exhausted) {
@@ -582,14 +605,41 @@ object Sampling {
           lit(0.0d), (acc, x) => acc + x)
       }
       val minD = round(dists.reduce(least(_, _)), 6)
+      val want = math.min(batch, k - r + 1)
       val top = v.filter(!col("_id").isin(selected.map(_._1).toSeq: _*))
         .select(col("_id"), col("_v"), minD.as("_d"))
-        .orderBy(col("_d").desc, col("_id")).limit(1).collect()
+        .orderBy(col("_d").desc, col("_id")).limit(want).collect()
       if (top.isEmpty) exhausted = true
       else {
-        selected += ((top(0).getLong(0), top(0).getSeq[Double](1).toArray))
-        out += ((r, top(0).getLong(0), Some(top(0).getDouble(2))))
-        r += 1
+        // Collection floor = the LAST collected row's rounded distance:
+        // every corpus point outside the batch sits at or below it and
+        // can only shrink as picks accumulate. A short collect means
+        // the batch IS the whole remaining corpus — no outside points.
+        val floor = if (top.length < want) Double.NegativeInfinity
+                    else top.last.getDouble(2)
+        var cand = top.map(row => (row.getLong(0),
+          row.getSeq[Double](1).toArray, row.getDouble(2))).toVector
+        var first = true
+        var live = true
+        while (r <= k && live && cand.nonEmpty) {
+          val best = cand.minBy { case (id, _, d) => (-d, id) }
+          // The pass's first candidate is the global argmax by
+          // construction; later ones only while strictly above the
+          // floor (at a tie an outside point could win on id).
+          if (first || best._3 > floor) {
+            selected += ((best._1, best._2))
+            out += ((r, best._1, Some(best._3)))
+            r += 1
+            // Fold the new pick into the survivors' rounded max-min:
+            // round is monotonic, so min(round(a), round(b)) ==
+            // round(min(a, b)) — exact, not approximate.
+            cand = cand.filterNot(_._1 == best._1).map {
+              case (id, vec, d) =>
+                (id, vec, math.min(d, r6(sq(vec, best._2))))
+            }
+            first = false
+          } else live = false
+        }
       }
     }
     out.toSeq.toDF("rk", idCol, "dist")

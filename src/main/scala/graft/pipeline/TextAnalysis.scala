@@ -1003,4 +1003,102 @@ object TextAnalysis {
         (coalesce(col("_s"), lit(0.0)) + col("prior") > 0).as("predicted"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"))
   }
+  /** Precision/recall/F1 threshold sweep of a scored frame against a
+    * boolean label — the table a curation team reads to PICK its gate
+    * threshold (the published classifier-selection recipes all tune the
+    * keep-cutoff on exactly this sweep, rather than trusting the
+    * sign-decision default). Thresholds are the 9 deciles of the score
+    * distribution, learned from the same capped deterministic sample
+    * idiom as [[pplBuckets]] (`idCol % 10 == 0`, ordered, limited) so
+    * the cutoffs are VALUES from the sorted multiset — tie order can
+    * never matter and an ANSI oracle reproduces them exactly.
+    *
+    * Scale shape: the sweep is ONE corpus pass — all 9x4 confusion
+    * cells ride a single map-side-combinable aggregation (one wide row
+    * on one exchange), localCheckpointed once (a 1-row frame), then
+    * re-shaped to 9 rows by driver-built projections. No per-threshold
+    * pass, no corpus-side join; the only collect is the contract-
+    * bounded `sampleCap` decile sample. At 100 TB the wide aggregate
+    * is still 36 longs per partition.
+    *
+    * `df` must carry `idCol`, a numeric `scoreCol`, and boolean
+    * `labelCol`. A doc counts as predicted-positive at decile q when
+    * `score >= thresh_q`.
+    */
+  def prCurve(df: DataFrame, scoreCol: String = "score",
+      labelCol: String = "label", idCol: String = "doc_id",
+      sampleCap: Int = 1000): DataFrame = {
+    val xs = df.filter(col(idCol) % 10 === 0)
+      .orderBy(col(idCol)).limit(sampleCap)
+      .select(col(scoreCol).cast("double")).collect().map(_.getDouble(0))
+      .sortBy(x => -x)
+    val n = xs.length
+    require(n >= 10, s"pr curve needs >= 10 sampled docs, got $n")
+    // decile q in 1..9 = the score at descending rank ceil(q*n/10)
+    val cuts = (1 to 9).map(q => (q, xs((q * n + 9) / 10 - 1)))
+    val sc = col(scoreCol)
+    val lb = col(labelCol)
+    val cells = cuts.flatMap { case (q, t) =>
+      Seq(
+        sum(when(sc >= t && lb, 1L).otherwise(0L)).as(s"tp_$q"),
+        sum(when(sc >= t && !lb, 1L).otherwise(0L)).as(s"fp_$q"),
+        sum(when(sc < t && lb, 1L).otherwise(0L)).as(s"fn_$q"),
+        sum(when(sc < t && !lb, 1L).otherwise(0L)).as(s"tn_$q"))
+    }
+    val wide = df.agg(cells.head, cells.tail: _*).localCheckpoint()
+    cuts.map { case (q, t) =>
+      wide.select(lit(q).as("decile"), lit(t).as("thresh"),
+        col(s"tp_$q").as("tp"), col(s"fp_$q").as("fp"),
+        col(s"fn_$q").as("fn"), col(s"tn_$q").as("tn"),
+        round(col(s"tp_$q").cast("double") /
+          greatest(col(s"tp_$q") + col(s"fp_$q"), lit(1L)), 6)
+          .as("precision"),
+        round(col(s"tp_$q").cast("double") /
+          greatest(col(s"tp_$q") + col(s"fn_$q"), lit(1L)), 6)
+          .as("recall"),
+        round(lit(2.0) * col(s"tp_$q") /
+          greatest(lit(2L) * col(s"tp_$q") + col(s"fp_$q") +
+            col(s"fn_$q"), lit(1L)), 6).as("f1"))
+    }.reduce(_ unionByName _)
+  }
+  /** Exact tie-corrected ROC-AUC of a numeric score against a boolean
+    * label — the Mann-Whitney rank-sum identity: with ascending
+    * average ranks R over score ties, AUC = (Σ_pos R − n⁺(n⁺+1)/2) /
+    * (n⁺ n⁻). The single-number companion to the [[prCurve]] sweep
+    * (threshold-free ranking quality; what classifier-selection
+    * recipes report next to the curve).
+    *
+    * Arithmetic stays in INTEGERS until the final division: per
+    * distinct score s with count c(s), positives p(s), and cumulative
+    * count C(s) of strictly-smaller scores, twice the positive rank
+    * sum is Σ_s p(s)·(2·C(s) + c(s) + 1) — whole numbers throughout,
+    * so engine summation order can't move an ulp and the 1e-6-rounded
+    * AUC is bit-comparable to the ANSI oracle.
+    *
+    * Scale shape: ONE map-side-combinable groupBy(score) collapses the
+    * corpus to its distinct-score frame; the unpartitioned cumulative
+    * window then runs over THAT (bounded by score cardinality — a
+    * 6-dp-rounded log-odds axis, not the corpus), and the final fold
+    * is a 1-row aggregate. Output: (n_pos, n_neg, auc).
+    */
+  def rankAuc(df: DataFrame, scoreCol: String = "score",
+      labelCol: String = "label"): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).cast("double").as("_s"))
+      .agg(count(lit(1)).as("_c"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_p"))
+    val w = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perScore
+      .withColumn("_cum", sum(col("_c")).over(w) - col("_c"))
+    ranked.agg(
+        sum(col("_p")).as("n_pos"),
+        sum(col("_c") - col("_p")).as("n_neg"),
+        sum(col("_p") * (lit(2L) * col("_cum") + col("_c") + lit(1L)))
+          .as("_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("_r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+          (lit(2.0) * greatest(col("n_pos") * col("n_neg"), lit(1L))), 6)
+          .as("auc"))
+  }
 }

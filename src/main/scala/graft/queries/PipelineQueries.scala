@@ -1156,6 +1156,38 @@ object PipelineQueries {
           .as("recall"))
   }
 
+  /** Decile threshold sweep of the reference classifier against the
+    * rule gate — the table a curation team reads to pick the keep
+    * cutoff instead of trusting the log-odds sign default. Score =
+    * the NB log-odds, label = passes-the-rules; thresholds = score
+    * deciles from the capped deterministic sample.
+    */
+  def textNbPrCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nb = TextAnalysis.nbClassifier(docs,
+        col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("log_odds").as("score"))
+    val gate = TextAnalysis.qualityGate(docs)
+      .select(col("doc_id"), col("keep").as("label"))
+    TextAnalysis.prCurve(nb.join(gate, Seq("doc_id")))
+      .orderBy("decile")
+  }
+
+  /** Threshold-free ranking quality of the reference classifier
+    * against the rule gate: exact tie-corrected ROC-AUC
+    * ([[TextAnalysis.rankAuc]]) — the single number reported next to
+    * the [[textNbPrCurve]] sweep.
+    */
+  def textNbAuc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nb = TextAnalysis.nbClassifier(docs,
+        col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("log_odds").as("score"))
+    val gate = TextAnalysis.qualityGate(docs)
+      .select(col("doc_id"), col("keep").as("label"))
+    TextAnalysis.rankAuc(nb.join(gate, Seq("doc_id")))
+  }
+
   /** Corpus distinct-n diversity at orders 1..3. */
   def textDistinctNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.distinctNgramRatios(Tables.documents(s, d))
@@ -1633,6 +1665,8 @@ object PipelineQueries {
     "sample_domain_weights" -> sampleDomainWeights _,
     "sample_triplets"      -> sampleTriplets _,
     "text_nb_agreement"    -> textNbAgreement _,
+    "text_nb_pr_curve"     -> textNbPrCurve _,
+    "text_nb_auc"          -> textNbAuc _,
     "text_distinct_ngrams" -> textDistinctNgrams _,
     "text_langid_eval"     -> textLangidEval _,
     "text_token_histogram" -> textTokenHistogram _,
@@ -4265,6 +4299,69 @@ object PipelineQueries {
                 round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6)
                   AS recall
          FROM c"""),
+    // Decile sweep: cutoffs are VALUES at descending rank
+    // ceil(q*n/10) of the capped sample (row_number ties can't change
+    // the value picked), confusion cells fold in one aggregation per
+    // decile; BIGINT casts as in the agreement oracle.
+    "text_nb_pr_curve" -> (QualityGateCtes + """,
+         nb AS (""" + NbClassifierOracle + """),
+         j AS (SELECT nb.doc_id, nb.log_odds AS score,
+                      len(v.hit) = 0 AS label
+               FROM nb JOIN v USING (doc_id)),
+         samp AS (SELECT score FROM j WHERE doc_id % 10 = 0
+                  ORDER BY doc_id LIMIT 1000),
+         r AS (SELECT score,
+                      row_number() OVER (ORDER BY score DESC) AS rk,
+                      count(*) OVER () AS n
+               FROM samp),
+         cuts AS (SELECT CAST(q AS INT) AS decile,
+                         max(CASE WHEN rk =
+                               CAST(ceil(q * n / 10.0) AS INT)
+                             THEN score END) AS thresh
+                  FROM r CROSS JOIN
+                       (SELECT unnest(range(1, 10)) AS q) qs
+                  GROUP BY 1),
+         c AS (SELECT decile, thresh,
+                      CAST(sum(CASE WHEN score >= thresh AND label
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                      CAST(sum(CASE WHEN score >= thresh AND NOT label
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                      CAST(sum(CASE WHEN score < thresh AND label
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                      CAST(sum(CASE WHEN score < thresh AND NOT label
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+               FROM j CROSS JOIN cuts GROUP BY 1, 2)
+         SELECT decile, thresh, tp, fp, fn, tn,
+                round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6)
+                  AS precision,
+                round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6)
+                  AS recall,
+                round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 6)
+                  AS f1
+         FROM c ORDER BY decile"""),
+    // Mann-Whitney rank-sum AUC with average-rank tie correction —
+    // integer arithmetic until the last division (2x the positive
+    // rank sum = sum over distinct scores of p*(2*cum+c+1)).
+    "text_nb_auc" -> (QualityGateCtes + """,
+         nb AS (""" + NbClassifierOracle + """),
+         j AS (SELECT nb.log_odds AS score, len(v.hit) = 0 AS label
+               FROM nb JOIN v USING (doc_id)),
+         sg AS (SELECT score, count(*) AS c,
+                      sum(CASE WHEN label THEN 1 ELSE 0 END) AS p
+               FROM j GROUP BY 1),
+         sr AS (SELECT p, c,
+                      sum(c) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - c AS cum
+               FROM sg),
+         sa AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                      CAST(sum(c - p) AS BIGINT) AS n_neg,
+                      CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS r2
+               FROM sr)
+         SELECT n_pos, n_neg,
+                round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+                      (2.0 * greatest(n_pos * n_neg, 1)), 6) AS auc
+         FROM sa"""),
     // The three n-gram orders with ngramsAll's exact short-doc
     // semantics (the same list_transform shape the gate oracle pins).
     "text_distinct_ngrams" ->

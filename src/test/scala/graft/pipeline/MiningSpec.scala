@@ -233,4 +233,63 @@ class MiningSpec extends AnyFunSuite {
       .filter(col("doc_id") === 999999L).collect()
     assert(gate.length == 1)
   }
+
+  test("PR curve: closed-form decile sweep on a rank-ladder corpus") {
+    import s.implicits._
+    // 20 docs, every id sampled (all % 10 == 0), score ladder 20..1,
+    // label = top half. Decile q cutoff = value at desc rank 2q =
+    // 21-2q; predicted-positive set = the top 2q docs.
+    val df = (0 until 20).map { i =>
+      (i * 10L, (20 - i).toDouble, i < 10)
+    }.toDF("doc_id", "score", "label")
+    val out = TextAnalysis.prCurve(df).orderBy("decile").collect()
+    assert(out.length == 9)
+    for (r <- out) {
+      val q = r.getInt(0)
+      assert(r.getDouble(1) == (21 - 2 * q).toDouble)
+      val (tp, fp, fnv, tn) =
+        if (q <= 5) (2L * q, 0L, 10L - 2 * q, 10L)
+        else (10L, 2L * q - 10, 0L, 20L - 2 * q)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        == ((tp, fp, fnv, tn)), s"confusion at decile $q")
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      assert(r.getDouble(6) == r6(tp.toDouble / math.max(tp + fp, 1)))
+      assert(r.getDouble(7) == r6(tp.toDouble / math.max(tp + fnv, 1)))
+      assert(r.getDouble(8) ==
+        r6(2.0 * tp / math.max(2 * tp + fp + fnv, 1)))
+    }
+  }
+
+  test("PR curve: refuses a sample below 10 scores") {
+    import s.implicits._
+    val tiny = (0 until 30).map(i => (i.toLong, i.toDouble, true))
+      .toDF("doc_id", "score", "label") // only ids 0,10,20 sampled
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.prCurve(tiny)
+    }
+    assert(e.getMessage.contains("pr curve"))
+  }
+
+  test("rank AUC: average-rank tie correction, hand-checked; " +
+      "degenerate one-class input guarded") {
+    import s.implicits._
+    // ranks asc with ties averaged: 1.0->1, both 2.0 -> 2.5, 3.0 -> 4
+    // R+ = 2.5 + 4 = 6.5; AUC = (6.5 - 3) / (2*2) = 0.875
+    val df = Seq((1L, 1.0, false), (2L, 2.0, false),
+      (3L, 2.0, true), (4L, 3.0, true))
+      .toDF("doc_id", "score", "label")
+    val r = TextAnalysis.rankAuc(df).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.875)))
+    // perfect separation
+    val sep = Seq((1L, 1.0, false), (2L, 5.0, true), (3L, 9.0, true))
+      .toDF("doc_id", "score", "label")
+    assert(TextAnalysis.rankAuc(sep).collect()(0).getDouble(2) == 1.0)
+    // one-class corpus: the greatest() guard keeps the row finite
+    val pos = Seq((1L, 5.0, true), (2L, 5.0, true))
+      .toDF("doc_id", "score", "label")
+    val p1 = TextAnalysis.rankAuc(pos).collect()(0)
+    assert(p1.getLong(1) == 0L && p1.getDouble(2) == 0.0)
+  }
 }

@@ -1401,6 +1401,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.length == 2, s"corpus of 2 must yield 2 picks: ${tiny.toSeq}")
   }
 
+  test("k-center coreset: batched over-selection replays the " +
+      "sequential traversal pick-for-pick on the fixture") {
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+    val seq1 = Sampling.coresetKCenter(emb, k = 12, batch = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val b8 = Sampling.coresetKCenter(emb, k = 12, batch = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(b8.toSeq == seq1.toSeq,
+      s"batched diverged:\n b8=${b8.toSeq}\n s1=${seq1.toSeq}")
+  }
+
   test("DSIR: an empty target corpus degenerates to the uniform prior " +
       "instead of nulling every score") {
     val spark = s
