@@ -408,6 +408,44 @@ object Similarity {
     cents
   }
 
+  /** Centroid-distance outlier scoring — the embedding-cleanup pass a
+    * training-data pipeline runs BEFORE dedup/selection: vectors far
+    * from every cluster centroid (mislabeled, corrupted, or
+    * off-distribution points) surface as the lowest
+    * nearest-centroid cosines. Fit = the shared deterministic Lloyd
+    * loop ([[kmeansTrain]] — md5 seeding, fixed iterations, gridded
+    * means), so the whole row replays in ANSI SQL; score = each
+    * vector's cosine to its NEAREST centroid (the [[kmeansFit]]
+    * assignment rule), rounded to 6 dp BEFORE ranking so the order the
+    * oracle replays is the order Spark ranks (the dedup_semantic
+    * rounded-dominance stance). Output: the `topN` most-outlying
+    * vectors as (rank, vec_id, cell, centroid_cosine).
+    *
+    * Scale shape: centroids are metadata-sized (k×dim doubles) and
+    * ride into [[graft.functions.NearestCentroid]] as plan-shipped
+    * constants — the scoring pass is ONE pure codegen projection, no
+    * join, no shuffle; the cut is TakeOrdered(`topN`) (per-partition
+    * heap + driver merge of #partitions×topN id-sized rows), and the
+    * rank window runs over the ALREADY-CUT topN-row frame, never the
+    * corpus. At 100 TB nothing but the final topN rows leaves the
+    * executors.
+    */
+  def centroidOutliers(vectors: DataFrame, k: Int, iters: Int,
+      topN: Int, vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame = {
+    val cents = kmeansTrain(vectors, k, iters, vecCol, idCol)
+    val scored = vectors.select(col(idCol).as("vec_id"),
+        graft.functions.VectorExpressions.nearestCentroidNative(
+          col(vecCol).cast("array<double>"), cents).as("_m"))
+      .select(col("vec_id"), col("_m.cell").cast("int").as("cell"),
+        round(col("_m.cosine"), 6).as("centroid_cosine"))
+      .orderBy(col("centroid_cosine").asc, col("vec_id")).limit(topN)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("centroid_cosine").asc, col("vec_id"))))
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        col("cell"), col("centroid_cosine"))
+  }
+
   /** [[buildIvf]] with the ORACLE-REPLAYABLE quantizer: centroids from
     * the in-house deterministic Lloyd loop ([[kmeansTrain]] — md5
     * seeding, fixed iterations, gridded means) instead of MLlib's

@@ -1101,4 +1101,65 @@ object TextAnalysis {
           (lit(2.0) * greatest(col("n_pos") * col("n_neg"), lit(1L))), 6)
           .as("auc"))
   }
+
+  /** Population-stability-index drift report between a REFERENCE slice
+    * and the rest of the corpus — the monitor a pipeline runs between
+    * corpus snapshots (new crawl vs last crawl, post-gate vs pre-gate)
+    * to catch a shifted length/quality distribution before it reaches
+    * training. Bins = deciles of the reference slice's `valueCol`
+    * (integer cutoff VALUES at ascending rank ceil(q·n/10) of the
+    * capped deterministic sample — the [[prCurve]] idiom, so the
+    * edges are exact integers and bin assignment is pure integer
+    * comparison, no float-boundary risk); per bin, PSI contribution
+    * `(p_cur − p_ref) · ln(p_cur / p_ref)` with add-one smoothing over
+    * the 10 decile cells so an empty cell can't produce ±∞. The
+    * conventional read: Σ psi_bin < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted.
+    *
+    * Scale shape: the 9 cutoffs are plan-shipped constants, so bin
+    * assignment is a pure codegen projection over ONE corpus pass
+    * (reference flag and bin computed side by side — the slices are
+    * never scanned separately); the only exchange is the
+    * map-side-combinable groupBy(bin) carrying ≤ 10 (bin, long, long)
+    * partials per task, and the slice totals join back as a broadcast
+    * 1-row frame. The only collect is the contract-bounded `sampleCap`
+    * decile sample.
+    *
+    * `df` must carry `idCol`, a numeric `valueCol`, and `refFilter`
+    * must be deterministic per row (it is evaluated in both the sample
+    * pass and the corpus pass).
+    */
+  def driftPsi(df: DataFrame, refFilter: Column,
+      valueCol: String, idCol: String = "doc_id",
+      sampleCap: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("long")
+    val xs = df.filter(refFilter && col(idCol) % 10 === 0)
+      .orderBy(col(idCol)).limit(sampleCap)
+      .select(v).collect().map(_.getLong(0)).sorted
+    val n = xs.length
+    require(n >= 10, s"driftPsi needs >= 10 sampled reference docs, got $n")
+    // decile q in 1..9 = the value at ascending rank ceil(q*n/10)
+    val cuts = (1 to 9).map(q => xs((q * n + 9) / 10 - 1))
+    // bin = how many cutoffs sit at or below the value (0..9);
+    // duplicate cutoff values skip bins identically in both engines
+    val binOf = cuts.map(c => when(lit(c) <= v, 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    val counts = df.select(binOf.as("bin"), refFilter.as("_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!col("_ref"), 1L).otherwise(0L)).as("cur_n"))
+    val totals = counts.agg(sum(col("ref_n")).as("_rt"),
+      sum(col("cur_n")).as("_ct"))
+    val lo = cuts.zipWithIndex.map { case (c, i) => (i + 1, c) }
+      .toDF("bin", "lo_tokens")
+    val pRef = (col("ref_n") + lit(1.0)) / (col("_rt") + lit(10.0))
+    val pCur = (col("cur_n") + lit(1.0)) / (col("_ct") + lit(10.0))
+    counts.crossJoin(broadcast(totals))
+      .join(broadcast(lo), Seq("bin"), "left")
+      .select(col("bin"), col("lo_tokens"), col("ref_n"), col("cur_n"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_bin"))
+  }
 }

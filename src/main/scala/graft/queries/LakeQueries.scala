@@ -157,6 +157,48 @@ object LakeQueries {
       .orderBy("change_type", "custkey")
   }
 
+  /** Cross-layer drift monitor: PSI of the token-count distribution
+    * between a table's time-traveled BASELINE snapshot (`asOf` — the
+    * accepted corpus as of the last publish) and the rows the next
+    * ingest wave ADDED (the `table_changes` insert delta) — the "did
+    * this wave shift the distribution?" check a curation pipeline
+    * runs before publishing a new corpus snapshot. Composes three
+    * already-oracled pieces — time travel, CDC, and
+    * [[graft.pipeline.TextAnalysis.driftPsi]] — into one row, so a
+    * contract drift between the versioned-scan layer and the drift
+    * arithmetic cannot hide behind individually-green parts. Both
+    * sides come off the SAME lake table (snapshot-pruned scans), and
+    * the PSI keeps driftPsi's shape: one pass over the union, decile
+    * edges from the baseline's capped deterministic sample,
+    * metadata-sized exchanges only.
+    */
+  def lakeDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("driftpsi", d) { loc =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val t0 = LakeTable.create(s, loc,
+        Right(docs.filter(col("doc_id") % 2 === 0)))
+      t0.setProperties(Map("graft.test.s0" ->
+        t0.meta.currentSnapshotId.get.toString))
+      t0.append(docs.filter(col("doc_id") % 2 =!= 0))
+      t0.setProperties(Map("graft.test.s1" ->
+        t0.meta.currentSnapshotId.get.toString))
+      t0
+    }
+    val base = t.asOf(t.properties("graft.test.s0").toLong)
+      .select(col("doc_id"), col("text"), lit(true).as("_ref"))
+    val delta = t.changes(t.properties("graft.test.s0").toLong,
+        t.properties("graft.test.s1").toLong)
+      .filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("text"), lit(false).as("_ref"))
+    val tagged = base.unionByName(delta)
+      .select(col("doc_id"), col("_ref"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+    graft.pipeline.TextAnalysis.driftPsi(tagged, col("_ref"), "n_tokens")
+      .orderBy("bin")
+  }
+
   /** Compaction invariance (`sql:258-265`): many small appends +
     * a delete, optimize, results unchanged.
     */
@@ -741,6 +783,7 @@ object LakeQueries {
     "lake_branch_main"     -> branchMain _,
     "lake_branch_dev"      -> branchDev _,
     "lake_cdc_changes"     -> cdcChanges _,
+    "lake_drift_psi"       -> lakeDriftPsi _,
     "lake_incremental_read" -> incrementalRead _,
     "lake_optimize_invariance" -> optimizeInvariance _,
     "lake_zorder_compaction" -> zorderCompaction _,
@@ -832,6 +875,45 @@ object LakeQueries {
            SELECT 'delete' AS change_type, c_custkey AS custkey
            FROM customer WHERE c_custkey < 150 AND c_custkey % 7 = 0
          ) ORDER BY change_type, custkey""",
+    // The parity replay of the scenario (even docs = the baseline
+    // snapshot, odd docs = the CDC insert delta) fed through the
+    // text_drift_psi CTE chain — same capped sample, integer decile
+    // edges, add-one smoothing, and operand-for-operand ln term.
+    "lake_drift_psi" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 2 = 0 AS isref,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) AS nt
+           FROM documents),
+         samp AS (SELECT doc_id, nt FROM t
+                  WHERE isref AND doc_id % 10 = 0
+                  ORDER BY doc_id LIMIT 1000),
+         sn AS (SELECT count(*) AS n FROM samp),
+         sv AS (SELECT nt, row_number() OVER (ORDER BY nt) AS rk
+                FROM samp),
+         cuts AS (SELECT CAST(q.q AS INT) AS bin, sv.nt AS v
+                  FROM (SELECT unnest(range(1, 10)) AS q) q, sn, sv
+                  WHERE sv.rk = (q.q * sn.n + 9) // 10),
+         b AS (SELECT t.doc_id, t.isref,
+                      CAST(count(c.v) AS INT) AS bin
+               FROM t LEFT JOIN cuts c ON c.v <= t.nt
+               GROUP BY t.doc_id, t.isref),
+         g AS (SELECT bin,
+                      count(*) FILTER (WHERE isref) AS ref_n,
+                      count(*) FILTER (WHERE NOT isref) AS cur_n
+               FROM b GROUP BY bin),
+         tot AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+                        CAST(sum(cur_n) AS DOUBLE) AS ct FROM g)
+         SELECT g.bin, c.v AS lo_tokens, g.ref_n, g.cur_n,
+                round((g.ref_n + 1.0) / (tot.rt + 10.0), 6) AS p_ref,
+                round((g.cur_n + 1.0) / (tot.ct + 10.0), 6) AS p_cur,
+                round(((g.cur_n + 1.0) / (tot.ct + 10.0) -
+                       (g.ref_n + 1.0) / (tot.rt + 10.0)) *
+                      ln(((g.cur_n + 1.0) / (tot.ct + 10.0)) /
+                         ((g.ref_n + 1.0) / (tot.rt + 10.0))), 6)
+                  AS psi_bin
+         FROM g CROSS JOIN tot LEFT JOIN cuts c ON c.bin = g.bin
+         ORDER BY g.bin""",
     "lake_optimize_invariance" ->
       """SELECT c_custkey AS custkey, c_name AS name,
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment

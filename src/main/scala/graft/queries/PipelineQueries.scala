@@ -835,6 +835,36 @@ object PipelineQueries {
   def embeddingKmeans(s: SparkSession, d: String): DataFrame =
     Similarity.kmeansFit(Tables.embeddings(s, d), k = 8, iters = 2)
 
+  /** Embedding outlier scan: the 50 vectors farthest from every
+    * centroid of the shared deterministic k=8 fit (lowest rounded
+    * nearest-centroid cosine) — the pre-training cleanup pass that
+    * surfaces corrupted or off-distribution embeddings
+    * ([[Similarity.centroidOutliers]]). The oracle replays the fit
+    * (the embedding_kmeans CTEs) plus the per-vector scoring and the
+    * rounded-score ranking.
+    */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame =
+    Similarity.centroidOutliers(Tables.embeddings(s, d), k = 8,
+        iters = 2, topN = 50)
+      .orderBy("rank")
+
+  /** Corpus drift monitor: PSI of the token-count distribution
+    * between the md5-bucket reference half (bucket < 50 — standing in
+    * for "last snapshot") and the rest of the corpus
+    * ([[TextAnalysis.driftPsi]]). Decile edges come from the
+    * reference slice's capped deterministic sample, so the oracle
+    * replays edges, binning, smoothing, and the ln term exactly.
+    */
+  def textDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (Sampling.bucketCol(col("doc_id")) < 50).as("_isref"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+    TextAnalysis.driftPsi(t, col("_isref"), "n_tokens")
+      .orderBy("bin")
+  }
+
   /** Product quantization over the embedding corpus: 64 float dims →
     * 32-bit codes (8 subspaces × 16-entry L2 codebooks, deterministic
     * Lloyd fit), retrieved the way PQ ships — ADC shortlist from codes
@@ -1653,6 +1683,8 @@ object PipelineQueries {
     "pipeline_fewshot"     -> pipelineFewshot _,
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "embedding_kmeans"     -> embeddingKmeans _,
+    "embedding_outliers"   -> embeddingOutliers _,
+    "text_drift_psi"       -> textDriftPsi _,
     "dedup_cross_corpus"   -> dedupCrossCorpus _,
     "sample_shard_export"  -> sampleShardExport _,
     "text_lm_score"        -> textLmScore _,
@@ -4168,6 +4200,98 @@ object PipelineQueries {
                 round(max(c2.v[1]), 6) AS c0
          FROM a3 JOIN c2 USING (cell)
          GROUP BY a3.cell ORDER BY a3.cell""",
+    // The kmeans fit CTEs verbatim through c2 (md5 seeding, two
+    // assignment rounds, two gridded mean updates), then per-VECTOR
+    // nearest-centroid cosine, ranked ascending on the ROUNDED score
+    // with vec_id tie-break — the dominance-on-rounded stance.
+    "embedding_outliers" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         seed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                  FROM v ORDER BY h, vec_id LIMIT 8),
+         init AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                    AS INT) AS cell, v FROM seed),
+         s1 AS (SELECT a.vec_id, a.v, i.cell,
+                       list_cosine_similarity(a.v, i.v) AS sim
+                FROM v a CROSS JOIN init i),
+         a1 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s1)
+                WHERE rn = 1),
+         u1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a1)
+                GROUP BY cell, pos),
+         c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u1
+                GROUP BY cell),
+         s2 AS (SELECT a.vec_id, a.v, c.cell,
+                       list_cosine_similarity(a.v, c.v) AS sim
+                FROM v a CROSS JOIN c1 c),
+         a2 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s2)
+                WHERE rn = 1),
+         u2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a2)
+                GROUP BY cell, pos),
+         c2 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u2
+                GROUP BY cell),
+         s3 AS (SELECT a.vec_id, c.cell,
+                       list_cosine_similarity(a.v, c.v) AS sim
+                FROM v a CROSS JOIN c2 c),
+         a3 AS (SELECT vec_id, cell, sim FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s3)
+                WHERE rn = 1),
+         r AS (SELECT vec_id, cell, round(sim, 6) AS centroid_cosine
+               FROM a3)
+         SELECT CAST(row_number() OVER
+                  (ORDER BY centroid_cosine, vec_id) AS INT) AS rank,
+                vec_id, cell, centroid_cosine
+         FROM r ORDER BY centroid_cosine, vec_id LIMIT 50""",
+    // PSI drift replayed edge-for-edge: the capped mod-10 reference
+    // sample, cutoff VALUES at ascending rank ceil(q*n/10), binning by
+    // integer comparison (duplicate cutoffs skip bins identically),
+    // add-one smoothing over the 10 decile cells, and the ln term in
+    // the same operand order.
+    "text_drift_psi" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 < 50 AS isref,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) AS nt
+           FROM documents),
+         samp AS (SELECT doc_id, nt FROM t
+                  WHERE isref AND doc_id % 10 = 0
+                  ORDER BY doc_id LIMIT 1000),
+         sn AS (SELECT count(*) AS n FROM samp),
+         sv AS (SELECT nt, row_number() OVER (ORDER BY nt) AS rk
+                FROM samp),
+         cuts AS (SELECT CAST(q.q AS INT) AS bin, sv.nt AS v
+                  FROM (SELECT unnest(range(1, 10)) AS q) q, sn, sv
+                  WHERE sv.rk = (q.q * sn.n + 9) // 10),
+         b AS (SELECT t.doc_id, t.isref,
+                      CAST(count(c.v) AS INT) AS bin
+               FROM t LEFT JOIN cuts c ON c.v <= t.nt
+               GROUP BY t.doc_id, t.isref),
+         g AS (SELECT bin,
+                      count(*) FILTER (WHERE isref) AS ref_n,
+                      count(*) FILTER (WHERE NOT isref) AS cur_n
+               FROM b GROUP BY bin),
+         tot AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+                        CAST(sum(cur_n) AS DOUBLE) AS ct FROM g)
+         SELECT g.bin, c.v AS lo_tokens, g.ref_n, g.cur_n,
+                round((g.ref_n + 1.0) / (tot.rt + 10.0), 6) AS p_ref,
+                round((g.cur_n + 1.0) / (tot.ct + 10.0), 6) AS p_cur,
+                round(((g.cur_n + 1.0) / (tot.ct + 10.0) -
+                       (g.ref_n + 1.0) / (tot.rt + 10.0)) *
+                      ln(((g.cur_n + 1.0) / (tot.ct + 10.0)) /
+                         ((g.ref_n + 1.0) / (tot.rt + 10.0))), 6)
+                  AS psi_bin
+         FROM g CROSS JOIN tot LEFT JOIN cuts c ON c.bin = g.bin
+         ORDER BY g.bin""",
     "dedup_cross_corpus" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')

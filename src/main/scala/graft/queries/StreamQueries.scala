@@ -926,9 +926,14 @@ object StreamQueries {
     * [[StreamIngest.BudgetDelta]] stamps: the deltas commit ATOMICALLY
     * with their batch's rows, so this report replays the admission
     * accounting from the table alone — metadata-only (a driver-side
-    * snapshot-list fold), no corpus read. Named to sort AFTER
-    * stream_token_budget so the shared scenario's cost stays
-    * attributed to the ingest row in the bench's sorted schedule.
+    * snapshot-list fold), no corpus read. Named with the ingest row's
+    * name as a PREFIX so it sorts AFTER stream_token_budget in the
+    * bench's sorted schedule and the shared scenario's cost stays
+    * attributed to the ingest row (the r10 artifact caught the first
+    * name, stream_budget_report, sorting BEFORE it: the report paid
+    * the 6.3 s scenario build and the ingest row became a 0.15 s
+    * hot-cache read — exactly the r8 mis-attribution hazard the
+    * stream-first bench ordering exists to prevent).
     */
   def streamBudgetReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1079,7 +1084,7 @@ object StreamQueries {
     "stream_curate_ingest" -> streamCurateIngest _,
     "stream_curate_report" -> streamCurateReport _,
     "stream_token_budget" -> streamTokenBudget _,
-    "stream_budget_report" -> streamBudgetReport _,
+    "stream_token_budget_report" -> streamBudgetReport _,
     "stream_ann_ingest" -> streamAnnIngest _,
     "stream_ann_report" -> streamAnnReport _,
     "stream_semantic_dedup" -> streamSemanticDedup _
@@ -1539,7 +1544,7 @@ object StreamQueries {
     // The budget LEDGER refolded from the same two-wave greedy CTEs:
     // per-(batch, stratum) admitted-token deltas (wave 0 = batch 0),
     // running per-stratum totals, and the 5000-token budget remaining.
-    "stream_budget_report" ->
+    "stream_token_budget_report" ->
       """WITH t AS (
            SELECT doc_id, lang, doc_id % 2 AS wave,
                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT)

@@ -424,4 +424,40 @@ class PlanSpec extends AnyFunSuite {
       "over bucket(8) partitioning")
     assert(t.read(col("c_custkey").isin(11L, 47L)).count() == 2)
   }
+
+  test("drift PSI: corpus rows never shuffle; exchanges carry only " +
+      "the 10-bin aggregate") {
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), (col("doc_id") % 2 === 0).as("_ref"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("n_tokens"))
+      val plan = graft.pipeline.TextAnalysis
+        .driftPsi(docs, col("_ref"), "n_tokens")
+        .queryExecution.executedPlan
+      // bin assignment folds the plan-shipped cutoffs into a pure
+      // projection, so the only exchanges outside broadcast build
+      // sides are the groupBy(bin) partial-agg exchange (and its
+      // totals-side reuse): their rows must be (bin, count, count)
+      // partials — never doc ids, values, or text
+      val straying = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot { e =>
+          plan.exists {
+            case b: BroadcastExchangeExec => b.exists(_ eq e)
+            case _ => false
+          }
+        }
+      assert(straying.size <= 2,
+        s"unexpected exchanges:\n${straying.mkString("\n").take(2000)}")
+      val leaked = straying.flatMap(_.output.map(_.name))
+        .filter(n => Set("doc_id", "n_tokens", "text", "_v").contains(n))
+      assert(leaked.isEmpty,
+        s"corpus column on an exchange: ${leaked.mkString(", ")}")
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }

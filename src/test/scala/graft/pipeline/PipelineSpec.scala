@@ -1570,4 +1570,60 @@ class PipelineSpec extends AnyFunSuite {
     }.sortBy(t => (t._1, t._2))
     assert(got == expected, "distributed BM25 must equal the local replay")
   }
+
+  test("driftPsi: identical slice distributions give exactly zero PSI") {
+    import s.implicits._
+    // ids 0..199, value = id % 10: the ref half (id < 100) and the cur
+    // half carry the SAME value multiset, so every bin's counts match
+    // and each add-one-smoothed term is exactly (p-p)*ln(1) = 0
+    val df = (0L until 200L).map(i => (i, i % 10)).toDF("doc_id", "v")
+    val out = TextAnalysis.driftPsi(df, col("doc_id") < 100, "v")
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("ref_n")).sum == 100L)
+    assert(out.map(_.getAs[Long]("cur_n")).sum == 100L)
+    assert(out.forall(_.getAs[Double]("psi_bin") == 0.0),
+      "identical distributions must give psi_bin == 0 in every bin")
+  }
+
+  test("driftPsi: a shifted current distribution crosses the 0.25 bar") {
+    import s.implicits._
+    // ref values 0..99; cur values shifted far above every ref decile
+    // edge, so the whole cur mass lands in the top bin
+    val df = (0L until 200L)
+      .map(i => (i, if (i < 100) i else 1000L + i)).toDF("doc_id", "v")
+    val out = TextAnalysis.driftPsi(df, col("doc_id") < 100, "v")
+      .orderBy("bin").collect()
+    val psi = out.map(_.getAs[Double]("psi_bin")).sum
+    assert(psi > 0.25, s"shifted distribution must read as drifted, got $psi")
+    val top = out.last
+    assert(top.getAs[Long]("cur_n") == 100L,
+      "all shifted docs must land in the top bin")
+  }
+
+  test("centroidOutliers ranks a planted far vector first") {
+    import s.implicits._
+    // two tight clusters on the first two axes (non-negative coords)
+    // plus one vector pointing AWAY from both: every centroid is a
+    // mean of non-negative members, so cluster points score cosine
+    // >= 0 while the planted vector scores negative
+    val dim = 8
+    def mk(axis: Int, i: Long): (Long, Array[Double]) = {
+      val v = Array.fill(dim)(0.0)
+      v(axis) = 1.0
+      v((axis + 2 + (i % 3)).toInt % dim) = 0.05 + 0.01 * (i % 5)
+      (i, v)
+    }
+    val pts = (0L until 20L).map(mk(0, _)) ++
+      (20L until 40L).map(i => mk(1, i)) :+
+      (99L, Array.fill(dim)(-1.0 / math.sqrt(dim)))
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, k = 2, iters = 2, topN = 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Long]("vec_id") == 99L,
+      "the planted anti-aligned vector must rank as the top outlier")
+    assert(out.head.getAs[Double]("centroid_cosine") < 0.0)
+    assert(out.map(_.getAs[Double]("centroid_cosine")).sliding(2)
+      .forall(p => p.head <= p.last), "ranking must be ascending cosine")
+  }
 }
