@@ -61,6 +61,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "hashed_chargrams(text, n)")
         HashedChargrams(args(0), intArg(args(1), "hashed_chargrams"))
+      }),
+    (new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_fingerprints(text, k, w)")
+        WinnowFingerprints(args(0),
+          intArg(args(1), "winnow_fingerprints"),
+          intArg(args(2), "winnow_fingerprints"))
       }))
 
   /** Install the functions into an already-built session (idempotent —

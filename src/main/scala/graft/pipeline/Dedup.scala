@@ -370,6 +370,92 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003): per document, the DISTINCT minima of a length-`window`
+    * sliding window over the positional k-gram hash sequence — the
+    * local-minimum selection that guarantees any shared substring of
+    * ≥ window+k−1 words yields at least one shared fingerprint, while
+    * keeping ~2/(window+1) of the grams. The compression is the point
+    * at corpus scale: downstream joins touch a set ~(window+1)/2×
+    * smaller than full shingling with a DETERMINISTIC (position-free)
+    * selection both engines replay exactly.
+    *
+    * One fused byte-level pass per row
+    * ([[graft.functions.ShingleKernel.winnow]], the [[exactDupPairs]]
+    * HashedShingles stance): word boundaries, positional gram
+    * assembly, the 60-bit md5 prefix (the
+    * [[graft.pipeline.Sampling]] hash60 layout — replayed verbatim by
+    * the oracle), window minima, sorted distinct. The composable
+    * higher-order form (split → zip_with gram fold → transform(md5) →
+    * zip_with min fold → array_distinct) is semantically identical
+    * but runs interpreted — HOFs are CodegenFallback and CSE cannot
+    * cross lambda boundaries, so the hash array re-evaluates once per
+    * shifted copy: measured ~1.4 ms/row vs ~30 µs/row for the kernel
+    * at sf0.1. Documents shorter than the window contribute the
+    * clamped min of what they have. No shuffle, no UDF; the corpus
+    * never leaves its scan partitions.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, window: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && window >= 1, "winnow: k and window must be >= 1")
+    df.select(col(idCol),
+      graft.functions.ShingleExpressions.winnowFingerprints(
+        trim(lower(col(textCol))), k, window).as("fps"))
+  }
+
+  /** Near-duplicate pairs by winnowing-fingerprint overlap — the
+    * fingerprint-then-join shape deployed where full-shingle PPJoin
+    * ([[ngramJaccard]]) is too wide: each document carries only its
+    * winnowed minima (~2/(window+1) of its grams), the join key space
+    * shrinks by the same factor, and the guarantee degrades gracefully
+    * (pairs sharing a run of ≥ window+k−1 words MUST collide; shorter
+    * overlaps may not). Output: (id_a, id_b, n_shared, sim) with sim =
+    * Jaccard over the retained fingerprint sets.
+    *
+    * Scale shape: every exchange carries (60-bit fp, id) longs — never
+    * gram strings or arrays. The document-frequency cap `maxDf` is the
+    * skew guard: a boilerplate fingerprint shared by a million
+    * documents would otherwise turn its bucket into an O(df²) pair
+    * generator, and a fingerprint that common carries no near-dup
+    * signal anyway — dropping it bounds every bucket's fan-out at
+    * maxDf² and is replayed verbatim by the oracle. `n_shared` filters
+    * BEFORE the size join, so only surviving candidate pairs pay it.
+    */
+  def winnowPairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, window: Int = 4,
+      maxDf: Int = 50, minShared: Int = 3, simThreshold: Double = 0.4)
+      : DataFrame = {
+    // The exploded (id, fp) frame is materialized ONCE (16 B/row —
+    // ~2/(window+1) rows per gram): FIVE consumers sit downstream
+    // (the df count, the cap filter, both join sides, the size agg),
+    // and without the barrier each would re-run the corpus scan and
+    // the winnow kernel. Skinny by construction, corpus-linear — the
+    // fewshot-checkpoint stance.
+    val e = winnowFingerprints(df, textCol, idCol, k, window)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+      .localCheckpoint(true)
+    val dfq = e.groupBy(col("fp")).agg(count(lit(1)).as("dfreq"))
+    val kept = e.join(dfq, Seq("fp")).filter(col("dfreq") <= maxDf)
+      .select(col(idCol), col("fp"))
+    val sz = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col(idCol).as("id_a"), col("fp"))
+      .join(kept.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sz.select(col(idCol).as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(sz.select(col(idCol).as("id_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .withColumn("sim", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .filter(col("sim") >= simThreshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("sim"))
+  }
+
   /** Exact n-gram Jaccard similarity join via prefix filtering (the
     * PPJoin-family set-similarity join): order shingles globally by
     * (document frequency, token) ascending; a document of n shingles is

@@ -35,6 +35,16 @@ object PipelineQueries {
     Dedup.ngramJaccard(Tables.documents(s, d), k = 3, threshold = 0.6)
       .orderBy("id_a", "id_b")
 
+  /** Winnowing-fingerprint near-dup pairs ([[Dedup.winnowPairs]]):
+    * window-min selection keeps ~2/(w+1) of the grams per doc, the
+    * join runs on the compressed fingerprint sets, and the df cap
+    * bounds every bucket's fan-out. Fully deterministic, so the
+    * oracle replays selection, cap, and overlap arithmetic exactly.
+    */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, d))
+      .orderBy("id_a", "id_b")
+
   /** Embedding cosine near-dups via random-hyperplane LSH. The synthetic
     * embeddings have no natural near-duplicates (max pairwise cosine
     * ≈ 0.51), so the scenario plants them: each vector gets a
@@ -1643,6 +1653,7 @@ object PipelineQueries {
     "dedup_minhash_pairs"  -> dedupMinhash _,
     "dedup_simhash_pairs"  -> dedupSimhash _,
     "dedup_ngram_pairs"    -> dedupNgram _,
+    "dedup_winnow_pairs"   -> dedupWinnow _,
     "dedup_incremental"    -> dedupIncremental _,
     "sample_token_budget"  -> sampleTokenBudget _,
     "dedup_embedding_pairs" -> dedupEmbedding _,
@@ -2212,6 +2223,48 @@ object PipelineQueries {
     // Exact set-similarity join: DuckDB recomputes the same 3-shingle
     // Jaccard over all pairs — the prefix-filtered Spark plan must not
     // lose (or invent) a single pair.
+    // Winnowing replayed selection-for-selection: positional 3-gram
+    // 60-bit md5 hashes, length-4 window minima (clamped tail for
+    // short docs), distinct per doc, df<=50 cap, pair overlap count
+    // and fingerprint-set Jaccard with the same thresholds.
+    "dedup_winnow_pairs" ->
+      """WITH wdoc AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(words[i:i+2], ' ')) AS grams
+           FROM wdoc),
+         h AS (
+           SELECT doc_id, list_transform(grams,
+             x -> ('0x' || substr(md5(x), 18, 15))::BIGINT) AS hs
+           FROM g),
+         f AS (
+           SELECT doc_id, list_filter(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 4, 0) + 2),
+             i -> list_min(hs[i:i+3]))), x -> x IS NOT NULL) AS fps
+           FROM h),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         dfq AS (SELECT fp, count(*) AS dfreq FROM e GROUP BY fp),
+         kept AS (SELECT e.doc_id, e.fp FROM e JOIN dfq USING (fp)
+                  WHERE dfreq <= 50),
+         sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS n_shared
+               FROM kept a JOIN kept b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2
+               HAVING count(*) >= 3)
+         SELECT p.id_a, p.id_b, p.n_shared,
+                round(CAST(p.n_shared AS DOUBLE) /
+                  (sa.n + sb.n - p.n_shared), 6) AS sim
+         FROM p JOIN sz sa ON sa.doc_id = p.id_a
+                JOIN sz sb ON sb.doc_id = p.id_b
+         WHERE round(CAST(p.n_shared AS DOUBLE) /
+               (sa.n + sb.n - p.n_shared), 6) >= 0.4
+         ORDER BY id_a, id_b""",
     "dedup_ngram_pairs" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')

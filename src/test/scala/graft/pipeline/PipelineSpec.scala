@@ -1626,4 +1626,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Double]("centroid_cosine")).sliding(2)
       .forall(p => p.head <= p.last), "ranking must be ascending cosine")
   }
+
+  test("winnowing pairs equal a local replay of selection, cap, overlap") {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(17, 32), 16)
+    }
+    def fps(text: String): Set[Long] = {
+      val words = text.trim.toLowerCase.split("\\s+", -1)
+      val m = math.max(words.length - 2, 0)
+      val hs = (0 until m).map(i => h60(words.slice(i, i + 3).mkString(" ")))
+      if (hs.isEmpty) Set.empty
+      else (0 to math.max(hs.length - 4, 0))
+        .map(i => hs.slice(i, math.min(i + 4, hs.length)).min).toSet
+    }
+    val perDoc = rows.map { case (id, t) => (id, fps(t)) }
+    val dfreq = perDoc.flatMap(_._2).groupBy(identity).map {
+      case (fp, xs) => (fp, xs.length) }
+    val keptSets = perDoc.map { case (id, s0) =>
+      (id, s0.filter(fp => dfreq(fp) <= 50)) }.toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (a, sa) <- keptSets; (b, sb) <- keptSets if a < b
+      ns = (sa & sb).size if ns >= 3
+      sim = r6(ns.toDouble / (sa.size + sb.size - ns)) if sim >= 0.4
+    } yield (a, b, ns.toLong, sim)).toSet
+    val got = Dedup.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected,
+      s"winnow pairs diverge: only-spark=${(got -- expected).take(5)} " +
+      s"only-local=${(expected -- got).take(5)}")
+    assert(expected.nonEmpty, "fixture must contain winnow near-dups")
+  }
 }

@@ -88,6 +88,14 @@ class VectorExprSpec extends AnyFunSuite {
         .hashedShingles(lit(" a b c "), 2).as("sh"))
       .head().getSeq[Long](0)
     assert(viaSql == viaCol)
+    val winSql = s.sql(
+      "SELECT winnow_fingerprints('a b c d e f g h', 3, 4) w")
+      .head().getSeq[Long](0)
+    val winCol = s.range(1).select(
+      graft.functions.ShingleExpressions
+        .winnowFingerprints(lit("a b c d e f g h"), 3, 4).as("w"))
+      .head().getSeq[Long](0)
+    assert(winSql == winCol && winSql.nonEmpty)
     // non-literal size argument is rejected with a clear error
     val err = intercept[Exception](
       s.sql("SELECT hashed_shingles('x', cast(rand()*3 as int))").collect())
