@@ -456,6 +456,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("sim"))
   }
 
+  /** Per-document NOVELTY against a reference corpus: the fraction of
+    * a document's winnowing fingerprints ([[winnowFingerprints]]) not
+    * present anywhere in the reference slice — the selection signal
+    * for "prefer data the model hasn't seen" (continued-pretraining
+    * mixes, crawl-over-crawl incremental ingestion). Winnowing makes
+    * it honest at scale: membership is tested against ~2/(w+1) of the
+    * reference's grams, and any shared run of ≥ window+k−1 words
+    * forces a shared fingerprint, so verbatim-copied passages always
+    * depress novelty.
+    *
+    * Scale shape: both sides reduce to (60-bit fp, id) longs off the
+    * fused kernel; the reference set collapses to DISTINCT
+    * fingerprints before the membership join (map-side combinable),
+    * the join is a shuffle on fp with id-sized rows, and the per-doc
+    * fold is one count aggregate. Documents with zero fingerprints
+    * (shorter than k words) have no novelty to measure and are
+    * omitted — identically in the SQL replay.
+    */
+  def noveltyScores(cur: DataFrame, ref: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3, window: Int = 4): DataFrame = {
+    val e = winnowFingerprints(cur, textCol, idCol, k, window)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+    val seen = winnowFingerprints(ref, textCol, idCol, k, window)
+      .select(explode(col("fps")).as("fp"))
+      .distinct()
+      .withColumn("_seen", lit(true))
+    e.join(seen, Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_fps"), 6))
+  }
+
   /** Exact n-gram Jaccard similarity join via prefix filtering (the
     * PPJoin-family set-similarity join): order shingles globally by
     * (document frequency, token) ascending; a document of n shingles is

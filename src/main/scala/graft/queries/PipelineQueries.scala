@@ -45,6 +45,20 @@ object PipelineQueries {
     Dedup.winnowPairs(Tables.documents(s, d))
       .orderBy("id_a", "id_b")
 
+  /** Document novelty vs the md5-bucket reference half
+    * ([[Dedup.noveltyScores]]) — the "prefer unseen data" selection
+    * signal, scored on winnow fingerprints so copied passages always
+    * depress it. Same slice convention as text_drift_psi.
+    */
+  def textNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket", Sampling.bucketCol(col("doc_id")))
+    Dedup.noveltyScores(
+        cur = docs.filter(col("bucket") >= 50),
+        ref = docs.filter(col("bucket") < 50))
+      .orderBy("doc_id")
+  }
+
   /** Embedding cosine near-dups via random-hyperplane LSH. The synthetic
     * embeddings have no natural near-duplicates (max pairwise cosine
     * ≈ 0.51), so the scenario plants them: each vector gets a
@@ -1654,6 +1668,7 @@ object PipelineQueries {
     "dedup_simhash_pairs"  -> dedupSimhash _,
     "dedup_ngram_pairs"    -> dedupNgram _,
     "dedup_winnow_pairs"   -> dedupWinnow _,
+    "text_novelty"         -> textNovelty _,
     "dedup_incremental"    -> dedupIncremental _,
     "sample_token_budget"  -> sampleTokenBudget _,
     "dedup_embedding_pairs" -> dedupEmbedding _,
@@ -2265,6 +2280,42 @@ object PipelineQueries {
          WHERE round(CAST(p.n_shared AS DOUBLE) /
                (sa.n + sb.n - p.n_shared), 6) >= 0.4
          ORDER BY id_a, id_b""",
+    // Novelty replayed: the winnow CTEs (same selection as
+    // dedup_winnow_pairs), reference membership as a distinct-fp
+    // left join, counts and the rounded fraction per current doc;
+    // zero-fingerprint docs drop out of the unnest identically.
+    "text_novelty" ->
+      """WITH wdoc AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                    18, 15))::UBIGINT % 100 AS bucket,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, bucket, list_transform(
+             range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(words[i:i+2], ' ')) AS grams
+           FROM wdoc),
+         h AS (
+           SELECT doc_id, bucket, list_transform(grams,
+             x -> ('0x' || substr(md5(x), 18, 15))::BIGINT) AS hs
+           FROM g),
+         f AS (
+           SELECT doc_id, bucket, list_filter(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 4, 0) + 2),
+             i -> list_min(hs[i:i+3]))), x -> x IS NOT NULL) AS fps
+           FROM h),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM f
+               WHERE bucket >= 50),
+         seen AS (SELECT DISTINCT unnest(fps) AS fp FROM f
+                  WHERE bucket < 50)
+         SELECT e.doc_id, count(*) AS n_fps,
+                CAST(sum(CASE WHEN seen.fp IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                round(CAST(sum(CASE WHEN seen.fp IS NULL THEN 1 ELSE 0
+                  END) AS DOUBLE) / count(*), 6) AS novelty
+         FROM e LEFT JOIN seen ON e.fp = seen.fp
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
     "dedup_ngram_pairs" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')

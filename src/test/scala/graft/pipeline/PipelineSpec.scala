@@ -1664,4 +1664,21 @@ class PipelineSpec extends AnyFunSuite {
       s"only-local=${(expected -- got).take(5)}")
     assert(expected.nonEmpty, "fixture must contain winnow near-dups")
   }
+
+  test("noveltyScores: a verbatim copy scores 0, unseen text scores 1") {
+    import s.implicits._
+    val ref = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val cur = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // copy
+      (11L, "one two three four five six seven eight nine"),  // unseen
+      (12L, "xx yy alpha beta gamma delta epsilon zeta qq ww rr ss tt uu"))
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(cur, ref).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) == 0.0, s"verbatim copy must score 0, got ${out(10L)}")
+    assert(out(11L) == 1.0, s"unseen text must score 1, got ${out(11L)}")
+    assert(out(12L) > 0.0 && out(12L) < 1.0,
+      s"partial overlap must land strictly between, got ${out(12L)}")
+  }
 }
