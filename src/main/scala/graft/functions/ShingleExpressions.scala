@@ -120,9 +120,11 @@ object ShingleKernel {
     if (bytes.length > 0 && isWs(bytes(bytes.length - 1))) {
       starts.add(bytes.length); ends.add(bytes.length)
     }
-    // split("") = [""]: zero words behaves as one empty word, which for
-    // k >= 2 still yields zero full grams (the composable slice form)
-    val nWords = math.max(starts.size, 1)
+    // split("") = [""]: zero words IS one empty word — materialize it
+    // so k=1 hashes the empty gram instead of reading past the empty
+    // offset lists (caught by the PropertySpec fuzz)
+    if (starts.isEmpty) { starts.add(0); ends.add(0) }
+    val nWords = starts.size
     val nGrams = math.max(nWords - k + 1, 0)
     if (nGrams == 0)
       return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))

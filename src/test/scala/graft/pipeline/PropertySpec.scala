@@ -407,4 +407,51 @@ class PropertySpec extends AnyFunSuite {
         s"top-k mismatch: got=${got.toSeq} local=$local")
     }
   }
+
+  test("property: winnow kernel equals the composable-form local replay " +
+      "over random texts (whitespace runs, unicode, short docs)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(17, 32), 16)
+    }
+    def local(text: String, k: Int, w: Int): Seq[Long] = {
+      // the composable form: split(trim-input, "\\s+") with -1 limit,
+      // positional k-grams, h60, clamped window minima, sorted distinct
+      val words = text.split("\\s+", -1)
+      val m = math.max(words.length - k + 1, 0)
+      val hs = (0 until m).map(i =>
+        h60(words.slice(i, i + k).mkString(" ")))
+      if (hs.isEmpty) Seq.empty
+      else (0 to math.max(hs.length - w, 0))
+        .map(i => hs.slice(i, math.min(i + w, hs.length)).min)
+        .distinct.sorted
+    }
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "\u00e9\u00e9", "\u4e16\u754c",
+      "z9", "", "longishword")
+    val sepGen = Gen.oneOf(" ", "  ", "\t", " \t ", "\n")
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, wordGen)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sepGen)
+    } yield (if (ws.isEmpty) ""
+      else ws.head + seps.zip(ws.tail).map { case (sp, wd) => sp + wd }
+        .mkString)
+    var seed = rng.Seed(21L)
+    for (_ <- 1 to 200) {
+      val (text, s1) = draw(textGen, seed)
+      val (k, s2) = draw(Gen.choose(1, 4), s1)
+      val (w, s3) = draw(Gen.choose(1, 5), s2)
+      seed = s3
+      val got = graft.functions.ShingleKernel
+        .winnow(UTF8String.fromString(text), k, w)
+        .toLongArray().toSeq
+      val want = local(text, k, w)
+      assert(got == want,
+        s"winnow(k=$k, w=$w) diverged on ${text.take(60).mkString}: " +
+        s"kernel=$got local=$want")
+    }
+  }
 }
