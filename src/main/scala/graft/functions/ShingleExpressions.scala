@@ -24,15 +24,16 @@ object ShingleKernel {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  /** Distinct xxhash64 values of the k-word shingles of `s` (sorted —
-    * consumers treat the result as a set).
+  /** Word [start, end) offsets — replicating Spark `split(_, "\s+")`
+    * exactly: a leading/trailing whitespace run contributes an EMPTY
+    * token (callers pass trim(lower(text)), but trim strips only 0x20,
+    * so \t/\n edges still reach us), and `split("") = [""]` — the
+    * empty input yields one empty word when `emptyAsOneWord` is set
+    * (positional-gram callers) and the raw empty lists otherwise
+    * (the shingle caller handles it via its own min clamp).
     */
-  def compute(s: UTF8String, k: Int): ArrayData = {
-    val bytes = s.getBytes
-    // word [start, end) offsets — replicating Spark split(_, "\s+")
-    // exactly: a leading/trailing whitespace run contributes an EMPTY
-    // token (callers pass trim(lower(text)), but trim strips only
-    // 0x20, so \t/\n edges still reach us)
+  private def wordOffsets(bytes: Array[Byte], emptyAsOneWord: Boolean)
+      : (java.util.ArrayList[Integer], java.util.ArrayList[Integer]) = {
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()
     if (bytes.length > 0 && isWs(bytes(0))) { starts.add(0); ends.add(0) }
@@ -47,6 +48,16 @@ object ShingleKernel {
     if (bytes.length > 0 && isWs(bytes(bytes.length - 1))) {
       starts.add(bytes.length); ends.add(bytes.length)
     }
+    if (emptyAsOneWord && starts.isEmpty) { starts.add(0); ends.add(0) }
+    (starts, ends)
+  }
+
+  /** Distinct xxhash64 values of the k-word shingles of `s` (sorted —
+    * consumers treat the result as a set).
+    */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = false)
     val nWords = starts.size
     // split("", "\s+") yields [""]: zero words = one empty-string word
     val m = math.min(k, math.max(nWords, 1))
@@ -106,24 +117,9 @@ object ShingleKernel {
     */
   def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = s.getBytes
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    if (bytes.length > 0 && isWs(bytes(0))) { starts.add(0); ends.add(0) }
-    var i = 0
-    while (i < bytes.length) {
-      if (!isWs(bytes(i)) && (i == 0 || isWs(bytes(i - 1))))
-        starts.add(i)
-      if (!isWs(bytes(i)) && (i + 1 == bytes.length || isWs(bytes(i + 1))))
-        ends.add(i + 1)
-      i += 1
-    }
-    if (bytes.length > 0 && isWs(bytes(bytes.length - 1))) {
-      starts.add(bytes.length); ends.add(bytes.length)
-    }
-    // split("") = [""]: zero words IS one empty word — materialize it
-    // so k=1 hashes the empty gram instead of reading past the empty
-    // offset lists (caught by the PropertySpec fuzz)
-    if (starts.isEmpty) { starts.add(0); ends.add(0) }
+    // emptyAsOneWord: split("") = [""], so k=1 hashes the empty gram
+    // instead of reading past empty offset lists (PropertySpec fuzz)
+    val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = true)
     val nWords = starts.size
     val nGrams = math.max(nWords - k + 1, 0)
     if (nGrams == 0)
@@ -154,7 +150,7 @@ object ShingleKernel {
     }
     val nWin = math.max(nGrams - w, 0) + 1
     val fps = new Array[Long](nWin)
-    i = 0
+    var i = 0
     while (i < nWin) {
       var mn = hashes(i)
       var j = i + 1
@@ -174,6 +170,68 @@ object ShingleKernel {
     }
     UnsafeArrayData.fromPrimitiveArray(
       java.util.Arrays.copyOf(fps, distinct))
+  }
+
+  /** Per-document DSIR bigram bucket counts in one fused pass: word
+    * boundaries, consecutive word pairs joined by a single 0x20, the
+    * top-32-bit md5 prefix mod `buckets` — EXACTLY the oracle's
+    * `pmod(conv(substring(md5(gram), 1, 8), 16, 10), buckets)` — then
+    * a sort + run-length count so each (bucket, occurrences) pair is
+    * emitted ONCE, packed as `(bkt << 32) | count` in a primitive
+    * long array (no struct boxing; consumers decode with a shift and
+    * a mask — the rag id-packing stance).
+    *
+    * This replaces BOTH the interpreted zip_with bigram fold (HOFs
+    * are CodegenFallback — the gram assembly alone was ~1 s
+    * single-task at sf0.1) and the per-occurrence
+    * groupBy(id, bucket) map-side hash aggregate (~2 s more): the
+    * per-doc counting happens here, in-row, so the explode emits
+    * pre-counted rows and the plan needs no (id, bkt) aggregate at
+    * all. Counts fit 32 bits by construction (a doc would need 4B
+    * bigrams in ONE bucket to overflow).
+    */
+  def bigramBuckets(s: UTF8String, buckets: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = true)
+    val nBi = math.max(starts.size - 1, 0)
+    if (nBi == 0)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val md = md5Local.get()
+    val bkts = new Array[Long](nBi)
+    val buf = new Array[Byte](bytes.length + 1)
+    var g = 0
+    while (g < nBi) {
+      var len = 0
+      var wd = 0
+      while (wd < 2) {
+        if (wd > 0) { buf(len) = ' '; len += 1 }
+        val from = starts.get(g + wd)
+        val until = ends.get(g + wd)
+        System.arraycopy(bytes, from, buf, len, until - from)
+        len += until - from
+        wd += 1
+      }
+      md.reset()
+      md.update(buf, 0, len)
+      val d = md.digest()
+      val v32 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      bkts(g) = v32 % buckets
+      g += 1
+    }
+    java.util.Arrays.sort(bkts)
+    val packed = new Array[Long](nBi)
+    var nOut = 0
+    var i = 0
+    while (i < nBi) {
+      var run = 1
+      while (i + run < nBi && bkts(i + run) == bkts(i)) run += 1
+      packed(nOut) = (bkts(i) << 32) | run.toLong
+      nOut += 1
+      i += run
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      java.util.Arrays.copyOf(packed, nOut))
   }
 
   /** Every n-CHARACTER gram as a string (non-distinct): same one-pass
@@ -374,8 +432,47 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       : WinnowFingerprints = copy(child = newChild)
 }
 
+/** `bigram_buckets(text, buckets)` → `array<long>` of packed
+  * `(bucket << 32) | count` DSIR bigram bucket counts (see
+  * [[ShingleKernel.bigramBuckets]]). Input must already be
+  * `trim(lower(text))`.
+  */
+case class BigramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if buckets >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bigram_buckets expects a string column and buckets >= 1, " +
+            s"got $other / buckets=$buckets")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.bigramBuckets(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.bigramBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BigramBuckets = copy(child = newChild)
+}
+
 object ShingleExpressions {
   import org.apache.spark.sql.graftshim
+
+  /** Column API: `bigramBuckets(trim(lower(text)), buckets)`. */
+  def bigramBuckets(normalizedText: Column, buckets: Int): Column =
+    graftshim.columnOf(BigramBuckets(
+      graftshim.columnExpr(normalizedText), buckets))
 
   /** Column API: `winnowFingerprints(trim(lower(text)), k, w)`. */
   def winnowFingerprints(normalizedText: Column, k: Int, w: Int): Column =

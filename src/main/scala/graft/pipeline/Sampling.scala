@@ -403,21 +403,23 @@ object Sampling {
     * Σ log(p̂_target(b)/p̂_raw(b)) over its bigram OCCURRENCES with
     * add-one smoothing.
     *
-    * Scale shape: the gram stream explodes ONCE into a map-side-
-    * combinable per-(doc, bucket) count aggregation whose exchange all
-    * three consumers share (ReuseExchange); the bucket-level model
-    * counts roll up from it (≤B×tasks partials), the totals are two
-    * 1-row folds over those, and the per-bucket log-ratio table is ≤B
-    * rows, BROADCAST back onto the same pre-aggregated rows for the
-    * final per-doc weighted sum. Nothing corpus-sized ever sits on the
-    * driver, and the corpus is tokenized exactly once. Tradeoff made
-    * explicit: the shared exchange carries ≤min(grams, docs×B)
-    * integer-count rows (sorted bucket ids compress well) in place of
-    * the per-occurrence form's TWO extra full corpus scans +
-    * md5-tokenize passes — the right trade wherever scan+hash CPU
-    * outweighs shuffle bytes, which is the norm for text corpora; the
-    * per-doc bucket counts are also DSIR's natural reusable artifact
-    * (they ARE the hashed feature vectors).
+    * Scale shape: the per-(doc, bucket) occurrence counts come out of
+    * the fused [[graft.functions.ShingleKernel.bigramBuckets]] kernel
+    * IN-ROW — word scan, bigram md5, bucket mod, run-length count in
+    * one byte-level pass, packed `(bkt << 32) | count` longs — so the
+    * explode emits pre-counted rows and the plan needs no
+    * per-occurrence (doc, bucket) aggregate at all (the composable
+    * zip_with gram fold + groupBy it replaces ran interpreted — HOFs
+    * are CodegenFallback — and cost ~3 s single-task at sf0.1; the
+    * kernel is ~0.2 s). The skinny decoded frame is materialized ONCE
+    * (localCheckpoint — ≤min(grams, docs×B) integer rows, the
+    * fewshot stance) and all three consumers read it: bucket-level
+    * model counts roll up from it (≤B×tasks partials), the totals are
+    * two 1-row folds, and the per-bucket log-ratio table is ≤B rows,
+    * BROADCAST back for the final per-doc weighted sum. Nothing
+    * corpus-sized ever sits on the driver, the corpus is tokenized
+    * exactly once, and the per-doc bucket counts remain DSIR's natural
+    * reusable artifact (they ARE the hashed feature vectors).
     *
     * Determinism/oracle: the bucket hash is the first 8 md5 hex chars
     * as an integer (the [[bucketCol]] stance — expressible identically
@@ -426,35 +428,17 @@ object Sampling {
     */
   def dsirScores(df: DataFrame, targetFilter: Column, buckets: Int = 1024,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val ws = split(trim(lower(col(textCol))), "\\s+")
-    val nBi = greatest(size(ws) - 1, lit(0))
-    val grams = df.select(col(idCol), targetFilter.as("_t"),
-      explode(slice(
-        zip_with(ws, slice(ws, lit(2), nBi), (a, b) => concat_ws(" ", a, b)),
-        lit(1), nBi)).as("gram"))
+    // ONE corpus pass: the fused kernel emits per-doc pre-counted
+    // packed (bkt, count) longs; decode is a shift + mask. The skinny
+    // decoded frame is checkpointed so the three consumers (two model
+    // sides + scoring) read it instead of re-scanning the corpus.
+    val db = df.select(col(idCol), targetFilter.as("_t"),
+        explode(graft.functions.ShingleExpressions.bigramBuckets(
+          trim(lower(col(textCol))), buckets)).as("_e"))
       .select(col(idCol), col("_t"),
-        // coalesce makes bkt provably NON-NULL (grams from explode never
-        // are, but the analyzer can't see that): otherwise each bucket
-        // join pushes its own isnotnull(bkt) below the shared
-        // pre-aggregation, making the consumers' exchanges unequal and
-        // silently defeating the ReuseExchange the scale shape relies on
-        coalesce(
-          pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
-            lit(buckets.toLong)),
-          lit(0L)).as("bkt"))
-    // ONE corpus explode: the per-(doc, bucket) occurrence counts feed
-    // the model counts AND the candidate scoring. The three consumers
-    // below plan the identical pre-aggregation exchange, which
-    // ReuseExchange collapses to a single execution — the gram explode
-    // (the dominant map cost at corpus scale) runs once, not three
-    // times (once per model side + once for scoring, as the
-    // per-occurrence form did). `_t` rides as an AGGREGATE output
-    // (exact — it is constant per doc), not a grouping key: a grouping
-    // key would let Catalyst push each consumer's target filter BELOW
-    // the aggregate, making the three exchanges unequal and defeating
-    // the reuse. Plan-pinned: one Generate node, ≥2 reused exchanges.
-    val db = grams.groupBy(col(idCol), col("bkt"))
-      .agg(count(lit(1)).as("_c"), max(col("_t")).as("_t"))
+        shiftright(col("_e"), 32).as("bkt"),
+        col("_e").bitwiseAND(lit(0xFFFFFFFFL)).as("_c"))
+      .localCheckpoint(true)
     scoreBucketCounts(db, buckets, idCol)
   }
 
@@ -475,23 +459,18 @@ object Sampling {
   def dsirScoresPreScored(text: DataFrame, meta: DataFrame,
       buckets: Int = 1024, textCol: String = "text",
       idCol: String = "doc_id", targetCol: String = "_t"): DataFrame = {
-    val ws = split(trim(lower(col(textCol))), "\\s+")
-    val nBi = greatest(size(ws) - 1, lit(0))
-    val grams = text.select(col(idCol),
-      explode(slice(
-        zip_with(ws, slice(ws, lit(2), nBi), (a, b) => concat_ws(" ", a, b)),
-        lit(1), nBi)).as("gram"))
+    // ONE corpus pass through the fused kernel (pre-counted packed
+    // rows — see [[dsirScores]]); the checkpointed narrow frame is the
+    // shared artifact, and the meta join sits ABOVE it, so
+    // per-consumer target filters push into the (cheap, narrow) meta
+    // side and the corpus is never re-tokenized
+    val counts = text.select(col(idCol),
+        explode(graft.functions.ShingleExpressions.bigramBuckets(
+          trim(lower(col(textCol))), buckets)).as("_e"))
       .select(col(idCol),
-        coalesce(
-          pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
-            lit(buckets.toLong)),
-          lit(0L)).as("bkt"))
-    // ONE corpus explode; the (id, bkt, count) pre-aggregation is the
-    // shared subtree all three consumers reuse — the meta join sits
-    // ABOVE it, so per-consumer target filters push into the (cheap,
-    // narrow) meta side and can never split the expensive exchange
-    val counts = grams.groupBy(col(idCol), col("bkt"))
-      .agg(count(lit(1)).as("_c"))
+        shiftright(col("_e"), 32).as("bkt"),
+        col("_e").bitwiseAND(lit(0xFFFFFFFFL)).as("_c"))
+      .localCheckpoint(true)
     val db = counts.join(
       meta.select(col(idCol), col(targetCol).cast("boolean").as("_t")),
       Seq(idCol))

@@ -158,10 +158,8 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
-  test("DSIR: the corpus gram stream explodes ONCE — model counts and " +
-      "scoring share the pre-aggregation exchange") {
-    import org.apache.spark.sql.execution.GenerateExec
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  test("DSIR: the corpus is tokenized ONCE — model counts and scoring " +
+      "read the checkpointed bucket-count frame") {
     val conf = s.conf
     val aqe = conf.get("spark.sql.adaptive.enabled", "true")
     try {
@@ -170,50 +168,53 @@ class PlanSpec extends AnyFunSuite {
       val plan = graft.pipeline.Sampling
         .dsirScores(docs, col("lang") === "en")
         .queryExecution.executedPlan
-      val gens = plan.collect { case g: GenerateExec => g }
       // target counts, raw counts, and candidate scoring must all read
-      // the ONE (doc, bucket) pre-aggregation — a Generate per consumer
-      // re-tokenizes the corpus three times at 100 TB
-      assert(gens.size == 1,
-        s"${gens.size} gram explodes:\n${plan.toString.take(2000)}")
-      val reused = plan.collect { case r: ReusedExchangeExec => r }
-      assert(reused.size >= 2,
-        s"expected the pre-agg exchange reused by 2 consumers, " +
-          s"found ${reused.size} reuses")
+      // the ONE checkpointed (doc, bucket, count) frame — re-running
+      // the bigram kernel per consumer re-tokenizes the corpus three
+      // times at 100 TB. The tokenize pass is spent BEFORE this plan
+      // (the fused kernel + explode inside the eager checkpoint), so
+      // the plan must contain NO parquet scan of the corpus at all.
+      assert(plan.toString.contains("ExistingRDD"),
+        "expected the checkpointed bucket-count frame at the leaves:\n" +
+          plan.toString.take(2000))
+      assert(!plan.toString.contains("Scan parquet"),
+        "a consumer re-scanned the corpus instead of reading the " +
+          "checkpoint:\n" + plan.toString.take(2000))
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
-  test("DSIR pre-scored: gram explode once, pre-agg exchange reused " +
-      "across consumers, no exchange carries text") {
-    import org.apache.spark.sql.execution.GenerateExec
-    import org.apache.spark.sql.execution.exchange.{
-      ReusedExchangeExec, ShuffleExchangeExec}
+  test("DSIR pre-scored: corpus tokenized once into the checkpointed " +
+      "narrow frame; no exchange carries text or grams") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val conf = s.conf
     val aqe = conf.get("spark.sql.adaptive.enabled", "true")
     try {
       conf.set("spark.sql.adaptive.enabled", "false")
       // the pipeline_pretrain shape: text rides (id, text) into the
-      // gram explode; candidacy/target metadata joins onto the
-      // PRE-AGGREGATED (id, bkt, count) rows. Per-consumer target
-      // filters push into the narrow meta side — the expensive
-      // explode + pre-agg subtree must stay ONE reused exchange, and
-      // document text must never sit on any exchange.
+      // fused bigram-bucket kernel ONCE, whose pre-counted output is
+      // materialized as a checkpoint; candidacy/target metadata joins
+      // onto the narrow (id, bkt, count) rows ABOVE it. Downstream,
+      // every exchange must carry only narrow columns — never text or
+      // gram strings — and the scoring weight table must come back as
+      // a broadcast, not a corpus-side shuffle.
       val docs = s.read.parquet(s"$sf/documents.parquet")
-      val plan = graft.pipeline.Sampling.dsirScoresPreScored(
+      val out = graft.pipeline.Sampling.dsirScoresPreScored(
           docs.select(col("doc_id"), col("text")),
           docs.select(col("doc_id"), (col("lang") === "en").as("_t")))
-        .queryExecution.executedPlan
-      val gens = plan.collect { case g: GenerateExec => g }
-      assert(gens.size == 1,
-        s"${gens.size} gram explodes:\n${plan.toString.take(2000)}")
-      val reused = plan.collect { case r: ReusedExchangeExec => r }
-      assert(reused.size >= 2,
-        s"expected the pre-agg exchange reused by 2 consumers, " +
-          s"found ${reused.size} reuses")
-      val carrying = plan.collect { case e: ShuffleExchangeExec => e }
-        .filter(_.output.exists(_.name == "text"))
-      assert(carrying.isEmpty, "document text on an exchange:\n" +
-        carrying.map(_.simpleStringWithNodeId()).mkString("\n"))
+      val plan = out.queryExecution.executedPlan
+      // the tokenize pass is spent BEFORE this plan: the corpus enters
+      // as the checkpoint RDD, so the plan re-tokenizes nothing
+      assert(plan.toString.contains("ExistingRDD"),
+        "expected the checkpointed bucket-count frame at the leaves:\n" +
+          plan.toString.take(2000))
+      val wide = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.output.exists(a =>
+          a.name == "text" || a.name == "gram"))
+      assert(wide.isEmpty, "text/gram on an exchange:\n" +
+        wide.map(_.simpleStringWithNodeId()).mkString("\n"))
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        "the log-ratio weight table must broadcast back onto the " +
+          "bucket counts")
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
