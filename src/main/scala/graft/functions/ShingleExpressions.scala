@@ -52,10 +52,16 @@ object ShingleKernel {
     (starts, ends)
   }
 
-  /** Distinct xxhash64 values of the k-word shingles of `s` (sorted —
-    * consumers treat the result as a set).
+  /** POSITIONAL xxhash64 values of the k-word shingles of `s`, one per
+    * start position (duplicates kept, order = document order) — equal
+    * to `transform(sequence(1, greatest(n-k+1, 1)), i ->
+    * xxhash64(concat_ws(" ", slice(words, i, k))))` whose per-position
+    * slice lambda runs interpreted (HOFs are CodegenFallback) and
+    * allocates a k-word array per position. Fewer than k words
+    * collapse to ONE clamped shingle of all words; the empty string
+    * yields the hash of the empty shingle.
     */
-  def compute(s: UTF8String, k: Int): ArrayData = {
+  def positionalHashes(s: UTF8String, k: Int): Array[Long] = {
     val bytes = s.getBytes
     val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = false)
     val nWords = starts.size
@@ -81,6 +87,19 @@ object ShingleKernel {
           len, 42L)
       sIdx += 1
     }
+    hashes
+  }
+
+  /** Positional k-word shingle hashes as an ArrayData (the
+    * [[positionalHashes]] contract), for the posexplode consumers. */
+  def positional(s: UTF8String, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(positionalHashes(s, k))
+
+  /** Distinct xxhash64 values of the k-word shingles of `s` (sorted —
+    * consumers treat the result as a set).
+    */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val hashes = positionalHashes(s, k)
     java.util.Arrays.sort(hashes)
     var distinct = 0
     var j = 0
@@ -432,6 +451,40 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       : WinnowFingerprints = copy(child = newChild)
 }
 
+/** `positional_shingles(text, k)` → `array<long>` of POSITIONAL
+  * xxhash64 k-word shingle hashes, document order, duplicates kept
+  * (see [[ShingleKernel.positionalHashes]]). Input must already be
+  * `trim(lower(text))`.
+  */
+case class PositionalShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if k >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_shingles expects a string column and k >= 1, " +
+            s"got $other / k=$k")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.positional(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.positional($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PositionalShingles = copy(child = newChild)
+}
+
 /** `bigram_buckets(text, buckets)` → `array<long>` of packed
   * `(bucket << 32) | count` DSIR bigram bucket counts (see
   * [[ShingleKernel.bigramBuckets]]). Input must already be
@@ -468,6 +521,11 @@ case class BigramBuckets(child: Expression, buckets: Int)
 
 object ShingleExpressions {
   import org.apache.spark.sql.graftshim
+
+  /** Column API: `positionalShingles(trim(lower(text)), k)`. */
+  def positionalShingles(normalizedText: Column, k: Int): Column =
+    graftshim.columnOf(PositionalShingles(
+      graftshim.columnExpr(normalizedText), k))
 
   /** Column API: `bigramBuckets(trim(lower(text)), buckets)`. */
   def bigramBuckets(normalizedText: Column, buckets: Int): Column =

@@ -113,15 +113,15 @@ object Decontaminate {
   def ngramOverlapSpans(corpus: DataFrame, benchmark: DataFrame,
       k: Int = 8, textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
-    def posGrams(df: DataFrame, id: String): DataFrame = {
-      val words = split(trim(lower(col(textCol))), "\\s+")
-      val m = greatest(size(words) - (k - 1), lit(1))
+    // fused positional-shingle kernel: the composable per-position
+    // slice lambda ran interpreted (HOF CodegenFallback) — the
+    // dominant map cost of both span rows
+    def posGrams(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
-          posexplode(transform(sequence(lit(1), m),
-            i => xxhash64(concat_ws(" ", slice(words, i, lit(k)))))))
+          posexplode(graft.functions.ShingleExpressions
+            .positionalShingles(trim(lower(col(textCol))), k)))
         .select(col(id), (col("pos") + 1).cast("int").as("pos"),
           col("col").as("_gram"))
-    }
     val bench = broadcast(posGrams(benchmark, "bench_id")
       .groupBy(col("bench_id"), col("_gram"))
       .agg(min(col("pos")).as("bench_pos")))
@@ -154,15 +154,13 @@ object Decontaminate {
       k: Int = 8, textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
     def words0(df: DataFrame) = split(trim(lower(col(textCol))), "\\s+")
-    def posGrams(df: DataFrame): DataFrame = {
-      val words = words0(df)
-      val m = greatest(size(words) - (k - 1), lit(1))
+    // fused positional-shingle kernel (see [[ngramOverlapSpans]])
+    def posGrams(df: DataFrame): DataFrame =
       df.select(col(idCol),
-          posexplode(transform(sequence(lit(1), m),
-            i => xxhash64(concat_ws(" ", slice(words, i, lit(k)))))))
+          posexplode(graft.functions.ShingleExpressions
+            .positionalShingles(trim(lower(col(textCol))), k)))
         .select(col(idCol), (col("pos") + 1).cast("int").as("pos"),
           col("col").as("_gram"))
-    }
     val benchGrams = broadcast(posGrams(benchmark).select("_gram").distinct())
     // matched gram start positions → covered word indices → one
     // sorted-array row per affected doc (dedup via the set agg)
