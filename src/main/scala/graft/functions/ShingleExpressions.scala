@@ -253,6 +253,47 @@ object ShingleKernel {
       java.util.Arrays.copyOf(packed, nOut))
   }
 
+
+  /** 64-bit SimHash sketch of whitespace-split words in one fused
+    * pass: per word, the SIGNED low-64 md5 value (EXACTLY the
+    * composable `conv(substring(md5(w), 17, 16), 16, -10)` — digest
+    * bytes 8..15 as a signed long), a ±1 vote per bit, sketch bit set
+    * where the vote sum is positive. The sketch is a pure per-row
+    * function of the text, so this removes BOTH the word explode and
+    * the 64-conditional-sum aggregate from the plan — the sketch
+    * compute never leaves the scan projection.
+    */
+  def simhashSketch(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = true)
+    val md = md5Local.get()
+    val votes = new Array[Int](64)
+    var wd = 0
+    while (wd < starts.size) {
+      val from = starts.get(wd)
+      val until = ends.get(wd)
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      var v: Long = 0L
+      var bi = 8
+      while (bi < 16) { v = (v << 8) | (d(bi) & 0xFFL); bi += 1 }
+      var k = 0
+      while (k < 64) {
+        if (((v >>> k) & 1L) != 0L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      wd += 1
+    }
+    var sketch = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) sketch |= (1L << k)
+      k += 1
+    }
+    sketch
+  }
+
   /** Every n-CHARACTER gram as a string (non-distinct): same one-pass
     * code-point scan as [[chargrams]], each gram an UTF8String wrapper
     * over the original buffer — no per-gram byte copying. Equal to
@@ -485,6 +526,38 @@ case class PositionalShingles(child: Expression, k: Int)
       : PositionalShingles = copy(child = newChild)
 }
 
+
+/** `simhash_sketch(text)` → 64-bit SimHash of the whitespace words
+  * (see [[ShingleKernel.simhashSketch]]). Input must already be
+  * `trim(lower(text))`.
+  */
+case class SimhashSketch(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_sketch expects a string column, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.simhashSketch(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.simhashSketch($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimhashSketch = copy(child = newChild)
+}
+
 /** `bigram_buckets(text, buckets)` → `array<long>` of packed
   * `(bucket << 32) | count` DSIR bigram bucket counts (see
   * [[ShingleKernel.bigramBuckets]]). Input must already be
@@ -521,6 +594,11 @@ case class BigramBuckets(child: Expression, buckets: Int)
 
 object ShingleExpressions {
   import org.apache.spark.sql.graftshim
+
+  /** Column API: `simhashSketch(trim(lower(text)))`. */
+  def simhashSketch(normalizedText: Column): Column =
+    graftshim.columnOf(SimhashSketch(
+      graftshim.columnExpr(normalizedText)))
 
   /** Column API: `positionalShingles(trim(lower(text)), k)`. */
   def positionalShingles(normalizedText: Column, k: Int): Column =

@@ -329,23 +329,19 @@ object Dedup {
     * sketch + banding + hamming pipeline is oracle-checkable end to
     * end. Hash quality is equivalent for sketching purposes (md5 bits
     * are uniform).
+    *
+    * The sketch is a pure per-row function of the text, so it comes
+    * out of the fused [[graft.functions.ShingleKernel.simhashSketch]]
+    * kernel inside the scan projection — the word explode and the
+    * 64-conditional-sum per-doc aggregate the composable form needed
+    * (one ±1 vote column per bit, shuffled per doc) are gone from the
+    * plan entirely; the sketch never rides more than 8 bytes/doc.
     */
   def simhash(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val words = df.select(col(idCol),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-      .withColumn("h",
-        conv(substring(md5(col("w")), 17, 16), 16, -10).cast("long"))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1))
-        .as(s"bit_$k")
-    }
-    val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until 64).map { k =>
-      when(col(s"bit_$k") > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), hashExpr.as("simhash"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      graft.functions.ShingleExpressions.simhashSketch(
+        trim(lower(col(textCol)))).as("simhash"))
 
   def simhashPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {

@@ -454,4 +454,42 @@ class PropertySpec extends AnyFunSuite {
         s"kernel=$got local=$want")
     }
   }
+
+  test("property: simhash kernel equals the vote-sum local replay " +
+      "over random texts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h64(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseUnsignedLong(hex.substring(16, 32), 16)
+    }
+    def local(text: String): Long = {
+      val words = text.split("\\s+", -1)
+      val ws = if (words.isEmpty) Array("") else words
+      val votes = new Array[Int](64)
+      ws.foreach { w =>
+        val v = h64(w)
+        (0 until 64).foreach { k =>
+          if (((v >>> k) & 1L) != 0L) votes(k) += 1 else votes(k) -= 1 }
+      }
+      (0 until 64).foldLeft(0L) { (acc, k) =>
+        if (votes(k) > 0) acc | (1L << k) else acc }
+    }
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "\u00fc\u00fc", "word",
+      "z9", "qqq")
+    val textGen = for {
+      n <- Gen.choose(0, 25)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    var seed = rng.Seed(33L)
+    for (_ <- 1 to 100) {
+      val (text, s1) = draw(textGen, seed)
+      seed = s1
+      val got = graft.functions.ShingleKernel
+        .simhashSketch(UTF8String.fromString(text))
+      val want = local(text)
+      assert(got == want, s"simhash diverged on '${text.take(50)}'")
+    }
+  }
 }
