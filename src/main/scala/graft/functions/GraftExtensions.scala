@@ -70,6 +70,27 @@ object GraftExtensions {
         WinnowFingerprints(args(0),
           intArg(args(1), "winnow_fingerprints"),
           intArg(args(2), "winnow_fingerprints"))
+      }),
+    (new FunctionIdentifier("positional_shingles"),
+      new ExpressionInfo(classOf[PositionalShingles].getName,
+        "positional_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "positional_shingles(text, k)")
+        PositionalShingles(args(0), intArg(args(1), "positional_shingles"))
+      }),
+    (new FunctionIdentifier("bigram_buckets"),
+      new ExpressionInfo(classOf[BigramBuckets].getName,
+        "bigram_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bigram_buckets(text, buckets)")
+        BigramBuckets(args(0), intArg(args(1), "bigram_buckets"))
+      }),
+    (new FunctionIdentifier("simhash_sketch"),
+      new ExpressionInfo(classOf[SimhashSketch].getName,
+        "simhash_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_sketch(text)")
+        SimhashSketch(args(0))
       }))
 
   /** Install the functions into an already-built session (idempotent —

@@ -492,4 +492,44 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"simhash diverged on '${text.take(50)}'")
     }
   }
+
+  test("property: bigram-bucket kernel equals the composable local " +
+      "replay over random texts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bkt(x: String, buckets: Int): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+    }
+    def local(text: String, buckets: Int): Map[Long, Long] = {
+      val words = text.split("\\s+", -1)
+      val ws = if (words.isEmpty) Array("") else words
+      (0 until ws.length - 1)
+        .map(i => bkt(ws(i) + " " + ws(i + 1), buckets))
+        .groupBy(identity).map { case (b, xs) => (b, xs.length.toLong) }
+    }
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "\u00e9z", "w", "", "xx")
+    val sepGen = Gen.oneOf(" ", "  ", "\t")
+    val textGen = for {
+      n <- Gen.choose(0, 25)
+      ws <- Gen.listOfN(n, wordGen)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sepGen)
+    } yield (if (ws.isEmpty) ""
+      else ws.head + seps.zip(ws.tail).map { case (sp, wd) => sp + wd }
+        .mkString)
+    var seed = rng.Seed(55L)
+    for (_ <- 1 to 150) {
+      val (text, s1) = draw(textGen, seed)
+      val (buckets, s2) = draw(Gen.oneOf(7, 64, 1024), s1)
+      seed = s2
+      val got = graft.functions.ShingleKernel
+        .bigramBuckets(UTF8String.fromString(text), buckets)
+        .toLongArray().map(e => (e >> 32, e & 0xFFFFFFFFL)).toMap
+      val want = local(text, buckets)
+      assert(got == want,
+        s"bigram buckets diverged on '${text.take(50)}' B=$buckets: " +
+        s"kernel=$got local=$want")
+    }
+  }
 }
