@@ -1496,12 +1496,22 @@ object PipelineQueries {
       shingleK = 3, jaccardThreshold = 0.5).select("id_a", "id_b")
     val deduped = Dedup.dropDuplicatesByPairs(scored, pairs,
       keepBest = Some("quality_score"))
+    // The gated survivor set is materialized ONCE as a narrow frame
+    // (text consumed into n_tokens at the scan): temperatureSample
+    // reads it twice (per-stratum counts + the keep join) and the
+    // accounting once more, and each lazy re-read would re-run the
+    // whole LSH + components + keep-best chain (~1.2 s/read at sf0.1
+    // — the row measured 5.1 s for ~1.5 s of actual work). The
+    // fewshot-checkpoint stance: skinny by construction, corpus-linear.
     val gated = deduped.filter(col("quality_score") >= 0.8)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .localCheckpoint(true)
     val mixed = Sampling.temperatureSample(gated, targetFraction = 0.5,
       sourceCol = "lang")
     mixed.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"))
+        sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
   }
 
