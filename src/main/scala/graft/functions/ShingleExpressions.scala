@@ -90,6 +90,42 @@ object ShingleKernel {
     hashes
   }
 
+
+  /** POSITIONAL k-word gram STRINGS (duplicates kept, document order,
+    * words joined by a single 0x20) — the string twin of
+    * [[positionalHashes]], for consumers whose OUTPUT is the gram
+    * text or whose oracle counts distinct gram strings (a hash twin
+    * would be collision-exposed against a string-replaying oracle).
+    * Same short-doc rule: fewer than k words collapse to one gram of
+    * all words; the empty string yields one empty gram.
+    */
+  def positionalGramStrings(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = false)
+    val nWords = starts.size
+    val m = math.min(k, math.max(nWords, 1))
+    val nShingles = math.max(nWords - k + 1, 1)
+    val grams = new Array[AnyRef](nShingles)
+    val buf = new Array[Byte](bytes.length + k)
+    var sIdx = 0
+    while (sIdx < nShingles) {
+      var len = 0
+      var w = 0
+      while (w < m && sIdx + w < nWords) {
+        if (w > 0) { buf(len) = ' '; len += 1 }
+        val from = starts.get(sIdx + w)
+        val until = ends.get(sIdx + w)
+        System.arraycopy(bytes, from, buf, len, until - from)
+        len += until - from
+        w += 1
+      }
+      grams(sIdx) = UTF8String.fromBytes(
+        java.util.Arrays.copyOf(buf, len), 0, len)
+      sIdx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(grams)
+  }
+
   /** Positional k-word shingle hashes as an ArrayData (the
     * [[positionalHashes]] contract), for the posexplode consumers. */
   def positional(s: UTF8String, k: Int): ArrayData =
@@ -558,6 +594,41 @@ case class SimhashSketch(child: Expression) extends UnaryExpression {
       : SimhashSketch = copy(child = newChild)
 }
 
+
+/** `positional_gram_strings(text, k)` → `array<string>` of POSITIONAL
+  * k-word gram strings, document order, duplicates kept (see
+  * [[ShingleKernel.positionalGramStrings]]). Input must already be
+  * `trim(lower(text))`.
+  */
+case class PositionalGramStrings(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if k >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_gram_strings expects a string column and k >= 1, " +
+            s"got $other / k=$k")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.positionalGramStrings(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.positionalGramStrings($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PositionalGramStrings = copy(child = newChild)
+}
+
 /** `bigram_buckets(text, buckets)` → `array<long>` of packed
   * `(bucket << 32) | count` DSIR bigram bucket counts (see
   * [[ShingleKernel.bigramBuckets]]). Input must already be
@@ -594,6 +665,11 @@ case class BigramBuckets(child: Expression, buckets: Int)
 
 object ShingleExpressions {
   import org.apache.spark.sql.graftshim
+
+  /** Column API: `positionalGramStrings(trim(lower(text)), k)`. */
+  def positionalGramStrings(normalizedText: Column, k: Int): Column =
+    graftshim.columnOf(PositionalGramStrings(
+      graftshim.columnExpr(normalizedText), k))
 
   /** Column API: `simhashSketch(trim(lower(text)))`. */
   def simhashSketch(normalizedText: Column): Column =

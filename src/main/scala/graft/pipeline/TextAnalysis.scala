@@ -334,19 +334,18 @@ object TextAnalysis {
   }
 
   /** Word n-grams WITH duplicates (the repetition metrics need
-    * multiplicities; [[Dedup.shingles]] dedups). Same shifted-zip_with
-    * shape and same short-text convention: fewer than n words collapse
-    * to one gram of all words.
+    * multiplicities; [[Dedup.shingles]] dedups) — the fused
+    * [[graft.functions.ShingleKernel.positionalGramStrings]] kernel:
+    * same single-space join and short-text convention (fewer than n
+    * words collapse to one gram of all words) as the shifted-zip_with
+    * fold it replaces, which ran interpreted (HOF CodegenFallback).
+    * Grams stay STRINGS because every consumer either outputs the
+    * gram text or counts distinct gram strings against a
+    * string-replaying oracle.
     */
-  private def ngramsAll(text: Column, n: Int): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    val joined = (1 until n).foldLeft(words) { (acc, shift) =>
-      zip_with(acc, slice(words, lit(shift + 1),
-        greatest(size(words) - shift, lit(0))),
-        (a, b) => concat_ws(" ", a, b))
-    }
-    slice(joined, lit(1), greatest(size(words) - (n - 1), lit(1)))
-  }
+  private def ngramsAll(text: Column, n: Int): Column =
+    graft.functions.ShingleExpressions.positionalGramStrings(
+      trim(lower(text)), n)
 
   /** Intra-document repetition (the Gopher-style quality rule): the
     * fraction of word n-grams that are repeats of an earlier n-gram in

@@ -532,4 +532,39 @@ class PropertySpec extends AnyFunSuite {
         s"kernel=$got local=$want")
     }
   }
+
+  test("property: positional gram-string kernel equals the composable " +
+      "replay over random texts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def local(text: String, k: Int): Seq[String] = {
+      val words = text.split("\\s+", -1)
+      val ws = if (words.isEmpty) Array("") else words
+      val m = math.min(k, math.max(ws.length, 1))
+      (0 until math.max(ws.length - k + 1, 1))
+        .map(i => ws.slice(i, math.min(i + m, ws.length)).mkString(" "))
+    }
+    val wordGen = Gen.oneOf("a", "bb", "\u00e9\u00e9", "w9", "", "long")
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n")
+    val textGen = for {
+      n <- Gen.choose(0, 20)
+      ws <- Gen.listOfN(n, wordGen)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sepGen)
+    } yield (if (ws.isEmpty) ""
+      else ws.head + seps.zip(ws.tail).map { case (sp, wd) => sp + wd }
+        .mkString)
+    var seed = rng.Seed(77L)
+    for (_ <- 1 to 150) {
+      val (text, s1) = draw(textGen, seed)
+      val (k, s2) = draw(Gen.choose(1, 5), s1)
+      seed = s2
+      val arr = graft.functions.ShingleKernel
+        .positionalGramStrings(UTF8String.fromString(text), k)
+      val got = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      val want = local(text, k)
+      assert(got == want,
+        s"gram strings diverged on '${text.take(50)}' k=$k: " +
+        s"kernel=$got local=$want")
+    }
+  }
 }
