@@ -951,6 +951,10 @@ object PipelineQueries {
               acc + (cast(conv(substring(h, cast(j * 4 + 1 as int), 4),
                 16, 10) as long) % 2001L - 1000L) / 1000.0D))"""))
       .select(col("doc_id"), col("chunk_idx"), col("vec"))
+      // materialized ONCE (~100 B/chunk): the query slice and the
+      // packed corpus both read this frame, and a lazy re-read would
+      // re-run the chunk explode + md5 embed per consumer
+      .localCheckpoint(true)
     val q = emb.filter(col("doc_id") < 3 && col("chunk_idx") === 0)
       .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
     // (doc_id, chunk_idx) packed into one long, monotonic in the pair
