@@ -136,6 +136,27 @@ object LakeQueries {
   def branchDev(s: SparkSession, d: String): DataFrame =
     branchScenario(s, d).readRef("dev").orderBy("custkey")
 
+  /** Branch DIFF — the audit a WAP flow runs before fast-forwarding:
+    * both refs of the SAME table scanned in ONE plan (each ref must
+    * resolve its own snapshot's file set — a scan-isolation property
+    * the per-branch rows can't pin alone), full-outer joined on the
+    * key and classified `both` / `dev_only` (would be published) /
+    * `main_only` (was deleted on dev). Row-level output so the oracle
+    * checks every key's classification, not just counts; the join
+    * moves id-sized rows only.
+    */
+  def lakeBranchDiff(s: SparkSession, d: String): DataFrame = {
+    val t = branchScenario(s, d)
+    val main = t.read().select(col("custkey"), lit(true).as("_m"))
+    val dev = t.readRef("dev").select(col("custkey"), lit(true).as("_d"))
+    main.join(dev, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        when(col("_m").isNotNull && col("_d").isNotNull, lit("both"))
+          .when(col("_d").isNotNull, lit("dev_only"))
+          .otherwise(lit("main_only")).as("status"))
+      .orderBy("custkey")
+  }
+
   /** CDC (`sql:114-125`): append + delete, then table_changes. */
   def cdcChanges(s: SparkSession, d: String): DataFrame = {
     val t = scenario("cdc", d) { loc =>
@@ -783,6 +804,7 @@ object LakeQueries {
     "lake_branch_main"     -> branchMain _,
     "lake_branch_dev"      -> branchDev _,
     "lake_cdc_changes"     -> cdcChanges _,
+    "lake_branch_diff"     -> lakeBranchDiff _,
     "lake_drift_psi"       -> lakeDriftPsi _,
     "lake_incremental_read" -> incrementalRead _,
     "lake_optimize_invariance" -> optimizeInvariance _,
@@ -875,6 +897,21 @@ object LakeQueries {
            SELECT 'delete' AS change_type, c_custkey AS custkey
            FROM customer WHERE c_custkey < 150 AND c_custkey % 7 = 0
          ) ORDER BY change_type, custkey""",
+    // The branch states replayed as predicates (main = custkey<100;
+    // dev = that plus the [100,110) append minus the <5 delete), then
+    // the same full-outer classification.
+    "lake_branch_diff" ->
+      """WITH m AS (SELECT c_custkey AS custkey FROM customer
+                    WHERE c_custkey < 100),
+         dv AS (SELECT c_custkey AS custkey FROM customer
+                WHERE c_custkey < 110 AND c_custkey >= 5)
+         SELECT COALESCE(m.custkey, dv.custkey) AS custkey,
+                CASE WHEN m.custkey IS NOT NULL AND dv.custkey IS NOT NULL
+                       THEN 'both'
+                     WHEN dv.custkey IS NOT NULL THEN 'dev_only'
+                     ELSE 'main_only' END AS status
+         FROM m FULL OUTER JOIN dv ON m.custkey = dv.custkey
+         ORDER BY custkey""",
     // The parity replay of the scenario (even docs = the baseline
     // snapshot, odd docs = the CDC insert delta) fed through the
     // text_drift_psi CTE chain — same capped sample, integer decile
