@@ -29,8 +29,11 @@ object ShingleKernel {
     * token (callers pass trim(lower(text)), but trim strips only 0x20,
     * so \t/\n edges still reach us), and `split("") = [""]` — the
     * empty input yields one empty word when `emptyAsOneWord` is set
-    * (positional-gram callers) and the raw empty lists otherwise
-    * (the shingle caller handles it via its own min clamp).
+    * (the winnow / bigram / simhash kernels, whose gram loops index
+    * the offset lists directly) and the raw empty lists otherwise
+    * (the clamped-shingle kernels — positionalHashes,
+    * positionalGramStrings, compute — which handle zero words via
+    * their own `min(k, max(nWords, 1))` clamp).
     */
   private def wordOffsets(bytes: Array[Byte], emptyAsOneWord: Boolean)
       : (java.util.ArrayList[Integer], java.util.ArrayList[Integer]) = {

@@ -336,12 +336,20 @@ object Dedup {
     * 64-conditional-sum per-doc aggregate the composable form needed
     * (one ±1 vote column per bit, shuffled per doc) are gone from the
     * plan entirely; the sketch never rides more than 8 bytes/doc.
+    *
+    * Contract: ONE output row per input row; NULL texts are dropped
+    * (the explode form's behavior — a null can't be sketched), and a
+    * duplicated id yields duplicated sketch rows (the old groupBy
+    * instead merged duplicate ids into one sketch over their combined
+    * words — an accident of the aggregate, not a semantic anyone
+    * should rely on).
     */
   def simhash(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df.select(col(idCol),
-      graft.functions.ShingleExpressions.simhashSketch(
-        trim(lower(col(textCol)))).as("simhash"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.ShingleExpressions.simhashSketch(
+          trim(lower(col(textCol)))).as("simhash"))
 
   def simhashPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
@@ -432,8 +440,12 @@ object Dedup {
       .select(col(idCol), explode(col("fps")).as("fp"))
       .localCheckpoint(true)
     val dfq = e.groupBy(col("fp")).agg(count(lit(1)).as("dfreq"))
+    // the capped frame has THREE consumers of its own (the size agg
+    // and both pair-join sides) — checkpoint it too, or the df-count
+    // aggregate and the cap join re-execute per consumer
     val kept = e.join(dfq, Seq("fp")).filter(col("dfreq") <= maxDf)
       .select(col(idCol), col("fp"))
+      .localCheckpoint(true)
     val sz = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val pairs = kept.select(col(idCol).as("id_a"), col("fp"))
       .join(kept.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))

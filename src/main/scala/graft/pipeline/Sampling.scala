@@ -427,19 +427,31 @@ object Sampling {
     * tie-break so engine-order log-sum ulps can't flip the selection.
     */
   def dsirScores(df: DataFrame, targetFilter: Column, buckets: Int = 1024,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // ONE corpus pass: the fused kernel emits per-doc pre-counted
-    // packed (bkt, count) longs; decode is a shift + mask. The skinny
-    // decoded frame is checkpointed so the three consumers (two model
-    // sides + scoring) read it instead of re-scanning the corpus.
-    val db = df.select(col(idCol), targetFilter.as("_t"),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    scoreBucketCounts(
+      bigramBucketCounts(
+        df.select(col(idCol), targetFilter.as("_t"), col(textCol)),
+        buckets, textCol, keepCols = Seq(idCol, "_t")),
+      buckets, idCol)
+
+  /** ONE corpus pass through the fused
+    * [[graft.functions.ShingleKernel.bigramBuckets]] kernel: per-doc
+    * pre-counted packed `(bkt << 32) | count` longs, decoded with a
+    * shift + mask, checkpointed so every downstream consumer reads
+    * the skinny (keepCols, bkt, _c) frame instead of re-scanning and
+    * re-tokenizing the corpus. ONE definition of the packing layout —
+    * [[dsirScores]] and [[dsirScoresPreScored]] must never decode it
+    * differently.
+    */
+  private def bigramBucketCounts(rows: DataFrame, buckets: Int,
+      textCol: String, keepCols: Seq[String]): DataFrame = {
+    val ks = keepCols.map(col)
+    rows.select(ks :+
         explode(graft.functions.ShingleExpressions.bigramBuckets(
-          trim(lower(col(textCol))), buckets)).as("_e"))
-      .select(col(idCol), col("_t"),
-        shiftright(col("_e"), 32).as("bkt"),
-        col("_e").bitwiseAND(lit(0xFFFFFFFFL)).as("_c"))
+          trim(lower(col(textCol))), buckets)).as("_e"): _*)
+      .select(ks :+ shiftright(col("_e"), 32).as("bkt") :+
+        col("_e").bitwiseAND(lit(0xFFFFFFFFL)).as("_c"): _*)
       .localCheckpoint(true)
-    scoreBucketCounts(db, buckets, idCol)
   }
 
   /** [[dsirScores]] for a corpus whose per-doc metadata (candidacy +
@@ -459,18 +471,13 @@ object Sampling {
   def dsirScoresPreScored(text: DataFrame, meta: DataFrame,
       buckets: Int = 1024, textCol: String = "text",
       idCol: String = "doc_id", targetCol: String = "_t"): DataFrame = {
-    // ONE corpus pass through the fused kernel (pre-counted packed
-    // rows — see [[dsirScores]]); the checkpointed narrow frame is the
-    // shared artifact, and the meta join sits ABOVE it, so
-    // per-consumer target filters push into the (cheap, narrow) meta
-    // side and the corpus is never re-tokenized
-    val counts = text.select(col(idCol),
-        explode(graft.functions.ShingleExpressions.bigramBuckets(
-          trim(lower(col(textCol))), buckets)).as("_e"))
-      .select(col(idCol),
-        shiftright(col("_e"), 32).as("bkt"),
-        col("_e").bitwiseAND(lit(0xFFFFFFFFL)).as("_c"))
-      .localCheckpoint(true)
+    // ONE corpus pass through the shared [[bigramBucketCounts]]
+    // helper; the checkpointed narrow frame is the shared artifact,
+    // and the meta join sits ABOVE it, so per-consumer target filters
+    // push into the (cheap, narrow) meta side and the corpus is never
+    // re-tokenized
+    val counts = bigramBucketCounts(text, buckets, textCol,
+      keepCols = Seq(idCol))
     val db = counts.join(
       meta.select(col(idCol), col(targetCol).cast("boolean").as("_t")),
       Seq(idCol))

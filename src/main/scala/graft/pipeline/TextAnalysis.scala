@@ -1027,7 +1027,10 @@ object TextAnalysis {
   def prCurve(df: DataFrame, scoreCol: String = "score",
       labelCol: String = "label", idCol: String = "doc_id",
       sampleCap: Int = 1000): DataFrame = {
-    val xs = df.filter(col(idCol) % 10 === 0)
+    // null scores are excluded (a null row would NPE the collect);
+    // the oracle's sample CTE carries the matching IS NOT NULL
+    val xs = df.filter(col(idCol) % 10 === 0 &&
+        col(scoreCol).isNotNull)
       .orderBy(col(idCol)).limit(sampleCap)
       .select(col(scoreCol).cast("double")).collect().map(_.getDouble(0))
       .sortBy(x => -x)
@@ -1134,7 +1137,12 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol).cast("long")
-    val xs = df.filter(refFilter && col(idCol) % 10 === 0)
+    // NULL values are excluded from the cutoff sample (a null row
+    // would NPE the collect) and mirrored by the oracle's IS NOT NULL;
+    // in the corpus pass a null value compares false against every
+    // cutoff and lands in bin 0 — identically in both engines (the
+    // SQL LEFT JOIN on c.v <= NULL matches nothing)
+    val xs = df.filter(refFilter && col(idCol) % 10 === 0 && v.isNotNull)
       .orderBy(col(idCol)).limit(sampleCap)
       .select(v).collect().map(_.getLong(0)).sorted
     val n = xs.length

@@ -923,7 +923,7 @@ object LakeQueries {
                     AS BIGINT) AS nt
            FROM documents),
          samp AS (SELECT doc_id, nt FROM t
-                  WHERE isref AND doc_id % 10 = 0
+                  WHERE isref AND doc_id % 10 = 0 AND nt IS NOT NULL
                   ORDER BY doc_id LIMIT 1000),
          sn AS (SELECT count(*) AS n FROM samp),
          sv AS (SELECT nt, row_number() OVER (ORDER BY nt) AS rk

@@ -1535,25 +1535,19 @@ object PipelineQueries {
     * one SQL replay, so a column-contract or ordering drift between
     * stages cannot hide behind individually-green pieces.
     */
-  def pipelinePretrain(s: SparkSession, d: String): DataFrame = {
-    val kept = StreamQueries.dedupIngestKept(s, d)
-    // text is consumed AT THE SCAN (scoring + token counting + DSIR
-    // gram hashing) and dropped before the mix: the DSIR exchanges
-    // carry (bucket, count) and (doc_id, score) rows, the budget's
-    // boundary window and the pack shuffle move narrow (id, stratum,
-    // tokens, quality) rows only — at corpus scale the chain never
-    // exchanges document bodies.
-    val scored = TextAnalysis.qualityScore(kept)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-    // The narrow gated projection is materialized ONCE (~28 B/doc —
-    // the pipeline_fewshot idiom): BOTH downstream consumers (the DSIR
-    // metadata join and the budget pool) read this checkpoint. r9 left
-    // this frame lazy, so the kept-table scan + quality scoring ran
-    // once per consumer and the composed row cost more than its stages
-    // standalone (1.64 → 5.07 s).
-    val gated = scored.filter(col("quality_score") >= 0.5)
-      .select("doc_id", "lang", "n_tokens", "quality_score")
-      .localCheckpoint(true)
+  /** The shared gate→DSIR→budget staging of [[pipelinePretrain]] and
+    * [[pipelinePretrainAttrition]] — ONE definition of the selection
+    * (0.8 target slice, top-150 hashed-bigram resemblance, 4000-token
+    * budget) so the audit row can never silently audit a different
+    * pipeline than the one that runs. `kept` carries (doc_id, text,
+    * ...); `gated` must be the (doc_id, lang, n_tokens,
+    * quality_score) frame of gate survivors (callers checkpoint it —
+    * both the DSIR metadata join and the budget pool read it).
+    * Returns (resembling = the broadcast id-flag of DSIR-admitted
+    * candidates, admitted = the budget's kept set).
+    */
+  private def pretrainSelection(kept: DataFrame, gated: DataFrame)
+      : (DataFrame, DataFrame) = {
     // DSIR stage: target = the curated top-quality slice (≥ 0.8), in
     // unconditionally; candidates (0.5 ≤ q < 0.8) enter the budget
     // pool only if they rank in the top-150 by hashed-bigram
@@ -1578,7 +1572,29 @@ object PipelineQueries {
       .filter(col("quality_score") >= 0.8 ||
         coalesce(col("_r"), lit(false)))
       .select("doc_id", "lang", "n_tokens", "quality_score")
-    val admitted = Sampling.tokenBudgetMix(pool, budgetTokens = 4000L)
+    (resembling, Sampling.tokenBudgetMix(pool, budgetTokens = 4000L))
+  }
+
+  def pipelinePretrain(s: SparkSession, d: String): DataFrame = {
+    val kept = StreamQueries.dedupIngestKept(s, d)
+    // text is consumed AT THE SCAN (scoring + token counting + DSIR
+    // gram hashing) and dropped before the mix: the DSIR exchanges
+    // carry (bucket, count) and (doc_id, score) rows, the budget's
+    // boundary window and the pack shuffle move narrow (id, stratum,
+    // tokens, quality) rows only — at corpus scale the chain never
+    // exchanges document bodies.
+    val scored = TextAnalysis.qualityScore(kept)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+    // The narrow gated projection is materialized ONCE (~28 B/doc —
+    // the pipeline_fewshot idiom): BOTH downstream consumers (the DSIR
+    // metadata join and the budget pool) read this checkpoint. r9 left
+    // this frame lazy, so the kept-table scan + quality scoring ran
+    // once per consumer and the composed row cost more than its stages
+    // standalone (1.64 → 5.07 s).
+    val gated = scored.filter(col("quality_score") >= 0.5)
+      .select("doc_id", "lang", "n_tokens", "quality_score")
+      .localCheckpoint(true)
+    val (_, admitted) = pretrainSelection(kept, gated)
     Packing.packCounts(admitted, col("n_tokens"),
         carryCols = Seq("lang", "quality_score"))
       .select(col("doc_id"), col("lang"), col("quality_score"),
@@ -1608,19 +1624,10 @@ object PipelineQueries {
       .select("doc_id", "lang", "n_tokens", "quality_score")
       .localCheckpoint(true)
     val gated = scored.filter(col("quality_score") >= 0.5)
-    val resembling = Sampling.dsirSelectPreScored(
-        kept.select(col("doc_id"), col("text")),
-        gated.select(col("doc_id"),
-          (col("quality_score") >= 0.8).as("_t")),
-        n = 150)
-      .select(col("doc_id"), lit(true).as("_r"))
-    val pool = gated
-      .join(broadcast(resembling), Seq("doc_id"), "left")
-      .filter(col("quality_score") >= 0.8 ||
-        coalesce(col("_r"), lit(false)))
-      .select("doc_id", "lang", "n_tokens", "quality_score")
-    val admitted = Sampling.tokenBudgetMix(pool, budgetTokens = 4000L)
-      .select(col("doc_id"), lit(true).as("_adm"))
+    // the SAME staging the pipeline itself runs ([[pretrainSelection]]
+    // — one definition, so the audit can't drift from the audited)
+    val (resembling, admittedRows) = pretrainSelection(kept, gated)
+    val admitted = admittedRows.select(col("doc_id"), lit(true).as("_adm"))
     val flags = scored
       .join(broadcast(resembling), Seq("doc_id"), "left")
       .join(broadcast(admitted), Seq("doc_id"), "left")
@@ -4382,7 +4389,7 @@ object PipelineQueries {
                     AS BIGINT) AS nt
            FROM documents),
          samp AS (SELECT doc_id, nt FROM t
-                  WHERE isref AND doc_id % 10 = 0
+                  WHERE isref AND doc_id % 10 = 0 AND nt IS NOT NULL
                   ORDER BY doc_id LIMIT 1000),
          sn AS (SELECT count(*) AS n FROM samp),
          sv AS (SELECT nt, row_number() OVER (ORDER BY nt) AS rk
@@ -4550,7 +4557,8 @@ object PipelineQueries {
          j AS (SELECT nb.doc_id, nb.log_odds AS score,
                       len(v.hit) = 0 AS label
                FROM nb JOIN v USING (doc_id)),
-         samp AS (SELECT score FROM j WHERE doc_id % 10 = 0
+         samp AS (SELECT score FROM j
+                  WHERE doc_id % 10 = 0 AND score IS NOT NULL
                   ORDER BY doc_id LIMIT 1000),
          r AS (SELECT score,
                       row_number() OVER (ORDER BY score DESC) AS rk,

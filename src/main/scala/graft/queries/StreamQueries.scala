@@ -897,6 +897,13 @@ object StreamQueries {
         col("quality_score"))
       .orderBy("doc_id")
 
+  /** The token-budget scenario's budget — ONE definition shared by
+    * the ingest door and the ledger report's remaining_tokens column
+    * (a drifted copy would make the ledger silently report against a
+    * stale budget while its deltas stayed correct).
+    */
+  private val BudgetScenarioTokens = 5000L
+
   private def budgetIngestLoc(s: SparkSession, d: String): String =
     budgetIngestCache.computeIfAbsent(d, _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-sbudget-")
@@ -912,7 +919,8 @@ object StreamQueries {
         .option("maxFilesPerTrigger", "1").parquet(docWavesDir(s, d))
       val batches = timedStream("stream_token_budget") {
         graft.streaming.StreamIngest.budgetIngestAvailable(
-          score(stream), keptT, budgetTokens = 5000L, "docs_budget",
+          score(stream), keptT, budgetTokens = BudgetScenarioTokens,
+          "docs_budget",
           base.resolve("ckpt").toString)
       }
       require(batches == 2, s"expected 2 ingest waves, got $batches")
@@ -955,7 +963,8 @@ object StreamQueries {
         .unboundedPreceding, 0)
     rows.toDF("batch_id", "lang", "admitted_tokens")
       .withColumn("cum_tokens", sum(col("admitted_tokens")).over(w))
-      .withColumn("remaining_tokens", lit(5000L) - col("cum_tokens"))
+      .withColumn("remaining_tokens",
+        lit(BudgetScenarioTokens) - col("cum_tokens"))
       .orderBy("batch_id", "lang")
   }
 

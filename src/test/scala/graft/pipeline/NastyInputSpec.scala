@@ -110,4 +110,48 @@ class NastyInputSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(changed == Set(10L), s"unexpected masking: $changed")
   }
+
+  test("simhash contract: NULL texts dropped, duplicate ids kept as-is") {
+    val spark = s
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("alpha beta gamma")),
+      (2L, Option.empty[String]),  // NULL text: un-sketchable, dropped
+      (3L, Option("alpha beta gamma")),
+      (3L, Option("delta epsilon")) // duplicated id: one row EACH
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhash(df).collect()
+    assert(out.length == 3, "one row per non-null input row")
+    assert(!out.exists(_.getLong(0) == 2L), "null-text row dropped")
+    assert(out.count(_.getLong(0) == 3L) == 2, "dup ids not merged")
+    assert(out.forall(!_.isNullAt(1)), "no null sketches escape")
+  }
+
+  test("prCurve / driftPsi tolerate NULL scores and values") {
+    val spark = s
+    import spark.implicits._
+    // every 10th id is the deterministic sample slice; make some of
+    // those null so an unguarded collect would NPE
+    val scored = (1L to 400L).map { i =>
+      val nul = i % 40 == 0 // includes sampled ids (% 10 == 0)
+      (i, if (nul) None else Some(i.toDouble % 97), i % 3 == 0)
+    }.toDF("doc_id", "score", "label")
+    val pr = TextAnalysis.prCurve(scored).collect()
+    assert(pr.length == 9)
+    // null-score rows fall in NO confusion cell (NULL >= t is never
+    // true and NULL < t is never true — in Spark and ANSI SQL alike)
+    val r1 = pr.find(_.getInt(0) == 1).get
+    val total = r1.getLong(2) + r1.getLong(3) + r1.getLong(4) +
+      r1.getLong(5)
+    assert(total == 400 - 10, s"expected nulls in no cell, got $total")
+
+    val vals = (1L to 400L).map { i =>
+      (i, if (i % 40 == 0) None else Some(i % 50))
+    }.toDF("doc_id", "v")
+    val psi = TextAnalysis.driftPsi(vals, col("doc_id") <= 200, "v")
+      .collect()
+    assert(psi.nonEmpty)
+    // nulls compare false vs every cutoff -> counted in bin 0
+    assert(psi.exists(_.getInt(0) == 0))
+  }
 }
