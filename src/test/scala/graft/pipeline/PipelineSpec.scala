@@ -1681,4 +1681,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(12L) > 0.0 && out(12L) < 1.0,
       s"partial overlap must land strictly between, got ${out(12L)}")
   }
+
+  test("pretrain attrition's token_budget stage equals the pipeline's " +
+      "actual output — the audit audits the pipeline that runs") {
+    // both rows share pretrainSelection (one definition); this pins
+    // the composition end-to-end: the audit's final-stage survivors
+    // and token sum must equal the packed output the pipeline ships
+    val out = graft.queries.PipelineQueries.pipelinePretrain(s, sf)
+      .localCheckpoint(true)
+    val att = graft.queries.PipelineQueries
+      .pipelinePretrainAttrition(s, sf)
+      .filter(col("stage") === "token_budget").head()
+    assert(att.getAs[Long]("n_docs") == out.count(),
+      "audit survivors != pipeline output rows")
+    assert(att.getAs[Long]("n_tokens") ==
+      out.agg(sum(col("n_tokens").cast("long"))).head().getLong(0),
+      "audit token sum != pipeline output tokens")
+  }
 }
