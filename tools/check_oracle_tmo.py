@@ -20,7 +20,6 @@ def main():
     slow = []
     for name in names:
         one = {name: oracle[name]}
-        tmp = f"{out_dir}/.oracle_one.json"
         # check_oracle reads <outDir>/oracle_sql.json: point it at a
         # scratch dir holding just this entry + a symlink to the dump
         scratch = f"{out_dir}/.one{os.getpid()}"
