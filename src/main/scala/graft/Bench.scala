@@ -9,16 +9,32 @@ object Bench {
     */
   private val Passes = 3
 
+  /** Streaming queries get the same noise immunity, at lower cost:
+    * two end-to-end passes (scenario dirs are cached after pass 1, and
+    * every lake-appending door is batch-stamped idempotent, so a replay
+    * is answer-identical). r10's only demerit was a one-shot box spike
+    * poisoning `stream_token_budget` 6.3× over its floor — with one
+    * sample per stream there was nothing to min over. Two interleaved
+    * passes bound the damage of any single contention window to one
+    * sample per query, exactly like the batch side.
+    */
+  private val StreamPasses = 2
+
+  /** JSON must be locale-invariant: the `f` interpolator formats with
+    * the JVM default locale, and a comma-decimal default (e.g. de_DE)
+    * would write `0,123` — invalid JSON that silently resets the floor
+    * ledger on the next parse. Every number that lands in an artifact
+    * goes through here.
+    */
+  private def j3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkEnv.session()
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    // Streaming queries are timed ONCE, no warmup: each run pays fresh
-    // micro-batch spin-up (new stream + sentinel flush) that dwarfs the
-    // plan cost, so extra passes only re-measure harness overhead —
-    // 3× passes of it was most of r5's streaming subtotal.
     // Sorted: Map iteration order varies across JVMs, and whichever
     // query runs FIRST in its section absorbs residual warmup — a
     // deterministic order keeps per-query numbers comparable
@@ -32,7 +48,7 @@ object Bench {
     // (r8 saw stream_dedup_ingest "timed" at 0.06 s that way). The
     // session warmup below is scenario-NEUTRAL: it absorbs JVM/session
     // start and scan codegen without touching any query cache, so the
-    // cold-once stream timings aren't charged for interpreter startup.
+    // first-pass stream timings aren't charged for interpreter startup.
     if (streamSel.nonEmpty) {
       try spark.read.parquet(s"$sfDir/events.parquet").count()
       catch { case _: Throwable => () }
@@ -54,9 +70,45 @@ object Bench {
         None
       }
     }
-    // Streaming first (cold-once; see ordering note above)...
-    val streamResults =
-      streamSel.map { case (name, fn) => name -> timeOnce(name, fn) }
+    // Streaming first (see ordering note above), StreamPasses passes in
+    // pass-major (interleaved) order — same rationale as the batch side:
+    // one contention window can inflate at most ONE sample per query.
+    // The split fields (scenario_s / stream_s / batches) are snapshotted
+    // immediately after each run, because StreamQueries' phase maps hold
+    // only the MOST RECENT run of each name.
+    final case class StreamPass(total: Double, streamS: Double,
+        batches: Seq[Double])
+    val streamPassRecords: Seq[(String, Option[StreamPass])] =
+      (1 to StreamPasses).flatMap { pass =>
+        // Between passes, drop the ingest SCENARIO caches (the timed
+        // streams) but keep input wave dirs — otherwise pass 2 of an
+        // ingest row is a hot table read, not a stream.
+        if (pass > 1) graft.queries.StreamQueries.resetScenarioCaches()
+        streamSel.map { case (name, fn) =>
+          val rec = timeOnce(name, fn).map { t =>
+            val ss = Option(
+                graft.queries.StreamQueries.streamPhaseSecs.get(name))
+              .map(_.doubleValue).getOrElse(0.0).min(t)
+            val bs = Option(
+                graft.queries.StreamQueries.streamBatchSecs.get(name))
+              .map(_.toSeq).getOrElse(Seq.empty[Double])
+            StreamPass(t, ss, bs)
+          }
+          name -> rec
+        }
+      }
+    val streamPasses: Map[String, Seq[StreamPass]] =
+      streamSel.map(_._1).map { name =>
+        name -> streamPassRecords.collect { case (`name`, Some(p)) => p }
+      }.toMap
+    // Headline number per stream = min of passes (noise-immune; matches
+    // what the floor ledger accumulates). A query with zero successful
+    // passes stays None → `failed`.
+    val streamResults: Seq[(String, Option[Double])] =
+      streamSel.map(_._1).map { name =>
+        val ps = streamPasses(name)
+        name -> (if (ps.isEmpty) None else Some(ps.map(_.total).min))
+      }
     // ...then the batch warmup pass: pays one-time costs (codegen
     // compilation, lake scenario builds, ANN index fit) outside the
     // timed region so the batch timings measure steady-state execution.
@@ -85,20 +137,16 @@ object Bench {
     }.toMap ++ streamResults
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val ok = results.collect { case (k, Some(v)) => k -> v }
-    // Per-stream split: the query function recorded its stream phase
-    // (start → drain → stop) in StreamQueries.streamPhaseSecs; the rest
-    // of the timed pass is scenario setup (dir/table builds, sentinel
-    // flush, result sort). Reported per query so a state-machine
-    // regression and a setup regression are distinguishable in the
-    // artifact. A missing entry (stream ran inside a pre-Bench cache
-    // fill — shouldn't happen cold) reports the full time as scenario.
-    val streamSplit: Map[String, (Double, Double)] =
-      ok.filter(_._1.startsWith("stream_")).map { case (name, total) =>
-        val streamS = Option(
-            graft.queries.StreamQueries.streamPhaseSecs.get(name))
-          .map(_.doubleValue).getOrElse(0.0).min(total)
-        name -> (total - streamS, streamS)
-      }.toMap
+    // Per-stream split: each pass recorded its stream phase (start →
+    // drain → stop); the rest of the timed pass is scenario setup
+    // (dir/table builds, sentinel flush, result sort). The reported
+    // split comes from the MIN-total pass (the calm-box sample), with
+    // all per-pass totals beside it so a spiked pass is visible in the
+    // artifact instead of poisoning the headline.
+    val streamSplit: Map[String, (Seq[Double], StreamPass)] =
+      streamPasses.collect { case (name, ps) if ps.nonEmpty =>
+        name -> (ps.map(_.total), ps.minBy(_.total))
+      }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -123,18 +171,15 @@ object Bench {
     spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
     try spark.stop() catch { case _: Throwable => () }
     val splitJson = streamSplit.toSeq.sortBy(_._1).map {
-      case (k, (setup, stream)) =>
-        val batches = Option(
-            graft.queries.StreamQueries.streamBatchSecs.get(k))
-          .map(_.map(b => f"$b%.3f").mkString("[", ",", "]"))
-          .getOrElse("[]")
-        f""""$k":{"scenario_s":$setup%.3f,"stream_s":$stream%.3f,"batches":$batches}"""
+      case (k, (totals, best)) =>
+        val batches = best.batches.map(j3).mkString("[", ",", "]")
+        val samples = totals.map(j3).mkString("[", ",", "]")
+        s""""$k":{"min":${j3(totals.min)},"samples":$samples,"scenario_s":${j3(best.total - best.streamS)},"stream_s":${j3(best.streamS)},"batches":$batches}"""
     }.mkString("{", ",", "}")
-    // per-pass raw samples + min, for batch queries (streaming is
-    // cold-once by policy — one sample, nothing to min over)
+    // per-pass raw samples + min, for batch queries
     val samplesJson = rawSamples.toSeq.sortBy(_._1).map { case (k, xs) =>
-      val arr = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-      val mn = if (xs.isEmpty) "null" else f"${xs.min}%.3f"
+      val arr = xs.map(j3).mkString("[", ",", "]")
+      val mn = if (xs.isEmpty) "null" else j3(xs.min)
       s""""$k":{"min":$mn,"samples":$arr}"""
     }.mkString("{", ",", "}")
     val perQueryLine =
@@ -184,14 +229,18 @@ object Bench {
       val out = (existing + (sfDir -> merged)).toSeq.sortBy(_._1)
         .map { case (sfKey, qsF) =>
           val body = qsF.toSeq.sortBy(_._1)
-            .map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+            .map { case (k, v) => s""""$k":${j3(v)}""" }.mkString(",")
           s""""$sfKey":{$body}"""
         }.mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.write(floorPath,
         out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // The ledger is best-effort (must never eat the metric line), but
+      // a failure here silently resets accumulated floors — say so.
+      System.err.println(s"[bench] BENCH_FLOOR.json update failed: $e")
+    }
     println(perQueryLine)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"streaming_total":$streamTotal%.3f,"batch_queries":${batchR.size},"streaming_queries":${streamR.size},"failed":$failedJson%s,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","batch_total":${j3(batchTotal)},"streaming_total":${j3(streamTotal)},"batch_queries":${batchR.size},"streaming_queries":${streamR.size},"failed":$failedJson,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

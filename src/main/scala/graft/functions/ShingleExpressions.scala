@@ -392,6 +392,39 @@ object ShingleKernel {
     }
     UnsafeArrayData.fromPrimitiveArray(hashes)
   }
+
+  /** 64-bit DIFFERENCE-hash sketch of an opaque binary payload — the
+    * perceptual-hash mechanic (downsample, compare adjacent cells)
+    * applied to raw bytes: the payload is partitioned into 65
+    * contiguous windows (window of byte p = p·65/n, integer division
+    * — exact in ANSI SQL too), each window reduced to the sum of its
+    * unsigned byte values, and sketch bit i set where window i's sum
+    * exceeds window i+1's. Local edits perturb a few window sums →
+    * few flipped bits → small Hamming distance; unrelated payloads
+    * give ~32. A real image dHash would run this on decoded grayscale
+    * pixels; over the harness's deterministic stub payloads the byte
+    * form exercises the identical plan and join shape. Empty payload
+    * → 0L. Lossy by design: equal sketches do not imply equal bytes
+    * (pair consumers verify at sketch granularity only — exact
+    * equality is [[graft.pipeline.Dedup.blobExactDedup]]'s job).
+    */
+  def dhashSketch(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](65)
+    var p = 0
+    while (p < n) {
+      sums(((p.toLong * 65L) / n).toInt) += (bytes(p) & 0xFF).toLong
+      p += 1
+    }
+    var sketch = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) > sums(i + 1)) sketch |= (1L << i)
+      i += 1
+    }
+    sketch
+  }
 }
 
 /** `hashed_shingles(text, k)` → sorted distinct `array<long>` of the
@@ -598,6 +631,37 @@ case class SimhashSketch(child: Expression) extends UnaryExpression {
 }
 
 
+/** `dhash_sketch(content)` → 64-bit difference hash of a BINARY
+  * payload (see [[ShingleKernel.dhashSketch]]).
+  */
+case class DhashSketch(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dhash_sketch expects a binary column, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.dhashSketch(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.dhashSketch($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DhashSketch = copy(child = newChild)
+}
+
+
 /** `positional_gram_strings(text, k)` → `array<string>` of POSITIONAL
   * k-word gram strings, document order, duplicates kept (see
   * [[ShingleKernel.positionalGramStrings]]). Input must already be
@@ -678,6 +742,11 @@ object ShingleExpressions {
   def simhashSketch(normalizedText: Column): Column =
     graftshim.columnOf(SimhashSketch(
       graftshim.columnExpr(normalizedText)))
+
+  /** Column API: `dhashSketch(binaryContent)`. */
+  def dhashSketch(content: Column): Column =
+    graftshim.columnOf(DhashSketch(
+      graftshim.columnExpr(content)))
 
   /** Column API: `positionalShingles(trim(lower(text)), k)`. */
   def positionalShingles(normalizedText: Column, k: Int): Column =

@@ -499,6 +499,86 @@ object Dedup {
         round(col("n_novel").cast("double") / col("n_fps"), 6))
   }
 
+  /** Exact CONTENT dedup over opaque blob payloads (image/audio/video
+    * bytes — [[Multimodal.blobTable]]'s column model): the first stage
+    * of a multimodal pretraining pipeline, run before any decode.
+    * Output is the canonical-copy ledger: one row per distinct
+    * payload, (digest, keep_id = smallest blob id, n_copies).
+    *
+    * Scale shape: the sha-256 digest is computed IN THE SCAN
+    * PROJECTION, so the payload bytes never ride an exchange — the
+    * groupBy's map-side partial aggregation reduces each task to
+    * (digest, min, count) partials (64-hex + 16 bytes/distinct
+    * payload), and a 100 TB blob corpus shuffles megabytes. NULL
+    * payloads are dropped (no content to hash). Digest collisions are
+    * cryptographically negligible — by-digest grouping IS the
+    * industry-standard exact content dedup.
+    */
+  def blobExactDedup(blobs: DataFrame, contentCol: String = "content",
+      idCol: String = "blob_id"): DataFrame =
+    blobs.filter(col(contentCol).isNotNull)
+      .select(sha2(col(contentCol), 256).as("digest"), col(idCol))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate blob pairs by banded-Hamming join over a 64-bit
+    * dHash-style sketch ([[graft.functions.ShingleKernel.dhashSketch]])
+    * — the perceptual-near-dup stage a multimodal pipeline runs after
+    * [[blobExactDedup]] (re-encoded / lightly-edited payloads whose
+    * digests differ). The [[simhashPairs]] idiom: 4 bands × 16 bits,
+    * candidates collide on (modality, band, value) — same modality
+    * only, a perceptual hash compares like media with like — then the
+    * full-sketch Hamming verify keeps pairs ≤ `maxHamming`. With 4
+    * bands, banding is COMPLETE for maxHamming ≤ 3 by pigeonhole —
+    * except where the `maxDf` cap deliberately drops a bucket.
+    *
+    * Scale shape: the sketch is computed in the scan projection, so
+    * payload bytes never ride an exchange — banded rows are
+    * (id, sketch, band) longs. `maxDf` is the skew guard ([[winnowPairs]]
+    * stance): a band value shared by a million blobs (monochrome
+    * padding, silence) would turn its bucket into an O(df²) pair
+    * generator while carrying no near-dup signal; dropping it bounds
+    * every bucket's fan-out at maxDf² and is replayed verbatim by the
+    * oracle. Sketch equality is NOT byte equality (dHash is lossy by
+    * design); hamming = 0 means perceptually-identical, not identical.
+    */
+  def blobNearPairs(blobs: DataFrame, contentCol: String = "content",
+      idCol: String = "blob_id", modalityCol: String = "modality",
+      maxHamming: Int = 3, maxDf: Int = 50): DataFrame = {
+    val sk = blobs.filter(col(contentCol).isNotNull)
+      .select(col(idCol), col(modalityCol),
+        graft.functions.ShingleExpressions.dhashSketch(col(contentCol))
+          .as("dhash"))
+    val banded = sk.select(col(idCol), col(modalityCol), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+      // three consumers below (df count + both join sides): materialize
+      // the skinny banded frame once — the winnowPairs checkpoint stance
+      .localCheckpoint(true)
+    val dfq = banded.groupBy(col(modalityCol), col("band_idx"),
+        col("band_val"))
+      .agg(count(lit(1)).as("dfreq"))
+    val kept = banded.join(dfq,
+        Seq(modalityCol, "band_idx", "band_val"))
+      .filter(col("dfreq") <= maxDf)
+      .select(col(idCol), col(modalityCol), col("dhash"),
+        col("band_idx"), col("band_val"))
+    val l = kept.select(col(modalityCol), col("band_idx"), col("band_val"),
+      col(idCol).as("id_a"), col("dhash").as("h_a"))
+    val r = kept.select(col(modalityCol), col("band_idx"), col("band_val"),
+      col(idCol).as("id_b"), col("dhash").as("h_b"))
+    // hamming BEFORE the distinct ([[simhashPairs]]): the dedup shuffle
+    // carries only surviving (modality, id_a, id_b, hamming) rows
+    l.join(r, Seq(modalityCol, "band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col(modalityCol), col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity join via prefix filtering (the
     * PPJoin-family set-similarity join): order shingles globally by
     * (document frequency, token) ascending; a document of n shingles is

@@ -303,13 +303,27 @@ object TextAnalysis {
     * codegen'd projection (the merge chain folds into `rounds` chained
     * replaces — merges are plan-shipped constants), then a
     * map-side-combinable per-doc count aggregate: the corpus never
-    * shuffles, only (id, partial count) rows do. Ceiling: the chain is
-    * ONE projection, so past a few hundred merges Spark's codegen
-    * splits/falls back and per-row cost grows linearly in merges — a
-    * full 32k-merge deployment encodes via a trie/priority-queue
-    * tokenizer in a mapPartitions kernel instead of chained replaces;
-    * this replay form exists because it is expressible identically in
-    * ANSI SQL and therefore oracle-checkable.
+    * shuffles, only (id, partial count) rows do.
+    *
+    * Past [[BpeCheckpointEvery]] merges the single projection stops
+    * being the right plan (Spark's codegen splits/falls back on a
+    * hundreds-deep replace chain, and analysis cost grows
+    * superlinearly), so the encode switches to the trainer's own
+    * dictionary walk: the corpus collapses once to its DISTINCT words,
+    * that vocabulary-sized frame replays the merge table in
+    * [[BpeCheckpointEvery]]-sized blocks (one plan-shipped projection
+    * per block, re-checkpointed between blocks — the live plan never
+    * exceeds one block of replaces), and the per-word token counts
+    * join back to the corpus words. Total cost is
+    * O(rounds × vocabulary) + ONE corpus-sized join — linear in
+    * rounds all the way to a real 32k-merge table, because the
+    * per-round work is dictionary-sized, never corpus-sized. The join
+    * is vocabulary-keyed: AQE broadcasts it while the dictionary fits
+    * (the common case — Zipf makes vocab ≪ corpus) and falls back to
+    * a word-keyed shuffle when it doesn't. Both paths produce
+    * identical rows (spec-pinned at rounds=32 against a driver-side
+    * reference encoder); the replay form stays expressible in ANSI
+    * SQL and therefore oracle-checkable.
     *
     * Output: (idCol, n_words, n_bpe_tokens). Convention: an empty
     * text's single empty "word" counts 1 token (the [[tokenCounts]]
@@ -320,14 +334,38 @@ object TextAnalysis {
   def bpeEncode(df: DataFrame, rounds: Int = 6,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sep = BpeSep
-    val encoded = bpeMerges(df, rounds, textCol)
-      .foldLeft(bpeInitEncode(col("_w"))) { case (c, (_, l, r, _)) =>
-        replace(c, lit(sep + l + sep + sep + r + sep),
+    val merges = bpeMerges(df, rounds, textCol)
+    def applyBlock(c: Column,
+        block: Seq[(Int, String, String, Long)]): Column =
+      block.foldLeft(c) { case (acc, (_, l, r, _)) =>
+        replace(acc, lit(sep + l + sep + sep + r + sep),
           lit(sep + l + r + sep))
       }
-    df.select(col(idCol),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("_w"))
-      .select(col(idCol), size(split(trim(encoded, sep), sep + sep)).as("_n"))
+    val words = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("_w"))
+    val perWordTokens =
+      if (merges.size <= BpeCheckpointEvery) {
+        // small merge table: one codegen projection over the exploded
+        // words — zero shuffles beyond the count aggregate
+        words.select(col(idCol),
+          size(split(trim(applyBlock(bpeInitEncode(col("_w")), merges),
+            sep), sep + sep)).as("_n"))
+      } else {
+        // tokenizer-scale merge table: walk the DICTIONARY through the
+        // merges in bounded blocks, then join counts back to the corpus
+        // (see the scaladoc's cost argument)
+        var vocab = words.select(col("_w")).distinct()
+          .select(col("_w"), bpeInitEncode(col("_w")).as("_s"))
+          .localCheckpoint(true)
+        merges.grouped(BpeCheckpointEvery).foreach { block =>
+          vocab = vocab.withColumn("_s", applyBlock(col("_s"), block))
+            .localCheckpoint(true)
+        }
+        val wordTokens = vocab.select(col("_w"),
+          size(split(trim(col("_s"), sep), sep + sep)).as("_n"))
+        words.join(wordTokens, Seq("_w")).select(col(idCol), col("_n"))
+      }
+    perWordTokens
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_words"),
         sum(col("_n")).cast("long").as("n_bpe_tokens"))
@@ -1114,9 +1152,16 @@ object TextAnalysis {
     * edges are exact integers and bin assignment is pure integer
     * comparison, no float-boundary risk); per bin, PSI contribution
     * `(p_cur − p_ref) · ln(p_cur / p_ref)` with add-one smoothing over
-    * the 10 decile cells so an empty cell can't produce ±∞. The
-    * conventional read: Σ psi_bin < 0.1 stable, 0.1–0.25 drifting,
-    * > 0.25 shifted.
+    * the 10 decile cells so an empty cell can't produce ±∞. A bin
+    * empty on BOTH sides (possible when duplicate cutoff values skip
+    * bins) is OMITTED from the output — it has no row to group — so
+    * the Σ psi_bin read runs over the POPULATED bins only: the
+    * missing term is the smoothing-floor residue
+    * (1/(ct+10) − 1/(rt+10))·ln(·), zero when the slice totals match
+    * and O(1/total) otherwise — noise at any real corpus size. The
+    * ANSI oracle groups the same way, so the omission is
+    * cross-engine identical. The conventional read: Σ psi_bin < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 shifted.
     *
     * Scale shape: the 9 cutoffs are plan-shipped constants, so bin
     * assignment is a pure codegen projection over ONE corpus pass

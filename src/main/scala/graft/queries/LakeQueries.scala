@@ -192,6 +192,12 @@ object LakeQueries {
     * the PSI keeps driftPsi's shape: one pass over the union, decile
     * edges from the baseline's capped deterministic sample,
     * metadata-sized exchanges only.
+    *
+    * Minimum-sample contract: BUILDING this frame collects the decile
+    * sample eagerly and requires ≥ 10 sampled baseline docs (mod-10
+    * id slice of the baseline snapshot) — a sub-100-doc fixture fails
+    * fast at construction with driftPsi's explicit message, by
+    * design, rather than lazily at execution.
     */
   def lakeDriftPsi(s: SparkSession, d: String): DataFrame = {
     val t = scenario("driftpsi", d) { loc =>

@@ -878,6 +878,12 @@ object PipelineQueries {
     * ([[TextAnalysis.driftPsi]]). Decile edges come from the
     * reference slice's capped deterministic sample, so the oracle
     * replays edges, binning, smoothing, and the ln term exactly.
+    *
+    * Minimum-sample contract: BUILDING this frame collects the decile
+    * sample eagerly and requires ≥ 10 sampled reference docs (mod-10
+    * id slice of the reference half) — a sub-100-doc fixture fails
+    * fast at construction with driftPsi's explicit message, by design,
+    * rather than lazily at execution.
     */
   def textDriftPsi(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d)
@@ -1219,6 +1225,12 @@ object PipelineQueries {
     * cutoff instead of trusting the log-odds sign default. Score =
     * the NB log-odds, label = passes-the-rules; thresholds = score
     * deciles from the capped deterministic sample.
+    *
+    * Minimum-sample contract: BUILDING this frame collects the decile
+    * sample eagerly and requires ≥ 10 sampled docs (mod-10 id slice)
+    * — a sub-100-doc fixture fails fast at construction with
+    * prCurve's explicit message, by design, rather than lazily at
+    * execution.
     */
   def textNbPrCurve(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -1683,12 +1695,31 @@ object PipelineQueries {
       .select(col("blob_id"), col("frame_idx"), col("frame_offset"))
       .orderBy("blob_id", "frame_idx")
 
+  /** Exact blob-content dedup ([[Dedup.blobExactDedup]]): the
+    * canonical-copy ledger over the multimodal blob table — sha-256 at
+    * the scan, payload bytes never on an exchange (PlanSpec-pinned).
+    */
+  def dedupBlobExact(s: SparkSession, d: String): DataFrame =
+    Dedup.blobExactDedup(Multimodal.blobTable(Tables.documents(s, d)))
+      .orderBy("keep_id")
+
+  /** Near-duplicate blob pairs ([[Dedup.blobNearPairs]]): 64-bit
+    * byte-dHash, same-modality 4×16 banded Hamming join, df-capped —
+    * sketch at the scan, payload bytes never on an exchange
+    * (PlanSpec-pinned).
+    */
+  def dedupBlobNear(s: SparkSession, d: String): DataFrame =
+    Dedup.blobNearPairs(Multimodal.blobTable(Tables.documents(s, d)))
+      .orderBy("modality", "id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> dedupExact _,
     "dedup_minhash_pairs"  -> dedupMinhash _,
     "dedup_simhash_pairs"  -> dedupSimhash _,
     "dedup_ngram_pairs"    -> dedupNgram _,
     "dedup_winnow_pairs"   -> dedupWinnow _,
+    "dedup_blob_exact"     -> dedupBlobExact _,
+    "dedup_blob_near"      -> dedupBlobNear _,
     "text_novelty"         -> textNovelty _,
     "dedup_incremental"    -> dedupIncremental _,
     "sample_token_budget"  -> sampleTokenBudget _,
@@ -2077,6 +2108,121 @@ object PipelineQueries {
     * batch gate oracle and the streaming quality-door oracle - one
     * definition, so the two checks can never drift.
     */
+  /** The pretrain chain's shared oracle CTEs (ingest-dedup kept set →
+    * quality gate → DSIR pool → token budget), ONE definition consumed
+    * by both pipeline_pretrain and pipeline_pretrain_attrition — the
+    * audit must replay the pipeline that ships, not a drifted copy.
+    * Multi-referenced CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    * default, and the attrition fold reads q/g/pool/a twice each (and
+    * kept1/kept/bk up to five times), which re-evaluated the all-pairs
+    * Jaccard `p` chain per reference — the sf0.1 replay blew a 90-min
+    * budget that the materialized form finishes in minutes. Results
+    * are unchanged (materialization is an evaluation strategy, not a
+    * semantic).
+    */
+  private[queries] val PretrainChainCtes: String =
+    """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         sh AS MATERIALIZED (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w),
+         p AS MATERIALIZED (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 >= 0.5),
+         kept1 AS MATERIALIZED (
+           SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 2 = 0
+             AND NOT EXISTS (SELECT 1 FROM p
+               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 0)),
+         kept2 AS (
+           SELECT d.doc_id FROM documents d
+           WHERE d.doc_id % 2 = 1
+             AND NOT EXISTS (SELECT 1 FROM p JOIN kept1 k
+               ON (p.id_a = k.doc_id AND p.id_b = d.doc_id)
+               OR (p.id_b = k.doc_id AND p.id_a = d.doc_id))
+             AND NOT EXISTS (SELECT 1 FROM p
+               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1)),
+         kept AS MATERIALIZED (
+           SELECT d.* FROM documents d
+           JOIN (SELECT doc_id FROM kept1
+                 UNION ALL SELECT doc_id FROM kept2) k USING (doc_id)),
+         q AS MATERIALIZED (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens,
+                  CAST(round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0
+               END) +
+             (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)),
+                 '\s+'),
+                 w -> list_contains(['the','a','an','and','or','of','to','in',
+                   'is','it','that','for','on','with','as','at','by'], w)))
+                 ::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) >= 0.01 THEN 0.3 ELSE 0 END) +
+             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 ::DOUBLE
+               / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
+             (CASE WHEN list_sum(list_transform(string_split_regex(
+                 trim(lower(text)), '\s+'), w -> length(w)))::DOUBLE
+               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
+                 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2) AS DOUBLE)
+             AS quality_score
+           FROM kept),
+         g AS MATERIALIZED (SELECT * FROM q WHERE quality_score >= 0.5),
+         bk AS MATERIALIZED (SELECT bi.doc_id, bi.is_t,
+                  CAST(('0x' || substr(md5(bi.gram), 1, 8)) AS BIGINT)
+                    % 1024 AS bkt
+                FROM (
+                  SELECT k.doc_id, g2.quality_score >= 0.8 AS is_t,
+                         unnest(list_transform(range(1, len(
+                             string_split_regex(trim(lower(k.text)),
+                               '\s+'))),
+                           i -> string_split_regex(trim(lower(k.text)),
+                                  '\s+')[i] || ' ' ||
+                                string_split_regex(trim(lower(k.text)),
+                                  '\s+')[i + 1])) AS gram
+                  FROM kept k JOIN g g2 USING (doc_id)) bi),
+         dtc AS (SELECT bkt, count(*) AS tc FROM bk WHERE is_t
+                 GROUP BY bkt),
+         drc AS (SELECT bkt, count(*) AS rc FROM bk WHERE NOT is_t
+                 GROUP BY bkt),
+         dtt AS (SELECT count(*) AS t FROM bk WHERE is_t),
+         drt AS (SELECT count(*) AS r FROM bk WHERE NOT is_t),
+         dlam AS (SELECT drc.bkt,
+                    ln((coalesce(dtc.tc, 0) + 1.0) / (dtt.t + 1024)) -
+                    ln((drc.rc + 1.0) / (drt.r + 1024)) AS lam
+                  FROM drc LEFT JOIN dtc USING (bkt)
+                  CROSS JOIN dtt CROSS JOIN drt),
+         ddb AS (SELECT doc_id, bkt, count(*) AS c FROM bk
+                 WHERE NOT is_t GROUP BY 1, 2),
+         dsc AS (SELECT ddb.doc_id, round(sum(dlam.lam * ddb.c), 6)
+                   AS score
+                 FROM ddb JOIN dlam USING (bkt)
+                 GROUP BY ddb.doc_id),
+         dsel AS (SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER
+                      (ORDER BY score DESC, doc_id) AS rk
+                    FROM dsc)
+                  WHERE rk <= 150),
+         pool AS MATERIALIZED (SELECT * FROM g WHERE quality_score >= 0.8
+                  UNION ALL
+                  SELECT g.* FROM g JOIN dsel USING (doc_id)
+                  WHERE g.quality_score < 0.8),
+         r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY quality_score DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+               FROM pool),
+         a AS MATERIALIZED (SELECT * FROM r WHERE cum <= 4000),"""
+
   private[queries] val QualityGateCtes: String =
     """WITH w AS (
            SELECT doc_id, text,
@@ -3584,6 +3730,72 @@ object PipelineQueries {
                   AS frame_offset
          FROM documents, UNNEST([0,1,2,3]) AS t(i)
          WHERE doc_id % 3 = 2 ORDER BY blob_id, frame_idx""",
+    // Exact blob-content dedup: the blob payload is the document text's
+    // UTF-8 bytes, so sha256(text) in DuckDB hashes the identical byte
+    // string Spark's sha2(content, 256) does.
+    "dedup_blob_exact" ->
+      """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM documents WHERE text IS NOT NULL
+         GROUP BY sha256(text) ORDER BY keep_id""",
+    // Byte-dHash replayed bit-for-bit: byte p of the payload (via
+    // hex(text::BLOB) — UTF-8, the exact bytes Spark's binary cast
+    // carries) lands in window p*65//n, windows reduce to unsigned
+    // byte sums (65-row spine so empty windows compare as 0), bit i =
+    // win_i > win_{i+1}; then the SAME 4×16 banding, df<=50 cap, and
+    // hamming<=3 verify the Spark plan runs — the cap drops buckets,
+    // so the banding must be replayed, not pigeonhole-skipped.
+    "dedup_blob_near" ->
+      """WITH b AS (
+           SELECT doc_id AS blob_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+                  hex(text::BLOB) AS hx, strlen(text) AS n
+           FROM documents WHERE text IS NOT NULL),
+         byv AS (
+           SELECT blob_id, CAST((p * 65) // n AS INT) AS w,
+                  ('0x' || substr(hx, CAST(2 * p + 1 AS INT), 2))::BIGINT
+                    AS v
+           FROM b, UNNEST(range(n)) AS t(p)),
+         wsum AS (SELECT blob_id, w, sum(v) AS s FROM byv GROUP BY 1, 2),
+         spine AS (
+           SELECT b.blob_id, b.modality, CAST(i AS INT) AS i
+           FROM b, UNNEST(range(65)) AS t(i)),
+         ws AS (
+           SELECT spine.blob_id, spine.modality, spine.i,
+                  coalesce(wsum.s, 0) AS s
+           FROM spine LEFT JOIN wsum
+             ON wsum.blob_id = spine.blob_id AND wsum.w = spine.i),
+         nbr AS (
+           SELECT blob_id, modality, i, s,
+                  lead(s) OVER (PARTITION BY blob_id ORDER BY i) AS ns
+           FROM ws),
+         sk AS (
+           SELECT blob_id, modality,
+                  CAST(coalesce(sum(CASE WHEN s > ns
+                    THEN (1::UBIGINT << i) ELSE 0::UBIGINT END),
+                    0) AS UBIGINT) AS dh
+           FROM nbr WHERE i < 64 GROUP BY blob_id, modality),
+         bands AS (
+           SELECT blob_id, modality, CAST(bd AS INT) AS band_idx,
+                  CAST((dh >> CAST(16 * bd AS INT)) & 65535 AS INT)
+                    AS band_val
+           FROM sk, UNNEST(range(4)) AS t(bd)),
+         dfq AS (SELECT modality, band_idx, band_val, count(*) AS dfreq
+                 FROM bands GROUP BY 1, 2, 3),
+         kept AS (SELECT bands.* FROM bands JOIN dfq
+                  USING (modality, band_idx, band_val) WHERE dfreq <= 50),
+         cand AS (
+           SELECT DISTINCT a.modality, a.blob_id AS id_a, c.blob_id AS id_b
+           FROM kept a JOIN kept c
+             ON a.modality = c.modality AND a.band_idx = c.band_idx
+                AND a.band_val = c.band_val AND a.blob_id < c.blob_id)
+         SELECT cand.modality AS modality, id_a, id_b,
+                CAST(bit_count(xor(x.dh, y.dh)) AS INT) AS hamming
+         FROM cand JOIN sk x ON x.blob_id = cand.id_a
+                   JOIN sk y ON y.blob_id = cand.id_b
+         WHERE bit_count(xor(x.dh, y.dh)) <= 3
+         ORDER BY cand.modality, id_a, id_b""",
     // Full simhash replay: word hash = low 64 bits of md5 (the operator
     // uses the same primitive precisely so this oracle exists). The
     // 4×16-bit banding is complete for hamming <= 3 by pigeonhole, so
@@ -3874,107 +4086,7 @@ object PipelineQueries {
     // the level decomposition's exact flat equivalent), then the pack
     // layout (same md5-shard + prefix-sum arithmetic as pack_sequences).
     "pipeline_pretrain" ->
-      """WITH w AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
-                    AS words
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(
-             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
-               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
-               AS sh
-           FROM w),
-         p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                 >= 0.5),
-         kept1 AS (
-           SELECT d.doc_id FROM documents d
-           WHERE d.doc_id % 2 = 0
-             AND NOT EXISTS (SELECT 1 FROM p
-               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 0)),
-         kept2 AS (
-           SELECT d.doc_id FROM documents d
-           WHERE d.doc_id % 2 = 1
-             AND NOT EXISTS (SELECT 1 FROM p JOIN kept1 k
-               ON (p.id_a = k.doc_id AND p.id_b = d.doc_id)
-               OR (p.id_b = k.doc_id AND p.id_a = d.doc_id))
-             AND NOT EXISTS (SELECT 1 FROM p
-               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1)),
-         kept AS (
-           SELECT d.* FROM documents d
-           JOIN (SELECT doc_id FROM kept1
-                 UNION ALL SELECT doc_id FROM kept2) k USING (doc_id)),
-         q AS (
-           SELECT doc_id, lang,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-                    AS n_tokens,
-                  CAST(round(
-             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0
-               END) +
-             (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)),
-                 '\s+'),
-                 w -> list_contains(['the','a','an','and','or','of','to','in',
-                   'is','it','that','for','on','with','as','at','by'], w)))
-                 ::DOUBLE
-               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
-                 1) >= 0.01 THEN 0.3 ELSE 0 END) +
-             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-                 ::DOUBLE
-               / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
-             (CASE WHEN list_sum(list_transform(string_split_regex(
-                 trim(lower(text)), '\s+'), w -> length(w)))::DOUBLE
-               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
-                 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2) AS DOUBLE)
-             AS quality_score
-           FROM kept),
-         g AS (SELECT * FROM q WHERE quality_score >= 0.5),
-         bk AS (SELECT bi.doc_id, bi.is_t,
-                  CAST(('0x' || substr(md5(bi.gram), 1, 8)) AS BIGINT)
-                    % 1024 AS bkt
-                FROM (
-                  SELECT k.doc_id, g2.quality_score >= 0.8 AS is_t,
-                         unnest(list_transform(range(1, len(
-                             string_split_regex(trim(lower(k.text)),
-                               '\s+'))),
-                           i -> string_split_regex(trim(lower(k.text)),
-                                  '\s+')[i] || ' ' ||
-                                string_split_regex(trim(lower(k.text)),
-                                  '\s+')[i + 1])) AS gram
-                  FROM kept k JOIN g g2 USING (doc_id)) bi),
-         dtc AS (SELECT bkt, count(*) AS tc FROM bk WHERE is_t
-                 GROUP BY bkt),
-         drc AS (SELECT bkt, count(*) AS rc FROM bk WHERE NOT is_t
-                 GROUP BY bkt),
-         dtt AS (SELECT count(*) AS t FROM bk WHERE is_t),
-         drt AS (SELECT count(*) AS r FROM bk WHERE NOT is_t),
-         dlam AS (SELECT drc.bkt,
-                    ln((coalesce(dtc.tc, 0) + 1.0) / (dtt.t + 1024)) -
-                    ln((drc.rc + 1.0) / (drt.r + 1024)) AS lam
-                  FROM drc LEFT JOIN dtc USING (bkt)
-                  CROSS JOIN dtt CROSS JOIN drt),
-         ddb AS (SELECT doc_id, bkt, count(*) AS c FROM bk
-                 WHERE NOT is_t GROUP BY 1, 2),
-         dsc AS (SELECT ddb.doc_id, round(sum(dlam.lam * ddb.c), 6)
-                   AS score
-                 FROM ddb JOIN dlam USING (bkt)
-                 GROUP BY ddb.doc_id),
-         dsel AS (SELECT doc_id FROM (
-                    SELECT doc_id, row_number() OVER
-                      (ORDER BY score DESC, doc_id) AS rk
-                    FROM dsc)
-                  WHERE rk <= 150),
-         pool AS (SELECT * FROM g WHERE quality_score >= 0.8
-                  UNION ALL
-                  SELECT g.* FROM g JOIN dsel USING (doc_id)
-                  WHERE g.quality_score < 0.8),
-         r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
-                 ORDER BY quality_score DESC, doc_id
-                 ROWS UNBOUNDED PRECEDING) AS cum
-               FROM pool),
-         a AS (SELECT * FROM r WHERE cum <= 4000),
+      (PretrainChainCtes + """
          t AS (SELECT doc_id, lang, quality_score, n_tokens,
                  CAST(('0x' || substr(md5('pack:' ||
                    CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT % 4
@@ -3987,113 +4099,13 @@ object PipelineQueries {
          SELECT doc_id, lang, quality_score, shard, n_tokens, start_offset,
                 start_offset // 512 AS first_seq,
                 (start_offset + n_tokens - 1) // 512 AS last_seq
-         FROM c ORDER BY doc_id""",
+         FROM c ORDER BY doc_id"""),
     // The pretrain chain's attrition rows: the SAME kept/gate/DSIR/
     // budget CTEs as pipeline_pretrain, refolded into per-stage
     // survivor/token/drop counts (stage k's n_dropped = stage k−1's
     // survivors minus its own).
     "pipeline_pretrain_attrition" ->
-      """WITH w AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
-                    AS words
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(
-             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
-               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
-               AS sh
-           FROM w),
-         p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                 >= 0.5),
-         kept1 AS (
-           SELECT d.doc_id FROM documents d
-           WHERE d.doc_id % 2 = 0
-             AND NOT EXISTS (SELECT 1 FROM p
-               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 0)),
-         kept2 AS (
-           SELECT d.doc_id FROM documents d
-           WHERE d.doc_id % 2 = 1
-             AND NOT EXISTS (SELECT 1 FROM p JOIN kept1 k
-               ON (p.id_a = k.doc_id AND p.id_b = d.doc_id)
-               OR (p.id_b = k.doc_id AND p.id_a = d.doc_id))
-             AND NOT EXISTS (SELECT 1 FROM p
-               WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1)),
-         kept AS (
-           SELECT d.* FROM documents d
-           JOIN (SELECT doc_id FROM kept1
-                 UNION ALL SELECT doc_id FROM kept2) k USING (doc_id)),
-         q AS (
-           SELECT doc_id, lang,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-                    AS n_tokens,
-                  CAST(round(
-             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.3 ELSE 0
-               END) +
-             (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)),
-                 '\s+'),
-                 w -> list_contains(['the','a','an','and','or','of','to','in',
-                   'is','it','that','for','on','with','as','at','by'], w)))
-                 ::DOUBLE
-               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
-                 1) >= 0.01 THEN 0.3 ELSE 0 END) +
-             (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-                 ::DOUBLE
-               / greatest(length(text), 1) <= 0.2 THEN 0.2 ELSE 0 END) +
-             (CASE WHEN list_sum(list_transform(string_split_regex(
-                 trim(lower(text)), '\s+'), w -> length(w)))::DOUBLE
-               / greatest(len(string_split_regex(trim(lower(text)), '\s+')),
-                 1) BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END), 2) AS DOUBLE)
-             AS quality_score
-           FROM kept),
-         g AS (SELECT * FROM q WHERE quality_score >= 0.5),
-         bk AS (SELECT bi.doc_id, bi.is_t,
-                  CAST(('0x' || substr(md5(bi.gram), 1, 8)) AS BIGINT)
-                    % 1024 AS bkt
-                FROM (
-                  SELECT k.doc_id, g2.quality_score >= 0.8 AS is_t,
-                         unnest(list_transform(range(1, len(
-                             string_split_regex(trim(lower(k.text)),
-                               '\s+'))),
-                           i -> string_split_regex(trim(lower(k.text)),
-                                  '\s+')[i] || ' ' ||
-                                string_split_regex(trim(lower(k.text)),
-                                  '\s+')[i + 1])) AS gram
-                  FROM kept k JOIN g g2 USING (doc_id)) bi),
-         dtc AS (SELECT bkt, count(*) AS tc FROM bk WHERE is_t
-                 GROUP BY bkt),
-         drc AS (SELECT bkt, count(*) AS rc FROM bk WHERE NOT is_t
-                 GROUP BY bkt),
-         dtt AS (SELECT count(*) AS t FROM bk WHERE is_t),
-         drt AS (SELECT count(*) AS r FROM bk WHERE NOT is_t),
-         dlam AS (SELECT drc.bkt,
-                    ln((coalesce(dtc.tc, 0) + 1.0) / (dtt.t + 1024)) -
-                    ln((drc.rc + 1.0) / (drt.r + 1024)) AS lam
-                  FROM drc LEFT JOIN dtc USING (bkt)
-                  CROSS JOIN dtt CROSS JOIN drt),
-         ddb AS (SELECT doc_id, bkt, count(*) AS c FROM bk
-                 WHERE NOT is_t GROUP BY 1, 2),
-         dsc AS (SELECT ddb.doc_id, round(sum(dlam.lam * ddb.c), 6)
-                   AS score
-                 FROM ddb JOIN dlam USING (bkt)
-                 GROUP BY ddb.doc_id),
-         dsel AS (SELECT doc_id FROM (
-                    SELECT doc_id, row_number() OVER
-                      (ORDER BY score DESC, doc_id) AS rk
-                    FROM dsc)
-                  WHERE rk <= 150),
-         pool AS (SELECT * FROM g WHERE quality_score >= 0.8
-                  UNION ALL
-                  SELECT g.* FROM g JOIN dsel USING (doc_id)
-                  WHERE g.quality_score < 0.8),
-         r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
-                 ORDER BY quality_score DESC, doc_id
-                 ROWS UNBOUNDED PRECEDING) AS cum
-               FROM pool),
-         a AS (SELECT * FROM r WHERE cum <= 4000),
+      (PretrainChainCtes + """
          st AS (SELECT
            (SELECT count(*) FROM q) AS n0,
            (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q)
@@ -4112,7 +4124,7 @@ object PipelineQueries {
          UNION ALL SELECT 1, 'quality_gate', n1, t1, n0 - n1 FROM st
          UNION ALL SELECT 2, 'dsir_pool', n2, t2, n1 - n2 FROM st
          UNION ALL SELECT 3, 'token_budget', n3, t3, n2 - n3 FROM st
-         ORDER BY stage_ord""",
+         ORDER BY stage_ord"""),
     // membership vs the same deterministically-ranked top-50; NOT IN is
     // null-free here (every word row is a non-null string)
     "text_oov_rate" ->

@@ -56,6 +56,26 @@ object StreamQueries {
   val streamBatchSecs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
 
+  /** Drop every ingest SCENARIO cache — the caches whose fill runs the
+    * timed stream — so the next invocation of each ingest row re-runs
+    * its door end-to-end against a fresh temp table. Input-side caches
+    * (wave dirs, sentinel dirs) are deliberately KEPT: they are setup
+    * the bench's scenario_s split already attributes separately, and
+    * re-deriving them would re-time parquet rewrites, not streams.
+    * Bench calls this between stream passes: without it, pass 2 of an
+    * ingest row is a hot table READ (r11 smoke measured
+    * stream_token_budget "pass 2" at 0.12 s vs a 3.3 s floor), which
+    * would poison the min-of-passes and the floor ledger with a
+    * non-stream number. Re-fills are safe: each fill creates its own
+    * temp base (table + checkpoint), so passes never share state.
+    */
+  def resetScenarioCaches(): Unit = {
+    Seq(ingestCache, upsertCache, mviewStreamCache).foreach(_.clear())
+    Seq(dedupIngestCache, decontIngestCache, qgateIngestCache,
+      clsGateIngestCache, curateIngestCache, annIngestCache,
+      annRefitCache, semDedupCache, budgetIngestCache).foreach(_.clear())
+  }
+
   private def timedStream[T](name: String)(body: => T): T = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val durations =
@@ -795,6 +815,182 @@ object StreamQueries {
       .orderBy("batch_id")
   }
 
+  private val annRefitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The re-fit-on-drift loop END-TO-END, on a PLANTED drifted
+    * distribution: the even-id half seeds a deterministic IVF (fit
+    * baseline stamped), then two TRANSLATED waves of the odd half
+    * (every coordinate +3.0, then +4.0 — the "new crawl shifted the
+    * embedding distribution" case, rising across batches) arrive
+    * through the [[graft.streaming.StreamIngest.annIngestAvailable]]
+    * door. A stale quantizer fails twice on a translated cloud: every
+    * arriving vector sits ~dim·offset² from its nearest fitted cell
+    * (the stamped mean-sq-dist jumps orders of magnitude over the fit
+    * baseline), and the whole shifted corpus crams into the few border
+    * cells facing the shift (an nprobe=1 probe scans most of the new
+    * data per query — the scale failure — and may or may not keep
+    * recall; both readings are certified, not assumed).
+    * [[graft.streaming.StreamIngest.refitIvfOnDrift]] then reads the
+    * stamps, crosses the 2× baseline threshold, and rebuilds the
+    * quantizer over the current table; the scenario certifies the
+    * recovery (assignment mean drops back to data scale; nprobe=1
+    * recall over drifted queries, pre vs post, against the SAME
+    * brute-force truth) and replays the maintenance a second time to
+    * pin idempotency (the covered-batch stamp makes it a no-op). All
+    * drift arithmetic is deterministic doubles — no randomness.
+    */
+  private def annRefitLoc(s: SparkSession, d: String): String =
+    annRefitCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-srefit-")
+      val idxLoc = base.resolve("index").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val seed = emb.filter(col("vec_id") % 2 === 0)
+      val idx = graft.pipeline.Similarity.buildIvfDeterministic(
+        seed, nlist = 16, maxTrainRows = 4096)
+      val t0 = graft.pipeline.Similarity.persistIvf(idx, idxLoc)
+      val (_, fitMean) = graft.pipeline.Similarity
+        .assignmentStats(seed, idx.centroids)
+      t0.setProperties(Map(
+        graft.streaming.StreamIngest.FitMeanSqKey -> fitMean.toString))
+      // drift = scale ×5 + translate: WIDE (5× the fitted spread, so a
+      // competent re-fit must spend many cells on it — a tight
+      // translated blob would legitimately refit into one cell and
+      // leave nothing for the probe-cost certificate to show) and FAR
+      // (+3 then +4 per coordinate — the stamped mean jumps ~3 orders
+      // of magnitude over the 2× trigger)
+      def shifted(src: org.apache.spark.sql.DataFrame, off: Double) =
+        src.select((col("vec_id") + lit(30000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(5.0) + lit(off))
+            .as("embedding"))
+      val w1 = shifted(emb.filter(col("vec_id") % 4 === 1), 3.0)
+      val w2 = shifted(emb.filter(col("vec_id") % 4 === 3), 4.0)
+      val wavesDir = buildWavesDir("graft-refitw-", Seq(w1, w2))
+      val stream = s.readStream.schema(w1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(wavesDir)
+      val batches = timedStream("stream_ann_refit") {
+        graft.streaming.StreamIngest.annIngestAvailable(
+          stream, idxLoc, "vec_ann_refit",
+          base.resolve("ckpt").toString)
+      }
+      require(batches == 2, s"expected 2 drift waves, got $batches")
+      // certificate inputs, materialized BEFORE the re-fit replaces the
+      // index files: the brute-force truth is over the table's contents,
+      // which the re-fit re-partitions but never changes
+      val corpus = graft.pipeline.Similarity.loadIvf(s, idxLoc)
+        .table.get.read().select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val queries = w1.filter(col("vec_id") < 30000040L)
+      val exact = graft.pipeline.Similarity
+        .bruteForceTopK(corpus, queries, k = 10)
+        .select(col("query_id"), col("neighbor"))
+        .localCheckpoint(true)
+      val nExact = exact.count()
+      // the queries ride two driver-side folds below — ≤10 rows by the
+      // id-cut contract
+      val qLocal = queries.collect()
+        .map(r => r.getSeq[Double](1).toArray)
+      def recall(index: graft.pipeline.Similarity.IvfIndex): Double = {
+        val approx = graft.pipeline.Similarity
+          .ivfTopK(index, queries, k = 10, nprobe = 4)
+          .select(col("query_id"), col("neighbor"))
+        exact.join(approx, Seq("query_id", "neighbor")).count()
+          .toDouble / nExact
+      }
+      // probe COST over the post-drift distribution: the fraction of
+      // DRIFTED vectors a query's nprobe=4 probe scans (ivfTopK's own
+      // (dist, cell) probe rule). Pre-refit the shifted corpus crams
+      // into the border cells facing the shift, so every probe scans
+      // ~all of it — the degeneration the re-fit exists to undo.
+      // Integer-exact: one division of summed counts (never an average
+      // of per-query doubles), so the ANSI replay matches bit-for-bit.
+      def scanFrac(index: graft.pipeline.Similarity.IvfIndex): Double = {
+        val drifted = index.assignments
+          .filter(col("vec_id") >= 30000000L)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val total = drifted.values.sum
+        val scanned = qLocal.map { q =>
+          val probed = index.centroids.map { case (cell, c) =>
+            var dsum = 0.0
+            var i = 0
+            while (i < q.length) {
+              val dx = q(i) - c(i); dsum += dx * dx; i += 1
+            }
+            (dsum, cell)
+          }.sortBy(identity).take(4)
+          probed.map(p => drifted.getOrElse(p._2, 0L)).sum
+        }.sum
+        scanned.toDouble / (qLocal.length.toLong * total)
+      }
+      val idxPre = graft.pipeline.Similarity.loadIvf(s, idxLoc)
+      val recallPre = recall(idxPre)
+      val scanPre = scanFrac(idxPre)
+      val (dec, postMean) = graft.streaming.StreamIngest.refitIvfOnDrift(
+        s, idxLoc, "vec_ann_refit", driftFactor = 2.0, nlist = 16)
+      val idxPost = graft.pipeline.Similarity.loadIvf(s, idxLoc)
+      val recallPost = recall(idxPost)
+      val scanPost = scanFrac(idxPost)
+      val (dec2, _) = graft.streaming.StreamIngest.refitIvfOnDrift(
+        s, idxLoc, "vec_ann_refit", driftFactor = 2.0, nlist = 16)
+      graft.lake.LakeTable.forLocation(s, idxLoc).setProperties(Map(
+        "graft.test.refit_triggered" -> dec.refit.toString,
+        "graft.test.pre_mean_sq" -> dec.lastMean.toString,
+        "graft.test.fit_mean_sq" -> fitMean.toString,
+        "graft.test.post_mean_sq" -> postMean.toString,
+        "graft.test.recall_pre" -> recallPre.toString,
+        "graft.test.recall_post" -> recallPost.toString,
+        "graft.test.scan_frac_pre" -> scanPre.toString,
+        "graft.test.scan_frac_post" -> scanPost.toString,
+        "graft.test.refit_idempotent" -> (!dec2.refit).toString))
+      idxLoc
+    })
+
+  /** The drift-maintenance certificate row (see [[annRefitLoc]]): one
+    * row of deterministic scalars — the trigger fired; the re-fit cut
+    * the assignment mean back to data scale (~50× under the drifted
+    * reading); nprobe=4 recall over the post-drift distribution holds
+    * the house 0.5 bar AFTER the re-fit; the PRE-refit probe had
+    * degenerated to scanning ≥ 75 % of the drifted corpus per query
+    * (the actual 100 TB failure mode of a stale quantizer — recall
+    * "survives" drift only by paying a near-full scan, which is why
+    * the stamped assignment mean, not recall, is the right re-fit
+    * trigger); and a second maintenance run was a no-op. The post
+    * scan fraction is reported as evidence, not gated: the cosine-
+    * trained quantizer's cell count over the drifted mass varies with
+    * fixture geometry, while the mean and recall recoveries do not.
+    *
+    * Oracle stance: the means, scan fractions, and their comparison
+    * booleans REPLAY in SQL (both Lloyd fits are the md5-seeded
+    * deterministic machinery the sim_topk_ivf / stream_ann_report
+    * oracles already replay; the drift arithmetic is pure IEEE; scan
+    * fractions are one division of summed integer counts). The recall
+    * bool and the idempotency bool are in-scenario certificates the
+    * oracle pins as constants — the [[streamAnnIngest]] precedent:
+    * recall replay would hinge on unrounded-cosine tie order across
+    * engines, and commit-replay semantics are lake-layer state DuckDB
+    * cannot see.
+    */
+  def streamAnnRefit(s: SparkSession, d: String): DataFrame = {
+    val loc = annRefitLoc(s, d)
+    val t = graft.lake.LakeTable.forLocation(s, loc)
+    def p(k: String) = t.properties("graft.test." + k)
+    s.range(1).select(
+      lit(p("refit_triggered").toBoolean).as("refit_triggered"),
+      round(lit(p("fit_mean_sq").toDouble), 6).as("fit_mean_sq"),
+      round(lit(p("pre_mean_sq").toDouble), 6).as("pre_mean_sq"),
+      round(lit(p("post_mean_sq").toDouble), 6).as("post_mean_sq"),
+      lit(p("post_mean_sq").toDouble < p("pre_mean_sq").toDouble)
+        .as("mean_recovered"),
+      lit(p("recall_post").toDouble >= 0.5).as("recall_post_ge_05"),
+      round(lit(p("scan_frac_pre").toDouble), 6).as("scan_frac_pre"),
+      lit(p("scan_frac_pre").toDouble >= 0.75).as("probe_degenerate_pre"),
+      round(lit(p("scan_frac_post").toDouble), 6).as("scan_frac_post"),
+      lit(p("refit_idempotent").toBoolean).as("refit_idempotent"))
+  }
+
   private val semDedupCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val semWavesCache =
@@ -1095,6 +1291,7 @@ object StreamQueries {
     "stream_token_budget" -> streamTokenBudget _,
     "stream_token_budget_report" -> streamBudgetReport _,
     "stream_ann_ingest" -> streamAnnIngest _,
+    "stream_ann_refit" -> streamAnnRefit _,
     "stream_ann_report" -> streamAnnReport _,
     "stream_semantic_dedup" -> streamSemanticDedup _
   )
@@ -1291,6 +1488,168 @@ object StreamQueries {
                 CAST(1 AS BOOLEAN) AS ids_exact,
                 CAST(1 AS BOOLEAN) AS recall_ge_05
          FROM embeddings""",
+    // The WHOLE re-fit-on-drift loop replayed: seed fit (md5-seeded
+    // 2-round cosine-Lloyd on the even half), the ×5+shift drift
+    // waves (pure IEEE arithmetic), the fit-time and last-batch
+    // assignment means, the RE-FIT (the same Lloyd over seed+drift),
+    // the post-refit mean, and both probe scan fractions (L2 cell
+    // assignment + 4-nearest-cell probes, one division of summed
+    // integer counts). The recall bool and the idempotency bool are
+    // in-scenario certificates pinned as constants (the
+    // stream_ann_ingest stance): recall replay would hinge on
+    // unrounded-cosine tie order, and commit-replay semantics are
+    // lake-layer state DuckDB cannot see.
+    "stream_ann_refit" ->
+      """WITH v AS MATERIALIZED (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sv AS MATERIALIZED (SELECT vec_id, v FROM v WHERE vec_id % 2 = 0),
+         seed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                  FROM sv ORDER BY h, vec_id LIMIT 16),
+         init AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                    AS INT) AS cell, v FROM seed),
+         s1 AS (SELECT a.vec_id, a.v, i.cell,
+                       list_cosine_similarity(a.v, i.v) AS sim
+                FROM sv a CROSS JOIN init i),
+         a1 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s1)
+                WHERE rn = 1),
+         u1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a1)
+                GROUP BY cell, pos),
+         c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u1
+                GROUP BY cell),
+         s2 AS (SELECT a.vec_id, a.v, c.cell,
+                       list_cosine_similarity(a.v, c.v) AS sim
+                FROM sv a CROSS JOIN c1 c),
+         a2 AS (SELECT vec_id, v, cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell) AS rn FROM s2)
+                WHERE rn = 1),
+         u2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                 (SELECT cell, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos FROM a2)
+                GROUP BY cell, pos),
+         c2 AS MATERIALIZED (SELECT cell, list(m ORDER BY pos) AS v
+                             FROM u2 GROUP BY cell),
+         fitm AS (SELECT round(avg(dd), 6) AS fit_mean FROM
+                   (SELECT min(list_sum(list_transform(
+                      range(1, len(a.v) + 1),
+                      i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i])))) AS dd
+                    FROM sv a CROSS JOIN c2 c GROUP BY a.vec_id)),
+         drift AS MATERIALIZED (
+           SELECT vec_id + 30000000 AS vec_id,
+                  list_transform(v, x -> x * 5.0 + 3.0) AS v, 1 AS wave
+           FROM v WHERE vec_id % 4 = 1
+           UNION ALL
+           SELECT vec_id + 30000000,
+                  list_transform(v, x -> x * 5.0 + 4.0), 2
+           FROM v WHERE vec_id % 4 = 3),
+         prem AS (SELECT round(avg(dd), 6) AS pre_mean FROM
+                   (SELECT min(list_sum(list_transform(
+                      range(1, len(w.v) + 1),
+                      i -> (w.v[i] - c.v[i]) * (w.v[i] - c.v[i])))) AS dd
+                    FROM (SELECT * FROM drift WHERE wave = 2) w
+                    CROSS JOIN c2 c GROUP BY w.vec_id)),
+         comb AS MATERIALIZED (
+           SELECT vec_id, v FROM sv
+           UNION ALL SELECT vec_id, v FROM drift),
+         rseed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                   FROM comb ORDER BY h, vec_id LIMIT 16),
+         rinit AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                     AS INT) AS cell, v FROM rseed),
+         rs1 AS (SELECT a.vec_id, a.v, i.cell,
+                        list_cosine_similarity(a.v, i.v) AS sim
+                 FROM comb a CROSS JOIN rinit i),
+         ra1 AS (SELECT vec_id, v, cell FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cell) AS rn FROM rs1)
+                 WHERE rn = 1),
+         ru1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                  (SELECT cell, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS pos FROM ra1)
+                 GROUP BY cell, pos),
+         rc1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM ru1
+                 GROUP BY cell),
+         rs2 AS (SELECT a.vec_id, a.v, c.cell,
+                        list_cosine_similarity(a.v, c.v) AS sim
+                 FROM comb a CROSS JOIN rc1 c),
+         ra2 AS (SELECT vec_id, v, cell FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cell) AS rn FROM rs2)
+                 WHERE rn = 1),
+         ru2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+                  (SELECT cell, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS pos FROM ra2)
+                 GROUP BY cell, pos),
+         rc2 AS MATERIALIZED (SELECT cell, list(m ORDER BY pos) AS v
+                              FROM ru2 GROUP BY cell),
+         postm AS (SELECT round(avg(dd), 6) AS post_mean FROM
+                    (SELECT min(list_sum(list_transform(
+                       range(1, len(a.v) + 1),
+                       i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i])))) AS dd
+                     FROM comb a CROSS JOIN rc2 c GROUP BY a.vec_id)),
+         q AS MATERIALIZED (SELECT vec_id, v FROM drift
+                            WHERE wave = 1 AND vec_id < 30000040),
+         nq AS (SELECT count(*) AS n FROM q),
+         dpre AS (SELECT vec_id, cell FROM
+                   (SELECT d.vec_id, c.cell, row_number() OVER
+                      (PARTITION BY d.vec_id ORDER BY
+                        list_sum(list_transform(range(1, len(d.v) + 1),
+                          i -> (d.v[i] - c.v[i]) * (d.v[i] - c.v[i]))),
+                        c.cell) AS rn
+                    FROM drift d CROSS JOIN c2 c)
+                  WHERE rn = 1),
+         cpre AS (SELECT cell, count(*) AS n FROM dpre GROUP BY cell),
+         tpre AS (SELECT sum(n) AS t FROM cpre),
+         qppre AS (SELECT qid, cell FROM
+                    (SELECT q.vec_id AS qid, c.cell, row_number() OVER
+                       (PARTITION BY q.vec_id ORDER BY
+                         list_sum(list_transform(range(1, len(q.v) + 1),
+                           i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))),
+                         c.cell) AS rn
+                     FROM q CROSS JOIN c2 c)
+                   WHERE rn <= 4),
+         fpre AS (SELECT sum(coalesce(cpre.n, 0))::DOUBLE /
+                    (nq.n * tpre.t) AS f
+                  FROM qppre LEFT JOIN cpre USING (cell), nq, tpre
+                  GROUP BY nq.n, tpre.t),
+         dpost AS (SELECT vec_id, cell FROM
+                    (SELECT d.vec_id, c.cell, row_number() OVER
+                       (PARTITION BY d.vec_id ORDER BY
+                         list_sum(list_transform(range(1, len(d.v) + 1),
+                           i -> (d.v[i] - c.v[i]) * (d.v[i] - c.v[i]))),
+                         c.cell) AS rn
+                     FROM drift d CROSS JOIN rc2 c)
+                   WHERE rn = 1),
+         cpost AS (SELECT cell, count(*) AS n FROM dpost GROUP BY cell),
+         tpost AS (SELECT sum(n) AS t FROM cpost),
+         qppost AS (SELECT qid, cell FROM
+                     (SELECT q.vec_id AS qid, c.cell, row_number() OVER
+                        (PARTITION BY q.vec_id ORDER BY
+                          list_sum(list_transform(range(1, len(q.v) + 1),
+                            i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))),
+                          c.cell) AS rn
+                      FROM q CROSS JOIN rc2 c)
+                    WHERE rn <= 4),
+         fpost AS (SELECT sum(coalesce(cpost.n, 0))::DOUBLE /
+                     (nq.n * tpost.t) AS f
+                   FROM qppost LEFT JOIN cpost USING (cell), nq, tpost
+                   GROUP BY nq.n, tpost.t)
+         SELECT CAST(prem.pre_mean > 2.0 * fitm.fit_mean AS BOOLEAN)
+                  AS refit_triggered,
+                fitm.fit_mean AS fit_mean_sq,
+                prem.pre_mean AS pre_mean_sq,
+                postm.post_mean AS post_mean_sq,
+                CAST(postm.post_mean < prem.pre_mean AS BOOLEAN)
+                  AS mean_recovered,
+                CAST(1 AS BOOLEAN) AS recall_post_ge_05,
+                round(fpre.f, 6) AS scan_frac_pre,
+                CAST(fpre.f >= 0.75 AS BOOLEAN) AS probe_degenerate_pre,
+                round(fpost.f, 6) AS scan_frac_post,
+                CAST(1 AS BOOLEAN) AS refit_idempotent
+         FROM fitm, prem, postm, fpre, fpost""",
     // The drift report's stats recomputed from scratch: the seed
     // quantizer fit replayed (md5-seeded 2-round cosine-Lloyd on the
     // even half — the same CTEs as stream_semantic_dedup's), then each

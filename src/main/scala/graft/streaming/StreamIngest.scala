@@ -37,6 +37,21 @@ object StreamIngest {
   val NVectorsKey = "graft.ingest.n_vectors"
   val MeanSqDistKey = "graft.ingest.mean_sq_dist"
 
+  /** Table property: the quantizer's FIT-TIME mean squared assignment
+    * distance — the drift baseline [[refitIvfOnDrift]] compares the
+    * streamed batches' stamped means against. Stamped by the index
+    * owner at fit time and re-stamped by every re-fit.
+    */
+  val FitMeanSqKey = "graft.ivf.fit_mean_sq"
+
+  /** Table property: the last streamed batch id a re-fit has already
+    * covered — [[refitIvfOnDrift]]'s idempotency stamp (the replay
+    * stance of [[committedBatches]], applied to maintenance: a re-run
+    * of the maintenance job against the same drift evidence must not
+    * re-fit twice).
+    */
+  val RefitAfterBatchKey = "graft.ivf.refit_after_batch"
+
   private def stamp(queryName: String, batchId: Long) = s"$queryName:$batchId"
 
   /** Already-committed batch ids for `queryName` (all branches' history
@@ -635,5 +650,79 @@ object StreamIngest {
       .start()
     try q.processAllAvailable() finally q.stop()
     committed
+  }
+
+  /** The re-fit decision for [[refitIvfOnDrift]], and its evidence:
+    * (re-fit needed, last stamped batch id, last stamped batch mean).
+    */
+  final case class RefitDecision(refit: Boolean, lastBatch: Long,
+      lastMean: Double)
+
+  /** Close the ANN maintenance loop that [[annIngestAvailable]] opens:
+    * read the per-batch mean-squared-assignment-distance stamps the
+    * door committed, and RE-FIT the coarse quantizer when the latest
+    * batch's mean exceeds `driftFactor` × the fit-time baseline
+    * ([[FitMeanSqKey]]) — the "arriving distribution walked away from
+    * the fitted cells" signal `refreshIvf`'s scaladoc leaves to the
+    * index owner. The re-fit rebuilds the deterministic IVF over the
+    * CURRENT table contents (seed + every streamed batch) and REPLACES
+    * the index in place (one snapshot-isolated lake commit — probes
+    * never see a half-rebuilt index), then re-stamps the new fit
+    * baseline and the covered batch id.
+    *
+    * Idempotent by [[RefitAfterBatchKey]]: re-running the maintenance
+    * against the same drift evidence is a no-op — only NEW drifted
+    * batches (a later stamped batch id) can trigger another re-fit.
+    *
+    * Scale shape: the decision is a metadata-only snapshot-summary
+    * fold (no corpus read); the re-fit itself pays one bounded-sample
+    * quantizer train + one full re-assignment pass — the same cost as
+    * the initial build, paid only when the drift signal demands it.
+    * Returns the decision plus the post-state baseline (unchanged when
+    * no re-fit ran).
+    */
+  def refitIvfOnDrift(spark: org.apache.spark.sql.SparkSession,
+      indexLoc: String, queryName: String, driftFactor: Double,
+      nlist: Int, maxTrainRows: Long = 4096L): (RefitDecision, Double) = {
+    val t = LakeTable.forLocation(spark, indexLoc)
+    val fitMean = t.properties.get(FitMeanSqKey) match {
+      case Some(v) => v.toDouble
+      case None => throw new IllegalStateException(
+        s"refitIvfOnDrift: index at $indexLoc carries no $FitMeanSqKey " +
+          "baseline — stamp the fit-time assignment mean when persisting")
+    }
+    val prefix = queryName + ":"
+    val batchMeans = t.meta.snapshots.flatMap { sn =>
+      for {
+        st <- sn.summary.get(BatchStamp)
+        if st.startsWith(prefix)
+        m <- sn.summary.get(MeanSqDistKey)
+      } yield (st.substring(prefix.length).toLong, m.toDouble)
+    }
+    if (batchMeans.isEmpty)
+      return (RefitDecision(refit = false, -1L, fitMean), fitMean)
+    val (lastBatch, lastMean) = batchMeans.maxBy(_._1)
+    val covered = t.properties.get(RefitAfterBatchKey)
+      .exists(_.toLong >= lastBatch)
+    if (covered || lastMean <= driftFactor * fitMean)
+      (RefitDecision(refit = false, lastBatch, lastMean), fitMean)
+    else {
+      val idx = graft.pipeline.Similarity.loadIvf(spark, indexLoc)
+      val data = idx.table.get.read()
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+        // the re-fit reads its own input TWICE (quantizer train sample
+        // + full re-assignment) and persistIvf replaces the files it
+        // came from — materialize first
+        .localCheckpoint(true)
+      val refitted = graft.pipeline.Similarity
+        .buildIvfDeterministic(data, nlist, maxTrainRows = maxTrainRows)
+      val t2 = graft.pipeline.Similarity.persistIvf(refitted, indexLoc)
+      val (_, newMean) = graft.pipeline.Similarity
+        .assignmentStats(data, refitted.centroids)
+      t2.setProperties(Map(FitMeanSqKey -> newMean.toString,
+        RefitAfterBatchKey -> lastBatch.toString))
+      (RefitDecision(refit = true, lastBatch, lastMean), newMean)
+    }
   }
 }

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale SLOPE probe for the heaviest corpus-pass rows: builds a
+  * `copies`× documents/embeddings fixture by deterministic self-union
+  * with re-keyed ids (same distribution, `copies`× the mass — clone
+  * groups are genuine exact duplicates, which deliberately stress the
+  * df-cap / prefix-block skew guards), symlinks every other table, and
+  * times the target queries on BOTH the source dir and the scaled dir
+  * in one JVM (warmup + `Passes` interleaved passes, min) so the
+  * reported ratio is same-box, same-session.
+  *
+  * Reading the ratios: a row whose wall-clock grows ≤ ~copies× is
+  * data-linear in the measured range; pair rows may grow faster in
+  * OUTPUT (every clone pair is a true near-dup — semantics, not plan)
+  * while the df-cap bounds the work, and exact-kNN rows are O(n²) by
+  * algorithm (their scale path is the IVF family). Usage:
+  *   runMain graft.tools.ScaleProbe [srcDir] [copies] [query...]
+  */
+object ScaleProbe {
+  private val DefaultTargets = Seq("dedup_winnow_pairs",
+    "dedup_ngram_pairs", "pipeline_curate_neardup", "knn_graph",
+    "pipeline_pretrain")
+  private val Passes = 2
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val targets =
+      if (args.length > 2) args.drop(2).toSeq else DefaultTargets
+    val spark = graft.SparkEnv.session()
+    val base = java.nio.file.Files.createTempDirectory("graft-scale-")
+    def rekey(table: String, idCol: String): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      (0 until copies).map(k => df.withColumn(idCol,
+          col(idCol) + lit(k.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+        .write.parquet(base.resolve(s"$table.parquet").toString)
+    }
+    rekey("documents", "doc_id")
+    rekey("embeddings", "vec_id")
+    new java.io.File(src).listFiles().foreach { f =>
+      val dst = base.resolve(f.getName)
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.createSymbolicLink(dst, f.toPath)
+    }
+    val qs = graft.SparkEntry.queries.filter {
+      case (k, _) => targets.contains(k)
+    }.toSeq.sortBy(_._1)
+    def timeOne(fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // warmup both dirs (codegen, scan caches), then interleaved passes
+    qs.foreach { case (_, fn) =>
+      timeOne(fn, src); timeOne(fn, base.toString)
+    }
+    val samples = (1 to Passes).flatMap { _ =>
+      qs.map { case (name, fn) =>
+        val (tb, nb) = timeOne(fn, src)
+        val (ts, ns) = timeOne(fn, base.toString)
+        (name, tb, ts, nb, ns)
+      }
+    }
+    println("query,base_min_s,scaled_min_s,ratio,base_rows,scaled_rows")
+    qs.map(_._1).foreach { name =>
+      val mine = samples.filter(_._1 == name)
+      val tb = mine.map(_._2).min
+      val ts = mine.map(_._3).min
+      println(f"$name%s,$tb%.2f,$ts%.2f,${ts / tb}%.1f," +
+        s"${mine.head._4},${mine.head._5}")
+    }
+    spark.stop()
+  }
+}

@@ -98,4 +98,37 @@ class ShingleExprSpec extends AnyFunSuite {
       .filter(col("hof") =!= col("native")).count()
     assert(mism == 0)
   }
+
+  test("dhash sketch == driver-side byte replay (real docs + edges: " +
+      "empty, 1-byte, sub-window, multi-byte UTF-8)") {
+    // independent reference: bucket the bytes with a groupBy instead of
+    // the kernel's accumulate-in-place loop
+    def ref(bytes: Array[Byte]): Long = {
+      if (bytes.isEmpty) return 0L
+      val n = bytes.length
+      val sums = bytes.indices
+        .groupBy(p => ((p.toLong * 65L) / n).toInt)
+        .view.mapValues(_.map(p => (bytes(p) & 0xFF).toLong).sum).toMap
+        .withDefaultValue(0L)
+      (0 until 64).map { i =>
+        if (sums(i) > sums(i + 1)) 1L << i else 0L
+      }.sum
+    }
+    import s.implicits._
+    val edges = Seq("", "a", "ab", "héllo wörld 世界",
+      "x" * 64, "abc" * 200).toDF("t")
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("text").as("t"))
+    val rows = docs.unionByName(edges).filter(col("t").isNotNull)
+      .select(col("t"),
+        ShingleExpressions.dhashSketch(col("t").cast("binary")).as("dh"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = ref(r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == expect,
+        s"dhash diverged on ${r.getString(0).take(40)}: " +
+          s"got ${r.getLong(1)}, expected $expect")
+    }
+  }
 }

@@ -158,6 +158,31 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("blob dedup: no exchange carries the payload bytes — digest and " +
+      "dhash are computed in the scan projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // a binary column on any exchange re-ships the 100 TB blob
+      // corpus; both dedup stages must reduce to (digest|sketch, id)
+      // before their first shuffle
+      for (q <- Seq(
+          graft.queries.PipelineQueries.dedupBlobExact(s, sf),
+          graft.queries.PipelineQueries.dedupBlobNear(s, sf))) {
+        val plan = q.queryExecution.executedPlan
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.nonEmpty, "expected dedup exchanges")
+        val carrying = shuffles.filter(_.output.exists(a =>
+          a.name == "content" ||
+            a.dataType == org.apache.spark.sql.types.BinaryType))
+        assert(carrying.isEmpty, "blob bytes on an exchange:\n" +
+          carrying.map(_.simpleStringWithNodeId()).mkString("\n"))
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("DSIR: the corpus is tokenized ONCE — model counts and scoring " +
       "read the checkpointed bucket-count frame") {
     val conf = s.conf

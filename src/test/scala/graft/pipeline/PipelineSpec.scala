@@ -1362,6 +1362,48 @@ class PipelineSpec extends AnyFunSuite {
       s"encode diverged: ${out.toSeq}")
   }
 
+  test("BPE encode at tokenizer scale: 32 rounds take the dictionary-" +
+      "walk path (blocked vocab replay + count join) and match a " +
+      "driver-side reference encoder word-for-word") {
+    val corpus = s.read.parquet(s"$sf/documents.parquet")
+    val rounds = 32
+    val merges = TextAnalysis.bpeMerges(corpus, rounds)
+    assert(merges.size > 8,
+      s"fixture exhausted at ${merges.size} merges — dictionary-walk " +
+        "path not exercised")
+    // reference: per-word symbol-level merge replay on the driver, in
+    // training order. Words come from Spark's OWN tokenization
+    // (lower/trim/split) so the comparison can't diverge on locale or
+    // regex semantics — the same stance as the train-scale test.
+    def encodeLen(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (_, l, r, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      // empty word (whitespace-only doc): the engine's convention is
+      // one token — split of the empty segmentation yields [""]
+      math.max(1, syms.length)
+    }
+    val pairs = corpus.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val exp = pairs.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.length, ws.map(p => encodeLen(p._2).toLong).sum))
+    }
+    val got = TextAnalysis.bpeEncode(corpus, rounds = rounds).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == exp,
+      s"encode diverged at rounds=$rounds: ${got.toSeq.sortBy(_._1).take(3)}" +
+        s" vs ${exp.toSeq.sortBy(_._1).take(3)}")
+  }
+
   test("k-center coreset: equals the local greedy farthest-point " +
       "traversal; duplicates never re-selected; corpus < k stops early") {
     val spark = s
@@ -1697,5 +1739,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(att.getAs[Long]("n_tokens") ==
       out.agg(sum(col("n_tokens").cast("long"))).head().getLong(0),
       "audit token sum != pipeline output tokens")
+  }
+
+  test("blob exact dedup: identical payloads collapse to one ledger row " +
+      "with the smallest id; null payloads dropped") {
+    val spark = s
+    import spark.implicits._
+    val blobs = Seq(
+      (7L, "image", "same bytes"),
+      (3L, "audio", "same bytes"),   // same payload, different modality
+      (5L, "image", "other bytes"),
+      (9L, "video", null.asInstanceOf[String]))
+      .toDF("blob_id", "modality", "t")
+      .select(col("blob_id"), col("modality"),
+        col("t").cast("binary").as("content"))
+    val out = Dedup.blobExactDedup(blobs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(3L -> 2L, 5L -> 1L),
+      s"ledger diverged: $out (keep_id -> n_copies)")
+  }
+
+  test("blob near-dup: a lightly-edited payload pairs with its original " +
+      "at small hamming; unrelated payloads don't; cross-modality " +
+      "twins never pair; a hot band bucket is df-capped out") {
+    val spark = s
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 8)
+    // one byte differs → one window sum perturbed → ≤ 2 sketch bits
+    val edited = base.replaceFirst("lazy", "hazy")
+    def blobify(rows: Seq[(Long, String, String)]) =
+      rows.toDF("blob_id", "modality", "t")
+        .select(col("blob_id"), col("modality"),
+          col("t").cast("binary").as("content"))
+    val blobs = blobify(Seq(
+      (1L, "image", base),
+      (2L, "image", edited),
+      (3L, "image", "completely unrelated payload with different " +
+        "content entirely, nothing shared at all beyond raw length " +
+        "padding padding padding padding padding padding padding"),
+      (4L, "audio", base)))  // byte-identical to 1 but another modality
+    val pairs = Dedup.blobNearPairs(blobs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3),
+      s"edited copy not found: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"unrelated payload paired: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"cross-modality pair leaked: ${pairs.toSeq}")
+    // df-cap: 5 identical payloads share every band bucket; with
+    // maxDf = 4 every bucket is hotter than the cap → zero pairs
+    val hot = blobify((1L to 5L).map(i => (i, "image", base)))
+    assert(Dedup.blobNearPairs(hot, maxDf = 4).count() == 0,
+      "df-capped bucket still produced pairs")
+    assert(Dedup.blobNearPairs(hot, maxDf = 5).count() == 10,
+      "uncapped identical payloads must give all C(5,2) pairs")
   }
 }
