@@ -545,11 +545,23 @@ object Dedup {
     */
   def blobNearPairs(blobs: DataFrame, contentCol: String = "content",
       idCol: String = "blob_id", modalityCol: String = "modality",
-      maxHamming: Int = 3, maxDf: Int = 50): DataFrame = {
-    val sk = blobs.filter(col(contentCol).isNotNull)
-      .select(col(idCol), col(modalityCol),
-        graft.functions.ShingleExpressions.dhashSketch(col(contentCol))
-          .as("dhash"))
+      maxHamming: Int = 3, maxDf: Int = 50): DataFrame =
+    dhashBandedPairs(
+      blobs.filter(col(contentCol).isNotNull)
+        .select(col(idCol), col(modalityCol),
+          graft.functions.ShingleExpressions.dhashSketch(col(contentCol))
+            .as("dhash")),
+      idCol, modalityCol, maxHamming, maxDf)
+
+  /** The banded-Hamming pair join of [[blobNearPairs]] over an
+    * ALREADY-SKETCHED frame (idCol, modalityCol, "dhash") — split out
+    * so composed chains that carry the sketch through earlier stages
+    * (e.g. [[graft.queries.PipelineQueries.pipelineMultimodalCurate]])
+    * reuse the join without re-reading payload bytes.
+    */
+  def dhashBandedPairs(sk: DataFrame, idCol: String = "blob_id",
+      modalityCol: String = "modality", maxHamming: Int = 3,
+      maxDf: Int = 50): DataFrame = {
     val banded = sk.select(col(idCol), col(modalityCol), col("dhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -1712,6 +1712,52 @@ object PipelineQueries {
     Dedup.blobNearPairs(Multimodal.blobTable(Tables.documents(s, d)))
       .orderBy("modality", "id_a", "id_b")
 
+  /** The multimodal curation chain COMPOSED end-to-end — exact content
+    * dedup (keep the smallest id per sha-256 digest), then perceptual
+    * near-dup suppression over the survivors (drop any blob with a
+    * smaller-id dHash neighbor at hamming ≤ 3 — the keep-if-no-smaller
+    * rule, deterministic and SQL-replayable), folded to the per-modality
+    * attrition ledger (blobs in, exact drops, near drops, kept count +
+    * kept bytes) a multimodal ingest pipeline reports per wave.
+    *
+    * Scale shape: ONE scan projection reduces every payload to its
+    * sketch row (digest, dhash, byte count) — payload bytes never leave
+    * the scan (the blob-dedup PlanSpec pin covers the members); the
+    * sketch frame is checkpointed once for its four consumers, the
+    * exact stage is a digest-keyed window over 80-byte rows, the near
+    * stage reuses [[Dedup.dhashBandedPairs]], and the ledger is three
+    * modality-keyed aggregates of id-sized rows.
+    */
+  def pipelineMultimodalCurate(s: SparkSession, d: String): DataFrame = {
+    val blobs = Multimodal.blobTable(Tables.documents(s, d))
+      .filter(col("content").isNotNull)
+    val sk = blobs.select(col("blob_id"), col("modality"),
+        sha2(col("content"), 256).as("digest"),
+        graft.functions.ShingleExpressions.dhashSketch(col("content"))
+          .as("dhash"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("blob_id"))
+    val exactKept = sk.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "digest")
+      .localCheckpoint(true)
+    val dropNear = Dedup.dhashBandedPairs(exactKept)
+      .select(col("id_b").as("blob_id")).distinct()
+    val kept = exactKept.join(dropNear, Seq("blob_id"), "left_anti")
+    sk.groupBy(col("modality")).agg(count(lit(1)).as("n_in"))
+      .join(exactKept.groupBy(col("modality"))
+        .agg(count(lit(1)).as("_n_exact_kept")), Seq("modality"))
+      .join(kept.groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_bytes")).as("bytes_kept")), Seq("modality"))
+      .select(col("modality"), col("n_in"),
+        (col("n_in") - col("_n_exact_kept")).as("n_exact_dropped"),
+        (col("_n_exact_kept") - col("n_kept")).as("n_near_dropped"),
+        col("n_kept"), col("bytes_kept"))
+      .orderBy("modality")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> dedupExact _,
     "dedup_minhash_pairs"  -> dedupMinhash _,
@@ -1720,6 +1766,7 @@ object PipelineQueries {
     "dedup_winnow_pairs"   -> dedupWinnow _,
     "dedup_blob_exact"     -> dedupBlobExact _,
     "dedup_blob_near"      -> dedupBlobNear _,
+    "pipeline_multimodal_curate" -> pipelineMultimodalCurate _,
     "text_novelty"         -> textNovelty _,
     "dedup_incremental"    -> dedupIncremental _,
     "sample_token_budget"  -> sampleTokenBudget _,
@@ -3796,6 +3843,82 @@ object PipelineQueries {
                    JOIN sk y ON y.blob_id = cand.id_b
          WHERE bit_count(xor(x.dh, y.dh)) <= 3
          ORDER BY cand.modality, id_a, id_b""",
+    // The composed multimodal chain replayed stage-for-stage: sha-256
+    // keep-min-per-digest, then the dedup_blob_near dhash/band/cap
+    // machinery over the exact survivors, keep-if-no-smaller-neighbor,
+    // per-modality attrition fold.
+    "pipeline_multimodal_curate" ->
+      """WITH b AS (
+           SELECT doc_id AS blob_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+                  text, strlen(text) AS n
+           FROM documents WHERE text IS NOT NULL),
+         ek AS MATERIALIZED (
+           SELECT blob_id, modality, text, n FROM
+            (SELECT *, row_number() OVER
+               (PARTITION BY sha256(text) ORDER BY blob_id) AS rn
+             FROM b)
+           WHERE rn = 1),
+         hxs AS (SELECT blob_id, modality, hex(text::BLOB) AS hx, n
+                 FROM ek),
+         byv AS (
+           SELECT blob_id, CAST((p * 65) // n AS INT) AS w,
+                  ('0x' || substr(hx, CAST(2 * p + 1 AS INT), 2))::BIGINT
+                    AS v
+           FROM hxs, UNNEST(range(n)) AS t(p)),
+         wsum AS (SELECT blob_id, w, sum(v) AS s FROM byv GROUP BY 1, 2),
+         spine AS (
+           SELECT hxs.blob_id, hxs.modality, CAST(i AS INT) AS i
+           FROM hxs, UNNEST(range(65)) AS t(i)),
+         ws AS (
+           SELECT spine.blob_id, spine.modality, spine.i,
+                  coalesce(wsum.s, 0) AS s
+           FROM spine LEFT JOIN wsum
+             ON wsum.blob_id = spine.blob_id AND wsum.w = spine.i),
+         nbr AS (
+           SELECT blob_id, modality, i, s,
+                  lead(s) OVER (PARTITION BY blob_id ORDER BY i) AS ns
+           FROM ws),
+         sk AS MATERIALIZED (
+           SELECT blob_id, modality,
+                  CAST(coalesce(sum(CASE WHEN s > ns
+                    THEN (1::UBIGINT << i) ELSE 0::UBIGINT END),
+                    0) AS UBIGINT) AS dh
+           FROM nbr WHERE i < 64 GROUP BY blob_id, modality),
+         bands AS (
+           SELECT blob_id, modality, CAST(bd AS INT) AS band_idx,
+                  CAST((dh >> CAST(16 * bd AS INT)) & 65535 AS INT)
+                    AS band_val
+           FROM sk, UNNEST(range(4)) AS t(bd)),
+         dfq AS (SELECT modality, band_idx, band_val, count(*) AS dfreq
+                 FROM bands GROUP BY 1, 2, 3),
+         keptb AS (SELECT bands.* FROM bands JOIN dfq
+                   USING (modality, band_idx, band_val) WHERE dfreq <= 50),
+         cand AS (
+           SELECT DISTINCT a.blob_id AS id_a, c.blob_id AS id_b
+           FROM keptb a JOIN keptb c
+             ON a.modality = c.modality AND a.band_idx = c.band_idx
+                AND a.band_val = c.band_val AND a.blob_id < c.blob_id),
+         dropn AS (
+           SELECT DISTINCT cand.id_b AS blob_id
+           FROM cand JOIN sk x ON x.blob_id = cand.id_a
+                     JOIN sk y ON y.blob_id = cand.id_b
+           WHERE bit_count(xor(x.dh, y.dh)) <= 3),
+         kept2 AS (SELECT * FROM ek
+                   WHERE blob_id NOT IN (SELECT blob_id FROM dropn)),
+         agg_in AS (SELECT modality, count(*) AS n_in FROM b GROUP BY 1),
+         agg_ek AS (SELECT modality, count(*) AS n_ek FROM ek GROUP BY 1),
+         agg_k AS (SELECT modality, count(*) AS n_kept,
+                          sum(n) AS bytes_kept
+                   FROM kept2 GROUP BY 1)
+         SELECT modality, n_in,
+                n_in - n_ek AS n_exact_dropped,
+                n_ek - n_kept AS n_near_dropped,
+                n_kept, CAST(bytes_kept AS BIGINT) AS bytes_kept
+         FROM agg_in JOIN agg_ek USING (modality)
+                     JOIN agg_k USING (modality)
+         ORDER BY modality""",
     // Full simhash replay: word hash = low 64 bits of md5 (the operator
     // uses the same primitive precisely so this oracle exists). The
     // 4×16-bit banding is complete for hamming <= 3 by pigeonhole, so

@@ -170,7 +170,8 @@ class PlanSpec extends AnyFunSuite {
       // before their first shuffle
       for (q <- Seq(
           graft.queries.PipelineQueries.dedupBlobExact(s, sf),
-          graft.queries.PipelineQueries.dedupBlobNear(s, sf))) {
+          graft.queries.PipelineQueries.dedupBlobNear(s, sf),
+          graft.queries.PipelineQueries.pipelineMultimodalCurate(s, sf))) {
         val plan = q.queryExecution.executedPlan
         val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
         assert(shuffles.nonEmpty, "expected dedup exchanges")
