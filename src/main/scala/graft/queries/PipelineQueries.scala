@@ -1712,6 +1712,23 @@ object PipelineQueries {
     Dedup.blobNearPairs(Multimodal.blobTable(Tables.documents(s, d)))
       .orderBy("modality", "id_a", "id_b")
 
+  /** Near-duplicate blob CLUSTERS: [[dedupBlobNear]]'s verified pairs
+    * composed with min-label connected components ([[Dedup.components]]
+    * — the [[dedupMinhashClusters]] shape applied to the perceptual
+    * layer): a ~ b, b ~ c collapse to one cluster labeled by its min
+    * member id, the unit a keep-one-per-cluster multimodal dedup acts
+    * on. Pairs are same-modality by construction, so clusters are too.
+    * The oracle recomputes the pair graph with the shared dhash CTEs
+    * and takes its transitive closure with a recursive CTE — pair
+    * recall AND component labels are hash-checked.
+    */
+  def dedupBlobClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.components(
+      Dedup.blobNearPairs(Multimodal.blobTable(Tables.documents(s, d)))
+        .select("id_a", "id_b"))
+      .select(col("id").as("blob_id"), col("component"))
+      .orderBy("component", "blob_id")
+
   /** The multimodal curation chain COMPOSED end-to-end — exact content
     * dedup (keep the smallest id per sha-256 digest), then perceptual
     * near-dup suppression over the survivors (drop any blob with a
@@ -1766,6 +1783,7 @@ object PipelineQueries {
     "dedup_winnow_pairs"   -> dedupWinnow _,
     "dedup_blob_exact"     -> dedupBlobExact _,
     "dedup_blob_near"      -> dedupBlobNear _,
+    "dedup_blob_clusters"  -> dedupBlobClusters _,
     "pipeline_multimodal_curate" -> pipelineMultimodalCurate _,
     "text_novelty"         -> textNovelty _,
     "dedup_incremental"    -> dedupIncremental _,
@@ -2269,6 +2287,64 @@ object PipelineQueries {
                  ROWS UNBOUNDED PRECEDING) AS cum
                FROM pool),
          a AS MATERIALIZED (SELECT * FROM r WHERE cum <= 4000),"""
+
+  /** The dedup_blob_near oracle's dhash/band/cap/verify chain, shared
+    * with dedup_blob_clusters (which adds the recursive component
+    * closure on top) — one definition so the pair semantics cannot
+    * drift between the pair row and the cluster row. Ends in `npairs`
+    * (modality, id_a, id_b, hamming), the verified pair set.
+    */
+  private[queries] val BlobDhashPairCtes: String =
+    """WITH RECURSIVE b AS (
+           SELECT doc_id AS blob_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+                  hex(text::BLOB) AS hx, strlen(text) AS n
+           FROM documents WHERE text IS NOT NULL),
+         byv AS (
+           SELECT blob_id, CAST((p * 65) // n AS INT) AS w,
+                  ('0x' || substr(hx, CAST(2 * p + 1 AS INT), 2))::BIGINT
+                    AS v
+           FROM b, UNNEST(range(n)) AS t(p)),
+         wsum AS (SELECT blob_id, w, sum(v) AS s FROM byv GROUP BY 1, 2),
+         spine AS (
+           SELECT b.blob_id, b.modality, CAST(i AS INT) AS i
+           FROM b, UNNEST(range(65)) AS t(i)),
+         ws AS (
+           SELECT spine.blob_id, spine.modality, spine.i,
+                  coalesce(wsum.s, 0) AS s
+           FROM spine LEFT JOIN wsum
+             ON wsum.blob_id = spine.blob_id AND wsum.w = spine.i),
+         nbr AS (
+           SELECT blob_id, modality, i, s,
+                  lead(s) OVER (PARTITION BY blob_id ORDER BY i) AS ns
+           FROM ws),
+         sk AS (
+           SELECT blob_id, modality,
+                  CAST(coalesce(sum(CASE WHEN s > ns
+                    THEN (1::UBIGINT << i) ELSE 0::UBIGINT END),
+                    0) AS UBIGINT) AS dh
+           FROM nbr WHERE i < 64 GROUP BY blob_id, modality),
+         bands AS (
+           SELECT blob_id, modality, CAST(bd AS INT) AS band_idx,
+                  CAST((dh >> CAST(16 * bd AS INT)) & 65535 AS INT)
+                    AS band_val
+           FROM sk, UNNEST(range(4)) AS t(bd)),
+         dfq AS (SELECT modality, band_idx, band_val, count(*) AS dfreq
+                 FROM bands GROUP BY 1, 2, 3),
+         kept AS (SELECT bands.* FROM bands JOIN dfq
+                  USING (modality, band_idx, band_val) WHERE dfreq <= 50),
+         cand AS (
+           SELECT DISTINCT a.modality, a.blob_id AS id_a, c.blob_id AS id_b
+           FROM kept a JOIN kept c
+             ON a.modality = c.modality AND a.band_idx = c.band_idx
+                AND a.band_val = c.band_val AND a.blob_id < c.blob_id),
+         npairs AS (
+           SELECT cand.modality AS modality, id_a, id_b,
+                  CAST(bit_count(xor(x.dh, y.dh)) AS INT) AS hamming
+           FROM cand JOIN sk x ON x.blob_id = cand.id_a
+                     JOIN sk y ON y.blob_id = cand.id_b
+           WHERE bit_count(xor(x.dh, y.dh)) <= 3)"""
 
   private[queries] val QualityGateCtes: String =
     """WITH w AS (
@@ -3793,56 +3869,20 @@ object PipelineQueries {
     // hamming<=3 verify the Spark plan runs — the cap drops buckets,
     // so the banding must be replayed, not pigeonhole-skipped.
     "dedup_blob_near" ->
-      """WITH b AS (
-           SELECT doc_id AS blob_id,
-                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                    ELSE 'video' END AS modality,
-                  hex(text::BLOB) AS hx, strlen(text) AS n
-           FROM documents WHERE text IS NOT NULL),
-         byv AS (
-           SELECT blob_id, CAST((p * 65) // n AS INT) AS w,
-                  ('0x' || substr(hx, CAST(2 * p + 1 AS INT), 2))::BIGINT
-                    AS v
-           FROM b, UNNEST(range(n)) AS t(p)),
-         wsum AS (SELECT blob_id, w, sum(v) AS s FROM byv GROUP BY 1, 2),
-         spine AS (
-           SELECT b.blob_id, b.modality, CAST(i AS INT) AS i
-           FROM b, UNNEST(range(65)) AS t(i)),
-         ws AS (
-           SELECT spine.blob_id, spine.modality, spine.i,
-                  coalesce(wsum.s, 0) AS s
-           FROM spine LEFT JOIN wsum
-             ON wsum.blob_id = spine.blob_id AND wsum.w = spine.i),
-         nbr AS (
-           SELECT blob_id, modality, i, s,
-                  lead(s) OVER (PARTITION BY blob_id ORDER BY i) AS ns
-           FROM ws),
-         sk AS (
-           SELECT blob_id, modality,
-                  CAST(coalesce(sum(CASE WHEN s > ns
-                    THEN (1::UBIGINT << i) ELSE 0::UBIGINT END),
-                    0) AS UBIGINT) AS dh
-           FROM nbr WHERE i < 64 GROUP BY blob_id, modality),
-         bands AS (
-           SELECT blob_id, modality, CAST(bd AS INT) AS band_idx,
-                  CAST((dh >> CAST(16 * bd AS INT)) & 65535 AS INT)
-                    AS band_val
-           FROM sk, UNNEST(range(4)) AS t(bd)),
-         dfq AS (SELECT modality, band_idx, band_val, count(*) AS dfreq
-                 FROM bands GROUP BY 1, 2, 3),
-         kept AS (SELECT bands.* FROM bands JOIN dfq
-                  USING (modality, band_idx, band_val) WHERE dfreq <= 50),
-         cand AS (
-           SELECT DISTINCT a.modality, a.blob_id AS id_a, c.blob_id AS id_b
-           FROM kept a JOIN kept c
-             ON a.modality = c.modality AND a.band_idx = c.band_idx
-                AND a.band_val = c.band_val AND a.blob_id < c.blob_id)
-         SELECT cand.modality AS modality, id_a, id_b,
-                CAST(bit_count(xor(x.dh, y.dh)) AS INT) AS hamming
-         FROM cand JOIN sk x ON x.blob_id = cand.id_a
-                   JOIN sk y ON y.blob_id = cand.id_b
-         WHERE bit_count(xor(x.dh, y.dh)) <= 3
-         ORDER BY cand.modality, id_a, id_b""",
+      (BlobDhashPairCtes + """
+         SELECT modality, id_a, id_b, hamming FROM npairs
+         ORDER BY modality, id_a, id_b"""),
+    // The pair graph's transitive closure on top of the shared dhash
+    // CTEs — the dedup_minhash_clusters reach idiom.
+    "dedup_blob_clusters" -> (BlobDhashPairCtes + """,
+         e AS (SELECT id_a AS a, id_b AS b FROM npairs
+               UNION SELECT id_b, id_a FROM npairs),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM e
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+         SELECT id AS blob_id, min(r) AS component
+         FROM reach GROUP BY id ORDER BY component, blob_id"""),
     // The composed multimodal chain replayed stage-for-stage: sha-256
     // keep-min-per-digest, then the dedup_blob_near dhash/band/cap
     // machinery over the exact survivors, keep-if-no-smaller-neighbor,

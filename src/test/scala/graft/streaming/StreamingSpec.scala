@@ -697,4 +697,54 @@ class StreamingSpec extends AnyFunSuite {
       _.summary.get(StreamIngest.BatchStamp)).filter(_.startsWith("cu:"))
     assert(stamps2.size == 2, s"replay must not re-stamp: $stamps2")
   }
+
+  test("refitIvfOnDrift edges: missing baseline throws a clear message; " +
+      "no stamped batches is a no-op; below-threshold drift is a no-op " +
+      "and leaves the index untouched") {
+    val spark = s
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-refit-edge-")
+    // +1 offsets: the cosine-assignment kernel has no direction for a
+    // zero vector
+    val vecs = (0L until 64L)
+      .map(i => (i, Seq(i.toDouble % 8 + 1, (i / 8).toDouble + 1)))
+      .toDF("vec_id", "embedding")
+    val loc = base.resolve("idx").toString
+    val idx = graft.pipeline.Similarity
+      .buildIvfDeterministic(vecs, nlist = 4)
+    val t = graft.pipeline.Similarity.persistIvf(idx, loc)
+    // 1) no baseline property → actionable failure, not a silent skip
+    val e = intercept[IllegalStateException] {
+      StreamIngest.refitIvfOnDrift(spark, loc, "edge", 2.0, nlist = 4)
+    }
+    assert(e.getMessage.contains(StreamIngest.FitMeanSqKey))
+    val (_, fitMean) = graft.pipeline.Similarity
+      .assignmentStats(vecs, idx.centroids)
+    t.setProperties(Map(StreamIngest.FitMeanSqKey -> fitMean.toString))
+    // 2) baseline present but nothing stamped → decision is "no refit"
+    val (d0, m0) = StreamIngest
+      .refitIvfOnDrift(spark, loc, "edge", 2.0, nlist = 4)
+    assert(!d0.refit && d0.lastBatch == -1L && m0 == fitMean)
+    // 3) a stamped batch WITHIN threshold → no-op, snapshot count and
+    // centroids unchanged (an eager refit would replace the table).
+    // The calm batch is the fit data itself, so its stamped mean equals
+    // the baseline exactly — guaranteed under any driftFactor > 1.
+    val calm = vecs
+    val (n, mean) = graft.pipeline.Similarity
+      .assignmentStats(calm, idx.centroids)
+    graft.pipeline.Similarity.refreshIvf(spark, loc, calm,
+      summary = Map(StreamIngest.BatchStamp -> "edge:0",
+        StreamIngest.NVectorsKey -> n.toString,
+        StreamIngest.MeanSqDistKey -> mean.toString))
+    val snapsBefore = graft.lake.LakeTable.forLocation(spark, loc)
+      .meta.snapshots.size
+    val (d1, m1) = StreamIngest
+      .refitIvfOnDrift(spark, loc, driftFactor = 2.0,
+        queryName = "edge", nlist = 4)
+    assert(!d1.refit && d1.lastBatch == 0L && m1 == fitMean,
+      s"calm batch must not trigger: $d1")
+    assert(graft.lake.LakeTable.forLocation(spark, loc)
+      .meta.snapshots.size == snapsBefore,
+      "a no-op maintenance run must not commit")
+  }
 }
