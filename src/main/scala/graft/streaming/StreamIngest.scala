@@ -692,12 +692,16 @@ object StreamIngest {
           "baseline — stamp the fit-time assignment mean when persisting")
     }
     val prefix = queryName + ":"
+    // toLongOption, not toLong: a LONGER query name sharing this one as
+    // a prefix (the `a` vs `a:v2` hazard [[committedBatches]] documents)
+    // must be skipped, not crash the maintenance job
     val batchMeans = t.meta.snapshots.flatMap { sn =>
       for {
         st <- sn.summary.get(BatchStamp)
         if st.startsWith(prefix)
+        b <- st.substring(prefix.length).toLongOption
         m <- sn.summary.get(MeanSqDistKey)
-      } yield (st.substring(prefix.length).toLong, m.toDouble)
+      } yield (b, m.toDouble)
     }
     if (batchMeans.isEmpty)
       return (RefitDecision(refit = false, -1L, fitMean), fitMean)
