@@ -1172,6 +1172,95 @@ object Similarity {
     mutualFlag(edges)
   }
 
+  /** Approximate kNN graph — the SCALE PATH for [[knnGraph]]. The
+    * exact blocked route is O(N²) dot products by algorithm (every
+    * vector scores every block); the measured 10× slope confirms it
+    * (ScaleProbe: 10.1× wall on 10× data). This variant reuses the
+    * deterministic IVF coarse quantizer ([[buildIvfDeterministic]]) to
+    * bound each vector's candidate set to its `nprobe` nearest CELLS:
+    * dot products drop from N² to N²·(nprobe/nlist), and growing
+    * `nlist` ∝ √N (the standard IVF sizing) makes the graph build
+    * O(N^1.5) — the difference between infeasible and routine at
+    * pretraining-corpus size.
+    *
+    * Same execution shape as [[knnGraph]], with cells as the blocks:
+    * each CELL packs into one id-sorted `array<struct<id,v,nrm>>` row,
+    * each vector replicates ×`nprobe` to its nearest cells (centroid
+    * table is plan-broadcast metadata), and the fused
+    * [[graft.functions.TopKNeighborsAgainst]] kernel scores one cell
+    * matrix per task. Cells are DISJOINT (each vector lives in exactly
+    * one), so the per-cell top-k union has no duplicate (src, dst)
+    * pairs and the global rank over it is exact *within the probed
+    * subset*. `mutual` has the same meaning as [[knnGraph]]'s, over
+    * the approximate edge set.
+    *
+    * Deterministic end-to-end (seeded fit, L2 probe ties on cell,
+    * cosine ties on id), so fully oracle-able despite being
+    * approximate — the [[ivfTopK]] stance. Recall vs the exact graph
+    * is pinned in PipelineSpec on the fixtures.
+    */
+  def knnGraphIvf(vectors: DataFrame, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorExpressions.topKNeighborsAgainst
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val idx = buildIvfDeterministic(v, nlist, vecCol = "_v",
+      idCol = "_id")
+    // Pack each cell into ONE block row — the knnGraph pack with the
+    // quantizer cell as the block key. Cell sizes follow the data
+    // distribution, not a uniform hash; nlist is the knob that keeps
+    // the expected cell (N/nlist rows) inside task memory.
+    val packed = idx.assignments
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("_id").as("id"), col("_v").as("v")))).as("_p"))
+      .select(col("cell"),
+        transform(col("_p"), s => struct(
+          s("id").as("id"), s("v").as("v"),
+          sqrt(aggregate(s("v"), lit(0.0d),
+            (acc, x) => acc + x * x)).as("nrm"))).as("_block"))
+    // Each vector probes its nprobe nearest cells by centroid L2
+    // (squared — order-identical), ties on cell id: the ivfTopK probe
+    // with the corpus itself as the query set. The centroid frame is
+    // nlist rows of metadata, broadcast.
+    val cents = broadcast(
+      idx.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+        .toDF("cell", "cvec"))
+    val wProbe = Window.partitionBy(col("_id"))
+      .orderBy(col("dist"), col("cell"))
+    val probes = v.crossJoin(cents)
+      .withColumn("dist",
+        aggregate(zip_with(col("_v"), col("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("_id"), col("_v"), col("cell"))
+    // One probe row meets one packed cell row; the kernel emits k
+    // id-sized candidates per meeting. N·nprobe kernel rows total —
+    // the nprobe/nlist work fraction is exactly this join's size.
+    val cand = probes
+      .repartition(col("cell"))
+      .join(packed, Seq("cell"))
+      .select(col("_id").as("src"),
+        topKNeighborsAgainst(col("_v"), col("_id"), col("_block"), k)
+          .as("_c"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    val edges = cand
+      .select(col("src"), explode(col("_c")).as("e"))
+      .select(col("src"), col("e.neighbor").as("dst"),
+        col("e.cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"),
+        round(col("cosine"), 6).as("cosine"))
+      .localCheckpoint()
+    mutualFlag(edges)
+  }
+
   /** Hard-negative mining: each vector's top-`k` nearest neighbors
     * holding a DIFFERENT label — the training pairs contrastive
     * embedding fine-tuning wants (negatives that are semantically close

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic distinct-value sketches — the corpus-statistics layer
+  * a 100 TB pipeline runs where exact `COUNT(DISTINCT token)` is a
+  * vocabulary-sized shuffle it can't afford to repeat per slice.
+  *
+  * The sketch is KMV (k minimum values — Bar-Yossef et al. 2002;
+  * Beyer et al., "On Synopses for Distinct-Value Estimation Under
+  * Multiset Operations", SIGMOD 2007): hash every element to a uniform
+  * 60-bit value, keep the k smallest DISTINCT hashes; the k-th
+  * smallest h estimates the distinct count as `(k−1) · 2⁶⁰ / h`
+  * (relative error ~ 1/√k). Chosen over HLL for the same reason the
+  * ANN layer uses the in-house quantizer: the sketch must be
+  * REPLAY-EXACT in ANSI SQL so the row hash-checks against DuckDB —
+  * `approx_count_distinct`'s HLL++ never would. The element hash is
+  * the winnowing family's 60-bit md5 gram hash (positive in a signed
+  * long; replayed as `('0x' || substr(md5(gram), 18, 15))::BIGINT`),
+  * computed by the SAME fused kernel: [[graft.functions
+  * .ShingleExpressions.winnowFingerprints]] at window w=1 degenerates
+  * to exactly the sorted distinct gram hashes (every length-1 window's
+  * min is the gram itself), so the sketch rides the kernel's codegen
+  * speed instead of the interpreted HOF shingle fold it replaced
+  * (~10 s → sub-second at sf0.1).
+  *
+  * Scale shape: the only corpus-sized stage is the shingle+distinct,
+  * whose exchange carries (group, 8-byte hash) pairs AFTER map-side
+  * partial distinct — bounded by per-partition shingle vocabulary,
+  * never by corpus rows. The k-min selection then runs on the DISTINCT frame
+  * (vocabulary-sized), and everything downstream of the sketch is
+  * k·groups rows. Sketch algebra (union/intersection for
+  * [[kmvJaccard]]) touches only sketch rows — the property that makes
+  * KMV the right tool for cross-slice overlap at scale: sketch once
+  * per slice, compare pairs for free.
+  */
+object Sketches {
+
+  /** Distinct (group, hash) shingle-vocabulary frame — the shared
+    * first stage of both sketch rows. The sketch element is a word
+    * 3-SHINGLE, not a token, deliberately: shingle-set resemblance
+    * between corpus slices is Broder's near-dup measure, and a token
+    * vocabulary is too small to ever exercise the estimator. The
+    * kernel dedups per document in-row (documents under 3 words emit
+    * nothing), so the explode and the global distinct both see
+    * per-doc-distinct hashes only. Hash collisions collapse two
+    * shingles into one sketch element identically in both engines
+    * (the estimator's documented bias at 2⁻⁶⁰, not a divergence).
+    */
+  private def vocabHashes(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    import graft.functions.ShingleExpressions.winnowFingerprints
+    df.select(col(groupCol).as("grp"),
+        explode(winnowFingerprints(
+          trim(lower(col(textCol))), 3, 1)).as("h"))
+      .distinct()
+  }
+
+  /** The per-group k-minimum-values sketch: ≤ k rows per group, each
+    * an ascending-ranked distinct hash.
+    */
+  private def kminSketch(vocab: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    vocab.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Per-group distinct-3-shingle estimate from a k=`k` KMV sketch. One
+    * row per group: `k_used` (sketch fill — < k means the group's
+    * whole hashed vocabulary fit and the estimate is EXACT),
+    * `kth_min` (the k-th smallest hash, the estimator's sufficient
+    * statistic), `est_distinct`. Deterministic end-to-end, so the
+    * oracle hash-checks the estimate itself, not a tolerance band.
+    */
+  def kmvDistinct(df: DataFrame, textCol: String = "text",
+      groupCol: String = "lang", k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvDistinct: k must be >= 2")
+    val sk = kminSketch(vocabHashes(df, textCol, groupCol), k)
+    val est = round((count(lit(1)) - lit(1)).cast("double") *
+      pow(lit(2.0), lit(60)) / max(col("h"))).cast("long")
+    sk.groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).cast("int").as("k_used"),
+        max(col("h")).as("kth_min"),
+        when(count(lit(1)) < k, count(lit(1)).cast("long"))
+          .otherwise(est).as("est_distinct"))
+  }
+
+  /** Pairwise vocabulary-overlap estimate between groups via KMV set
+    * algebra (Beyer et al. 2007 §4): for each group pair a < b, the
+    * COMBINED sketch is the k smallest hashes of the union of the two
+    * per-group sketches; `ρ = |combined ∩ A ∩ B| / |combined|`
+    * estimates Jaccard, and the combined sketch's own k-th min
+    * estimates |A ∪ B| — so `est_intersection = ρ · est_union`. Every
+    * stage downstream of the per-group sketches touches ≤ 2k rows per
+    * pair: comparing every slice pair of a 100-slice corpus costs
+    * sketch-building once plus pennies, the whole point of KMV here.
+    */
+  def kmvJaccard(df: DataFrame, textCol: String = "text",
+      groupCol: String = "lang", k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvJaccard: k must be >= 2")
+    val sk = kminSketch(vocabHashes(df, textCol, groupCol), k)
+      .select(col("grp"), col("h")).localCheckpoint()
+    // group pairs a < b from the sketch's own group list — a
+    // groups²-sized metadata frame, broadcast on both hops so the plan
+    // stays BroadcastNestedLoopJoin (bounded), never CartesianProduct
+    val gs = sk.select(col("grp")).distinct()
+    val pairs = gs.select(col("grp").as("lang_a"))
+      .crossJoin(broadcast(gs.select(col("grp").as("lang_b"))))
+      .filter(col("lang_a") < col("lang_b"))
+    // union the two member sketches per pair; a hash present in both
+    // collapses to one combined-sketch element with both flags set
+    val uh = sk.join(broadcast(pairs), col("grp") === col("lang_a") ||
+        col("grp") === col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"), col("h"))
+      .agg(max(when(col("grp") === col("lang_a"), 1).otherwise(0))
+          .as("in_a"),
+        max(when(col("grp") === col("lang_b"), 1).otherwise(0))
+          .as("in_b"))
+    val w = Window.partitionBy(col("lang_a"), col("lang_b"))
+      .orderBy(col("h"))
+    val comb = uh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    // derived columns read the ROUNDED long est_union, so the chained
+    // arithmetic is engine-identical
+    comb.groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).cast("int").as("k_used"),
+        sum(col("in_a") * col("in_b")).cast("long").as("k_both"),
+        max(col("h")).as("_kth"))
+      .select(col("lang_a"), col("lang_b"), col("k_used"), col("k_both"),
+        when(col("k_used") < k, col("k_used").cast("long"))
+          .otherwise(round((col("k_used") - lit(1)).cast("double") *
+            pow(lit(2.0), lit(60)) / col("_kth")).cast("long"))
+          .as("est_union"))
+      .select(col("lang_a"), col("lang_b"), col("k_used"), col("k_both"),
+        col("est_union"),
+        round(col("k_both").cast("double") / col("k_used"), 6)
+          .as("est_jaccard"),
+        round(col("k_both").cast("double") / col("k_used") *
+          col("est_union")).cast("long").as("est_intersection"))
+  }
+}

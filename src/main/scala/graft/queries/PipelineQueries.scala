@@ -577,6 +577,30 @@ object PipelineQueries {
     Similarity.knnGraph(Tables.embeddings(s, d))
       .orderBy("src", "rank")
 
+  /** Approximate top-5 kNN graph via the deterministic IVF coarse
+    * quantizer (16 cells, probe 2) — the scale path for [[knnGraph]]:
+    * N²·(nprobe/nlist) dot products instead of N², fully oracle-able
+    * because the quantizer is seeded and tie-broken.
+    */
+  def knnGraphIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.knnGraphIvf(Tables.embeddings(s, d))
+      .orderBy("src", "rank")
+
+  /** Per-language distinct-3-shingle count estimated by a k=256 KMV
+    * sketch — deterministic md5 k-minimum-values, so the ESTIMATE
+    * itself hash-checks against the oracle.
+    */
+  def sketchDistinctKmv(s: SparkSession, d: String): DataFrame =
+    Sketches.kmvDistinct(Tables.documents(s, d)).orderBy("lang")
+
+  /** Pairwise language shingle-set resemblance (Jaccard, union and
+    * intersection sizes) via KMV sketch algebra — sketch once per
+    * slice, compare every pair for free.
+    */
+  def sketchJaccardKmv(s: SparkSession, d: String): DataFrame =
+    Sketches.kmvJaccard(Tables.documents(s, d))
+      .orderBy("lang_a", "lang_b")
+
   /** 3-iteration damped PageRank over the kNN graph — semantic
     * centrality for coreset selection / diversity weighting.
     */
@@ -1863,6 +1887,9 @@ object PipelineQueries {
     "text_chunks"          -> textChunks _,
     "text_quality_gate"    -> textQualityGate _,
     "knn_graph"            -> knnGraph _,
+    "knn_graph_ivf"        -> knnGraphIvf _,
+    "sketch_distinct_kmv"  -> sketchDistinctKmv _,
+    "sketch_jaccard_kmv"   -> sketchJaccardKmv _,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters _,
     "dedup_semantic"       -> dedupSemantic _,
     "text_heavy_hitters"   -> textHeavyHitters _,
@@ -2173,6 +2200,79 @@ object PipelineQueries {
     * batch gate oracle and the streaming quality-door oracle - one
     * definition, so the two checks can never drift.
     */
+  /** The deterministic IVF index replayed in SQL — md5 seeding at
+    * nlist=16, two Lloyd rounds (cosine-argmax assignment, 1e-12
+    * gridded elementwise-mean update), final L2 cell assignment of
+    * every vector (`asg`) with the final centroid table exposed as
+    * `c2`. ONE definition consumed by `sim_topk_ivf` (query probing)
+    * and `knn_graph_ivf` (graph build): both rows probe the SAME
+    * index, so they share its replay text.
+    */
+  private[queries] val IvfFit16Ctes: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+       seed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+                FROM v ORDER BY h, vec_id LIMIT 16),
+       init AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                  AS INT) AS cell, v FROM seed),
+       s1 AS (SELECT a.vec_id, a.v, i.cell,
+                     list_cosine_similarity(a.v, i.v) AS sim
+              FROM v a CROSS JOIN init i),
+       a1 AS (SELECT vec_id, v, cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC, cell) AS rn FROM s1)
+              WHERE rn = 1),
+       u1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+               (SELECT cell, unnest(v) AS x,
+                       generate_subscripts(v, 1) AS pos FROM a1)
+              GROUP BY cell, pos),
+       c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u1
+              GROUP BY cell),
+       s2 AS (SELECT a.vec_id, a.v, c.cell,
+                     list_cosine_similarity(a.v, c.v) AS sim
+              FROM v a CROSS JOIN c1 c),
+       a2 AS (SELECT vec_id, v, cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC, cell) AS rn FROM s2)
+              WHERE rn = 1),
+       u2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
+               (SELECT cell, unnest(v) AS x,
+                       generate_subscripts(v, 1) AS pos FROM a2)
+              GROUP BY cell, pos),
+       c2 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u2
+              GROUP BY cell),
+       asg AS (SELECT vec_id, v, cell FROM
+                (SELECT a.vec_id, a.v, c.cell,
+                        row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY list_distance(a.v, c.v), c.cell)
+                          AS rn
+                 FROM v a CROSS JOIN c2 c)
+               WHERE rn = 1)"""
+
+  /** The per-language KMV sketch replayed in SQL — word 3-shingles
+    * and the winnowing family's 60-bit md5 gram hash (the
+    * dedup_winnow_pairs `g`/`h` idiom), distinct (lang, hash), k=256
+    * smallest per language. ONE definition consumed by both sketch
+    * rows: the Jaccard row's set algebra must read the same member
+    * sketches the distinct-count row reports.
+    */
+  private[queries] val KmvSketchCtes: String =
+    """ws AS (SELECT lang, string_split_regex(trim(lower(text)), '\s+')
+                AS words
+              FROM documents),
+       sh AS (SELECT lang AS grp,
+                unnest(list_transform(
+                  range(1, greatest(len(words) - 2, 0) + 1),
+                  i -> array_to_string(words[i:i+2], ' '))) AS gram
+              FROM ws),
+       hh AS (SELECT DISTINCT grp,
+                ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
+              FROM sh),
+       sk AS (SELECT grp, h FROM
+               (SELECT grp, h, row_number() OVER
+                  (PARTITION BY grp ORDER BY h) AS rk FROM hh)
+              WHERE rk <= 256)"""
+
   /** The pretrain chain's shared oracle CTEs (ingest-dedup kept set →
     * quality gate → DSIR pool → token budget), ONE definition consumed
     * by both pipeline_pretrain and pipeline_pretrain_attrition — the
@@ -3116,45 +3216,7 @@ object PipelineQueries {
     // quantizer for this index: approximate-by-construction, yet every
     // row hash-checks.
     "sim_topk_ivf" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
-         seed AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
-                  FROM v ORDER BY h, vec_id LIMIT 16),
-         init AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
-                    AS INT) AS cell, v FROM seed),
-         s1 AS (SELECT a.vec_id, a.v, i.cell,
-                       list_cosine_similarity(a.v, i.v) AS sim
-                FROM v a CROSS JOIN init i),
-         a1 AS (SELECT vec_id, v, cell FROM
-                 (SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY sim DESC, cell) AS rn FROM s1)
-                WHERE rn = 1),
-         u1 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
-                 (SELECT cell, unnest(v) AS x,
-                         generate_subscripts(v, 1) AS pos FROM a1)
-                GROUP BY cell, pos),
-         c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u1
-                GROUP BY cell),
-         s2 AS (SELECT a.vec_id, a.v, c.cell,
-                       list_cosine_similarity(a.v, c.v) AS sim
-                FROM v a CROSS JOIN c1 c),
-         a2 AS (SELECT vec_id, v, cell FROM
-                 (SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY sim DESC, cell) AS rn FROM s2)
-                WHERE rn = 1),
-         u2 AS (SELECT cell, pos, round(avg(x), 12) AS m FROM
-                 (SELECT cell, unnest(v) AS x,
-                         generate_subscripts(v, 1) AS pos FROM a2)
-                GROUP BY cell, pos),
-         c2 AS (SELECT cell, list(m ORDER BY pos) AS v FROM u2
-                GROUP BY cell),
-         asg AS (SELECT vec_id, v, cell FROM
-                  (SELECT a.vec_id, a.v, c.cell,
-                          row_number() OVER (PARTITION BY a.vec_id
-                            ORDER BY list_distance(a.v, c.v), c.cell)
-                            AS rn
-                   FROM v a CROSS JOIN c2 c)
-                 WHERE rn = 1),
+      s"""WITH $IvfFit16Ctes,
          q AS (SELECT vec_id AS query_id, v AS qvec FROM v
                WHERE vec_id < 5),
          probe AS (SELECT query_id, qvec, cell FROM
@@ -3470,6 +3532,82 @@ object PipelineQueries {
          r AS (SELECT src, dst, cos, row_number() OVER
                  (PARTITION BY src ORDER BY cos DESC, dst) AS rank
                FROM s),
+         k AS (SELECT * FROM r WHERE rank <= 5)
+         SELECT k.src, CAST(k.rank AS INT) AS rank, k.dst,
+                round(k.cos, 6) AS cosine, (m.src IS NOT NULL) AS mutual
+         FROM k LEFT JOIN k m ON m.src = k.dst AND m.dst = k.src
+         ORDER BY k.src, k.rank""",
+    // The KMV estimator replayed end-to-end: shared sketch CTEs, then
+    // the (k−1)·2⁶⁰/h_k estimate in the same double arithmetic —
+    // exact-mode (k_used < 256) returns the sketch size itself.
+    "sketch_distinct_kmv" ->
+      s"""WITH $KmvSketchCtes
+         SELECT grp AS lang, CAST(count(*) AS INT) AS k_used,
+                max(h) AS kth_min,
+                CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+                     ELSE CAST(round((count(*) - 1) * pow(2.0, 60)
+                                     / max(h)) AS BIGINT) END
+                  AS est_distinct
+         FROM sk GROUP BY grp ORDER BY lang""",
+    // KMV set algebra: combined sketch = 256 smallest of the two
+    // member sketches' union; jaccard = both-flagged fraction of the
+    // combined sketch; intersection = that fraction of the combined
+    // sketch's own union estimate (reading the ROUNDED long, like the
+    // Spark plan).
+    "sketch_jaccard_kmv" ->
+      s"""WITH $KmvSketchCtes,
+         g AS (SELECT DISTINCT grp FROM sk),
+         p AS (SELECT a.grp AS lang_a, b.grp AS lang_b
+               FROM g a JOIN g b ON a.grp < b.grp),
+         uh AS (SELECT p.lang_a, p.lang_b, sk.h,
+                       max(CASE WHEN sk.grp = p.lang_a THEN 1 ELSE 0 END)
+                         AS in_a,
+                       max(CASE WHEN sk.grp = p.lang_b THEN 1 ELSE 0 END)
+                         AS in_b
+                FROM p JOIN sk ON sk.grp = p.lang_a OR sk.grp = p.lang_b
+                GROUP BY p.lang_a, p.lang_b, sk.h),
+         comb AS (SELECT * FROM
+                   (SELECT *, row_number() OVER
+                      (PARTITION BY lang_a, lang_b ORDER BY h) AS rk
+                    FROM uh)
+                  WHERE rk <= 256),
+         a AS (SELECT lang_a, lang_b, CAST(count(*) AS INT) AS k_used,
+                      CAST(sum(in_a * in_b) AS BIGINT) AS k_both,
+                      max(h) AS kth
+               FROM comb GROUP BY lang_a, lang_b),
+         e AS (SELECT lang_a, lang_b, k_used, k_both,
+                      CASE WHEN k_used < 256 THEN k_used::BIGINT
+                           ELSE CAST(round((k_used - 1) * pow(2.0, 60)
+                                           / kth) AS BIGINT) END
+                        AS est_union
+               FROM a)
+         SELECT lang_a, lang_b, k_used, k_both, est_union,
+                round(k_both::DOUBLE / k_used, 6) AS est_jaccard,
+                CAST(round(k_both::DOUBLE / k_used * est_union)
+                  AS BIGINT) AS est_intersection
+         FROM e ORDER BY lang_a, lang_b""",
+    // The IVF graph replayed index-and-all (the shared nlist=16 fit
+    // CTEs): every vector probes its 2 nearest cells by centroid L2,
+    // scores only the vectors ASSIGNED to those cells (cells are
+    // disjoint, so no (src,dst) dedup is needed), ranks on the raw
+    // cosine with id tie-break — approximate by construction, exact
+    // to replay.
+    "knn_graph_ivf" ->
+      s"""WITH $IvfFit16Ctes,
+         probe AS (SELECT vec_id AS src, v AS qvec, cell FROM
+                    (SELECT a.vec_id, a.v, c.cell,
+                            row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_distance(a.v, c.v),
+                                       c.cell) AS rn
+                     FROM v a CROSS JOIN c2 c)
+                   WHERE rn <= 2),
+         sc AS (SELECT p.src, a.vec_id AS dst,
+                       list_cosine_similarity(a.v, p.qvec) AS cos
+                FROM probe p JOIN asg a USING (cell)
+                WHERE a.vec_id <> p.src),
+         r AS (SELECT src, dst, cos, row_number() OVER
+                 (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+               FROM sc),
          k AS (SELECT * FROM r WHERE rank <= 5)
          SELECT k.src, CAST(k.rank AS INT) AS rank, k.dst,
                 round(k.cos, 6) AS cosine, (m.src IS NOT NULL) AS mutual

@@ -698,6 +698,66 @@ class PipelineSpec extends AnyFunSuite {
         s"${mono.diff(blocked).take(5)}")
   }
 
+  test("IVF kNN graph: well-formed, honest recall vs the exact graph") {
+    val exact = Similarity.knnGraph(emb)
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnGraphIvf(emb)
+    val rows = approx.collect()
+    val edges = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // approximate, not broken: the probed subgraph must still find a
+    // usable fraction of the true top-5 edges on the fixture corpus
+    // (nprobe/nlist = 1/8 of the candidates scored)
+    val recall = edges.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.2, f"IVF graph recall collapsed: $recall%.3f")
+    assert(recall < 1.0 || edges == exact,
+      "recall bookkeeping broke: recall=1.0 but edge sets differ")
+    // well-formed per src: ranks contiguous from 1, at most k edges,
+    // no self-loops
+    rows.groupBy(_.getLong(0)).foreach { case (src, es) =>
+      val ranks = es.map(_.getInt(1)).sorted
+      assert(ranks.length <= 5 && ranks.sameElements(1 to ranks.length),
+        s"src $src ranks not contiguous: ${ranks.mkString(",")}")
+      assert(es.forall(_.getLong(2) != src), s"self-loop at $src")
+    }
+  }
+
+  test("KMV sketch: distinct estimate within theory error of the truth") {
+    // exact distinct 3-shingle count per lang (affordable at this SF)
+    val exact = docs
+      .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+      .select(col("lang"), explode(Dedup.shingles(col("text"), 3)).as("t"))
+      .groupBy("lang").agg(countDistinct(col("t")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.kmvDistinct(docs)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(3)))
+    assert(est.length == exact.size, s"lost a lang: ${est.length}")
+    est.foreach { case (lang, kUsed, d) =>
+      val truth = exact(lang)
+      if (kUsed < 256) assert(d <= truth && d >= truth - 2,
+        s"$lang exact-mode drifted: $d vs $truth")
+      else {
+        // k=256 → std err ~ 1/√k ≈ 6.3%; 4σ bar
+        val rel = math.abs(d.toDouble / truth - 1.0)
+        assert(rel <= 0.25, f"$lang estimate off by $rel%.3f ($d vs $truth)")
+      }
+    }
+  }
+
+  test("KMV jaccard: all lang pairs, estimates bounded and consistent") {
+    val rows = Sketches.kmvJaccard(docs).collect()
+    val langs = docs.select("lang").distinct().count().toInt
+    assert(rows.length == langs * (langs - 1) / 2,
+      s"expected all pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (kUsed, kBoth) = (r.getInt(2), r.getLong(3))
+      val (u, j, i) = (r.getLong(4), r.getDouble(5), r.getLong(6))
+      assert(kBoth >= 0 && kBoth <= kUsed, s"k_both out of range: $r")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $r")
+      assert(i <= u, s"intersection exceeds union: $r")
+    }
+  }
+
   test("label prototypes: one object-hash aggregate, no row explosion") {
     val plan = Similarity.labelPrototypes(emb)
       .queryExecution.executedPlan.toString
