@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val DefaultTargets = Seq("dedup_winnow_pairs",
     "dedup_ngram_pairs", "pipeline_curate_neardup", "knn_graph",
-    "pipeline_pretrain")
+    "knn_graph_ivf", "pipeline_pretrain")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {

@@ -487,4 +487,50 @@ class PlanSpec extends AnyFunSuite {
         s"corpus column on an exchange: ${leaked.mkString(", ")}")
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("KMV sketch: shingle strings never become columns — exchanges " +
+      "carry (group, 8-byte hash) rows only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // The fused kernel hashes grams in-row, so the only string on ANY
+      // exchange is the group key itself — a gram/term string column
+      // would mean the shuffle re-ships corpus text; an array column
+      // would mean the kernel output wasn't exploded before moving.
+      for (q <- Seq(
+          graft.queries.PipelineQueries.sketchDistinctKmv(s, sf),
+          graft.queries.PipelineQueries.sketchJaccardKmv(s, sf))) {
+        val plan = q.queryExecution.executedPlan
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.nonEmpty, "expected sketch exchanges")
+        val groupKeys = Set("grp", "lang", "lang_a", "lang_b")
+        val bad = shuffles.flatMap(_.output).filter(a =>
+          (a.dataType == StringType && !groupKeys.contains(a.name)) ||
+            a.dataType.isInstanceOf[ArrayType])
+        assert(bad.isEmpty, "corpus-sized column on a sketch exchange: " +
+          bad.map(a => s"${a.name}: ${a.dataType}").mkString(", "))
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("IVF kNN graph: merged edges are materialized once — mutuality " +
+      "is a broadcast self-join, no post-merge shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.pipeline.Similarity.knnGraphIvf(emb)
+      .queryExecution.executedPlan
+    // knnGraphIvf localCheckpoints the ranked edge frame, so the
+    // returned plan must read the checkpoint and broadcast the
+    // reversed-edge side: a shuffle here would re-exchange the k·N
+    // edge set (and at corpus scale re-run the probe join) for a
+    // mutuality flag that is broadcast-sized by construction.
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"post-merge shuffle in the mutual join:\n${plan.toString.take(1500)}")
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"mutuality must broadcast:\n${plan.toString.take(1500)}")
+  }
 }
