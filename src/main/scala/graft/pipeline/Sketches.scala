@@ -26,11 +26,13 @@ import org.apache.spark.sql.expressions.Window
   * speed instead of the interpreted HOF shingle fold it replaced
   * (~10 s → sub-second at sf0.1).
   *
-  * Scale shape: the only corpus-sized stage is the shingle+distinct,
-  * whose exchange carries (group, 8-byte hash) pairs AFTER map-side
-  * partial distinct — bounded by per-partition shingle vocabulary,
-  * never by corpus rows. The k-min selection then runs on the DISTINCT frame
-  * (vocabulary-sized), and everything downstream of the sketch is
+  * Scale shape: the k-min selection is a custom typed aggregate
+  * ([[graft.functions.KmvAgg]]) — partial sketches combine MAP-SIDE
+  * (union, re-truncate to k), so the one exchange carries a ≤ k-hash
+  * buffer per (partition, group), NOT the distinct element set a
+  * `distinct + window-rank` formulation would shuffle and sort. That
+  * mergeability is the entire point of a sketch, and it makes the
+  * whole plan corpus-pass + metadata: everything downstream is
   * k·groups rows. Sketch algebra (union/intersection for
   * [[kmvJaccard]]) touches only sketch rows — the property that makes
   * KMV the right tool for cross-slice overlap at scale: sketch once
@@ -38,32 +40,30 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sketches {
 
-  /** Distinct (group, hash) shingle-vocabulary frame — the shared
-    * first stage of both sketch rows. The sketch element is a word
-    * 3-SHINGLE, not a token, deliberately: shingle-set resemblance
-    * between corpus slices is Broder's near-dup measure, and a token
-    * vocabulary is too small to ever exercise the estimator. The
-    * kernel dedups per document in-row (documents under 3 words emit
-    * nothing), so the explode and the global distinct both see
-    * per-doc-distinct hashes only. Hash collisions collapse two
-    * shingles into one sketch element identically in both engines
+  /** (group, hash) gram frame — the shared first stage of both sketch
+    * rows. The sketch element is a word 3-SHINGLE, not a token,
+    * deliberately: shingle-set resemblance between corpus slices is
+    * Broder's near-dup measure, and a token vocabulary is too small to
+    * ever exercise the estimator. The kernel dedups per document
+    * in-row (documents under 3 words emit nothing); cross-document
+    * dedup is the sketch aggregate's own job. Hash collisions collapse
+    * two shingles into one sketch element identically in both engines
     * (the estimator's documented bias at 2⁻⁶⁰, not a divergence).
     */
-  private def vocabHashes(df: DataFrame, textCol: String,
+  private def gramHashes(df: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
     import graft.functions.ShingleExpressions.winnowFingerprints
     df.select(col(groupCol).as("grp"),
-        explode(winnowFingerprints(
-          trim(lower(col(textCol))), 3, 1)).as("h"))
-      .distinct()
+      explode(winnowFingerprints(
+        trim(lower(col(textCol))), 3, 1)).as("h"))
   }
 
-  /** The per-group k-minimum-values sketch: ≤ k rows per group, each
-    * an ascending-ranked distinct hash.
+  /** One ascending ≤ k-element sketch array per group — the
+    * [[graft.functions.KmvAgg]] aggregate, map-side combined.
     */
-  private def kminSketch(vocab: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
-    vocab.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  private def kminSketch(grams: DataFrame, k: Int): DataFrame = {
+    import graft.functions.KmvAgg.kmvSketch
+    grams.groupBy(col("grp")).agg(kmvSketch(col("h"), k).as("sk"))
   }
 
   /** Per-group distinct-3-shingle estimate from a k=`k` KMV sketch. One
@@ -76,14 +76,18 @@ object Sketches {
   def kmvDistinct(df: DataFrame, textCol: String = "text",
       groupCol: String = "lang", k: Int = 256): DataFrame = {
     require(k >= 2, "kmvDistinct: k must be >= 2")
-    val sk = kminSketch(vocabHashes(df, textCol, groupCol), k)
-    val est = round((count(lit(1)) - lit(1)).cast("double") *
-      pow(lit(2.0), lit(60)) / max(col("h"))).cast("long")
-    sk.groupBy(col("grp").as(groupCol))
-      .agg(count(lit(1)).cast("int").as("k_used"),
-        max(col("h")).as("kth_min"),
-        when(count(lit(1)) < k, count(lit(1)).cast("long"))
-          .otherwise(est).as("est_distinct"))
+    // the sketch array IS the sufficient statistic: fill, last element
+    // (= the k-th smallest hash), and the estimate are projections
+    val fill = size(col("sk"))
+    val kth = element_at(col("sk"), fill)
+    kminSketch(gramHashes(df, textCol, groupCol), k)
+      .select(col("grp").as(groupCol),
+        fill.as("k_used"),
+        kth.as("kth_min"),
+        when(fill < k, fill.cast("long"))
+          .otherwise(round((fill - lit(1)).cast("double") *
+            pow(lit(2.0), lit(60)) / kth).cast("long"))
+          .as("est_distinct"))
   }
 
   /** Pairwise vocabulary-overlap estimate between groups via KMV set
@@ -99,8 +103,11 @@ object Sketches {
   def kmvJaccard(df: DataFrame, textCol: String = "text",
       groupCol: String = "lang", k: Int = 256): DataFrame = {
     require(k >= 2, "kmvJaccard: k must be >= 2")
-    val sk = kminSketch(vocabHashes(df, textCol, groupCol), k)
-      .select(col("grp"), col("h")).localCheckpoint()
+    // explode the per-group sketch arrays back to ≤ k (grp, h) rows —
+    // the set-algebra currency — and materialize them once (the group
+    // list and the pair join both read this k·groups frame)
+    val sk = kminSketch(gramHashes(df, textCol, groupCol), k)
+      .select(col("grp"), explode(col("sk")).as("h")).localCheckpoint()
     // group pairs a < b from the sketch's own group list — a
     // groups²-sized metadata frame, broadcast on both hops so the plan
     // stays BroadcastNestedLoopJoin (bounded), never CartesianProduct

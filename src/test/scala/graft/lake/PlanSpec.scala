@@ -513,6 +513,19 @@ class PlanSpec extends AnyFunSuite {
         assert(bad.isEmpty, "corpus-sized column on a sketch exchange: " +
           bad.map(a => s"${a.name}: ${a.dataType}").mkString(", "))
       }
+      // the k-min selection must be the typed aggregate with a partial
+      // (map-side) phase — a distinct + window formulation would
+      // shuffle the whole distinct element set instead of ≤ k-hash
+      // partial sketches. (The jaccard row builds the same member
+      // sketches behind its checkpoint, so only the distinct row's
+      // plan can show the aggregate.)
+      val ps = graft.queries.PipelineQueries.sketchDistinctKmv(s, sf)
+        .queryExecution.executedPlan.toString
+      assert(ps.contains("ObjectHashAggregate"), ps.take(1500))
+      assert(ps.contains("partial_kmv_sketch") ||
+        ps.contains("partial kmv_sketch"),
+        "sketch must combine map-side before the exchange:\n" +
+          ps.take(1500))
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
