@@ -91,6 +91,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash_sketch(text)")
         SimhashSketch(args(0))
+      }),
+    (new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_sketch(hashed, k)")
+        KmvAgg(args(0), intArg(args(1), "kmv_sketch"))
+          .toAggregateExpression()
       }))
 
   /** Install the functions into an already-built session (idempotent —

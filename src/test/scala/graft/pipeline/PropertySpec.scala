@@ -567,4 +567,38 @@ class PropertySpec extends AnyFunSuite {
         s"kernel=$got local=$want")
     }
   }
+
+  test("property: KMV aggregate equals sorted-distinct-take-k under " +
+      "any partitioning (duplicates, negatives, tiny k)") {
+    val spark = s
+    import spark.implicits._
+    import graft.functions.KmvAgg.kmvSketch
+    // the merge (union + re-truncate) must be partition-layout
+    // independent: same multiset through 1, 3, or 13 partitions gives
+    // the SAME sketch, and it equals the local k smallest distinct
+    val valuesGen = for {
+      n <- Gen.choose(0, 120)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0L, 30L),               // heavy duplicates
+        Gen.choose(Long.MinValue, Long.MaxValue)))
+    } yield vs
+    var seed = rng.Seed(77L)
+    for (_ <- 1 to 12) {
+      val (vs, s1) = draw(valuesGen, seed)
+      val (k, s2) = draw(Gen.oneOf(2, 4, 16, 64), s1)
+      seed = s2
+      val want = vs.distinct.sorted.take(k)
+      val sketches = Seq(1, 3, 13).map { p =>
+        val df =
+          if (vs.isEmpty) spark.emptyDataset[Long].toDF("h")
+          else vs.toDF("h").repartition(p)
+        df.agg(kmvSketch(col("h"), k).as("sk"))
+          .head().getSeq[Long](0).toList
+      }
+      // an empty input yields one empty-sketch row (global aggregate)
+      assert(sketches.forall(_ == want),
+        s"KMV diverged at k=$k over ${vs.size} values: " +
+          s"got=${sketches.map(_.take(6))} want=${want.take(6)}")
+    }
+  }
 }

@@ -96,6 +96,11 @@ class VectorExprSpec extends AnyFunSuite {
         .winnowFingerprints(lit("a b c d e f g h"), 3, 4).as("w"))
       .head().getSeq[Long](0)
     assert(winSql == winCol && winSql.nonEmpty)
+    val kmvSql = s.sql(
+      "SELECT kmv_sketch(h, 3) sk FROM " +
+        "(SELECT explode(array(5L, 1L, 9L, 1L, 3L)) h)")
+      .head().getSeq[Long](0)
+    assert(kmvSql == Seq(1L, 3L, 5L), s"kmv via SQL: $kmvSql")
     // non-literal size argument is rejected with a clear error
     val err = intercept[Exception](
       s.sql("SELECT hashed_shingles('x', cast(rand()*3 as int))").collect())
