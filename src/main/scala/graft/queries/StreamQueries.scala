@@ -73,7 +73,8 @@ object StreamQueries {
     Seq(ingestCache, upsertCache, mviewStreamCache).foreach(_.clear())
     Seq(dedupIngestCache, decontIngestCache, qgateIngestCache,
       clsGateIngestCache, curateIngestCache, annIngestCache,
-      annRefitCache, semDedupCache, budgetIngestCache).foreach(_.clear())
+      annRefitCache, semDedupCache, budgetIngestCache,
+      vocabIngestCache).foreach(_.clear())
   }
 
   private def timedStream[T](name: String)(body: => T): T = {
@@ -1164,6 +1165,75 @@ object StreamQueries {
       .orderBy("batch_id", "lang")
   }
 
+  private val vocabIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Vocabulary-growth scenario: the documents corpus arrives as the
+    * shared two-wave file stream (even doc ids, then odd) and each
+    * micro-batch's KMV gram sketch merges into the persisted corpus
+    * sketch ([[StreamIngest.vocabSketchIngestAvailable]]). The sketch
+    * table location is the scenario product; both vocab rows read it.
+    */
+  private def vocabIngestLoc(s: SparkSession, d: String): String =
+    vocabIngestCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-svocab-")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val skT = graft.lake.LakeTable.create(s,
+        base.resolve("sketch").toString,
+        Left(Seq.empty[(Long, Long)].toDF("batch_id", "h").schema))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docWavesDir(s, d))
+      val batches = timedStream("stream_vocab_growth") {
+        graft.streaming.StreamIngest.vocabSketchIngestAvailable(
+          stream, skT, k = 256, "docs_vocab",
+          base.resolve("ckpt").toString)
+      }
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      base.resolve("sketch").toString
+    })
+
+  /** The append-only cumulative sketch table itself: batch 0's rows are
+    * the KMV sketch of the first wave, batch 1's the sketch of BOTH
+    * waves — because a KMV merge (union + re-truncate) of the running
+    * sketch with a new batch equals the sketch of the full union, the
+    * property the oracle replays by sketching each prefix of the wave
+    * order directly.
+    */
+  def streamVocabGrowth(s: SparkSession, d: String): DataFrame =
+    graft.lake.LakeTable.forLocation(s, vocabIngestLoc(s, d)).read()
+      .orderBy("batch_id", "h")
+
+  /** The vocabulary-saturation LEDGER read back from the sketch
+    * table's commit summaries ([[StreamIngest.VocabEstKey]] stamps,
+    * committed atomically with each batch's sketch rows): one row per
+    * batch with the post-merge fill, k-th-min hash, and cumulative
+    * distinct-3-shingle estimate. Metadata-only (a driver-side
+    * snapshot-list fold), no corpus read — the "new crawl stopped
+    * adding novelty" signal is est_distinct flattening across batches.
+    * Named with the ingest row's name as a PREFIX so it sorts after
+    * stream_vocab_growth in the bench's schedule (the token-budget
+    * report's attribution stance).
+    */
+  def streamVocabReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = graft.lake.LakeTable.forLocation(s, vocabIngestLoc(s, d))
+    val prefix = "docs_vocab:"
+    val rows = t.meta.snapshots.flatMap { sn =>
+      for {
+        st <- sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
+        if st.startsWith(prefix)
+        b <- st.substring(prefix.length).toLongOption
+        v <- sn.summary.get(graft.streaming.StreamIngest.VocabEstKey)
+      } yield {
+        val parts = v.split(":")
+        (b, parts(0).toInt, parts(1).toLong, parts(2).toLong)
+      }
+    }
+    rows.toDF("batch_id", "k_used", "kth_min", "est_distinct")
+      .orderBy("batch_id")
+  }
+
   /** Stream-static enrichment join: the event stream joined to a STATIC
     * dimension (customer) — no state store at all (the static side is
     * re-planned per micro-batch; broadcast keeps the stream side from
@@ -1290,6 +1360,8 @@ object StreamQueries {
     "stream_curate_report" -> streamCurateReport _,
     "stream_token_budget" -> streamTokenBudget _,
     "stream_token_budget_report" -> streamBudgetReport _,
+    "stream_vocab_growth" -> streamVocabGrowth _,
+    "stream_vocab_growth_report" -> streamVocabReport _,
     "stream_ann_ingest" -> streamAnnIngest _,
     "stream_ann_refit" -> streamAnnRefit _,
     "stream_ann_report" -> streamAnnReport _,
@@ -1964,6 +2036,67 @@ object StreamQueries {
          SELECT batch_id, lang, admitted_tokens, cum_tokens,
                 CAST(5000 - cum_tokens AS BIGINT) AS remaining_tokens
          FROM c ORDER BY batch_id, lang""",
+    // The cumulative KMV sketch replayed per wave prefix: merging the
+    // running sketch with a batch equals sketching the union (the KMV
+    // merge property PropertySpec fuzzes), so batch 0 = the 256
+    // smallest distinct gram hashes of the even-id wave, batch 1 = of
+    // the whole corpus. Same gram + h60 arithmetic as the batch KMV
+    // rows.
+    "stream_vocab_growth" ->
+      """WITH ws AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS words
+              FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(words) - 2, 0) + 1),
+                    i -> array_to_string(words[i:i+2], ' '))) AS gram
+                FROM ws),
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
+                FROM sh),
+         b0 AS (SELECT DISTINCT h FROM hh WHERE doc_id % 2 = 0
+                ORDER BY h LIMIT 256),
+         b1 AS (SELECT DISTINCT h FROM hh ORDER BY h LIMIT 256)
+         SELECT CAST(0 AS BIGINT) AS batch_id, h FROM b0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT) AS batch_id, h FROM b1
+         ORDER BY batch_id, h""",
+    // The saturation ledger refolded from the same per-prefix sketches:
+    // fill, k-th-min hash, and the (k-1)*2^60/h_k estimate in the same
+    // double arithmetic as the door's driver-side stamp.
+    "stream_vocab_growth_report" ->
+      """WITH ws AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS words
+              FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(words) - 2, 0) + 1),
+                    i -> array_to_string(words[i:i+2], ' '))) AS gram
+                FROM ws),
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
+                FROM sh),
+         b0 AS (SELECT DISTINCT h FROM hh WHERE doc_id % 2 = 0
+                ORDER BY h LIMIT 256),
+         b1 AS (SELECT DISTINCT h FROM hh ORDER BY h LIMIT 256),
+         s0 AS (SELECT CAST(0 AS BIGINT) AS batch_id,
+                       CAST(count(*) AS INT) AS k_used,
+                       max(h) AS kth_min,
+                       CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+                            ELSE CAST(round((count(*) - 1) *
+                              pow(2.0, 60) / max(h)) AS BIGINT) END
+                         AS est_distinct
+                FROM b0),
+         s1 AS (SELECT CAST(1 AS BIGINT) AS batch_id,
+                       CAST(count(*) AS INT) AS k_used,
+                       max(h) AS kth_min,
+                       CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+                            ELSE CAST(round((count(*) - 1) *
+                              pow(2.0, 60) / max(h)) AS BIGINT) END
+                         AS est_distinct
+                FROM b1)
+         SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         ORDER BY batch_id""",
     // The ingest-dedup waves replayed with exact all-pairs Jaccard (the
     // same 3-word-shingle sets as the dedup_* oracles): kept = docs not
     // matching an admitted earlier-wave doc nor a smaller-id wave-mate.

@@ -652,6 +652,82 @@ object StreamIngest {
     committed
   }
 
+  /** Per-batch cumulative vocabulary estimate stamped by
+    * [[vocabSketchIngestAvailable]]: `k_used:kth_min:est_distinct`
+    * after merging the batch's sketch into the corpus sketch.
+    */
+  val VocabEstKey = "graft.ingest.vocab_est"
+
+  /** Vocabulary-growth monitor AT INGEST: per micro-batch, sketch the
+    * batch's distinct word-3-shingle hashes (the
+    * [[graft.functions.KmvAgg]] k-minimum-values aggregate over the
+    * fused winnow-kernel grams) and MERGE it into the persisted corpus
+    * sketch — KMV merge = union + re-truncate, so the cumulative
+    * sketch after batch N is EXACTLY the sketch of all N batches'
+    * union, replayable in SQL. The post-merge estimate rides the
+    * commit summary ([[VocabEstKey]]); the saturation read — est
+    * flattening while docs keep arriving — is the "new crawl has
+    * stopped adding novelty" signal a pretraining pipeline acts on.
+    *
+    * The sketch table is APPEND-ONLY (batch_id, h) rows — the current
+    * sketch is the max-batch_id slice, ≤ k rows, and history stays
+    * queryable. Batch-stamped idempotent: replaying a committed batch
+    * is a no-op (the [[committedBatches]] stance). Scale shape: the
+    * per-batch work is one O(batch) kernel pass + a ≤ 2k-row merge;
+    * the only collect is the ≤ k-element merged sketch (bounded by
+    * contract), and nothing ever re-reads the corpus.
+    */
+  def vocabSketchIngestAvailable(stream: DataFrame, sketch: LakeTable,
+      k: Int, queryName: String, checkpointDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(sketch, queryName)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seen.contains(batchId) && !batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.functions.ShingleExpressions.winnowFingerprints
+          import graft.functions.KmvAgg.kmvSketch
+          val batchHashes = batch.select(
+            explode(winnowFingerprints(
+              trim(lower(col("text"))), 3, 1)).as("h"))
+          val cur = sketch.read()
+          val lastRow = cur.agg(max(col("batch_id"))).head()
+          val prev =
+            if (lastRow.isNullAt(0)) cur.select(col("h")).limit(0)
+            else cur.filter(col("batch_id") === lastRow.getLong(0))
+              .select(col("h"))
+          // ≤ k elements by the aggregate's contract — bounded collect
+          val hs = batchHashes.unionByName(prev)
+            .agg(kmvSketch(col("h"), k).as("sk"))
+            .head().getSeq[Long](0)
+          // a batch of only sub-3-word docs adds no grams: skip like an
+          // empty batch (replaying it is a no-op either way)
+          if (hs.nonEmpty) {
+            val kUsed = hs.length
+            val kth = hs.last
+            val est =
+              if (kUsed < k) kUsed.toLong
+              else math.round((kUsed - 1).toDouble *
+                math.pow(2.0, 60) / kth)
+            import spark.implicits._
+            sketch.append(
+              hs.map(h => (batchId, h)).toDF("batch_id", "h"),
+              summary = Map(BatchStamp -> stamp(queryName, batchId),
+                VocabEstKey -> s"$kUsed:$kth:$est"))
+            seen += batchId
+            committed += 1
+          }
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** The re-fit decision for [[refitIvfOnDrift]], and its evidence:
     * (re-fit needed, last stamped batch id, last stamped batch mean).
     */

@@ -747,4 +747,68 @@ class StreamingSpec extends AnyFunSuite {
       .meta.snapshots.size == snapsBefore,
       "a no-op maintenance run must not commit")
   }
+
+  test("vocab sketch door: cumulative sketch equals the one-shot union " +
+      "sketch, estimates stamped per batch, replays are no-ops") {
+    import s.implicits._
+    import graft.functions.ShingleExpressions.winnowFingerprints
+    import graft.functions.KmvAgg.kmvSketch
+    val base = java.nio.file.Files.createTempDirectory("vocab-test-")
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    // two ordered waves: even doc ids, then odd (the scenario shape)
+    val waves = base.resolve("waves")
+    java.nio.file.Files.createDirectories(waves)
+    Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+      .zipWithIndex.foreach { case (df, i) =>
+        val tmp = base.resolve(s"w$i")
+        df.coalesce(1).write.parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = waves.resolve(s"wave-$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (2 - i) * 60000L))
+      }
+    def stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(waves.toString)
+    val skT = graft.lake.LakeTable.create(s,
+      base.resolve("sketch").toString,
+      Left(Seq.empty[(Long, Long)].toDF("batch_id", "h").schema))
+    val k = 64
+    val n = StreamIngest.vocabSketchIngestAvailable(stream, skT, k,
+      "v", base.resolve("ckpt").toString)
+    assert(n == 2, s"expected 2 sketch commits, got $n")
+    // batch 1's cumulative sketch must equal sketching the FULL corpus
+    // in one shot — the merge = union property
+    val got = skT.read().filter(col("batch_id") === 1L)
+      .orderBy("h").select("h").as[Long].collect().toSeq
+    val want = docs.select(explode(winnowFingerprints(
+        trim(lower(col("text"))), 3, 1)).as("h"))
+      .agg(kmvSketch(col("h"), k)).head().getSeq[Long](0)
+    assert(got == want, s"cumulative sketch drifted: " +
+      s"${got.take(5)} vs ${want.take(5)}")
+    // per-batch estimate stamps: monotone fill, batch-1 est ≥ batch-0
+    val prefix = "v:"
+    val stamps = skT.meta.snapshots.flatMap { sn =>
+      for {
+        st <- sn.summary.get(StreamIngest.BatchStamp)
+        if st.startsWith(prefix)
+        v <- sn.summary.get(StreamIngest.VocabEstKey)
+      } yield (st.substring(prefix.length).toLong,
+        v.split(":").map(_.toLong).toSeq)
+    }.sortBy(_._1)
+    assert(stamps.map(_._1) == Seq(0L, 1L), s"stamps: $stamps")
+    assert(stamps(1)._2(2) >= stamps(0)._2(2),
+      s"vocabulary estimate shrank across batches: $stamps")
+    // a fresh checkpoint replays both batch ids — the stamps must
+    // reject them and leave the table unchanged
+    val rows = skT.read().count()
+    val n2 = StreamIngest.vocabSketchIngestAvailable(stream, skT, k,
+      "v", base.resolve("ckpt2").toString)
+    assert(n2 == 0 && skT.read().count() == rows,
+      s"replay committed $n2 batches")
+  }
 }
