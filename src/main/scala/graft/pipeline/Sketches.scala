@@ -146,4 +146,59 @@ object Sketches {
         round(col("k_both").cast("double") / col("k_used") *
           col("est_union")).cast("long").as("est_intersection"))
   }
+
+  /** Per-group token-length quantiles from a MERGEABLE bottom-k-by-hash
+    * row sample — the third leg of the sketch kit (distinct counts,
+    * resemblance, now distributions). The sample is the KMV idea
+    * applied to ROW IDENTITY: keep the k rows whose 60-bit md5(id)
+    * hashes are smallest (a uniform sample of the group, since the
+    * hash is independent of the value), which merges exactly like the
+    * distinct sketch — union + re-truncate — so per-partition samples
+    * combine map-side through the SAME [[graft.functions.KmvAgg]]
+    * aggregate, and incremental maintenance under appends is the
+    * vocab-door merge. Quantiles are then RANK statistics of the
+    * ≤ k-row sample: the value at ascending rank ceil(p·n/100), pure
+    * integer arithmetic, ties irrelevant to the value — deterministic,
+    * so the oracle hash-checks the estimates.
+    *
+    * `k_used < k` means the sample IS the whole group and the
+    * quantiles are exact. Scale shape: one corpus pass computes
+    * (group, value, hash); the sketch exchange carries ≤ k-hash
+    * buffers; the value join-back broadcasts the k·groups sketch frame
+    * against the corpus scan (hash re-derived per row — no id list
+    * collected); the ranking window runs on ≤ k rows per group.
+    */
+  def kmvQuantiles(df: DataFrame, textCol: String = "text",
+      groupCol: String = "lang", idCol: String = "doc_id",
+      k: Int = 256): DataFrame = {
+    import graft.functions.KmvAgg.kmvSketch
+    require(k >= 2, "kmvQuantiles: k must be >= 2")
+    val h = conv(substring(
+      md5(concat(lit("q:"), col(idCol).cast("string"))), 18, 15),
+      16, 10).cast("long")
+    val rows = df.select(col(groupCol).as("grp"),
+      col(idCol).cast("long").as("id"),
+      size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
+      h.as("h"))
+    val sk = rows.groupBy(col("grp"))
+      .agg(kmvSketch(col("h"), k).as("sk"))
+      .select(col("grp"), explode(col("sk")).as("h"))
+    val sample = rows.join(broadcast(sk), Seq("grp", "h"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n_tokens"), col("id"))
+    val ranked = sample
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+    // ceil(n·p/100) in integer arithmetic; Column./ is double division,
+    // so floor it back (exact — n ≤ k fits a double)
+    def at(p: Int): Column =
+      max(when(col("rn") ===
+        floor((col("n") * p + lit(99)) / lit(100)).cast("int"),
+        col("n_tokens")))
+    ranked.groupBy(col("grp").as(groupCol))
+      .agg(max(col("n")).cast("int").as("k_used"),
+        at(25).as("p25_tokens"), at(50).as("p50_tokens"),
+        at(75).as("p75_tokens"), at(90).as("p90_tokens"))
+  }
 }

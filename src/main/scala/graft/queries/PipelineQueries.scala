@@ -601,6 +601,13 @@ object PipelineQueries {
     Sketches.kmvJaccard(Tables.documents(s, d))
       .orderBy("lang_a", "lang_b")
 
+  /** Per-language token-length quantiles from the mergeable
+    * bottom-k-by-hash row sample (k=256) — rank statistics of a
+    * uniform sample kept by the same KMV aggregate.
+    */
+  def sketchQuantilesKmv(s: SparkSession, d: String): DataFrame =
+    Sketches.kmvQuantiles(Tables.documents(s, d)).orderBy("lang")
+
   /** 3-iteration damped PageRank over the kNN graph — semantic
     * centrality for coreset selection / diversity weighting.
     */
@@ -1890,6 +1897,7 @@ object PipelineQueries {
     "knn_graph_ivf"        -> knnGraphIvf _,
     "sketch_distinct_kmv"  -> sketchDistinctKmv _,
     "sketch_jaccard_kmv"   -> sketchJaccardKmv _,
+    "sketch_quantiles_kmv" -> sketchQuantilesKmv _,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters _,
     "dedup_semantic"       -> dedupSemantic _,
     "text_heavy_hitters"   -> textHeavyHitters _,
@@ -3586,6 +3594,40 @@ object PipelineQueries {
                 CAST(round(k_both::DOUBLE / k_used * est_union)
                   AS BIGINT) AS est_intersection
          FROM e ORDER BY lang_a, lang_b""",
+    // The quantile sketch replayed: the bottom-256-by-md5(id) uniform
+    // sample per language (DISTINCT hashes, the aggregate's dedup),
+    // values joined back by re-derived hash, then the value at rank
+    // ceil(p·n/100) in integer arithmetic.
+    "sketch_quantiles_kmv" ->
+      """WITH r AS (SELECT lang, doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                  AS n_tokens,
+                CAST(('0x' || substr(md5('q:' ||
+                  CAST(doc_id AS VARCHAR)), 18, 15))::UBIGINT AS BIGINT)
+                  AS h
+              FROM documents),
+         sk AS (SELECT lang, h FROM
+                 (SELECT lang, h, row_number() OVER
+                    (PARTITION BY lang ORDER BY h) AS rk
+                  FROM (SELECT DISTINCT lang, h FROM r))
+                WHERE rk <= 256),
+         sm AS (SELECT r.lang, r.doc_id, r.n_tokens
+                FROM r JOIN sk USING (lang, h)),
+         rk AS (SELECT lang, n_tokens,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_tokens, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+                FROM sm)
+         SELECT lang, CAST(max(n) AS INT) AS k_used,
+                max(CASE WHEN rn = (n * 25 + 99) // 100
+                      THEN n_tokens END) AS p25_tokens,
+                max(CASE WHEN rn = (n * 50 + 99) // 100
+                      THEN n_tokens END) AS p50_tokens,
+                max(CASE WHEN rn = (n * 75 + 99) // 100
+                      THEN n_tokens END) AS p75_tokens,
+                max(CASE WHEN rn = (n * 90 + 99) // 100
+                      THEN n_tokens END) AS p90_tokens
+         FROM rk GROUP BY lang ORDER BY lang""",
     // The IVF graph replayed index-and-all (the shared nlist=16 fit
     // CTEs): every vector probes its 2 nearest cells by centroid L2,
     // scores only the vectors ASSIGNED to those cells (cells are

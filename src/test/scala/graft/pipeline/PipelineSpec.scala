@@ -744,6 +744,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV quantiles: monotone, and exact when the sample is the " +
+      "whole group") {
+    val rows = Sketches.kmvQuantiles(docs).collect()
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == counts.size, s"lost a lang: ${rows.length}")
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val (k, ps) = (r.getInt(1),
+        Seq(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      assert(ps == ps.sorted, s"$lang quantiles not monotone: $ps")
+      if (counts(lang) <= 256) {
+        // full-sample mode: rank statistics over ALL the group's rows
+        assert(k == counts(lang).toInt, s"$lang sample size $k")
+        val vals = docs.filter(col("lang") === lang)
+          .select(size(split(trim(col("text")), "\\s+")))
+          .collect().map(_.getInt(0)).sorted
+        def q(p: Int) = vals((vals.length * p + 99) / 100 - 1)
+        assert(ps == Seq(q(25), q(50), q(75), q(90)),
+          s"$lang exact-mode quantiles drifted: $ps")
+      }
+    }
+  }
+
   test("KMV jaccard: all lang pairs, estimates bounded and consistent") {
     val rows = Sketches.kmvJaccard(docs).collect()
     val langs = docs.select("lang").distinct().count().toInt
