@@ -502,7 +502,8 @@ class PlanSpec extends AnyFunSuite {
       // would mean the kernel output wasn't exploded before moving.
       for (q <- Seq(
           graft.queries.PipelineQueries.sketchDistinctKmv(s, sf),
-          graft.queries.PipelineQueries.sketchJaccardKmv(s, sf))) {
+          graft.queries.PipelineQueries.sketchJaccardKmv(s, sf),
+          graft.queries.PipelineQueries.sketchQuantilesKmv(s, sf))) {
         val plan = q.queryExecution.executedPlan
         val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
         assert(shuffles.nonEmpty, "expected sketch exchanges")
