@@ -201,4 +201,76 @@ object Sketches {
         at(25).as("p25_tokens"), at(50).as("p50_tokens"),
         at(75).as("p75_tokens"), at(90).as("p90_tokens"))
   }
+
+  /** Point-frequency estimates from a count-min sketch (Cormode &
+    * Muthukrishnan, "An Improved Data Stream Summary: The Count-Min
+    * Sketch and its Applications", J. Algorithms 55(1), 2005) — the
+    * sketch kit's FREQUENCY leg. [[graft.pipeline.TextAnalysis
+    * .heavyHitters]] answers "top-k right now" exactly, but its
+    * Misra–Gries summary is query-bound: it keeps nothing a later
+    * question can reuse. The CMS is the complement a 100 TB pipeline
+    * persists PER SLICE: a fixed depth×width counter grid
+    * (`counter[d][h_d(x) mod width] += 1`), whose merge across slices,
+    * days, or stream batches is plain counter ADDITION, and which
+    * answers any later point query `est(x) = min_d counter[d][h_d(x)]`
+    * without re-reading the corpus. Estimates never undercount
+    * (every counter a word hashes to holds at least that word's true
+    * count); the overcount is bounded by collision mass
+    * (E[over] ≤ N/width per row, so the min over `depth` independent
+    * rows is within εN, ε = e/width, with probability 1−e^−depth).
+    *
+    * Determinism is the house sketch stance: the row hashes are the
+    * md5 idiom (`h_d(w) = md5(d || ':' || w)` truncated to 60 bits,
+    * mod width), so the ESTIMATES hash-check against the oracle —
+    * no tolerance band, same reason the distinct leg is KMV and not
+    * HLL++. The row certifies the sketch against ground truth where
+    * ground truth is affordable: probes = the MG heavy-hitter row's
+    * exact top-`topK` words, each reported with its true count, its
+    * CMS estimate, and the overcount (≥ 0 by construction).
+    *
+    * Scale shape: ONE corpus token pass feeds a (slice, d, bucket)
+    * hash-aggregate — map-side combine reduces every task to
+    * ≤ depth·width partials, so the exchange carries counters, never
+    * words, regardless of vocabulary size (plan-pinned). The global
+    * sketch is then a second, counters-sized aggregate — the in-plan
+    * merge demo: summing per-slice grids IS sketching the union, the
+    * property that makes the per-slice grid worth persisting. Probe
+    * estimation touches topK·depth rows against a broadcast
+    * ≤ depth·width frame. The probe pass itself rides the MG row's
+    * bounded-exchange shape, not a vocabulary shuffle.
+    */
+  def cmsFrequency(df: DataFrame, textCol: String = "text",
+      groupCol: String = "lang", depth: Int = 4, width: Int = 1024,
+      topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      "cmsFrequency: depth >= 1 and width >= 2 required")
+    val words = df.select(col(groupCol).as("grp"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+    def hashRows = explode(array((0 until depth).map(lit): _*)).as("d")
+    def bucket(d: Column, word: Column): Column =
+      conv(substring(md5(concat(d.cast("string"), lit(":"), word)),
+        18, 15), 16, 10).cast("long") % width
+    // the per-slice grid — what a real pipeline would persist; the
+    // hash-agg's partial phase collapses each task to ≤ depth·width
+    // rows before the exchange, whatever the vocabulary is
+    val perSlice = words.select(col("grp"), col("word"), hashRows)
+      .select(col("grp"), col("d"), bucket(col("d"), col("word")).as("bkt"))
+      .groupBy(col("grp"), col("d"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    // merge = addition: the corpus sketch from the slice sketches
+    val global = perSlice.groupBy(col("d"), col("bkt"))
+      .agg(sum(col("cnt")).as("cnt"))
+    // probes: the exact top-k the MG row already certifies — known
+    // ground truth to grade the sketch against
+    val probes = TextAnalysis.heavyHitters(df, topK, 256, textCol)
+      .select(col("rk"), col("word"), col("n").as("n_true"))
+    val pb = probes.select(col("rk"), col("word"), col("n_true"), hashRows)
+      .select(col("rk"), col("word"), col("n_true"), col("d"),
+        bucket(col("d"), col("word")).as("bkt"))
+    pb.join(broadcast(global), Seq("d", "bkt"))
+      .groupBy(col("rk"), col("word"), col("n_true"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("rk"), col("word"), col("n_true"), col("cms_est"),
+        (col("cms_est") - col("n_true")).as("overcount"))
+  }
 }

@@ -608,6 +608,14 @@ object PipelineQueries {
   def sketchQuantilesKmv(s: SparkSession, d: String): DataFrame =
     Sketches.kmvQuantiles(Tables.documents(s, d)).orderBy("lang")
 
+  /** Count-min sketch frequency estimates (4×1024 grid, merged from
+    * per-language grids by counter addition) graded against the MG
+    * heavy-hitter row's exact top-20 — deterministic md5 hash rows,
+    * so the estimates themselves hash-check.
+    */
+  def sketchFreqCms(s: SparkSession, d: String): DataFrame =
+    Sketches.cmsFrequency(Tables.documents(s, d)).orderBy("rk")
+
   /** 3-iteration damped PageRank over the kNN graph — semantic
     * centrality for coreset selection / diversity weighting.
     */
@@ -1898,6 +1906,7 @@ object PipelineQueries {
     "sketch_distinct_kmv"  -> sketchDistinctKmv _,
     "sketch_jaccard_kmv"   -> sketchJaccardKmv _,
     "sketch_quantiles_kmv" -> sketchQuantilesKmv _,
+    "sketch_freq_cms"      -> sketchFreqCms _,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters _,
     "dedup_semantic"       -> dedupSemantic _,
     "text_heavy_hitters"   -> textHeavyHitters _,
@@ -3628,6 +3637,38 @@ object PipelineQueries {
                 max(CASE WHEN rn = (n * 90 + 99) // 100
                       THEN n_tokens END) AS p90_tokens
          FROM rk GROUP BY lang ORDER BY lang""",
+    // The count-min sketch replayed grid-and-all: 4 md5 hash rows mod
+    // 1024 counters over the token stream (merged per-lang grids ==
+    // one global GROUP BY — counter addition is associative, so the
+    // oracle groups directly), probed at the exact top-20 words; the
+    // estimate is min-over-rows, the overcount its distance from
+    // truth. CMS never undercounts, so a single negative overcount
+    // anywhere fails the hash.
+    "sketch_freq_cms" ->
+      """WITH w AS (SELECT lower(unnest(string_split_regex(trim(text),
+                      '\s+'))) AS word
+                    FROM documents),
+         hd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         c AS (SELECT d,
+                      CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                        || word), 18, 15))::UBIGINT AS BIGINT) % 1024
+                        AS bkt,
+                      count(*) AS cnt
+               FROM w CROSS JOIN hd GROUP BY d, bkt),
+         top AS (SELECT word, count(*) AS n FROM w GROUP BY word
+                 ORDER BY n DESC, word LIMIT 20),
+         pb AS (SELECT top.word, top.n, hd.d,
+                       CAST(('0x' || substr(md5(CAST(hd.d AS VARCHAR)
+                         || ':' || top.word), 18, 15))::UBIGINT
+                         AS BIGINT) % 1024 AS bkt
+                FROM top CROSS JOIN hd),
+         est AS (SELECT word, n, min(cnt) AS cms_est
+                 FROM pb JOIN c USING (d, bkt) GROUP BY word, n)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT)
+                  AS rk,
+                word, n AS n_true, CAST(cms_est AS BIGINT) AS cms_est,
+                CAST(cms_est - n AS BIGINT) AS overcount
+         FROM est ORDER BY rk""",
     // The IVF graph replayed index-and-all (the shared nlist=16 fit
     // CTEs): every vector probes its 2 nearest cells by centroid L2,
     // scores only the vectors ASSIGNED to those cells (cells are

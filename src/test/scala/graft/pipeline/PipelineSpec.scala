@@ -782,6 +782,67 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS frequency: never undercounts, probes are the exact top-20, " +
+      "estimates replay driver-side") {
+    val rows = Sketches.cmsFrequency(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 20, s"expected 20 probes, got ${rows.length}")
+    // ground truth: exact token counts at this SF
+    val counts = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(20)
+    assert(rows.sortBy(_._1).map(t => (t._2, t._3)).toSeq == top,
+      "probe set must equal the exact top-20")
+    // driver-side CMS replay: same md5 hash rows, same grid
+    def bkt(d: Int, w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(17, 32), 16) % 1024
+    }
+    val grid = new scala.collection.mutable.HashMap[(Int, Long), Long]()
+    counts.foreach { case (w, n) =>
+      (0 until 4).foreach { d =>
+        val k = (d, bkt(d, w)); grid.update(k, grid.getOrElse(k, 0L) + n)
+      }
+    }
+    rows.foreach { case (rk, w, nTrue, est, over) =>
+      assert(over >= 0 && est == nTrue + over, s"rk=$rk inconsistent row")
+      assert(est >= nTrue, s"CMS undercounted '$w': $est < $nTrue")
+      val want = (0 until 4).map(d => grid((d, bkt(d, w)))).min
+      assert(est == want, s"'$w' estimate drifted: $est vs replay $want")
+    }
+  }
+
+  test("CMS frequency: merging per-slice grids == sketching the union " +
+      "directly (counter addition), any slicing") {
+    // same corpus through the lang slicing and through a single-slice
+    // grouping must yield identical global estimates — the associativity
+    // that makes the per-slice grid worth persisting
+    val byLang = Sketches.cmsFrequency(docs).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toMap
+    val oneSlice = Sketches.cmsFrequency(
+      docs.withColumn("one", lit("all")), groupCol = "one").collect()
+      .map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(byLang == oneSlice,
+      s"merge is not slicing-invariant: ${byLang.toSeq.sorted.take(3)} vs " +
+        s"${oneSlice.toSeq.sorted.take(3)}")
+  }
+
+  test("CMS frequency: counter exchange carries grid cells, not words") {
+    // the per-slice aggregate must reduce map-side: a partial_count
+    // phase before the exchange, and no vocabulary-sized shuffle in the
+    // grid subtree (the only word-keyed exchange allowed is the MG
+    // probe recount, which is candidate-bounded)
+    val plan = Sketches.cmsFrequency(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"grid aggregate must combine map-side:\n${plan.take(1500)}")
+  }
+
   test("label prototypes: one object-hash aggregate, no row explosion") {
     val plan = Similarity.labelPrototypes(emb)
       .queryExecution.executedPlan.toString
