@@ -98,6 +98,13 @@ object GraftExtensions {
         require(args.length == 2, "kmv_sketch(hashed, k)")
         KmvAgg(args(0), intArg(args(1), "kmv_sketch"))
           .toAggregateExpression()
+      }),
+    (new FunctionIdentifier("cms_buckets"),
+      new ExpressionInfo(classOf[CmsBuckets].getName, "cms_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cms_buckets(text, depth, width)")
+        CmsBuckets(args(0), intArg(args(1), "cms_buckets"),
+          intArg(args(2), "cms_buckets"))
       }))
 
   /** Install the functions into an already-built session (idempotent —

@@ -293,6 +293,65 @@ object ShingleKernel {
   }
 
 
+  /** Per-document count-min grid cell counts in one fused pass: word
+    * boundaries, then for each word and each hash row d ∈ [0, depth)
+    * the 60-bit md5 of `"<d>:<word>"` (EXACTLY the cross-engine
+    * `('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || word), 18,
+    * 15))` layout — low nibble of digest byte 8, then bytes 9..15)
+    * taken mod `width`, then a sort + run-length count so each grid
+    * cell a document touches is emitted ONCE, packed as
+    * `((d·width + bkt) << 32) | count` in a primitive long array (the
+    * [[bigramBuckets]] packing).
+    *
+    * This replaces the word explode × depth hash-row explode feeding a
+    * (cell, occurrence) hash aggregate: the per-document counting
+    * happens here, in-row, so the plan's only aggregate runs over
+    * pre-counted cells — ≤ depth·width distinct keys however large
+    * the vocabulary. Counts fit 32 bits by construction; `depth` is
+    * capped at 10 so the row prefix stays one decimal byte.
+    */
+  def cmsBuckets(s: UTF8String, depth: Int, width: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = true)
+    val nWords = starts.size
+    val md = md5Local.get()
+    val cells = new Array[Long](nWords * depth)
+    val buf = new Array[Byte](bytes.length + 2)
+    var wd = 0
+    while (wd < nWords) {
+      val from = starts.get(wd)
+      val until = ends.get(wd)
+      var d = 0
+      while (d < depth) {
+        buf(0) = ('0' + d).toByte
+        buf(1) = ':'
+        System.arraycopy(bytes, from, buf, 2, until - from)
+        md.reset()
+        md.update(buf, 0, until - from + 2)
+        val dig = md.digest()
+        var v: Long = dig(8) & 0x0FL
+        var bi = 9
+        while (bi < 16) { v = (v << 8) | (dig(bi) & 0xFFL); bi += 1 }
+        cells(wd * depth + d) = d.toLong * width + v % width
+        d += 1
+      }
+      wd += 1
+    }
+    java.util.Arrays.sort(cells)
+    val packed = new Array[Long](cells.length)
+    var nOut = 0
+    var i = 0
+    while (i < cells.length) {
+      var run = 1
+      while (i + run < cells.length && cells(i + run) == cells(i)) run += 1
+      packed(nOut) = (cells(i) << 32) | run.toLong
+      nOut += 1
+      i += run
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      java.util.Arrays.copyOf(packed, nOut))
+  }
+
   /** 64-bit SimHash sketch of whitespace-split words in one fused
     * pass: per word, the SIGNED low-64 md5 value (EXACTLY the
     * composable `conv(substring(md5(w), 17, 16), 16, -10)` — digest
@@ -730,6 +789,42 @@ case class BigramBuckets(child: Expression, buckets: Int)
       : BigramBuckets = copy(child = newChild)
 }
 
+/** Fused per-document count-min grid cells as packed
+  * `((d·width + bkt) << 32) | count` longs (see
+  * [[ShingleKernel.cmsBuckets]]). Input must already be
+  * `trim(lower(text))`.
+  */
+case class CmsBuckets(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if depth >= 1 && depth <= 10 && width >= 2 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_buckets expects a string column, 1 <= depth <= 10 and " +
+            s"width >= 2, got $other / depth=$depth width=$width")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.cmsBuckets(input.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.cmsBuckets($c, $depth, $width)")
+
+  override def prettyName: String = "cms_buckets"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CmsBuckets = copy(child = newChild)
+}
+
 object ShingleExpressions {
   import org.apache.spark.sql.graftshim
 
@@ -757,6 +852,11 @@ object ShingleExpressions {
   def bigramBuckets(normalizedText: Column, buckets: Int): Column =
     graftshim.columnOf(BigramBuckets(
       graftshim.columnExpr(normalizedText), buckets))
+
+  /** Column API: `cmsBuckets(trim(lower(text)), depth, width)`. */
+  def cmsBuckets(normalizedText: Column, depth: Int, width: Int): Column =
+    graftshim.columnOf(CmsBuckets(
+      graftshim.columnExpr(normalizedText), depth, width))
 
   /** Column API: `winnowFingerprints(trim(lower(text)), k, w)`. */
   def winnowFingerprints(normalizedText: Column, k: Int, w: Int): Column =

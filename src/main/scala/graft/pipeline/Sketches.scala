@@ -228,49 +228,179 @@ object Sketches {
     * exact top-`topK` words, each reported with its true count, its
     * CMS estimate, and the overcount (≥ 0 by construction).
     *
-    * Scale shape: ONE corpus token pass feeds a (slice, d, bucket)
-    * hash-aggregate — map-side combine reduces every task to
-    * ≤ depth·width partials, so the exchange carries counters, never
-    * words, regardless of vocabulary size (plan-pinned). The global
-    * sketch is then a second, counters-sized aggregate — the in-plan
-    * merge demo: summing per-slice grids IS sketching the union, the
-    * property that makes the per-slice grid worth persisting. Probe
-    * estimation touches topK·depth rows against a broadcast
-    * ≤ depth·width frame. The probe pass itself rides the MG row's
-    * bounded-exchange shape, not a vocabulary shuffle.
+    * Scale shape: ONE corpus pass — the fused
+    * [[graft.functions.ShingleExpressions.cmsBuckets]] kernel emits
+    * each document's grid cells PRE-COUNTED in the scan projection, so
+    * no word or occurrence row ever exists in the plan; the per-slice
+    * aggregate's map-side combine reduces every task to ≤ depth·width
+    * partials, and the exchange carries counters, never words,
+    * regardless of vocabulary size (plan-pinned). The global sketch is
+    * then a second, counters-sized aggregate — the in-plan merge demo:
+    * summing per-slice grids IS sketching the union, the property that
+    * makes the per-slice grid worth persisting. Probe estimation
+    * touches topK·depth rows against a broadcast ≤ depth·width frame.
+    * The probe pass itself rides the MG row's bounded-exchange shape,
+    * not a vocabulary shuffle.
     */
   def cmsFrequency(df: DataFrame, textCol: String = "text",
       groupCol: String = "lang", depth: Int = 4, width: Int = 1024,
       topK: Int = 20): DataFrame = {
-    require(depth >= 1 && width >= 2,
-      "cmsFrequency: depth >= 1 and width >= 2 required")
-    val words = df.select(col(groupCol).as("grp"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
-    def hashRows = explode(array((0 until depth).map(lit): _*)).as("d")
-    def bucket(d: Column, word: Column): Column =
-      conv(substring(md5(concat(d.cast("string"), lit(":"), word)),
-        18, 15), 16, 10).cast("long") % width
-    // the per-slice grid — what a real pipeline would persist; the
-    // hash-agg's partial phase collapses each task to ≤ depth·width
-    // rows before the exchange, whatever the vocabulary is
-    val perSlice = words.select(col("grp"), col("word"), hashRows)
-      .select(col("grp"), col("d"), bucket(col("d"), col("word")).as("bkt"))
-      .groupBy(col("grp"), col("d"), col("bkt"))
-      .agg(count(lit(1)).as("cnt"))
+    require(depth >= 1 && depth <= 10 && width >= 2,
+      "cmsFrequency: 1 <= depth <= 10 and width >= 2 required")
+    // the per-slice grid — what a real pipeline would persist. The
+    // fused [[graft.functions.ShingleExpressions.cmsBuckets]] kernel
+    // emits each document's grid cells PRE-COUNTED in the scan
+    // projection (one byte-level pass, the bigramBuckets packing), so
+    // the plan never explodes word × hash-row occurrence rows and the
+    // only aggregate runs over ≤ depth·width cells per slice —
+    // measured 2.7 → 1.0 s at sf0.1 vs the explode + hash-agg form.
+    val perSlice = cmsGrid(df, textCol, depth, width, Seq(groupCol))
+      .groupBy(col(groupCol), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
     // merge = addition: the corpus sketch from the slice sketches
-    val global = perSlice.groupBy(col("d"), col("bkt"))
+    val global = perSlice.groupBy(col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
     // probes: the exact top-k the MG row already certifies — known
-    // ground truth to grade the sketch against
+    // ground truth to grade the sketch against (probe cells via the
+    // composable md5 expression — topK·depth rows, cost-free)
     val probes = TextAnalysis.heavyHitters(df, topK, 256, textCol)
       .select(col("rk"), col("word"), col("n").as("n_true"))
-    val pb = probes.select(col("rk"), col("word"), col("n_true"), hashRows)
-      .select(col("rk"), col("word"), col("n_true"), col("d"),
-        bucket(col("d"), col("word")).as("bkt"))
-    pb.join(broadcast(global), Seq("d", "bkt"))
+    probeCells(probes, depth, width).join(broadcast(global), Seq("cell"))
       .groupBy(col("rk"), col("word"), col("n_true"))
       .agg(min(col("cnt")).as("cms_est"))
       .select(col("rk"), col("word"), col("n_true"), col("cms_est"),
         (col("cms_est") - col("n_true")).as("overcount"))
+  }
+
+  /** (carried..., cell, cnt) pre-counted grid-cell rows from the fused
+    * kernel — the shared scan stage of both CMS consumers. `cell` =
+    * d·width + bucket, decoded from the kernel's packed longs.
+    */
+  private def cmsGrid(df: DataFrame, textCol: String, depth: Int,
+      width: Int, carryCols: Seq[String]): DataFrame = {
+    import graft.functions.ShingleExpressions.cmsBuckets
+    df.select(carryCols.map(col) :+
+        explode(cmsBuckets(trim(lower(col(textCol))), depth, width))
+          .as("pc"): _*)
+      .select(carryCols.map(col) ++ Seq(
+        shiftright(col("pc"), 32).as("cell"),
+        col("pc").bitwiseAND(lit(0xFFFFFFFFL)).as("cnt")): _*)
+  }
+
+  /** Probe-side grid cells for a bounded word frame, via the
+    * composable md5 expression (`('0x'||substr(md5(d||':'||w),18,15))
+    * % width` — byte-identical to the kernel's cells).
+    */
+  private def probeCells(words: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    val d = col("d")
+    val bkt = conv(substring(
+      md5(concat(d.cast("string"), lit(":"), col("word"))), 18, 15),
+      16, 10).cast("long") % width
+    words
+      .select(col("*"), explode(array((0 until depth).map(lit): _*)).as("d"))
+      .withColumn("cell", d * width + bkt)
+      .drop("d")
+  }
+
+  /** Corpus-diff report — the sketch kit composed end-to-end on the
+    * operational question a curation run always raises: WHAT did the
+    * gate do to corpus composition, beyond how many rows it dropped
+    * (that is [[graft.pipeline.Attrition]]'s ledger)? One
+    * metadata-sized row compares the corpus before and after the
+    * Gopher-style quality gate on three axes:
+    *
+    *  - exact size: docs and tokens, before/after (one corpus pass);
+    *  - vocabulary: KMV distinct-3-shingle estimates per side plus the
+    *    KMV-algebra resemblance (`est_jaccard`) between the two
+    *    shingle sets — "did curation remove redundant mass or distinct
+    *    content?" (for a pure subset, resemblance ≈ surviving share of
+    *    the distinct-shingle space);
+    *  - concentration: CMS-estimated total frequency of the BEFORE
+    *    corpus's exact top-20 words on each side — boilerplate mass,
+    *    the thing a gate is supposed to cut disproportionately.
+    *
+    * Every estimator is the deterministic house sketch (k-min md5 /
+    * 4×1024 count-min), so the whole report hash-checks. Scale shape:
+    * the gate verdict is computed NEXT TO the text in the scan
+    * projection ([[graft.pipeline.TextAnalysis.qualityFlagged]]) —
+    * no corpus-sized id join — and each axis aggregates both sides in
+    * ONE pass over one exploded frame (the after-side feeds
+    * null-skipping/conditional aggregates through the `keep` flag), so
+    * the diff costs the same passes as sketching the corpus once. All
+    * cross-frame joins are one-row broadcasts; sketch algebra runs on
+    * ≤ 2k rows.
+    */
+  def corpusDiff(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 256, topK: Int = 20)
+      : DataFrame = {
+    import graft.functions.ShingleExpressions.winnowFingerprints
+    import graft.functions.KmvAgg.kmvSketch
+    require(k >= 2, "corpusDiff: k must be >= 2")
+    // the gate's verdict expression (10-gram kernel + signal HOFs) is
+    // the expensive per-row term and three axes consume it —
+    // materialize the narrow (id, text, keep) projection ONCE (the
+    // pipeline_pretrain stance: localCheckpoint is a partition-local
+    // cache, text still never rides an exchange)
+    val flagged = TextAnalysis.qualityFlagged(df, textCol, idCol)
+      .select(col(idCol), col(textCol), col("keep"))
+      .localCheckpoint()
+    // axis 1 — exact sizes, one pass
+    val toks = size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+    val counts = flagged.agg(
+      count(lit(1)).as("n_docs_before"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_after"),
+      sum(toks).as("n_tokens_before"),
+      sum(when(col("keep"), toks).otherwise(0L)).as("n_tokens_after"))
+    // axis 2 — both shingle sketches from ONE gram pass: the after
+    // side rides the same aggregate via a null-skipped conditional
+    val grams = flagged.select(col("keep"),
+      explode(winnowFingerprints(
+        trim(lower(col(textCol))), 3, 1)).as("h"))
+    val sks = grams.agg(
+      kmvSketch(col("h"), k).as("sk_b"),
+      kmvSketch(when(col("keep"), col("h")), k).as("sk_a"))
+      .localCheckpoint()
+    def est(sk: Column): Column = {
+      val fill = size(sk)
+      when(fill < k, fill.cast("long"))
+        .otherwise(round((fill - lit(1)).cast("double") *
+          pow(lit(2.0), lit(60)) / element_at(sk, fill)).cast("long"))
+    }
+    val vocab = sks.select(est(col("sk_b")).as("est_vocab_before"),
+      est(col("sk_a")).as("est_vocab_after"))
+    // KMV set algebra on the two ≤ k arrays (the kmvJaccard shape,
+    // specialized to one pair): combined = k smallest of the union
+    val tagged = sks.select(explode(concat(
+        transform(col("sk_b"),
+          h => struct(h.as("h"), lit(1).as("in_b"), lit(0).as("in_a"))),
+        transform(col("sk_a"),
+          h => struct(h.as("h"), lit(0).as("in_b"), lit(1).as("in_a")))))
+        .as("e"))
+      .groupBy(col("e.h").as("h"))
+      .agg(max(col("e.in_b")).as("in_b"), max(col("e.in_a")).as("in_a"))
+    val comb = tagged
+      .withColumn("rk", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rk") <= k)
+    val jac = comb.agg(round(
+      sum(col("in_b") * col("in_a")).cast("double") / count(lit(1)), 6)
+      .as("est_jaccard"))
+    // axis 3 — both CMS grids from ONE pre-counted kernel pass
+    // (conditional counter sums), probed at the before corpus's exact
+    // top-k words
+    val grid = cmsGrid(flagged, textCol, 4, 1024, Seq("keep"))
+      .groupBy(col("cell"))
+      .agg(sum(col("cnt")).as("cnt_b"),
+        sum(when(col("keep"), col("cnt")).otherwise(0L)).as("cnt_a"))
+    val probes = TextAnalysis.heavyHitters(df, topK, 256, textCol)
+      .select(col("word"))
+    val mass = probeCells(probes, 4, 1024)
+      .join(broadcast(grid), Seq("cell"))
+      .groupBy(col("word"))
+      .agg(min(col("cnt_b")).as("eb"), min(col("cnt_a")).as("ea"))
+      .agg(sum(col("eb")).as("top20_mass_before"),
+        sum(col("ea")).as("top20_mass_after"))
+    counts.crossJoin(broadcast(vocab)).crossJoin(broadcast(jac))
+      .crossJoin(broadcast(mass))
   }
 }

@@ -69,6 +69,19 @@ object TextAnalysis {
     * verdict.
     */
   def qualityGate(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    qualityFlagged(df, textCol, idCol)
+      .select(col(idCol), col("quality_score"), col("dup_gram_frac"),
+        col("keep"), col("reasons"))
+
+  /** [[qualityGate]] with the input columns RETAINED: every row of `df`
+    * plus the gate's signals and its `keep`/`reasons` verdict — still
+    * one codegen'd per-row pass, no shuffle. The building block for
+    * consumers that need the verdict NEXT TO the data (corpus diffs,
+    * gated aggregates) without paying a corpus-sized id join back to
+    * the text.
+    */
+  def qualityFlagged(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
     // Distinct 10-gram count from the fused kernel (it emits SORTED
@@ -95,8 +108,8 @@ object TextAnalysis {
         "odd_word_len"),
       when(col("dup_gram_frac") > 0.3, "repetitive"))
     val hit = filter(reasons, r => r.isNotNull)
-    scored.select(col(idCol), col("quality_score"), col("dup_gram_frac"),
-      (size(hit) === 0).as("keep"), concat_ws(",", hit).as("reasons"))
+    scored.withColumn("keep", size(hit) === 0)
+      .withColumn("reasons", concat_ws(",", hit))
   }
 
   /** Language identification via learned character-trigram profiles:

@@ -30,6 +30,37 @@ class ShingleExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native CMS grid cells == exploded md5 expression form " +
+      "(real docs + edges)") {
+    import s.implicits._
+    val docs = s.read.parquet(s"$sf/documents.parquet").select("text")
+      .union(Seq("", " ", "  \t ", "a", "a a  a", "日本語 テキスト",
+        "x\ny\tz").toDF("text"))
+    val (depth, width) = (4, 1024)
+    // ids assigned ONCE (checkpointed) so both forms read the same rows
+    val base = docs
+      .select(monotonically_increasing_id().as("id"), col("text"))
+      .localCheckpoint()
+    // expression form: word × hash-row explode, md5 bucket, per-doc count
+    val d = explode(array((0 until depth).map(lit): _*)).as("d")
+    val expr = base
+      .select(col("id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(col("id"), col("word"), d)
+      .select(col("id"), (col("d") * width +
+        conv(substring(md5(concat(col("d").cast("string"), lit(":"),
+          col("word"))), 18, 15), 16, 10).cast("long") % width).as("cell"))
+      .groupBy("id", "cell").count()
+      .groupBy("id").agg(sort_array(collect_list(
+        shiftleft(col("cell"), 32) + col("count"))).as("cells"))
+    val kern = base
+      .select(col("id"), sort_array(ShingleExpressions.cmsBuckets(
+        trim(lower(col("text"))), depth, width)).as("cells"))
+    val mismatches = expr.join(kern, "id")
+      .filter(expr("cells") =!= kern("cells")).count()
+    assert(mismatches == 0, s"$mismatches docs diverge")
+  }
+
   test("native chargrams == xxhash64 over HOF char trigrams (real docs)") {
     // multiset equality (duplicates carry term frequencies)
     val docs = s.read.parquet(s"$sf/documents.parquet")

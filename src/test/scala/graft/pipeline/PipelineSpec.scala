@@ -833,14 +833,47 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("CMS frequency: counter exchange carries grid cells, not words") {
-    // the per-slice aggregate must reduce map-side: a partial_count
-    // phase before the exchange, and no vocabulary-sized shuffle in the
-    // grid subtree (the only word-keyed exchange allowed is the MG
-    // probe recount, which is candidate-bounded)
+    // the grid rides the fused pre-counting kernel, and the per-slice
+    // aggregate must reduce map-side: a partial_sum phase before the
+    // exchange, and no vocabulary-sized shuffle in the grid subtree
+    // (the only word-keyed exchange allowed is the MG probe recount,
+    // which is candidate-bounded)
     val plan = Sketches.cmsFrequency(docs)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count") || plan.contains("partial count"),
+    assert(plan.contains("cms_buckets"),
+      s"grid must come from the fused kernel:\n${plan.take(1500)}")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
       s"grid aggregate must combine map-side:\n${plan.take(1500)}")
+  }
+
+  test("corpus diff: subset invariants hold and exact axes replay the " +
+      "gate directly") {
+    val r = Sketches.corpusDiff(docs).collect()
+    assert(r.length == 1, s"one report row expected, got ${r.length}")
+    val row = r.head
+    val (db, da) = (row.getLong(0), row.getLong(1))
+    val (tb, ta) = (row.getLong(2), row.getLong(3))
+    val (vb, va) = (row.getLong(4), row.getLong(5))
+    val j = row.getDouble(6)
+    val (mb, ma) = (row.getLong(7), row.getLong(8))
+    // the after corpus is a SUBSET of the before corpus, so every axis
+    // is deterministically dominated: counts, sketch estimates (bottom-k
+    // of a hash subset has a >= k-th min), and per-counter CMS mass
+    assert(da <= db && ta <= tb, s"subset count violated: $row")
+    assert(va <= vb, s"subset vocab estimate violated: $row")
+    assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $row")
+    assert(ma <= mb, s"subset CMS mass violated: $row")
+    // exact axes replay the gate's own verdict
+    val kept = TextAnalysis.qualityGate(docs).filter(col("keep"))
+      .select("doc_id")
+    val want = docs.join(kept, "doc_id")
+      .agg(count(lit(1)),
+        sum(size(split(trim(lower(col("text"))), "\\s+")).cast("long")))
+      .head()
+    assert(da == want.getLong(0) && ta == want.getLong(1),
+      s"after counts drifted: ($da, $ta) vs (${want.getLong(0)}, " +
+        s"${want.getLong(1)})")
+    assert(db == docs.count(), s"before doc count drifted: $db")
   }
 
   test("label prototypes: one object-hash aggregate, no row explosion") {

@@ -101,6 +101,18 @@ class VectorExprSpec extends AnyFunSuite {
         "(SELECT explode(array(5L, 1L, 9L, 1L, 3L)) h)")
       .head().getSeq[Long](0)
     assert(kmvSql == Seq(1L, 3L, 5L), s"kmv via SQL: $kmvSql")
+    val cmsSql = s.sql(
+      "SELECT cms_buckets('a b a', 4, 1024) pc")
+      .head().getSeq[Long](0)
+    val cmsCol = s.range(1).select(
+      graft.functions.ShingleExpressions
+        .cmsBuckets(lit("a b a"), 4, 1024).as("pc"))
+      .head().getSeq[Long](0)
+    assert(cmsSql == cmsCol && cmsSql.length == 8,
+      s"cms via SQL: $cmsSql")
+    // 'a' appears twice, 'b' once: 4 cells with count 2, 4 with count 1
+    assert(cmsSql.map(_ & 0xFFFFFFFFL).sorted ==
+      Seq(1L, 1L, 1L, 1L, 2L, 2L, 2L, 2L), s"cms counts: $cmsSql")
     // non-literal size argument is rejected with a clear error
     val err = intercept[Exception](
       s.sql("SELECT hashed_shingles('x', cast(rand()*3 as int))").collect())
