@@ -333,17 +333,31 @@ object Sketches {
     */
   def corpusDiff(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 256, topK: Int = 20)
-      : DataFrame = {
+      : DataFrame =
+    // the gate's verdict expression (10-gram kernel + signal HOFs) is
+    // the expensive per-row term and three axes consume it — hand the
+    // shared diff the narrow (text, keep) projection (the
+    // pipeline_pretrain stance: it localCheckpoints once; text still
+    // never rides an exchange)
+    corpusDiffFlagged(
+      TextAnalysis.qualityFlagged(df, textCol, idCol)
+        .select(col(textCol), col("keep")),
+      textCol, k, topK)
+
+  /** [[corpusDiff]]'s engine over an ALREADY-FLAGGED corpus: `before` =
+    * every row of `flagged`, `after` = the rows with `keep` true. The
+    * flag can come from any membership predicate — the quality gate
+    * ([[corpusDiff]]), or a lake table's snapshot lineage
+    * (`lake_corpus_diff` tags the time-traveled baseline true and the
+    * CDC insert delta false, so "after" is the published version and
+    * the before−after gap is the new wave's contribution).
+    */
+  def corpusDiffFlagged(flaggedIn: DataFrame, textCol: String = "text",
+      k: Int = 256, topK: Int = 20): DataFrame = {
     import graft.functions.ShingleExpressions.winnowFingerprints
     import graft.functions.KmvAgg.kmvSketch
-    require(k >= 2, "corpusDiff: k must be >= 2")
-    // the gate's verdict expression (10-gram kernel + signal HOFs) is
-    // the expensive per-row term and three axes consume it —
-    // materialize the narrow (id, text, keep) projection ONCE (the
-    // pipeline_pretrain stance: localCheckpoint is a partition-local
-    // cache, text still never rides an exchange)
-    val flagged = TextAnalysis.qualityFlagged(df, textCol, idCol)
-      .select(col(idCol), col(textCol), col("keep"))
+    require(k >= 2, "corpusDiffFlagged: k must be >= 2")
+    val flagged = flaggedIn.select(col(textCol), col("keep"))
       .localCheckpoint()
     // axis 1 — exact sizes, one pass
     val toks = size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
@@ -392,7 +406,7 @@ object Sketches {
       .groupBy(col("cell"))
       .agg(sum(col("cnt")).as("cnt_b"),
         sum(when(col("keep"), col("cnt")).otherwise(0L)).as("cnt_a"))
-    val probes = TextAnalysis.heavyHitters(df, topK, 256, textCol)
+    val probes = TextAnalysis.heavyHitters(flagged, topK, 256, textCol)
       .select(col("word"))
     val mass = probeCells(probes, 4, 1024)
       .join(broadcast(grid), Seq("cell"))

@@ -111,6 +111,31 @@ class NastyInputSpec extends AnyFunSuite {
     assert(changed == Set(10L), s"unexpected masking: $changed")
   }
 
+  test("sketch rows survive the nasty corpus (empty, unicode, " +
+      "kilobyte tokens)") {
+    // frequency sketch: well-formed probes, never undercounts even
+    // when the corpus is mostly degenerate documents
+    val freq = Sketches.cmsFrequency(nasty, topK = 5).collect()
+    assert(freq.nonEmpty && freq.length <= 5)
+    freq.foreach { r =>
+      assert(r.getLong(4) >= 0, s"undercount on nasty corpus: $r")
+    }
+    // corpus diff: one row, subset dominance holds even when the gate
+    // drops nearly everything (these docs mostly fail length/stopword)
+    val d = Sketches.corpusDiff(nasty).collect()
+    assert(d.length == 1)
+    assert(d.head.getLong(1) <= d.head.getLong(0) &&
+      d.head.getLong(3) <= d.head.getLong(2) &&
+      d.head.getLong(5) <= d.head.getLong(4), s"dominance: ${d.head}")
+    // degenerate corpora: docs under 3 words emit NO shingles, so the
+    // distinct sketch has no groups (documented kernel contract); the
+    // word-level CMS still sees the empty-token rows and stays
+    // well-formed
+    val tiny = nasty.filter(col("doc_id") <= 2)
+    assert(Sketches.kmvDistinct(tiny).count() == 0)
+    assert(Sketches.cmsFrequency(tiny, topK = 3).count() >= 1)
+  }
+
   test("simhash contract: NULL texts dropped, duplicate ids kept as-is") {
     val spark = s
     import spark.implicits._
