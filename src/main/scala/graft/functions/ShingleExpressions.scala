@@ -310,6 +310,21 @@ object ShingleKernel {
     * the vocabulary. Counts fit 32 bits by construction; `depth` is
     * capped at 10 so the row prefix stays one decimal byte.
     */
+  /** One grid cell for a single (hash row, word) pair — the same
+    * `"<d>:<word>"` md5 layout as [[cmsBuckets]], for bounded
+    * driver-side probe lookups (a point query against a collected
+    * ≤ depth·width grid map never needs a Spark job).
+    */
+  def cmsCell(d: Int, word: String, width: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val dig = md.digest((d.toString + ":" + word).getBytes("UTF-8"))
+    var v: Long = dig(8) & 0x0FL
+    var bi = 9
+    while (bi < 16) { v = (v << 8) | (dig(bi) & 0xFFL); bi += 1 }
+    d.toLong * width + v % width
+  }
+
   def cmsBuckets(s: UTF8String, depth: Int, width: Int): ArrayData = {
     val bytes = s.getBytes
     val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = true)

@@ -74,7 +74,7 @@ object StreamQueries {
     Seq(dedupIngestCache, decontIngestCache, qgateIngestCache,
       clsGateIngestCache, curateIngestCache, annIngestCache,
       annRefitCache, semDedupCache, budgetIngestCache,
-      vocabIngestCache).foreach(_.clear())
+      vocabIngestCache, freqIngestCache).foreach(_.clear())
   }
 
   private def timedStream[T](name: String)(body: => T): T = {
@@ -1234,6 +1234,82 @@ object StreamQueries {
       .orderBy("batch_id")
   }
 
+  private val freqIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Frequency-monitor scenario: the shared two-wave document stream
+    * through [[StreamIngest.freqSketchIngestAvailable]] — each
+    * micro-batch's 4×1024 count-min grid appends to the grid table
+    * with the probe-mass ledger stamped per commit. Probes = the
+    * corpus's exact top-5 words (computed once at scenario build,
+    * deterministic, replayable in SQL). The grid table location is
+    * the scenario product; both freq rows read it.
+    */
+  private def freqIngestLoc(s: SparkSession, d: String): String =
+    freqIngestCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-sfreq-")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val probes = docs.select(
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .groupBy("w").count()
+        .orderBy(col("count").desc, col("w")).limit(5)
+        .collect().map(_.getString(0)).toSeq
+      val gridT = graft.lake.LakeTable.create(s,
+        base.resolve("grid").toString,
+        Left(Seq.empty[(Long, Long, Long)]
+          .toDF("batch_id", "cell", "cnt").schema))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docWavesDir(s, d))
+      val batches = timedStream("stream_freq_sketch") {
+        graft.streaming.StreamIngest.freqSketchIngestAvailable(
+          stream, gridT, depth = 4, width = 1024, probes,
+          "docs_freq", base.resolve("ckpt").toString)
+      }
+      require(batches == 2, s"expected 2 ingest waves, got $batches")
+      base.resolve("grid").toString
+    })
+
+  /** The append-only per-batch grid table: batch 0's rows are the
+    * count-min grid of the first wave, batch 1's of the second — the
+    * cumulative corpus grid is `groupBy(cell).sum` because CMS merge
+    * is counter addition, the property the oracle replays by building
+    * each wave's grid directly.
+    */
+  def streamFreqSketch(s: SparkSession, d: String): DataFrame =
+    graft.lake.LakeTable.forLocation(s, freqIngestLoc(s, d)).read()
+      .orderBy("batch_id", "cell")
+
+  /** The boilerplate-mass LEDGER read back from the grid table's
+    * commit summaries ([[StreamIngest.FreqMassKey]], committed
+    * atomically with each batch's grid rows): one row per batch with
+    * the batch token count, the probe set's CMS mass in the batch,
+    * and its mass in the cumulative grid. Metadata-only — probe share
+    * drifting across batches is the boilerplate-surge alert. Named
+    * with the ingest row's name as a PREFIX so it sorts after
+    * stream_freq_sketch in the bench's schedule (the token-budget
+    * report's attribution stance).
+    */
+  def streamFreqReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = graft.lake.LakeTable.forLocation(s, freqIngestLoc(s, d))
+    val prefix = "docs_freq:"
+    val rows = t.meta.snapshots.flatMap { sn =>
+      for {
+        st <- sn.summary.get(graft.streaming.StreamIngest.BatchStamp)
+        if st.startsWith(prefix)
+        b <- st.substring(prefix.length).toLongOption
+        v <- sn.summary.get(graft.streaming.StreamIngest.FreqMassKey)
+      } yield {
+        val parts = v.split(":")
+        (b, parts(0).toLong, parts(1).toLong, parts(2).toLong)
+      }
+    }
+    rows.toDF("batch_id", "batch_tokens", "probe_mass",
+        "cum_probe_mass")
+      .orderBy("batch_id")
+  }
+
   /** Stream-static enrichment join: the event stream joined to a STATIC
     * dimension (customer) — no state store at all (the static side is
     * re-planned per micro-batch; broadcast keeps the stream side from
@@ -1362,6 +1438,8 @@ object StreamQueries {
     "stream_token_budget_report" -> streamBudgetReport _,
     "stream_vocab_growth" -> streamVocabGrowth _,
     "stream_vocab_growth_report" -> streamVocabReport _,
+    "stream_freq_sketch" -> streamFreqSketch _,
+    "stream_freq_sketch_report" -> streamFreqReport _,
     "stream_ann_ingest" -> streamAnnIngest _,
     "stream_ann_refit" -> streamAnnRefit _,
     "stream_ann_report" -> streamAnnReport _,
@@ -2097,6 +2175,73 @@ object StreamQueries {
                 FROM b1)
          SELECT * FROM s0 UNION ALL SELECT * FROM s1
          ORDER BY batch_id""",
+    // Each wave's count-min grid replayed directly (even docs = batch
+    // 0, odd = batch 1): the door appends exactly the per-batch grid,
+    // so no prefix folding is needed here — addition is the READ-side
+    // property, checked by the report row's cumulative column.
+    "stream_freq_sketch" ->
+      """WITH w AS (SELECT CAST(doc_id % 2 AS BIGINT) AS batch_id,
+                  lower(unnest(string_split_regex(trim(text), '\s+')))
+                    AS word
+                FROM documents),
+         hd AS (SELECT unnest([0, 1, 2, 3]) AS d)
+         SELECT batch_id,
+                CAST(d AS BIGINT) * 1024 +
+                  CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                    || word), 18, 15))::UBIGINT AS BIGINT) % 1024
+                  AS cell,
+                count(*) AS cnt
+         FROM w CROSS JOIN hd
+         GROUP BY 1, 2 ORDER BY batch_id, cell""",
+    // The mass ledger refolded: per-batch and cumulative (batches ≤ b,
+    // counter ADDITION) grids probed at the corpus's exact top-5 words
+    // with the door's absent-cell-is-zero semantics (LEFT JOIN +
+    // coalesce), summed per batch.
+    "stream_freq_sketch_report" ->
+      """WITH w AS (SELECT CAST(doc_id % 2 AS BIGINT) AS batch_id,
+                  lower(unnest(string_split_regex(trim(text), '\s+')))
+                    AS word
+                FROM documents),
+         top AS (SELECT word FROM (SELECT word, count(*) AS n FROM w
+                   GROUP BY word ORDER BY n DESC, word LIMIT 5)),
+         hd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         g AS (SELECT batch_id, d,
+                      CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                        || word), 18, 15))::UBIGINT AS BIGINT) % 1024
+                        AS bkt,
+                      count(*) AS cnt
+               FROM w CROSS JOIN hd GROUP BY 1, 2, 3),
+         bs AS (SELECT DISTINCT batch_id FROM g),
+         pq AS (SELECT top.word, hd.d,
+                       CAST(('0x' || substr(md5(CAST(hd.d AS VARCHAR)
+                         || ':' || top.word), 18, 15))::UBIGINT
+                         AS BIGINT) % 1024 AS bkt
+                FROM top CROSS JOIN hd),
+         cg AS (SELECT bs.batch_id, g.d, g.bkt, sum(g.cnt) AS cnt
+                FROM bs JOIN g ON g.batch_id <= bs.batch_id
+                GROUP BY 1, 2, 3),
+         bm AS (SELECT bs.batch_id, pq.word,
+                       min(coalesce(g.cnt, 0)) AS est
+                FROM bs CROSS JOIN pq
+                LEFT JOIN g ON g.batch_id = bs.batch_id
+                  AND g.d = pq.d AND g.bkt = pq.bkt
+                GROUP BY 1, 2),
+         cm AS (SELECT bs.batch_id, pq.word,
+                       min(coalesce(cg.cnt, 0)) AS est
+                FROM bs CROSS JOIN pq
+                LEFT JOIN cg ON cg.batch_id = bs.batch_id
+                  AND cg.d = pq.d AND cg.bkt = pq.bkt
+                GROUP BY 1, 2),
+         bt AS (SELECT batch_id, count(*) AS batch_tokens FROM w
+                GROUP BY 1)
+         SELECT bt.batch_id, bt.batch_tokens,
+                CAST((SELECT sum(est) FROM bm
+                      WHERE bm.batch_id = bt.batch_id) AS BIGINT)
+                  AS probe_mass,
+                CAST((SELECT sum(est) FROM cm
+                      WHERE cm.batch_id = bt.batch_id) AS BIGINT)
+                  AS cum_probe_mass
+         FROM bt ORDER BY batch_id""",
     // The ingest-dedup waves replayed with exact all-pairs Jaccard (the
     // same 3-word-shingle sets as the dedup_* oracles): kept = docs not
     // matching an admitted earlier-wave doc nor a smaller-id wave-mate.

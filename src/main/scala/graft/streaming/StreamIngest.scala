@@ -728,6 +728,92 @@ object StreamIngest {
     committed
   }
 
+  /** Per-batch boilerplate-mass ledger stamped by
+    * [[freqSketchIngestAvailable]]:
+    * `batch_tokens:probe_mass:cum_probe_mass` — the batch's token
+    * count, the probe set's CMS-estimated mass within the batch, and
+    * its mass in the cumulative (merged) grid.
+    */
+  val FreqMassKey = "graft.ingest.freq_mass"
+
+  /** Token-frequency monitor AT INGEST: per micro-batch, build the
+    * batch's count-min grid with the fused
+    * [[graft.functions.ShingleExpressions.cmsBuckets]] kernel and
+    * APPEND it as (batch_id, cell, cnt) rows — CMS merge is counter
+    * ADDITION, so the cumulative grid after batch N is exactly
+    * `groupBy(cell).sum` over the table, equal to the grid of all N
+    * batches' union (replayable in SQL), and per-batch history stays
+    * queryable. Each commit stamps the CMS-estimated mass of a FIXED
+    * probe word set (typically the reference corpus's known heavy
+    * tokens) in the batch and in the merged grid — probe share
+    * drifting across batches is the "this wave is boilerplate-heavy"
+    * signal a crawl-monitoring pipeline alerts on, without ever
+    * keeping per-word state.
+    *
+    * Batch-stamped idempotent (the [[committedBatches]] stance).
+    * Scale shape: per-batch work is one O(batch) kernel pass into a
+    * ≤ depth·width-cell aggregate; the only collects are grid maps
+    * bounded by depth·width by construction (4096 at the defaults),
+    * never vocabulary-sized; probe lookups are driver-side map reads
+    * ([[graft.functions.ShingleKernel.cmsCell]]).
+    */
+  def freqSketchIngestAvailable(stream: DataFrame, grid: LakeTable,
+      depth: Int, width: Int, probes: Seq[String], queryName: String,
+      checkpointDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    require(probes.nonEmpty, "freqSketchIngest: probe set is empty")
+    var committed = 0L
+    val seen = scala.collection.mutable.Set.empty[Long] ++=
+      committedBatches(grid, queryName)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seen.contains(batchId) && !batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.functions.ShingleExpressions.cmsBuckets
+          import graft.functions.ShingleKernel.cmsCell
+          // ≤ depth·width cells by the grid's construction — bounded
+          // collects, never vocabulary-sized
+          val bmap = batch.select(
+              explode(cmsBuckets(trim(lower(col("text"))), depth, width))
+                .as("pc"))
+            .select(shiftright(col("pc"), 32).as("cell"),
+              col("pc").bitwiseAND(lit(0xFFFFFFFFL)).as("cnt"))
+            .groupBy(col("cell")).agg(sum(col("cnt")).as("cnt"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val prev = grid.read()
+            .groupBy(col("cell")).agg(sum(col("cnt")).as("cnt"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val cum = (prev.keySet ++ bmap.keySet).iterator
+            .map(c => c -> (prev.getOrElse(c, 0L) + bmap.getOrElse(c, 0L)))
+            .toMap
+          def mass(g: Map[Long, Long]): Long = probes.map { w =>
+            (0 until depth).map(dd =>
+              g.getOrElse(cmsCell(dd, w, width), 0L)).min
+          }.sum
+          // hash row 0's cells (< width) partition the batch's words,
+          // so their counter sum IS the batch token count — no second
+          // corpus pass for the ledger denominator
+          val batchTokens = bmap.collect {
+            case (c, n) if c < width => n
+          }.sum
+          import spark.implicits._
+          grid.append(
+            bmap.toSeq.sortBy(_._1)
+              .map { case (c, n) => (batchId, c, n) }
+              .toDF("batch_id", "cell", "cnt"),
+            summary = Map(BatchStamp -> stamp(queryName, batchId),
+              FreqMassKey -> s"$batchTokens:${mass(bmap)}:${mass(cum)}"))
+          seen += batchId
+          committed += 1
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    committed
+  }
+
   /** The re-fit decision for [[refitIvfOnDrift]], and its evidence:
     * (re-fit needed, last stamped batch id, last stamped batch mean).
     */

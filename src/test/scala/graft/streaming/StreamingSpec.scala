@@ -811,4 +811,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == 0 && skT.read().count() == rows,
       s"replay committed $n2 batches")
   }
+
+  test("freq sketch door: summed per-batch grids equal the one-shot " +
+      "corpus grid, mass stamps consistent, replays are no-ops") {
+    import s.implicits._
+    import graft.functions.ShingleExpressions.cmsBuckets
+    import graft.functions.ShingleKernel.cmsCell
+    val base = java.nio.file.Files.createTempDirectory("freq-test-")
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val waves = base.resolve("waves")
+    java.nio.file.Files.createDirectories(waves)
+    Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+      .zipWithIndex.foreach { case (df, i) =>
+        val tmp = base.resolve(s"w$i")
+        df.coalesce(1).write.parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = waves.resolve(s"wave-$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (2 - i) * 60000L))
+      }
+    def stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(waves.toString)
+    val gridT = graft.lake.LakeTable.create(s,
+      base.resolve("grid").toString,
+      Left(Seq.empty[(Long, Long, Long)]
+        .toDF("batch_id", "cell", "cnt").schema))
+    val (depth, width) = (4, 256)
+    val probes = Seq("the", "a")
+    val n = StreamIngest.freqSketchIngestAvailable(stream, gridT,
+      depth, width, probes, "f", base.resolve("ckpt").toString)
+    assert(n == 2, s"expected 2 grid commits, got $n")
+    // merge = addition: summing the per-batch grids equals building
+    // the corpus grid in one shot
+    val got = gridT.read().groupBy("cell").agg(sum("cnt").as("cnt"))
+      .orderBy("cell").as[(Long, Long)].collect().toSeq
+    val want = docs.select(
+        explode(cmsBuckets(trim(lower(col("text"))), depth, width))
+          .as("pc"))
+      .select(shiftright(col("pc"), 32).as("cell"),
+        col("pc").bitwiseAND(lit(0xFFFFFFFFL)).as("cnt"))
+      .groupBy("cell").agg(sum("cnt").as("cnt"))
+      .orderBy("cell").as[(Long, Long)].collect().toSeq
+    assert(got == want, s"summed grids drifted from the one-shot grid")
+    // stamps: batch tokens sum to the corpus token count; the
+    // cumulative mass after the last batch equals probing the summed
+    // grid; batch masses sum to at least the final cumulative (CMS
+    // of a part never exceeds the whole)
+    val stamps = gridT.meta.snapshots.flatMap { sn =>
+      for {
+        st <- sn.summary.get(StreamIngest.BatchStamp)
+        if st.startsWith("f:")
+        v <- sn.summary.get(StreamIngest.FreqMassKey)
+      } yield (st.substring(2).toLong,
+        v.split(":").map(_.toLong).toSeq)
+    }.sortBy(_._1)
+    assert(stamps.map(_._1) == Seq(0L, 1L), s"stamps: $stamps")
+    val totalTokens = docs.select(explode(split(
+        trim(lower(col("text"))), "\\s+"))).count()
+    assert(stamps.map(_._2(0)).sum == totalTokens,
+      s"batch token counts don't sum to the corpus: $stamps")
+    val gmap = got.toMap
+    val wantCum = probes.map(w => (0 until depth)
+      .map(dd => gmap.getOrElse(cmsCell(dd, w, width), 0L)).min).sum
+    assert(stamps(1)._2(2) == wantCum,
+      s"final cumulative mass drifted: ${stamps(1)._2(2)} vs $wantCum")
+    assert(stamps(1)._2(2) >= stamps(0)._2(2),
+      s"cumulative mass shrank: $stamps")
+    // fresh checkpoint replays both batch ids — stamps reject them
+    val rows = gridT.read().count()
+    val n2 = StreamIngest.freqSketchIngestAvailable(stream, gridT,
+      depth, width, probes, "f", base.resolve("ckpt2").toString)
+    assert(n2 == 0 && gridT.read().count() == rows,
+      s"replay committed $n2 batches")
+  }
 }
