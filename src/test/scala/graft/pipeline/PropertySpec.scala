@@ -533,6 +533,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: CMS grid kernel equals the per-word md5 replay over " +
+      "random texts (any depth/width)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def cell(d: Int, w: String, width: Int): Long = {
+      val hex = md.digest((d + ":" + w).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      // chars 18..32 of the hex digest = the cross-engine 60-bit layout
+      d.toLong * width +
+        java.lang.Long.parseLong(hex.substring(17, 32), 16) % width
+    }
+    def local(text: String, depth: Int, width: Int): Map[Long, Long] = {
+      val words = text.split("\\s+", -1)
+      val ws = if (words.isEmpty) Array("") else words
+      ws.flatMap(w => (0 until depth).map(d => cell(d, w, width)))
+        .groupBy(identity).map { case (c, xs) => (c, xs.length.toLong) }
+    }
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "éz", "w", "", "xx")
+    val sepGen = Gen.oneOf(" ", "  ", "\t")
+    val textGen = for {
+      n <- Gen.choose(0, 25)
+      ws <- Gen.listOfN(n, wordGen)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sepGen)
+    } yield (if (ws.isEmpty) ""
+      else ws.head + seps.zip(ws.tail).map { case (sp, wd) => sp + wd }
+        .mkString)
+    var seed = rng.Seed(91L)
+    for (_ <- 1 to 150) {
+      val (text, s1) = draw(textGen, seed)
+      val (width, s2) = draw(Gen.oneOf(7, 64, 1024), s1)
+      val (depth, s3) = draw(Gen.choose(1, 5), s2)
+      seed = s3
+      val got = graft.functions.ShingleKernel
+        .cmsBuckets(UTF8String.fromString(text), depth, width)
+        .toLongArray().map(e => (e >> 32, e & 0xFFFFFFFFL)).toMap
+      val want = local(text, depth, width)
+      assert(got == want,
+        s"CMS grid diverged on '${text.take(50)}' d=$depth w=$width: " +
+        s"kernel=$got local=$want")
+    }
+  }
+
   test("property: positional gram-string kernel equals the composable " +
       "replay over random texts") {
     import org.apache.spark.unsafe.types.UTF8String
