@@ -112,6 +112,28 @@ object TextAnalysis {
       .withColumn("reasons", concat_ws(",", hit))
   }
 
+  /** Per-source quality league table — the triage view a curation run
+    * opens first: for each crawl source, document and token volume,
+    * mean gate signals, and the share the Gopher gate would keep.
+    * "Which sources are junk" decides where re-crawl and filter effort
+    * goes before any per-document work is worth it. One pass: the gate
+    * verdict rides the scan projection ([[qualityFlagged]]), the fold
+    * is a plain hash-aggregate on the source key — at 100 TB the
+    * exchange carries one partial row per (task, source).
+    */
+  def sourceQuality(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sourceCol: String = "source")
+      : DataFrame =
+    qualityFlagged(df, textCol, idCol)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(lower(col(textCol))), "\\s+")).cast("long"))
+          .as("n_tokens"),
+        round(avg(col("quality_score")), 4).as("mean_quality"),
+        round(avg(col("dup_gram_frac")), 4).as("mean_dup_frac"),
+        round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("keep_rate"))
+
   /** Language identification via learned character-trigram profiles:
     * fit per-language profiles from a labeled seed fraction, classify by
     * trigram-overlap score — the classic n-gram heuristic (Cavnar &

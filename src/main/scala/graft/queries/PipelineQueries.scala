@@ -570,6 +570,13 @@ object PipelineQueries {
   def textQualityGate(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityGate(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Per-source quality league table: volume, mean gate signals, and
+    * gate keep-rate per crawl source — the "which sources are junk"
+    * triage view.
+    */
+  def textSourceQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sourceQuality(Tables.documents(s, d)).orderBy("source")
+
   /** Exact top-5 cosine kNN graph over all embeddings with mutuality
     * flags — semantic dedup/diversity structure.
     */
@@ -1852,6 +1859,7 @@ object PipelineQueries {
     "sim_topk_matryoshka"  -> simTopKMatryoshka _,
     "text_tokens"          -> textTokens _,
     "text_quality"         -> textQuality _,
+    "text_source_quality"  -> textSourceQuality _,
     "text_langid"          -> textLangId _,
     "text_tfidf"           -> textTfidf _,
     "text_vocabulary"      -> textVocabulary _,
@@ -3384,6 +3392,23 @@ object PipelineQueries {
          SELECT doc_id, quality_score, dup_gram_frac, (len(hit) = 0) AS keep,
                 coalesce(array_to_string(hit, ','), '') AS reasons
          FROM v ORDER BY doc_id"""),
+    // The league fold over the same gate CTEs, source re-joined by id;
+    // token counts from the same split as every token row.
+    "text_source_quality" -> (QualityGateCtes + """,
+         k AS (SELECT doc_id, len(hit) = 0 AS keep, quality_score,
+                      dup_gram_frac
+               FROM v),
+         j AS (SELECT d.source, k.keep, k.quality_score, k.dup_gram_frac,
+                      len(string_split_regex(trim(lower(d.text)), '\s+'))
+                        AS nt
+               FROM documents d JOIN k USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                round(avg(quality_score), 4) AS mean_quality,
+                round(avg(dup_gram_frac), 4) AS mean_dup_frac,
+                round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 4) AS keep_rate
+         FROM j GROUP BY source ORDER BY source"""),
     // The as-of self-join on events: DuckDB's ASOF LEFT JOIN is the
     // reference semantics (<=, most recent); click ties pre-deduped
     // identically on both sides.

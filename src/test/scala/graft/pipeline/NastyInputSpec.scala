@@ -134,6 +134,15 @@ class NastyInputSpec extends AnyFunSuite {
     val tiny = nasty.filter(col("doc_id") <= 2)
     assert(Sketches.kmvDistinct(tiny).count() == 0)
     assert(Sketches.cmsFrequency(tiny, topK = 3).count() >= 1)
+    // the source league folds the same gate over the nasty docs: one
+    // row per source, doc counts conserved, rates in range
+    val league = TextAnalysis.sourceQuality(nasty).collect()
+    assert(league.map(_.getLong(1)).sum == nasty.count(),
+      "league loses documents")
+    league.foreach { r =>
+      val kr = r.getDouble(5)
+      assert(kr >= 0.0 && kr <= 1.0, s"keep_rate out of range: $r")
+    }
   }
 
   test("simhash contract: NULL texts dropped, duplicate ids kept as-is") {
