@@ -464,6 +464,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("sim"))
   }
 
+  /** Cross-source near-duplication matrix: [[winnowPairs]]'s verified
+    * near-dup pairs folded to canonicalized (source_a, source_b)
+    * counts — mirror/syndication detection, the crawl-planning view
+    * ("these two sources copy each other; dedup them jointly, crawl
+    * one"). Off-diagonal mass is cross-source copying; diagonal mass
+    * is within-source redundancy.
+    *
+    * Scale shape: inherits winnowPairs' guarantees (fingerprint
+    * exchanges, df-capped buckets); the id→source attach joins the
+    * near-dup-sized pair set against the skinny (id, source)
+    * projection, and the fold is a sources²-bounded aggregate.
+    */
+  def sourceDupMatrix(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sourceCol: String = "source")
+      : DataFrame = {
+    val src = df.select(col(idCol), col(sourceCol))
+    winnowPairs(df, textCol, idCol)
+      .join(src.select(col(idCol).as("id_a"), col(sourceCol).as("_sa")),
+        Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(sourceCol).as("_sb")),
+        Seq("id_b"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+  }
+
   /** Per-document NOVELTY against a reference corpus: the fraction of
     * a document's winnowing fingerprints ([[winnowFingerprints]]) not
     * present anywhere in the reference slice — the selection signal

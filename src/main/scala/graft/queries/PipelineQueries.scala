@@ -41,6 +41,13 @@ object PipelineQueries {
     * bounds every bucket's fan-out. Fully deterministic, so the
     * oracle replays selection, cap, and overlap arithmetic exactly.
     */
+  /** Cross-source near-duplication matrix from the winnow pairs —
+    * which crawl sources copy each other.
+    */
+  def dedupSourceMatrix(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceDupMatrix(Tables.documents(s, d))
+      .orderBy("source_a", "source_b")
+
   def dedupWinnow(s: SparkSession, d: String): DataFrame =
     Dedup.winnowPairs(Tables.documents(s, d))
       .orderBy("id_a", "id_b")
@@ -1835,6 +1842,7 @@ object PipelineQueries {
     "dedup_simhash_pairs"  -> dedupSimhash _,
     "dedup_ngram_pairs"    -> dedupNgram _,
     "dedup_winnow_pairs"   -> dedupWinnow _,
+    "dedup_source_matrix"  -> dedupSourceMatrix _,
     "dedup_blob_exact"     -> dedupBlobExact _,
     "dedup_blob_near"      -> dedupBlobNear _,
     "dedup_blob_clusters"  -> dedupBlobClusters _,
@@ -2428,6 +2436,42 @@ object PipelineQueries {
     * drift between the pair row and the cluster row. Ends in `npairs`
     * (modality, id_a, id_b, hamming), the verified pair set.
     */
+  /** The winnow near-dup candidate chain (fingerprints → df cap →
+    * fp-bucket self-join → shared-count filter), ONE definition
+    * consumed by dedup_winnow_pairs and the source-matrix fold — the
+    * shared-pair-CTE stance (BlobDhashPairCtes).
+    */
+  private[queries] val WinnowPairCtes: String =
+    """wdoc AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_transform(
+             range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(words[i:i+2], ' ')) AS grams
+           FROM wdoc),
+         h AS (
+           SELECT doc_id, list_transform(grams,
+             x -> ('0x' || substr(md5(x), 18, 15))::BIGINT) AS hs
+           FROM g),
+         f AS (
+           SELECT doc_id, list_filter(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 4, 0) + 2),
+             i -> list_min(hs[i:i+3]))), x -> x IS NOT NULL) AS fps
+           FROM h),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         dfq AS (SELECT fp, count(*) AS dfreq FROM e GROUP BY fp),
+         kept AS (SELECT e.doc_id, e.fp FROM e JOIN dfq USING (fp)
+                  WHERE dfreq <= 50),
+         sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS n_shared
+               FROM kept a JOIN kept b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2
+               HAVING count(*) >= 3)"""
+
   private[queries] val BlobDhashPairCtes: String =
     """WITH RECURSIVE b AS (
            SELECT doc_id AS blob_id,
@@ -2666,36 +2710,7 @@ object PipelineQueries {
     // 60-bit md5 hashes, length-4 window minima (clamped tail for
     // short docs), distinct per doc, df<=50 cap, pair overlap count
     // and fingerprint-set Jaccard with the same thresholds.
-    "dedup_winnow_pairs" ->
-      """WITH wdoc AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
-                    AS words
-           FROM documents),
-         g AS (
-           SELECT doc_id, list_transform(
-             range(1, greatest(len(words) - 2, 0) + 1),
-             i -> array_to_string(words[i:i+2], ' ')) AS grams
-           FROM wdoc),
-         h AS (
-           SELECT doc_id, list_transform(grams,
-             x -> ('0x' || substr(md5(x), 18, 15))::BIGINT) AS hs
-           FROM g),
-         f AS (
-           SELECT doc_id, list_filter(list_distinct(list_transform(
-             range(1, greatest(len(hs) - 4, 0) + 2),
-             i -> list_min(hs[i:i+3]))), x -> x IS NOT NULL) AS fps
-           FROM h),
-         e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-         dfq AS (SELECT fp, count(*) AS dfreq FROM e GROUP BY fp),
-         kept AS (SELECT e.doc_id, e.fp FROM e JOIN dfq USING (fp)
-                  WHERE dfreq <= 50),
-         sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      count(*) AS n_shared
-               FROM kept a JOIN kept b
-                 ON a.fp = b.fp AND a.doc_id < b.doc_id
-               GROUP BY 1, 2
-               HAVING count(*) >= 3)
+    "dedup_winnow_pairs" -> (s"WITH $WinnowPairCtes" + """
          SELECT p.id_a, p.id_b, p.n_shared,
                 round(CAST(p.n_shared AS DOUBLE) /
                   (sa.n + sb.n - p.n_shared), 6) AS sim
@@ -2703,7 +2718,23 @@ object PipelineQueries {
                 JOIN sz sb ON sb.doc_id = p.id_b
          WHERE round(CAST(p.n_shared AS DOUBLE) /
                (sa.n + sb.n - p.n_shared), 6) >= 0.4
-         ORDER BY id_a, id_b""",
+         ORDER BY id_a, id_b"""),
+    // The same verified pair set folded to the source level: which
+    // crawl sources copy each other (mirror detection). Pair sources
+    // are canonicalized least/greatest so the matrix is triangular.
+    "dedup_source_matrix" -> (s"WITH $WinnowPairCtes," + """
+         pr AS (SELECT p.id_a, p.id_b
+                FROM p JOIN sz sa ON sa.doc_id = p.id_a
+                       JOIN sz sb ON sb.doc_id = p.id_b
+                WHERE round(CAST(p.n_shared AS DOUBLE) /
+                      (sa.n + sb.n - p.n_shared), 6) >= 0.4),
+         m AS (SELECT least(da.source, db.source) AS source_a,
+                      greatest(da.source, db.source) AS source_b
+               FROM pr JOIN documents da ON da.doc_id = pr.id_a
+                      JOIN documents db ON db.doc_id = pr.id_b)
+         SELECT source_a, source_b, count(*) AS n_pairs,
+                (source_a <> source_b) AS cross_source
+         FROM m GROUP BY 1, 2 ORDER BY source_a, source_b"""),
     // Novelty replayed: the winnow CTEs (same selection as
     // dedup_winnow_pairs), reference membership as a distinct-fp
     // left join, counts and the rounded fraction per current doc;
