@@ -293,23 +293,6 @@ object ShingleKernel {
   }
 
 
-  /** Per-document count-min grid cell counts in one fused pass: word
-    * boundaries, then for each word and each hash row d ∈ [0, depth)
-    * the 60-bit md5 of `"<d>:<word>"` (EXACTLY the cross-engine
-    * `('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || word), 18,
-    * 15))` layout — low nibble of digest byte 8, then bytes 9..15)
-    * taken mod `width`, then a sort + run-length count so each grid
-    * cell a document touches is emitted ONCE, packed as
-    * `((d·width + bkt) << 32) | count` in a primitive long array (the
-    * [[bigramBuckets]] packing).
-    *
-    * This replaces the word explode × depth hash-row explode feeding a
-    * (cell, occurrence) hash aggregate: the per-document counting
-    * happens here, in-row, so the plan's only aggregate runs over
-    * pre-counted cells — ≤ depth·width distinct keys however large
-    * the vocabulary. Counts fit 32 bits by construction; `depth` is
-    * capped at 10 so the row prefix stays one decimal byte.
-    */
   /** One grid cell for a single (hash row, word) pair — the same
     * `"<d>:<word>"` md5 layout as [[cmsBuckets]], for bounded
     * driver-side probe lookups (a point query against a collected
@@ -325,6 +308,24 @@ object ShingleKernel {
     d.toLong * width + v % width
   }
 
+  /** Per-document count-min grid cell counts in one fused pass: word
+    * boundaries, then for each word and each hash row d ∈ [0, depth)
+    * the 60-bit md5 of `"<d>:<word>"` (EXACTLY the cross-engine
+    * `('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || word), 18,
+    * 15))` layout — low nibble of digest byte 8, then bytes 9..15)
+    * taken mod `width`, then a sort + run-length count so each grid
+    * cell a document touches is emitted ONCE, packed as
+    * `((d·width + bkt) << 32) | count` in a primitive long array (the
+    * [[bigramBuckets]] packing).
+    *
+    * This replaces the word explode × depth hash-row explode feeding a
+    * (cell, occurrence) hash aggregate: the per-document counting
+    * happens here, in-row, so the plan's only aggregate runs over
+    * pre-counted cells — ≤ depth·width distinct keys however large
+    * the vocabulary. Counts fit 32 bits by construction; `depth` is
+    * capped at 10 so the row prefix stays one decimal byte, and the
+    * packing requires depth·width < 2³¹ (enforced by [[CmsBuckets]]).
+    */
   def cmsBuckets(s: UTF8String, depth: Int, width: Int): ArrayData = {
     val bytes = s.getBytes
     val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = true)
@@ -818,12 +819,18 @@ case class CmsBuckets(child: Expression, depth: Int, width: Int)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType if depth >= 1 && depth <= 10 && width >= 2 =>
+      // depth·width < 2^31: the packed (cell << 32) | count layout and
+      // every consumer's integer arithmetic need the cell id to fit a
+      // non-negative int — an unbounded width would silently corrupt
+      // cells through the sign bit instead of failing here
+      case StringType if depth >= 1 && depth <= 10 && width >= 2 &&
+          depth.toLong * width < (1L << 31) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cms_buckets expects a string column, 1 <= depth <= 10 and " +
-            s"width >= 2, got $other / depth=$depth width=$width")
+          s"cms_buckets expects a string column, 1 <= depth <= 10, " +
+            s"width >= 2 and depth*width < 2^31, got $other / " +
+            s"depth=$depth width=$width")
     }
 
   override def nullSafeEval(input: Any): Any =

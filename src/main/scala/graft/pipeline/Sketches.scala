@@ -260,11 +260,10 @@ object Sketches {
     // merge = addition: the corpus sketch from the slice sketches
     val global = perSlice.groupBy(col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
-    // probes: the exact top-k the MG row already certifies — known
-    // ground truth to grade the sketch against (probe cells via the
+    // probes: the exact top-k the MG pass certifies — known ground
+    // truth to grade the sketch against (probe cells via the
     // composable md5 expression — topK·depth rows, cost-free)
-    val probes = TextAnalysis.heavyHitters(df, topK, 256, textCol)
-      .select(col("rk"), col("word"), col("n").as("n_true"))
+    val probes = certifiedProbes(df, topK, textCol)
     probeCells(probes, depth, width).join(broadcast(global), Seq("cell"))
       .groupBy(col("rk"), col("word"), col("n_true"))
       .agg(min(col("cnt")).as("cms_est"))
@@ -273,10 +272,12 @@ object Sketches {
   }
 
   /** (carried..., cell, cnt) pre-counted grid-cell rows from the fused
-    * kernel — the shared scan stage of both CMS consumers. `cell` =
-    * d·width + bucket, decoded from the kernel's packed longs.
+    * kernel — the shared scan stage of every CMS consumer (batch rows
+    * and the streaming frequency door). `cell` = d·width + bucket,
+    * decoded from the kernel's packed longs — this is the ONE place
+    * that knows the packing.
     */
-  private def cmsGrid(df: DataFrame, textCol: String, depth: Int,
+  private[graft] def cmsGrid(df: DataFrame, textCol: String, depth: Int,
       width: Int, carryCols: Seq[String]): DataFrame = {
     import graft.functions.ShingleExpressions.cmsBuckets
     df.select(carryCols.map(col) :+
@@ -286,6 +287,25 @@ object Sketches {
         shiftright(col("pc"), 32).as("cell"),
         col("pc").bitwiseAND(lit(0xFFFFFFFFL)).as("cnt")): _*)
   }
+
+  /** The MG heavy-hitter probe set with its exactness certificate
+    * ENFORCED in-plan: the oracles replay an exact
+    * `ORDER BY n DESC LIMIT topK`, so a corpus flat enough for
+    * Misra–Gries to miss a true top-k word (certificate false) must
+    * raise loudly here rather than let the probe set silently drift
+    * from the oracle's.
+    */
+  private def certifiedProbes(df: DataFrame, topK: Int,
+      textCol: String): DataFrame =
+    TextAnalysis.heavyHitters(df, topK, 256, textCol)
+      // the guard rides the WORD column — the one column every probe
+      // consumer keeps, so column pruning can never drop the check
+      .select(col("rk"),
+        when(col("provably_exact"), col("word"))
+          .otherwise(raise_error(lit("cms probes: the Misra-Gries " +
+            "exactness certificate is false on this corpus — raise " +
+            "heavyHitters counters")).cast("string")).as("word"),
+        col("n").as("n_true"))
 
   /** Probe-side grid cells for a bounded word frame, via the
     * composable md5 expression (`('0x'||substr(md5(d||':'||w),18,15))
@@ -299,7 +319,9 @@ object Sketches {
       16, 10).cast("long") % width
     words
       .select(col("*"), explode(array((0 until depth).map(lit): _*)).as("d"))
-      .withColumn("cell", d * width + bkt)
+      // d·width in LONG — the kernel's cells are d.toLong*width + bkt,
+      // and an IntegerType product would overflow first at large widths
+      .withColumn("cell", d.cast("long") * width + bkt)
       .drop("d")
   }
 
@@ -406,7 +428,7 @@ object Sketches {
       .groupBy(col("cell"))
       .agg(sum(col("cnt")).as("cnt_b"),
         sum(when(col("keep"), col("cnt")).otherwise(0L)).as("cnt_a"))
-    val probes = TextAnalysis.heavyHitters(flagged, topK, 256, textCol)
+    val probes = certifiedProbes(flagged, topK, textCol)
       .select(col("word"))
     val mass = probeCells(probes, 4, 1024)
       .join(broadcast(grid), Seq("cell"))

@@ -604,13 +604,16 @@ object TextAnalysis {
     * and by weighted pigeonhole any word with global count >
     * N/(counters+1) must exceed that bound in some partition — so the
     * candidate set provably contains every such word. If the k-th
-    * largest recounted candidate satisfies n_k·(counters+1) > N, no
-    * non-candidate can reach the top k, and the result equals the
-    * full-shuffle top-k bit-for-bit; the `provably_exact` column
-    * carries that certificate (computed in-plan from two scalar
-    * aggregates, no driver collect). A false certificate means
-    * `counters` is too small for the skew — raise it; memory is
-    * O(counters) per task either way.
+    * largest recounted candidate satisfies n_k·(counters+1) > N — or
+    * if NO partition ever evicted, in which case the candidate set is
+    * the full vocabulary and the recount is trivially exact (the
+    * lossless certificate that covers small or flat corpora the
+    * pigeonhole bound can't) — no non-candidate can reach the top k,
+    * and the result equals the full-shuffle top-k bit-for-bit; the
+    * `provably_exact` column carries that certificate (computed
+    * in-plan from scalar aggregates, no driver collect). A false
+    * certificate means `counters` is too small for the skew — raise
+    * it; memory is O(counters) per task either way.
     *
     * mapPartitions is the honest tool here (per-partition imperative
     * summary state that built-in aggregates can't express); everything
@@ -631,6 +634,7 @@ object TextAnalysis {
     val mg = words.as[String].mapPartitions { it =>
         val counts = new scala.collection.mutable.HashMap[String, Long]()
         var total = 0L
+        var evicted = false
         it.foreach { w =>
           total += 1L
           counts.get(w) match {
@@ -640,6 +644,7 @@ object TextAnalysis {
               // classic MG decrement-all: every live counter loses one;
               // zeros vacate their slot. O(counters) per eviction event,
               // and each event retires one unseen word's budget.
+              evicted = true
               val snapshot = counts.toList
               counts.clear()
               snapshot.foreach { case (k, v) =>
@@ -647,30 +652,42 @@ object TextAnalysis {
               }
           }
         }
+        // sentinel rows: (null, total) always; (null, -2) marks that
+        // this partition evicted — if NO partition did, the candidate
+        // set is the corpus's full vocabulary and the recount is exact
+        // regardless of the pigeonhole bound (the lossless certificate)
         Iterator.single((null: String, total)) ++
+          (if (evicted) Iterator.single((null: String, -2L))
+           else Iterator.empty) ++
           counts.keysIterator.map((_, -1L))
       }.toDF("word", "cnt").localCheckpoint(true)
     val candidates = mg.filter(col("word").isNotNull)
       .select("word").distinct()
     val total = broadcast(mg.filter(col("word").isNull)
-      .agg(sum(col("cnt")).as("_total")))
+      .agg(sum(when(col("cnt") >= 0, col("cnt"))).as("_total"),
+        max((col("cnt") === -2L).cast("int")).as("_evicted")))
     val exact = words.join(broadcast(candidates), Seq("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     val whole = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // The certificate needs BOTH halves: the pigeonhole bound (no
-    // non-candidate can outrank a returned row) AND completeness (the
-    // result actually fills topK slots — with undersized counters MG
-    // can retire every rare word, leaving < topK candidates whose
-    // counts all clear the bound while the true top-k has more rows).
-    // A corpus whose whole vocabulary is smaller than topK reports
-    // false too — a conservative under-claim, never a lie.
+    // The certificate needs exactness AND completeness. Exactness holds
+    // two ways: the pigeonhole bound (no non-candidate can outrank a
+    // returned row), OR losslessness — no partition ever evicted, so
+    // the candidate set IS the full vocabulary and the recount is
+    // exact (this is what certifies small/flat corpora the pigeonhole
+    // can't). Completeness = the result actually fills topK slots —
+    // with undersized counters MG can retire every rare word, leaving
+    // < topK candidates whose counts all clear the bound while the
+    // true top-k has more rows. A corpus whose whole vocabulary is
+    // smaller than topK reports false — a conservative under-claim,
+    // never a lie.
     exact.orderBy(col("n").desc, col("word")).limit(topK)
       .crossJoin(total)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("n").desc, col("word"))))
       .withColumn("provably_exact",
-        (min(col("n")).over(whole) * (counters + 1) > col("_total")) &&
+        ((min(col("n")).over(whole) * (counters + 1) > col("_total")) ||
+          col("_evicted") === 0) &&
           count(lit(1)).over(whole) === topK)
       .select(col("rk").cast("int").as("rk"), col("word"), col("n"),
         col("provably_exact"))

@@ -199,8 +199,14 @@ object LakeQueries {
     * fast at construction with driftPsi's explicit message, by
     * design, rather than lazily at execution.
     */
-  def lakeDriftPsi(s: SparkSession, d: String): DataFrame = {
-    val t = scenario("driftpsi", d) { loc =>
+  /** Two-snapshot documents scenario SHARED by the drift-PSI and
+    * corpus-diff rows (identical layout, ONE table build per dataset):
+    * baseline snapshot s0 = even doc ids, one append wave of the odd
+    * ids = s1, both snapshot ids stamped as table properties.
+    */
+  private def parityDocsScenario(s: SparkSession, d: String)
+      : graft.lake.LakeTable =
+    scenario("paritydocs", d) { loc =>
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("text"))
       val t0 = LakeTable.create(s, loc,
@@ -212,6 +218,9 @@ object LakeQueries {
         t0.meta.currentSnapshotId.get.toString))
       t0
     }
+
+  def lakeDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val t = parityDocsScenario(s, d)
     val base = t.asOf(t.properties("graft.test.s0").toLong)
       .select(col("doc_id"), col("text"), lit(true).as("_ref"))
     val delta = t.changes(t.properties("graft.test.s0").toLong,
@@ -239,18 +248,7 @@ object LakeQueries {
     * = the current corpus and `after` (keep=true) = the baseline.
     */
   def lakeCorpusDiff(s: SparkSession, d: String): DataFrame = {
-    val t = scenario("corpusdiff", d) { loc =>
-      val docs = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val t0 = LakeTable.create(s, loc,
-        Right(docs.filter(col("doc_id") % 2 === 0)))
-      t0.setProperties(Map("graft.test.s0" ->
-        t0.meta.currentSnapshotId.get.toString))
-      t0.append(docs.filter(col("doc_id") % 2 =!= 0))
-      t0.setProperties(Map("graft.test.s1" ->
-        t0.meta.currentSnapshotId.get.toString))
-      t0
-    }
+    val t = parityDocsScenario(s, d)
     val base = t.asOf(t.properties("graft.test.s0").toLong)
       .select(col("text"), lit(true).as("keep"))
     val delta = t.changes(t.properties("graft.test.s0").toLong,
@@ -1007,76 +1005,20 @@ object LakeQueries {
     // baseline snapshot. Every axis is the deterministic house sketch,
     // so the single report row hash-checks.
     "lake_corpus_diff" ->
-      """WITH base AS (SELECT doc_id % 2 = 0 AS keep,
+      ("""WITH base AS (SELECT doc_id % 2 = 0 AS keep,
                   string_split_regex(trim(lower(text)), '\s+') AS words
                 FROM documents),
-         cnt AS (SELECT count(*) AS n_docs,
-                        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_docs_base,
-                        CAST(sum(len(words)) AS BIGINT) AS n_tokens,
-                        CAST(sum(CASE WHEN keep THEN len(words) ELSE 0 END)
-                          AS BIGINT) AS n_tokens_base
-                 FROM base),
-         shb AS (SELECT keep, unnest(list_transform(
-                   range(1, greatest(len(words) - 2, 0) + 1),
-                   i -> array_to_string(words[i:i+2], ' '))) AS gram
-                 FROM base),
-         hb AS (SELECT DISTINCT
-                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
-                FROM shb),
-         ha AS (SELECT DISTINCT
-                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
-                FROM shb WHERE keep),
-         skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
-                   AS rk FROM hb) WHERE rk <= 256),
-         ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
-                   AS rk FROM ha) WHERE rk <= 256),
-         vb AS (SELECT count(*) AS fill, max(h) AS kth FROM skb),
-         va AS (SELECT count(*) AS fill, max(h) AS kth FROM ska),
-         ev AS (SELECT
-                  CASE WHEN vb.fill < 256 THEN vb.fill::BIGINT
-                       ELSE CAST(round((vb.fill - 1) * pow(2.0, 60)
-                                       / vb.kth) AS BIGINT) END
-                    AS est_vocab,
-                  CASE WHEN va.fill < 256 THEN va.fill::BIGINT
-                       ELSE CAST(round((va.fill - 1) * pow(2.0, 60)
-                                       / va.kth) AS BIGINT) END
-                    AS est_vocab_base
-                FROM vb, va),
-         comb AS (SELECT h, max(in_b) AS in_b, max(in_a) AS in_a FROM
-                   (SELECT h, 1 AS in_b, 0 AS in_a FROM skb
-                    UNION ALL SELECT h, 0, 1 FROM ska)
-                  GROUP BY h),
-         combk AS (SELECT * FROM (SELECT *, row_number() OVER
-                     (ORDER BY h) AS rk FROM comb) WHERE rk <= 256),
-         jac AS (SELECT round(sum(in_b * in_a)::DOUBLE / count(*), 6)
-                   AS est_base_resemblance FROM combk),
-         wt AS (SELECT keep, unnest(words) AS word FROM base),
-         hd AS (SELECT unnest([0, 1, 2, 3]) AS d),
-         cgrid AS (SELECT d,
-                     CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
-                       || word), 18, 15))::UBIGINT AS BIGINT) % 1024
-                       AS bkt,
-                     count(*) AS cnt_b,
-                     sum(CASE WHEN keep THEN 1 ELSE 0 END) AS cnt_a
-                   FROM wt CROSS JOIN hd GROUP BY d, bkt),
-         top AS (SELECT word FROM (SELECT word, count(*) AS n FROM wt
-                   GROUP BY word ORDER BY n DESC, word LIMIT 20)),
-         pbq AS (SELECT top.word, hd.d,
-                   CAST(('0x' || substr(md5(CAST(hd.d AS VARCHAR) || ':'
-                     || top.word), 18, 15))::UBIGINT AS BIGINT) % 1024
-                     AS bkt
-                 FROM top CROSS JOIN hd),
-         pe AS (SELECT word, min(cnt_b) AS eb, min(cnt_a) AS ea
-                FROM pbq JOIN cgrid USING (d, bkt) GROUP BY word),
-         mass AS (SELECT CAST(sum(eb) AS BIGINT) AS top20_mass,
-                         CAST(sum(ea) AS BIGINT) AS top20_mass_base
-                  FROM pe)
-         SELECT cnt.n_docs, cnt.n_docs_base, cnt.n_tokens,
-                cnt.n_tokens_base, ev.est_vocab, ev.est_vocab_base,
-                jac.est_base_resemblance, mass.top20_mass,
-                mass.top20_mass_base
-         FROM cnt, ev, jac, mass""",
+         """ + PipelineQueries.CorpusDiffChainCtes + """
+         SELECT cnt.n_docs_before AS n_docs,
+                cnt.n_docs_after AS n_docs_base,
+                cnt.n_tokens_before AS n_tokens,
+                cnt.n_tokens_after AS n_tokens_base,
+                ev.est_vocab_before AS est_vocab,
+                ev.est_vocab_after AS est_vocab_base,
+                jac.est_jaccard AS est_base_resemblance,
+                mass.top20_mass_before AS top20_mass,
+                mass.top20_mass_after AS top20_mass_base
+         FROM cnt, ev, jac, mass"""),
     "lake_optimize_invariance" ->
       """SELECT c_custkey AS custkey, c_name AS name,
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment

@@ -2472,6 +2472,81 @@ object PipelineQueries {
                GROUP BY 1, 2
                HAVING count(*) >= 3)"""
 
+  /** The corpus-diff estimator chain — exact doc/token counts, both
+    * KMV shingle sketches + their resemblance, both conditional CMS
+    * grids + before-top-20 probe mass — ONE definition reading a
+    * caller-supplied `base(keep BOOLEAN, words VARCHAR[])` CTE.
+    * Consumed by sketch_corpus_diff (gate flag) and lake_corpus_diff
+    * (snapshot-parity flag); canonical column names are the sketch
+    * row's before/after — version-diff consumers rename in their final
+    * SELECT. The shared-chain stance (QualityGateCtes/WinnowPairCtes):
+    * an estimator-constant change can't drift one replay from the
+    * other.
+    */
+  private[queries] val CorpusDiffChainCtes: String =
+    """cnt AS (SELECT count(*) AS n_docs_before,
+                        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_docs_after,
+                        CAST(sum(len(words)) AS BIGINT) AS n_tokens_before,
+                        CAST(sum(CASE WHEN keep THEN len(words) ELSE 0 END)
+                          AS BIGINT) AS n_tokens_after
+                 FROM base),
+         shb AS (SELECT keep, unnest(list_transform(
+                   range(1, greatest(len(words) - 2, 0) + 1),
+                   i -> array_to_string(words[i:i+2], ' '))) AS gram
+                 FROM base),
+         hb AS (SELECT DISTINCT
+                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
+                FROM shb),
+         ha AS (SELECT DISTINCT
+                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
+                FROM shb WHERE keep),
+         skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                   AS rk FROM hb) WHERE rk <= 256),
+         ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                   AS rk FROM ha) WHERE rk <= 256),
+         vb AS (SELECT count(*) AS fill, max(h) AS kth FROM skb),
+         va AS (SELECT count(*) AS fill, max(h) AS kth FROM ska),
+         ev AS (SELECT
+                  CASE WHEN vb.fill < 256 THEN vb.fill::BIGINT
+                       ELSE CAST(round((vb.fill - 1) * pow(2.0, 60)
+                                       / vb.kth) AS BIGINT) END
+                    AS est_vocab_before,
+                  CASE WHEN va.fill < 256 THEN va.fill::BIGINT
+                       ELSE CAST(round((va.fill - 1) * pow(2.0, 60)
+                                       / va.kth) AS BIGINT) END
+                    AS est_vocab_after
+                FROM vb, va),
+         comb AS (SELECT h, max(in_b) AS in_b, max(in_a) AS in_a FROM
+                   (SELECT h, 1 AS in_b, 0 AS in_a FROM skb
+                    UNION ALL SELECT h, 0, 1 FROM ska)
+                  GROUP BY h),
+         combk AS (SELECT * FROM (SELECT *, row_number() OVER
+                     (ORDER BY h) AS rk FROM comb) WHERE rk <= 256),
+         jac AS (SELECT round(sum(in_b * in_a)::DOUBLE / count(*), 6)
+                   AS est_jaccard FROM combk),
+         wt AS (SELECT keep, unnest(words) AS word FROM base),
+         hd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         cgrid AS (SELECT d,
+                     CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                       || word), 18, 15))::UBIGINT AS BIGINT) % 1024
+                       AS bkt,
+                     count(*) AS cnt_b,
+                     sum(CASE WHEN keep THEN 1 ELSE 0 END) AS cnt_a
+                   FROM wt CROSS JOIN hd GROUP BY d, bkt),
+         top AS (SELECT word FROM (SELECT word, count(*) AS n FROM wt
+                   GROUP BY word ORDER BY n DESC, word LIMIT 20)),
+         pbq AS (SELECT top.word, hd.d,
+                   CAST(('0x' || substr(md5(CAST(hd.d AS VARCHAR) || ':'
+                     || top.word), 18, 15))::UBIGINT AS BIGINT) % 1024
+                     AS bkt
+                 FROM top CROSS JOIN hd),
+         pe AS (SELECT word, min(cnt_b) AS eb, min(cnt_a) AS ea
+                FROM pbq JOIN cgrid USING (d, bkt) GROUP BY word),
+         mass AS (SELECT CAST(sum(eb) AS BIGINT) AS top20_mass_before,
+                         CAST(sum(ea) AS BIGINT) AS top20_mass_after
+                  FROM pe)"""
+
   private[queries] val BlobDhashPairCtes: String =
     """WITH RECURSIVE b AS (
            SELECT doc_id AS blob_id,
@@ -3741,70 +3816,9 @@ object PipelineQueries {
     // the before-top-20 probe mass. Every estimator is deterministic,
     // so the single report row hash-checks end-to-end.
     "sketch_corpus_diff" -> (QualityGateCtes + """,
-         base AS (SELECT w.doc_id, w.words, len(v.hit) = 0 AS keep
+         base AS (SELECT len(v.hit) = 0 AS keep, w.words
                   FROM w JOIN v USING (doc_id)),
-         cnt AS (SELECT count(*) AS n_docs_before,
-                        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_docs_after,
-                        CAST(sum(len(words)) AS BIGINT) AS n_tokens_before,
-                        CAST(sum(CASE WHEN keep THEN len(words) ELSE 0 END)
-                          AS BIGINT) AS n_tokens_after
-                 FROM base),
-         shb AS (SELECT keep, unnest(list_transform(
-                   range(1, greatest(len(words) - 2, 0) + 1),
-                   i -> array_to_string(words[i:i+2], ' '))) AS gram
-                 FROM base),
-         hb AS (SELECT DISTINCT
-                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
-                FROM shb),
-         ha AS (SELECT DISTINCT
-                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
-                FROM shb WHERE keep),
-         skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
-                   AS rk FROM hb) WHERE rk <= 256),
-         ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
-                   AS rk FROM ha) WHERE rk <= 256),
-         vb AS (SELECT count(*) AS fill, max(h) AS kth FROM skb),
-         va AS (SELECT count(*) AS fill, max(h) AS kth FROM ska),
-         ev AS (SELECT
-                  CASE WHEN vb.fill < 256 THEN vb.fill::BIGINT
-                       ELSE CAST(round((vb.fill - 1) * pow(2.0, 60)
-                                       / vb.kth) AS BIGINT) END
-                    AS est_vocab_before,
-                  CASE WHEN va.fill < 256 THEN va.fill::BIGINT
-                       ELSE CAST(round((va.fill - 1) * pow(2.0, 60)
-                                       / va.kth) AS BIGINT) END
-                    AS est_vocab_after
-                FROM vb, va),
-         comb AS (SELECT h, max(in_b) AS in_b, max(in_a) AS in_a FROM
-                   (SELECT h, 1 AS in_b, 0 AS in_a FROM skb
-                    UNION ALL SELECT h, 0, 1 FROM ska)
-                  GROUP BY h),
-         combk AS (SELECT * FROM (SELECT *, row_number() OVER
-                     (ORDER BY h) AS rk FROM comb) WHERE rk <= 256),
-         jac AS (SELECT round(sum(in_b * in_a)::DOUBLE / count(*), 6)
-                   AS est_jaccard FROM combk),
-         wt AS (SELECT keep, unnest(words) AS word FROM base),
-         hd AS (SELECT unnest([0, 1, 2, 3]) AS d),
-         cgrid AS (SELECT d,
-                     CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
-                       || word), 18, 15))::UBIGINT AS BIGINT) % 1024
-                       AS bkt,
-                     count(*) AS cnt_b,
-                     sum(CASE WHEN keep THEN 1 ELSE 0 END) AS cnt_a
-                   FROM wt CROSS JOIN hd GROUP BY d, bkt),
-         top AS (SELECT word FROM (SELECT word, count(*) AS n FROM wt
-                   GROUP BY word ORDER BY n DESC, word LIMIT 20)),
-         pbq AS (SELECT top.word, hd.d,
-                   CAST(('0x' || substr(md5(CAST(hd.d AS VARCHAR) || ':'
-                     || top.word), 18, 15))::UBIGINT AS BIGINT) % 1024
-                     AS bkt
-                 FROM top CROSS JOIN hd),
-         pe AS (SELECT word, min(cnt_b) AS eb, min(cnt_a) AS ea
-                FROM pbq JOIN cgrid USING (d, bkt) GROUP BY word),
-         mass AS (SELECT CAST(sum(eb) AS BIGINT) AS top20_mass_before,
-                         CAST(sum(ea) AS BIGINT) AS top20_mass_after
-                  FROM pe)
+         """ + CorpusDiffChainCtes + """
          SELECT cnt.n_docs_before, cnt.n_docs_after, cnt.n_tokens_before,
                 cnt.n_tokens_after, ev.est_vocab_before,
                 ev.est_vocab_after, jac.est_jaccard,

@@ -771,15 +771,12 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!seen.contains(batchId) && !batch.isEmpty) {
           val spark = batch.sparkSession
-          import graft.functions.ShingleExpressions.cmsBuckets
           import graft.functions.ShingleKernel.cmsCell
           // ≤ depth·width cells by the grid's construction — bounded
-          // collects, never vocabulary-sized
-          val bmap = batch.select(
-              explode(cmsBuckets(trim(lower(col("text"))), depth, width))
-                .as("pc"))
-            .select(shiftright(col("pc"), 32).as("cell"),
-              col("pc").bitwiseAND(lit(0xFFFFFFFFL)).as("cnt"))
+          // collects, never vocabulary-sized; the packed-cell decode
+          // lives in ONE place (Sketches.cmsGrid)
+          val bmap = graft.pipeline.Sketches
+            .cmsGrid(batch, "text", depth, width, Seq.empty)
             .groupBy(col("cell")).agg(sum(col("cnt")).as("cnt"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           val prev = grid.read()

@@ -130,10 +130,16 @@ class NastyInputSpec extends AnyFunSuite {
     // degenerate corpora: docs under 3 words emit NO shingles, so the
     // distinct sketch has no groups (documented kernel contract); the
     // word-level CMS still sees the empty-token rows and stays
-    // well-formed
+    // well-formed at a certifiable topK, and fails LOUDLY (the probe
+    // certificate guard) when topK exceeds the corpus vocabulary —
+    // never a silently oracle-divergent probe set
     val tiny = nasty.filter(col("doc_id") <= 2)
     assert(Sketches.kmvDistinct(tiny).count() == 0)
-    assert(Sketches.cmsFrequency(tiny, topK = 3).count() >= 1)
+    assert(Sketches.cmsFrequency(tiny, topK = 1).count() == 1)
+    val e = intercept[Exception](
+      Sketches.cmsFrequency(tiny, topK = 3).collect())
+    assert(e.getMessage.contains("certificate"),
+      s"expected the probe-certificate guard, got: ${e.getMessage}")
     // the source league folds the same gate over the nasty docs: one
     // row per source, doc counts conserved, rates in range
     val league = TextAnalysis.sourceQuality(nasty).collect()
