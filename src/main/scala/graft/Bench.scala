@@ -3,9 +3,11 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
   /** Timed passes per query; the reported number is the per-query
-    * MEDIAN, so one GC pause / JIT recompile / page-cache miss can't
+    * MIN, so one GC pause / JIT recompile / page-cache miss can't
     * swing a round-over-round comparison 10× (r1→r2 showed 15-33×
     * run-to-run noise on unchanged code paths with single-shot timing).
+    * Min matches what the floor ledger accumulates and what the
+    * streaming rows report — one estimator everywhere.
     */
   private val Passes = 3
 
@@ -28,6 +30,43 @@ object Bench {
     */
   private def j3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Parse a floor-ledger JSON text (sfDir → query → floor seconds).
+    * Tolerant of an empty/garbled file (returns empty — the ledger is
+    * best-effort) but exposed for the locale round-trip test: a
+    * comma-decimal default locale once corrupted the serialized form,
+    * silently erasing every accumulated cross-round floor.
+    */
+  def parseFloorLedger(text: String): Map[String, Map[String, Double]] = {
+    import org.json4s._
+    try org.json4s.jackson.JsonMethods.parse(text) match {
+      case JObject(sfs) => sfs.toMap.collect {
+        case (sfKey, JObject(qsF)) => sfKey -> qsF.toMap.collect {
+          case (q, JDouble(x)) => q -> x
+          case (q, JInt(x)) => q -> x.toDouble
+          case (q, JDecimal(x)) => q -> x.toDouble
+        }
+      }
+      case _ => Map.empty
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  /** Merge one run's per-query mins into the ledger (never raises an
+    * existing floor) and serialize locale-invariantly via [[j3]].
+    */
+  def mergeFloorLedger(existing: Map[String, Map[String, Double]],
+      sfDir: String, runMins: Map[String, Double]): String = {
+    val prev = existing.getOrElse(sfDir, Map.empty[String, Double])
+    val merged = prev ++ runMins.map { case (k, v) =>
+      k -> math.min(v, prev.getOrElse(k, Double.MaxValue))
+    }
+    (existing + (sfDir -> merged)).toSeq.sortBy(_._1)
+      .map { case (sfKey, qsF) =>
+        val body = qsF.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${j3(v)}""" }.mkString(",")
+        s""""$sfKey":{$body}"""
+      }.mkString("{\n", ",\n", "\n}\n")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,17 +162,20 @@ object Bench {
     val samples = (1 to Passes).flatMap { pass =>
       batchSel.map { case (name, fn) => (name, pass, timeOnce(name, fn)) }
     }
-    // Raw per-pass samples, pass-ordered. The MEDIAN stays the headline
-    // (continuity with r1-r8 artifacts); min rides beside it because
-    // min-of-passes is the noise-immune estimator — contention only ever
-    // ADDS time, so a median ≫ min with a calm min is external
-    // interference, not a regression, and the artifact now proves which.
+    // Raw per-pass samples, pass-ordered. The headline per-query number
+    // is the MIN of passes — the noise-immune estimator (contention only
+    // ever ADDS time) and the SAME convention the floor ledger and the
+    // streaming rows use, so `queries[k] == batch_samples[k].min` always
+    // holds and a reader diffing `queries` against BENCH_FLOOR sees real
+    // deltas, not estimator skew (r11 verdict: the median-vs-min split
+    // produced phantom 2-3× "regressions" for anyone not reading
+    // `batch_samples`). All raw samples still land in the artifact.
     val rawSamples: Map[String, Seq[Double]] = batchSel.map(_._1).map { name =>
       name -> samples.collect { case (`name`, _, Some(t)) => t }
     }.toMap
     val results: Map[String, Option[Double]] = batchSel.map(_._1).map { name =>
-      val xs = rawSamples(name).sorted
-      name -> (if (xs.isEmpty) None else Some(xs(xs.size / 2)))
+      val xs = rawSamples(name)
+      name -> (if (xs.isEmpty) None else Some(xs.min))
     }.toMap ++ streamResults
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val ok = results.collect { case (k, Some(v)) => k -> v }
@@ -201,37 +243,18 @@ object Bench {
     // possibly-drifted artifact. Merge-updates only the queries this
     // run timed; never raises an existing floor.
     try {
-      import org.json4s._
       val floorPath = java.nio.file.Paths.get("BENCH_FLOOR.json")
       val existing: Map[String, Map[String, Double]] =
         if (java.nio.file.Files.exists(floorPath))
-          org.json4s.jackson.JsonMethods.parse(new String(
-              java.nio.file.Files.readAllBytes(floorPath),
-              java.nio.charset.StandardCharsets.UTF_8)) match {
-            case JObject(sfs) => sfs.toMap.collect {
-              case (sfKey, JObject(qsF)) => sfKey -> qsF.toMap.collect {
-                case (q, JDouble(x)) => q -> x
-                case (q, JInt(x)) => q -> x.toDouble
-                case (q, JDecimal(x)) => q -> x.toDouble
-              }
-            }
-            case _ => Map.empty[String, Map[String, Double]]
-          }
-        else Map.empty[String, Map[String, Double]]
+          parseFloorLedger(new String(
+            java.nio.file.Files.readAllBytes(floorPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else Map.empty
       val runMins: Map[String, Double] =
         rawSamples.collect { case (k, xs) if xs.nonEmpty => k -> xs.min }
           .toMap ++
         streamResults.collect { case (k, Some(v)) => k -> v }.toMap
-      val prev = existing.getOrElse(sfDir, Map.empty[String, Double])
-      val merged = prev ++ runMins.map { case (k, v) =>
-        k -> math.min(v, prev.getOrElse(k, Double.MaxValue))
-      }
-      val out = (existing + (sfDir -> merged)).toSeq.sortBy(_._1)
-        .map { case (sfKey, qsF) =>
-          val body = qsF.toSeq.sortBy(_._1)
-            .map { case (k, v) => s""""$k":${j3(v)}""" }.mkString(",")
-          s""""$sfKey":{$body}"""
-        }.mkString("{\n", ",\n", "\n}\n")
+      val out = mergeFloorLedger(existing, sfDir, runMins)
       java.nio.file.Files.write(floorPath,
         out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>

@@ -105,6 +105,12 @@ object GraftExtensions {
         require(args.length == 3, "cms_buckets(text, depth, width)")
         CmsBuckets(args(0), intArg(args(1), "cms_buckets"),
           intArg(args(2), "cms_buckets"))
+      }),
+    (new FunctionIdentifier("dhash_sketch"),
+      new ExpressionInfo(classOf[DhashSketch].getName, "dhash_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "dhash_sketch(content)")
+        DhashSketch(args(0))
       }))
 
   /** Install the functions into an already-built session (idempotent —

@@ -299,6 +299,14 @@ object ShingleKernel {
     * ≤ depth·width grid map never needs a Spark job).
     */
   def cmsCell(d: Int, word: String, width: Int): Long = {
+    // The kernel writes the row prefix as the single byte '0'+d
+    // (cmsBuckets); the string form here agrees with that only for
+    // d in [0, 9]. CmsBuckets' analysis guard enforces depth <= 10 on
+    // the plan side — enforce the same bound here so a future caller
+    // probing deeper fails loudly instead of silently reading wrong
+    // cells.
+    require(d >= 0 && d <= 9,
+      s"cmsCell hash row must be in [0, 9] (single-byte row prefix), got $d")
     val md = md5Local.get()
     md.reset()
     val dig = md.digest((d.toString + ":" + word).getBytes("UTF-8"))
@@ -330,8 +338,15 @@ object ShingleKernel {
     val bytes = s.getBytes
     val (starts, ends) = wordOffsets(bytes, emptyAsOneWord = true)
     val nWords = starts.size
+    // nWords can reach ~1G for a 2 GB UTF8String of single-char words;
+    // × depth (≤10) overflows Int and would surface as a confusing
+    // NegativeArraySizeException — bound it explicitly instead.
+    val nCells = nWords.toLong * depth
+    require(nCells <= Int.MaxValue,
+      s"cms_buckets: document too large ($nWords words × depth $depth " +
+      s"= $nCells cells exceeds 2^31-1) — chunk the document first")
     val md = md5Local.get()
-    val cells = new Array[Long](nWords * depth)
+    val cells = new Array[Long](nCells.toInt)
     val buf = new Array[Byte](bytes.length + 2)
     var wd = 0
     while (wd < nWords) {

@@ -239,9 +239,16 @@ object Meta {
 
   def loadVersion(location: String, v: Int): TableMetadata = {
     val p = metadataDir(location).resolve(s"v$v.json")
+    // `location` is pinned to the path the metadata was LOADED from,
+    // not the serialized field: data/manifest paths are all
+    // location-relative, so a byte-copied (or moved/register_table'd)
+    // table directory is a fully working table at its new path. Trusting
+    // the embedded absolute path instead silently reads — and worse,
+    // WRITES — the original directory (a copied bench-scenario index
+    // once replaced its shared seed's files this way).
     Serialization.read[TableMetadata](
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      .copy(baseVersion = v)
+      .copy(baseVersion = v, location = location)
   }
 
   /** Commit metadata as the next version — optimistic CAS on the version

@@ -430,12 +430,15 @@ object Sketches {
         sum(when(col("keep"), col("cnt")).otherwise(0L)).as("cnt_a"))
     val probes = certifiedProbes(flagged, topK, textCol)
       .select(col("word"))
+    // column names carry the probe count so a non-default topK can't
+    // mislabel the report (top20_* at the default, matching the
+    // oracles' LIMIT 20 chain)
     val mass = probeCells(probes, 4, 1024)
       .join(broadcast(grid), Seq("cell"))
       .groupBy(col("word"))
       .agg(min(col("cnt_b")).as("eb"), min(col("cnt_a")).as("ea"))
-      .agg(sum(col("eb")).as("top20_mass_before"),
-        sum(col("ea")).as("top20_mass_after"))
+      .agg(sum(col("eb")).as(s"top${topK}_mass_before"),
+        sum(col("ea")).as(s"top${topK}_mass_after"))
     counts.crossJoin(broadcast(vocab)).crossJoin(broadcast(jac))
       .crossJoin(broadcast(mass))
   }

@@ -1125,7 +1125,12 @@ object TextAnalysis {
       .select(col(scoreCol).cast("double")).collect().map(_.getDouble(0))
       .sortBy(x => -x)
     val n = xs.length
-    require(n >= 10, s"pr curve needs >= 10 sampled docs, got $n")
+    // Minimum-sample contract (enforced EAGERLY — the sample collect
+    // happens at frame construction): callers on tiny fixtures get
+    // this message up front rather than a lazy mid-job failure.
+    require(n >= 10, s"prCurve minimum-sample contract: needs >= 10 " +
+      s"sampled docs (idCol % 10 slice, non-null $scoreCol), got $n — " +
+      "run on a corpus with >= ~100 scoreable docs or widen the slice")
     // decile q in 1..9 = the score at descending rank ceil(q*n/10)
     val cuts = (1 to 9).map(q => (q, xs((q * n + 9) / 10 - 1)))
     val sc = col(scoreCol)
@@ -1204,15 +1209,14 @@ object TextAnalysis {
     * edges are exact integers and bin assignment is pure integer
     * comparison, no float-boundary risk); per bin, PSI contribution
     * `(p_cur − p_ref) · ln(p_cur / p_ref)` with add-one smoothing over
-    * the 10 decile cells so an empty cell can't produce ±∞. A bin
-    * empty on BOTH sides (possible when duplicate cutoff values skip
-    * bins) is OMITTED from the output — it has no row to group — so
-    * the Σ psi_bin read runs over the POPULATED bins only: the
-    * missing term is the smoothing-floor residue
-    * (1/(ct+10) − 1/(rt+10))·ln(·), zero when the slice totals match
-    * and O(1/total) otherwise — noise at any real corpus size. The
-    * ANSI oracle groups the same way, so the omission is
-    * cross-engine identical. The conventional read: Σ psi_bin < 0.1
+    * the 10 decile cells so an empty cell can't produce ±∞. The output
+    * always carries ALL TEN bins 0..9 via a generated spine: a bin
+    * empty on both sides (possible when duplicate cutoff values skip
+    * bins) appears with ref_n = cur_n = 0 and its smoothing-floor
+    * psi contribution (1/(ct+10) − 1/(rt+10))·ln(·), so Σ psi_bin over
+    * the rows IS the documented 10-cell smoothed sum — no omitted
+    * terms for a reader to know about. The ANSI oracle generates the
+    * same spine. The conventional read: Σ psi_bin < 0.1
     * stable, 0.1–0.25 drifting, > 0.25 shifted.
     *
     * Scale shape: the 9 cutoffs are plan-shipped constants, so bin
@@ -1243,7 +1247,12 @@ object TextAnalysis {
       .orderBy(col(idCol)).limit(sampleCap)
       .select(v).collect().map(_.getLong(0)).sorted
     val n = xs.length
-    require(n >= 10, s"driftPsi needs >= 10 sampled reference docs, got $n")
+    // Minimum-sample contract (enforced EAGERLY at frame construction,
+    // like [[prCurve]]): loud and actionable on tiny fixtures.
+    require(n >= 10, s"driftPsi minimum-sample contract: needs >= 10 " +
+      s"sampled reference docs (idCol % 10 slice, non-null $valueCol), " +
+      s"got $n — run on a corpus with >= ~100 reference docs or widen " +
+      "the slice")
     // decile q in 1..9 = the value at ascending rank ceil(q*n/10)
     val cuts = (1 to 9).map(q => xs((q * n + 9) / 10 - 1))
     // bin = how many cutoffs sit at or below the value (0..9);
@@ -1256,11 +1265,22 @@ object TextAnalysis {
         sum(when(!col("_ref"), 1L).otherwise(0L)).as("cur_n"))
     val totals = counts.agg(sum(col("ref_n")).as("_rt"),
       sum(col("cur_n")).as("_ct"))
+    // the 0..9 spine: bins skipped by duplicate cutoffs (or empty on
+    // both sides) still get their smoothed row, so the frame's Σ is
+    // the full 10-cell PSI by construction
+    val spine = (0 to 9).toDF("bin")
+    // counts is the ≤10-row aggregate — broadcast it so the spine
+    // join adds no shuffle (the groupBy(bin) exchange rides inside
+    // the broadcast build side)
+    val full = spine.join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
     val lo = cuts.zipWithIndex.map { case (c, i) => (i + 1, c) }
       .toDF("bin", "lo_tokens")
     val pRef = (col("ref_n") + lit(1.0)) / (col("_rt") + lit(10.0))
     val pCur = (col("cur_n") + lit(1.0)) / (col("_ct") + lit(10.0))
-    counts.crossJoin(broadcast(totals))
+    full.crossJoin(broadcast(totals))
       .join(broadcast(lo), Seq("bin"), "left")
       .select(col("bin"), col("lo_tokens"), col("ref_n"), col("cur_n"),
         round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),

@@ -988,17 +988,22 @@ object LakeQueries {
                       count(*) FILTER (WHERE NOT isref) AS cur_n
                FROM b GROUP BY bin),
          tot AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
-                        CAST(sum(cur_n) AS DOUBLE) AS ct FROM g)
-         SELECT g.bin, c.v AS lo_tokens, g.ref_n, g.cur_n,
-                round((g.ref_n + 1.0) / (tot.rt + 10.0), 6) AS p_ref,
-                round((g.cur_n + 1.0) / (tot.ct + 10.0), 6) AS p_cur,
-                round(((g.cur_n + 1.0) / (tot.ct + 10.0) -
-                       (g.ref_n + 1.0) / (tot.rt + 10.0)) *
-                      ln(((g.cur_n + 1.0) / (tot.ct + 10.0)) /
-                         ((g.ref_n + 1.0) / (tot.rt + 10.0))), 6)
+                        CAST(sum(cur_n) AS DOUBLE) AS ct FROM g),
+         bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+         g2 AS (SELECT bins.bin,
+                       coalesce(g.ref_n, 0) AS ref_n,
+                       coalesce(g.cur_n, 0) AS cur_n
+                FROM bins LEFT JOIN g ON g.bin = bins.bin)
+         SELECT g2.bin, c.v AS lo_tokens, g2.ref_n, g2.cur_n,
+                round((g2.ref_n + 1.0) / (tot.rt + 10.0), 6) AS p_ref,
+                round((g2.cur_n + 1.0) / (tot.ct + 10.0), 6) AS p_cur,
+                round(((g2.cur_n + 1.0) / (tot.ct + 10.0) -
+                       (g2.ref_n + 1.0) / (tot.rt + 10.0)) *
+                      ln(((g2.cur_n + 1.0) / (tot.ct + 10.0)) /
+                         ((g2.ref_n + 1.0) / (tot.rt + 10.0))), 6)
                   AS psi_bin
-         FROM g CROSS JOIN tot LEFT JOIN cuts c ON c.bin = g.bin
-         ORDER BY g.bin""",
+         FROM g2 CROSS JOIN tot LEFT JOIN cuts c ON c.bin = g2.bin
+         ORDER BY g2.bin""",
     // The parity replay of the corpus-diff scenario fed through the
     // sketch_corpus_diff CTE chain: before = the full corpus (baseline
     // ∪ insert delta = all documents), after (keep) = the even-id

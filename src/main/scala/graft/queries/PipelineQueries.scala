@@ -638,6 +638,56 @@ object PipelineQueries {
   def sketchCorpusDiff(s: SparkSession, d: String): DataFrame =
     Sketches.corpusDiff(Tables.documents(s, d))
 
+  /** The sketch kit driven from PURE SQL TEXT — the LLM-pipeline
+    * analog of `q_sql_federation`'s proof for the lake layer: one SQL
+    * statement composes the GraftExtensions-injected kernels
+    * (`winnow_fingerprints` + `kmv_sketch` for the KMV vocabulary
+    * estimate, `cms_buckets` decoded to the 4×1024 grid and probed at
+    * the exact top-5 words, `dhash_sketch` over the payload bytes) —
+    * no DataFrame API, no UDF registration at the call site; the
+    * functions resolve like built-ins because SparkEnv injects them at
+    * session build. Everything is the deterministic house hashing, so
+    * the one report row (est_vocab, top5_mass, n_dhash) hash-checks
+    * against a DuckDB replay of the same three estimator chains.
+    */
+  def sketchSqlText(s: SparkSession, d: String): DataFrame = {
+    // idempotent re-registration covers a session built without the
+    // extensions config (getOrCreate returning a pre-existing session)
+    graft.functions.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs")
+    s.sql("""
+      WITH d AS (SELECT doc_id, text FROM graft_sql_docs
+                 WHERE text IS NOT NULL),
+      sh AS (SELECT explode(winnow_fingerprints(trim(lower(text)), 3, 1))
+               AS h FROM d),
+      skarr AS (SELECT kmv_sketch(h, 256) AS sk FROM sh),
+      ev AS (SELECT CASE WHEN size(sk) < 256 THEN CAST(size(sk) AS BIGINT)
+                    ELSE CAST(round((size(sk) - 1) * pow(2.0, 60)
+                                    / element_at(sk, size(sk))) AS BIGINT)
+                    END AS est_vocab
+             FROM skarr),
+      pc AS (SELECT explode(cms_buckets(trim(lower(text)), 4, 1024))
+               AS packed FROM d),
+      grid AS (SELECT shiftright(packed, 32) AS cell,
+                      sum(packed & 4294967295) AS cnt
+               FROM pc GROUP BY shiftright(packed, 32)),
+      w AS (SELECT explode(split(trim(lower(text)), '\\s+')) AS word
+            FROM d),
+      top AS (SELECT word FROM (SELECT word, count(*) AS n FROM w
+                GROUP BY word ORDER BY n DESC, word LIMIT 5)),
+      probe AS (SELECT word, CAST(dd AS BIGINT) * 1024 +
+                  CAST(conv(substring(md5(concat(CAST(dd AS STRING), ':',
+                    word)), 18, 15), 16, 10) AS BIGINT) % 1024 AS cell
+                FROM top LATERAL VIEW explode(array(0, 1, 2, 3)) t AS dd),
+      est AS (SELECT word, min(cnt) AS est FROM probe JOIN grid
+                USING (cell) GROUP BY word),
+      mass AS (SELECT CAST(sum(est) AS BIGINT) AS top5_mass FROM est),
+      dh AS (SELECT count(DISTINCT dhash_sketch(CAST(text AS BINARY)))
+               AS n_dhash FROM d)
+      SELECT ev.est_vocab, mass.top5_mass, dh.n_dhash
+      FROM ev CROSS JOIN mass CROSS JOIN dh""")
+  }
+
   /** 3-iteration damped PageRank over the kNN graph — semantic
     * centrality for coreset selection / diversity weighting.
     */
@@ -1890,6 +1940,12 @@ object PipelineQueries {
     "embedding_centroid_assign" -> embeddingCentroidAssign _,
     "embedding_kmeans"     -> embeddingKmeans _,
     "embedding_outliers"   -> embeddingOutliers _,
+    // text_drift_psi / text_nb_pr_curve (and lake_drift_psi in
+    // LakeQueries) carry a MINIMUM-SAMPLE contract: building the frame
+    // collects the decile sample eagerly and requires >= 10 sampled
+    // docs (mod-10 id slice), so they fail fast with an explicit
+    // message on sub-~100-doc fixtures instead of running to a
+    // meaningless curve. sf0.001+ clears the bar.
     "text_drift_psi"       -> textDriftPsi _,
     "dedup_cross_corpus"   -> dedupCrossCorpus _,
     "sample_shard_export"  -> sampleShardExport _,
@@ -1932,6 +1988,7 @@ object PipelineQueries {
     "sketch_quantiles_kmv" -> sketchQuantilesKmv _,
     "sketch_freq_cms"      -> sketchFreqCms _,
     "sketch_corpus_diff"   -> sketchCorpusDiff _,
+    "sketch_sql_text"      -> sketchSqlText _,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters _,
     "dedup_semantic"       -> dedupSemantic _,
     "text_heavy_hitters"   -> textHeavyHitters _,
@@ -3824,6 +3881,72 @@ object PipelineQueries {
                 ev.est_vocab_after, jac.est_jaccard,
                 mass.top20_mass_before, mass.top20_mass_after
          FROM cnt, ev, jac, mass"""),
+    // The SQL-text sketch composition replayed chain-for-chain: the
+    // KMV vocabulary estimator (shared 3-shingle md5 idiom), the CMS
+    // grid + exact-top-5 probe, and the dhash sketch's 65-window byte
+    // chain (the BlobDhashPairCtes `sk` stage) folded to a distinct
+    // count.
+    "sketch_sql_text" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL),
+         ws AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+                  AS words FROM d),
+         sh AS (SELECT unnest(list_transform(
+                  range(1, greatest(len(words) - 2, 0) + 1),
+                  i -> array_to_string(words[i:i+2], ' '))) AS gram
+                FROM ws),
+         hh AS (SELECT DISTINCT
+                  ('0x' || substr(md5(gram), 18, 15))::BIGINT AS h
+                FROM sh),
+         sk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                  AS rk FROM hh) WHERE rk <= 256),
+         ev AS (SELECT CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+                       ELSE CAST(round((count(*) - 1) * pow(2.0, 60)
+                                       / max(h)) AS BIGINT) END
+                  AS est_vocab
+                FROM sk),
+         w AS (SELECT unnest(words) AS word FROM ws),
+         hd AS (SELECT unnest([0, 1, 2, 3]) AS dd),
+         grid AS (SELECT dd,
+                    CAST(('0x' || substr(md5(CAST(dd AS VARCHAR) || ':'
+                      || word), 18, 15))::UBIGINT AS BIGINT) % 1024
+                      AS bkt,
+                    count(*) AS cnt
+                  FROM w CROSS JOIN hd GROUP BY dd, bkt),
+         top AS (SELECT word FROM (SELECT word, count(*) AS n FROM w
+                   GROUP BY word ORDER BY n DESC, word LIMIT 5)),
+         probe AS (SELECT top.word, hd.dd,
+                     CAST(('0x' || substr(md5(CAST(hd.dd AS VARCHAR) ||
+                       ':' || top.word), 18, 15))::UBIGINT AS BIGINT)
+                       % 1024 AS bkt
+                   FROM top CROSS JOIN hd),
+         est AS (SELECT word, min(cnt) AS est FROM probe
+                 JOIN grid USING (dd, bkt) GROUP BY word),
+         mass AS (SELECT CAST(sum(est) AS BIGINT) AS top5_mass FROM est),
+         b AS (SELECT doc_id AS blob_id, hex(text::BLOB) AS hx,
+                      strlen(text) AS n
+               FROM d),
+         byv AS (SELECT blob_id, CAST((p * 65) // n AS INT) AS w2,
+                   ('0x' || substr(hx, CAST(2 * p + 1 AS INT), 2))::BIGINT
+                     AS v
+                 FROM b, UNNEST(range(n)) AS t(p)),
+         wsum AS (SELECT blob_id, w2, sum(v) AS s FROM byv GROUP BY 1, 2),
+         spine AS (SELECT b.blob_id, CAST(i AS INT) AS i
+                   FROM b, UNNEST(range(65)) AS t(i)),
+         wss AS (SELECT spine.blob_id, spine.i, coalesce(wsum.s, 0) AS s
+                 FROM spine LEFT JOIN wsum
+                   ON wsum.blob_id = spine.blob_id AND wsum.w2 = spine.i),
+         nbr AS (SELECT blob_id, i, s,
+                   lead(s) OVER (PARTITION BY blob_id ORDER BY i) AS ns
+                 FROM wss),
+         skb AS (SELECT blob_id,
+                   CAST(coalesce(sum(CASE WHEN s > ns
+                     THEN (1::UBIGINT << i) ELSE 0::UBIGINT END),
+                     0) AS UBIGINT) AS dh
+                 FROM nbr WHERE i < 64 GROUP BY blob_id),
+         dhc AS (SELECT count(DISTINCT dh) AS n_dhash FROM skb)
+         SELECT ev.est_vocab, mass.top5_mass, dhc.n_dhash
+         FROM ev, mass, dhc""",
     // The IVF graph replayed index-and-all (the shared nlist=16 fit
     // CTEs): every vector probes its 2 nearest cells by centroid L2,
     // scores only the vectors ASSIGNED to those cells (cells are
@@ -4957,17 +5080,22 @@ object PipelineQueries {
                       count(*) FILTER (WHERE NOT isref) AS cur_n
                FROM b GROUP BY bin),
          tot AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
-                        CAST(sum(cur_n) AS DOUBLE) AS ct FROM g)
-         SELECT g.bin, c.v AS lo_tokens, g.ref_n, g.cur_n,
-                round((g.ref_n + 1.0) / (tot.rt + 10.0), 6) AS p_ref,
-                round((g.cur_n + 1.0) / (tot.ct + 10.0), 6) AS p_cur,
-                round(((g.cur_n + 1.0) / (tot.ct + 10.0) -
-                       (g.ref_n + 1.0) / (tot.rt + 10.0)) *
-                      ln(((g.cur_n + 1.0) / (tot.ct + 10.0)) /
-                         ((g.ref_n + 1.0) / (tot.rt + 10.0))), 6)
+                        CAST(sum(cur_n) AS DOUBLE) AS ct FROM g),
+         bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+         g2 AS (SELECT bins.bin,
+                       coalesce(g.ref_n, 0) AS ref_n,
+                       coalesce(g.cur_n, 0) AS cur_n
+                FROM bins LEFT JOIN g ON g.bin = bins.bin)
+         SELECT g2.bin, c.v AS lo_tokens, g2.ref_n, g2.cur_n,
+                round((g2.ref_n + 1.0) / (tot.rt + 10.0), 6) AS p_ref,
+                round((g2.cur_n + 1.0) / (tot.ct + 10.0), 6) AS p_cur,
+                round(((g2.cur_n + 1.0) / (tot.ct + 10.0) -
+                       (g2.ref_n + 1.0) / (tot.rt + 10.0)) *
+                      ln(((g2.cur_n + 1.0) / (tot.ct + 10.0)) /
+                         ((g2.ref_n + 1.0) / (tot.rt + 10.0))), 6)
                   AS psi_bin
-         FROM g CROSS JOIN tot LEFT JOIN cuts c ON c.bin = g.bin
-         ORDER BY g.bin""",
+         FROM g2 CROSS JOIN tot LEFT JOIN cuts c ON c.bin = g2.bin
+         ORDER BY g2.bin""",
     "dedup_cross_corpus" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')

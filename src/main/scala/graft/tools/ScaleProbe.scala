@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val DefaultTargets = Seq("dedup_winnow_pairs",
     "dedup_ngram_pairs", "pipeline_curate_neardup", "knn_graph",
-    "knn_graph_ivf", "pipeline_pretrain")
+    "knn_graph_ivf", "pipeline_pretrain",
+    // r11 families — expected slopes: the KMV/CMS sketch rows stay
+    // ~flat past the one corpus pass (exchanges are sketch-sized, not
+    // vocabulary-sized); blob pair/cluster rows grow ≤ copies× in WORK
+    // (df-capped bands) though pair OUTPUT grows with true clone mass;
+    // the refit row's decision fold is metadata-only
+    "dedup_blob_near", "dedup_blob_clusters",
+    "sketch_distinct_kmv", "sketch_freq_cms", "stream_ann_refit")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {
@@ -60,7 +67,15 @@ object ScaleProbe {
     }
     val samples = (1 to Passes).flatMap { _ =>
       qs.map { case (name, fn) =>
+        // stream rows cache their ingest scenario per dataset dir —
+        // drop those caches before each timed run (the Bench stance)
+        // so every pass re-runs the door end-to-end; input-side wave
+        // dirs and the shared seed index stay cached, as in Bench
+        if (name.startsWith("stream_"))
+          graft.queries.StreamQueries.resetScenarioCaches()
         val (tb, nb) = timeOne(fn, src)
+        if (name.startsWith("stream_"))
+          graft.queries.StreamQueries.resetScenarioCaches()
         val (ts, ns) = timeOne(fn, base.toString)
         (name, tb, ts, nb, ns)
       }

@@ -34,6 +34,38 @@ class HarnessSpec extends AnyFunSuite {
     assert(s.read.parquet(s"$out/ok_query").count() == 3)
   }
 
+  test("floor ledger round-trips under a comma-decimal default locale") {
+    // The ledger is the cross-round grading substrate: a default locale
+    // like de_DE once made `f"%.3f"` emit `0,123` — invalid JSON that
+    // silently reset every accumulated floor on the next parse. The
+    // serializer must be locale-invariant and the round trip lossless
+    // (to 1e-3, the serialized precision).
+    val prevLocale = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val existing = Map(
+        "/d/sf0.1" -> Map("q_a" -> 1.234, "q_b" -> 0.5))
+      val text = Bench.mergeFloorLedger(existing, "/d/sf0.1",
+        Map("q_a" -> 0.9, "q_c" -> 12.345))
+      assert(!text.contains("0,9"), s"comma decimal leaked: $text")
+      val back = Bench.parseFloorLedger(text)
+      val merged = back("/d/sf0.1")
+      assert(merged("q_a") == 0.9)   // lowered floor wins
+      assert(merged("q_b") == 0.5)   // untimed query keeps its floor
+      assert(merged("q_c") == 12.345)
+      // second round trip is a fixed point
+      assert(Bench.parseFloorLedger(
+        Bench.mergeFloorLedger(back, "/d/sf0.1", Map.empty)) == back)
+    } finally java.util.Locale.setDefault(prevLocale)
+  }
+
+  test("a garbled floor ledger parses to empty instead of throwing") {
+    // the comma-decimal corruption shape specifically
+    assert(Bench.parseFloorLedger("""{"sf":{"q":0,5}}""").isEmpty)
+    assert(Bench.parseFloorLedger("").isEmpty)
+    assert(Bench.parseFloorLedger("not json at all").isEmpty)
+  }
+
   test("EVERY query has an oracle — no exceptions remain") {
     // sim_topk_ivf was the last documented exception until its
     // quantizer became the deterministic in-house Lloyd loop and the

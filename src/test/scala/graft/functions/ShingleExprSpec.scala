@@ -162,4 +162,35 @@ class ShingleExprSpec extends AnyFunSuite {
           s"got ${r.getLong(1)}, expected $expect")
     }
   }
+
+  test("sketch kernels resolve from PURE SQL text like built-ins " +
+      "(GraftExtensions injection)") {
+    // dhash_sketch / cms_buckets / kmv_sketch / winnow_fingerprints
+    // compose in one spark.sql statement with no call-site registration
+    val r = s.sql("""
+      SELECT dhash_sketch(CAST('abcabcabc' AS BINARY)) AS dh,
+             size(cms_buckets('a b a', 4, 1024)) AS n_cells,
+             kmv_sketch(h, 4) AS sk
+      FROM (SELECT explode(winnow_fingerprints('w1 w2 w3 w4', 3, 1)) AS h)
+      GROUP BY 1, 2""").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) ==
+      ShingleKernel.dhashSketch("abcabcabc".getBytes("UTF-8")))
+    // 2 distinct words × 4 hash rows = 8 distinct grid cells
+    assert(r.head.getInt(1) == 8)
+    // 2 distinct 3-shingles of a 4-word doc, both kept at k=4
+    assert(r.head.getSeq[Long](2).length == 2)
+  }
+
+  test("cmsCell enforces the single-byte hash-row bound [0, 9]") {
+    assert(ShingleKernel.cmsCell(0, "w", 1024) ==
+      ShingleKernel.cmsCell(0, "w", 1024))
+    val e = intercept[IllegalArgumentException] {
+      ShingleKernel.cmsCell(10, "w", 1024)
+    }
+    assert(e.getMessage.contains("[0, 9]"))
+    intercept[IllegalArgumentException] {
+      ShingleKernel.cmsCell(-1, "w", 1024)
+    }
+  }
 }

@@ -441,4 +441,41 @@ class LakeLifecycleSpec extends AnyFunSuite {
     assert(state(mvLoc) == expected(src),
       "rebuild must reproduce the post-DML aggregate")
   }
+
+  test("a byte-copied table directory is a fully working table at its " +
+      "new location — and never touches the original") {
+    // Every path in the metadata is location-relative and loadVersion
+    // pins `location` to the load path, so cp -r IS table relocation
+    // (what register_table, bench scenario cloning, and a 100 TB
+    // DR-copy all rely on). A copy that kept the embedded absolute
+    // location would read — and write — the ORIGINAL directory.
+    val srcLoc = tmpLoc()
+    val t0 = LakeTable.create(s, srcLoc, Right(customers(20)))
+    t0.append(customers(30).filter(col("custkey") >= 20))
+    val v0 = Meta.currentVersion(srcLoc).get
+    val rows0 = t0.read().orderBy("custkey").collect().toSeq
+
+    val dstLoc = tmpLoc()
+    import scala.jdk.CollectionConverters._
+    val sp = java.nio.file.Paths.get(srcLoc)
+    val dp = java.nio.file.Paths.get(dstLoc)
+    Files.walk(sp).sorted().iterator().asScala.foreach { p =>
+      val tgt = dp.resolve(sp.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(tgt)
+      else Files.copy(p, tgt)
+    }
+    val t1 = LakeTable.forLocation(s, dstLoc)
+    assert(t1.meta.location == dstLoc,
+      "loaded metadata must adopt the directory it was loaded from")
+    assert(t1.read().orderBy("custkey").collect().toSeq == rows0)
+    // writes land at the copy...
+    t1.delete(col("custkey") < 10)
+    t1.append(customers(5))
+    assert(t1.read().count() == rows0.size.toLong - 10 + 5)
+    // ...and the original is bit-for-bit untouched
+    assert(Meta.currentVersion(srcLoc).get == v0,
+      "copy's commits must not advance the original's version")
+    assert(LakeTable.forLocation(s, srcLoc)
+      .read().orderBy("custkey").collect().toSeq == rows0)
+  }
 }

@@ -262,14 +262,48 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
-  test("PR curve: refuses a sample below 10 scores") {
+  test("PR curve / driftPsi: refuse a sample below 10 with a loud, " +
+      "actionable message AT CONSTRUCTION") {
     import s.implicits._
     val tiny = (0 until 30).map(i => (i.toLong, i.toDouble, true))
       .toDF("doc_id", "score", "label") // only ids 0,10,20 sampled
     val e = intercept[IllegalArgumentException] {
-      TextAnalysis.prCurve(tiny)
+      TextAnalysis.prCurve(tiny) // no action on the frame: eager fail
     }
-    assert(e.getMessage.contains("pr curve"))
+    assert(e.getMessage.contains("minimum-sample contract"))
+    assert(e.getMessage.contains("got 3"))
+    assert(e.getMessage.contains("widen the slice"),
+      "message must tell the caller what to do")
+    val tinyV = (0 until 30).map(i => (i.toLong, i.toLong))
+      .toDF("doc_id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.driftPsi(tinyV, col("doc_id") >= 0, "v")
+    }
+    assert(e2.getMessage.contains("minimum-sample contract"))
+    assert(e2.getMessage.contains("widen the slice"))
+  }
+
+  test("driftPsi: all ten bins 0..9 always present, even when " +
+      "duplicate cutoffs skip bins") {
+    import s.implicits._
+    // constant reference values: every decile cutoff is 7, so binOf
+    // maps v<7 -> 0 and v>=7 -> 9; bins 1..8 are structurally empty
+    // and must still appear with zero counts and the smoothing-floor
+    // psi term
+    val df = (0L until 200L)
+      .map(i => (i, if (i < 100) 7L else 3L)).toDF("doc_id", "v")
+    val out = TextAnalysis.driftPsi(df, col("doc_id") < 100, "v")
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq == (0 to 9),
+      "bin spine must emit exactly bins 0..9")
+    val mid = out.filter(r => r.getInt(0) >= 1 && r.getInt(0) <= 8)
+    assert(mid.forall(r => r.getAs[Long]("ref_n") == 0L &&
+      r.getAs[Long]("cur_n") == 0L))
+    // both slices have 100 docs, so the smoothed probabilities match
+    // and every empty bin's psi term is exactly zero here
+    assert(mid.forall(_.getAs[Double]("psi_bin") == 0.0))
+    assert(out.head.getAs[Long]("cur_n") == 100L, "cur mass in bin 0")
+    assert(out.last.getAs[Long]("ref_n") == 100L, "ref mass in bin 9")
   }
 
   test("rank AUC: average-rank tie correction, hand-checked; " +
