@@ -251,27 +251,123 @@ object Meta {
       .copy(baseVersion = v, location = location)
   }
 
+  /** Pluggable commit-exclusivity strategy — the seam a multi-writer
+    * deployment fills with its coordination service. The library's
+    * default ([[CommitGuard.PosixCas]]) needs NO lock: `link(2)`'s
+    * exclusive create IS the compare-and-swap, which is correct on any
+    * POSIX filesystem (including NFS). Object stores without an atomic
+    * exclusive create (classic S3 semantics) instead run the whole
+    * check-and-publish window under [[withExclusive]] — the shipped
+    * [[CommitGuard.DirLock]] demonstrates the contract over an atomic
+    * `mkdir` with owner stamping and TTL-based crash reclaim; a real
+    * 100 TB deployment implements this trait over its catalog or lock
+    * service (Hive metastore lock, DynamoDB conditional put, ZK
+    * ephemeral node) and installs it once per JVM via
+    * [[Meta.setCommitGuard]]. The optimistic stale-base check inside
+    * [[Meta.commit]] stays EITHER way: the guard serializes the publish
+    * window; the version check still rejects writers whose reload is
+    * stale, so retry semantics are identical under both strategies.
+    */
+  trait CommitGuard {
+    def withExclusive[A](location: String)(body: => A): A
+  }
+
+  object CommitGuard {
+    /** No lock: atomic exclusive create is the CAS (POSIX default). */
+    object PosixCas extends CommitGuard {
+      def withExclusive[A](location: String)(body: => A): A = body
+    }
+
+    /** Advisory directory lock for stores whose exclusive create can't
+      * be trusted: acquire = atomic `mkdir` of `metadata/commit.lock`
+      * (plus an owner file for diagnosis), release = owner-checked
+      * recursive delete. A holder that died mid-commit would wedge the
+      * table forever, so a lock older than `ttlMs` (directory mtime) is
+      * reclaimed by deleting it and racing the re-acquire — the same
+      * liveness/safety trade every lease-based lock service makes, with
+      * the TTL as the crash-detection horizon. Acquisition waits up to
+      * `acquireMs` with jittered backoff, then surfaces a
+      * [[CommitConflictException]] so [[graft.lake.LakeTable]]'s retry
+      * loop handles it like any lost CAS.
+      */
+    final class DirLock(ttlMs: Long = 60000L, acquireMs: Long = 30000L)
+        extends CommitGuard {
+      def withExclusive[A](location: String)(body: => A): A = {
+        val lock = metadataDir(location).resolve("commit.lock")
+        val owner = java.util.UUID.randomUUID().toString
+        val deadline = System.nanoTime() + acquireMs * 1000000L
+        var acquired = false
+        while (!acquired) {
+          try {
+            Files.createDirectories(lock.getParent)
+            Files.createDirectory(lock) // the atomic acquire
+            Files.write(lock.resolve("owner"),
+              owner.getBytes(StandardCharsets.UTF_8))
+            acquired = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // reclaim an expired (crashed-holder) lock; losing the
+              // delete/re-create race to another reclaimer is fine
+              val expired =
+                try Files.getLastModifiedTime(lock).toMillis +
+                  ttlMs < System.currentTimeMillis()
+                catch { case _: Exception => false } // vanished: retry
+              if (expired) {
+                try {
+                  Files.deleteIfExists(lock.resolve("owner"))
+                  Files.deleteIfExists(lock)
+                } catch { case _: Exception => () }
+              } else if (System.nanoTime() > deadline)
+                throw new CommitConflictException(
+                  s"commit lock at $lock held past ${acquireMs} ms — " +
+                    "reload and retry")
+              else Thread.sleep(5 + scala.util.Random.nextLong(20))
+          }
+        }
+        try body
+        finally {
+          // owner-checked release: never delete a lock reclaimed from us
+          val ours = try new String(Files.readAllBytes(
+              lock.resolve("owner")), StandardCharsets.UTF_8) == owner
+            catch { case _: Exception => false }
+          if (ours) try {
+            Files.deleteIfExists(lock.resolve("owner"))
+            Files.deleteIfExists(lock)
+          } catch { case _: Exception => () }
+        }
+      }
+    }
+  }
+
+  @volatile private var commitGuard: CommitGuard = CommitGuard.PosixCas
+
+  /** Install a deployment's commit coordination (process-wide). */
+  def setCommitGuard(g: CommitGuard): Unit = { commitGuard = g }
+
   /** Commit metadata as the next version — optimistic CAS on the version
     * the metadata was loaded from: a writer holding stale metadata fails
     * instead of silently dropping the interleaved commit, and two writers
     * racing the same base lose on the (atomic) rename. Retry = reload,
-    * reapply, commit.
+    * reapply, commit. The check-and-publish window runs under the
+    * installed [[CommitGuard]] (default: no lock — see its scaladoc).
     */
-  def commit(meta: TableMetadata): Int = {
-    val cur = currentVersion(meta.location).getOrElse(0)
-    if (cur != meta.baseVersion)
-      throw new CommitConflictException(
-        s"stale metadata: loaded v${meta.baseVersion} but table is at " +
-          s"v$cur (${meta.location}) — reload and retry")
-    val next = meta.baseVersion + 1
-    val versionFile = metadataDir(meta.location).resolve(s"v$next.json")
-    val withLog = meta.copy(metadataLog = meta.metadataLog :+ s"v$next.json")
-    // exclusive create: same-base racers lose here instead of clobbering
-    atomicWriteExclusive(versionFile, Serialization.writePretty(withLog))
-    atomicWrite(metadataDir(meta.location).resolve("version-hint.txt"),
-      next.toString)
-    next
-  }
+  def commit(meta: TableMetadata): Int =
+    commitGuard.withExclusive(meta.location) {
+      val cur = currentVersion(meta.location).getOrElse(0)
+      if (cur != meta.baseVersion)
+        throw new CommitConflictException(
+          s"stale metadata: loaded v${meta.baseVersion} but table is at " +
+            s"v$cur (${meta.location}) — reload and retry")
+      val next = meta.baseVersion + 1
+      val versionFile = metadataDir(meta.location).resolve(s"v$next.json")
+      val withLog = meta.copy(metadataLog = meta.metadataLog :+ s"v$next.json")
+      // exclusive create: same-base racers lose here instead of
+      // clobbering (belt under PosixCas, braces under a lock guard)
+      atomicWriteExclusive(versionFile, Serialization.writePretty(withLog))
+      atomicWrite(metadataDir(meta.location).resolve("version-hint.txt"),
+        next.toString)
+      next
+    }
 
   def writeManifest(location: String, name: String, m: Manifest): String = {
     val rel = s"metadata/$name"

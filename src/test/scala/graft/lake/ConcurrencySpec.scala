@@ -248,4 +248,75 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(!Files.exists(orphanData))
     assert(t.read().count() == 11, "live data untouched")
   }
+
+  test("DirLock commit guard: racing writers serialize to the same " +
+      "outcome as the CAS default, and a crashed holder is reclaimed") {
+    import s.implicits._
+    // the lock-service seam for stores without atomic exclusive create:
+    // same racing-appends workload as the CAS test, run under the
+    // directory-lock guard — the serial outcome must be identical
+    Meta.setCommitGuard(new Meta.CommitGuard.DirLock(ttlMs = 60000L))
+    try {
+      val t = fresh()
+      val writers = 4
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(writers)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until writers).foreach { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try {
+              val mine = LakeTable.forLocation(s, t.location)
+              (0 until 3).foreach { i =>
+                mine.append(Seq((2000L + w * 100 + i, s"g$w-$i"))
+                  .toDF("custkey", "name"))
+              }
+            } catch { case e: Throwable => errs.add(e) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers hung")
+      assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+      assert(t.read().count() == 10 + writers * 3)
+      assert(t.meta.snapshots.size == 1 + writers * 3)
+      // no lock residue after a clean run
+      assert(!Files.exists(
+        java.nio.file.Paths.get(t.location, "metadata", "commit.lock")))
+
+      // crashed holder: plant a stale lock, backdate it past the TTL —
+      // the next commit must reclaim it instead of wedging
+      val t2 = fresh()
+      Meta.setCommitGuard(new Meta.CommitGuard.DirLock(ttlMs = 500L))
+      val lock = java.nio.file.Paths
+        .get(t2.location, "metadata", "commit.lock")
+      Files.createDirectory(lock)
+      Files.write(lock.resolve("owner"), "dead-writer".getBytes("UTF-8"))
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000L))
+      t2.append(Seq((3000L, "after-crash")).toDF("custkey", "name"))
+      assert(t2.read().count() == 11)
+      assert(!Files.exists(lock), "reclaimed lock must not linger")
+
+      // an ACTIVE (fresh) foreign lock is respected: the acquire times
+      // out into the standard conflict-retry path, not a wedge or a
+      // stolen lock
+      val t3 = fresh()
+      Meta.setCommitGuard(
+        new Meta.CommitGuard.DirLock(ttlMs = 60000L, acquireMs = 300L))
+      val lock3 = java.nio.file.Paths
+        .get(t3.location, "metadata", "commit.lock")
+      Files.createDirectory(lock3)
+      Files.write(lock3.resolve("owner"), "live-writer".getBytes("UTF-8"))
+      val e = intercept[IllegalStateException] {
+        t3.append(Seq((4000L, "blocked")).toDF("custkey", "name"))
+      }
+      assert(e.getMessage.contains("commit-conflict"),
+        s"expected retry exhaustion through the conflict path: $e")
+      assert(Files.exists(lock3), "a live foreign lock must survive")
+    } finally Meta.setCommitGuard(Meta.CommitGuard.PosixCas)
+  }
 }
