@@ -189,7 +189,9 @@ object Bench {
       streamPasses.collect { case (name, ps) if ps.nonEmpty =>
         name -> (ps.map(_.total), ps.minBy(_.total))
       }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // j3 here too: `queries[k]` must equal `batch_samples[k].min` (and
+    // the floor-ledger entry) BYTE-for-byte, not just to the eye
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
