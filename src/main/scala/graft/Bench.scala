@@ -31,6 +31,25 @@ object Bench {
   private def j3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** JSON string literal with full escaping — quote, backslash, and
+    * control chars. Query names are tame identifiers, but the SF-dir
+    * key comes from an env var: one backslash (a Windows path) or
+    * quote in SPARK_GRAFT_SF_DIR would otherwise write invalid JSON
+    * whose next parse silently resets every accumulated floor — the
+    * same failure mode the locale fix closed, through a different
+    * unescaped-serialization hole.
+    */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Parse a floor-ledger JSON text (sfDir → query → floor seconds).
     * Tolerant of an empty/garbled file (returns empty — the ledger is
     * best-effort) but exposed for the locale round-trip test: a
@@ -63,8 +82,8 @@ object Bench {
     (existing + (sfDir -> merged)).toSeq.sortBy(_._1)
       .map { case (sfKey, qsF) =>
         val body = qsF.toSeq.sortBy(_._1)
-          .map { case (k, v) => s""""$k":${j3(v)}""" }.mkString(",")
-        s""""$sfKey":{$body}"""
+          .map { case (k, v) => s"${jstr(k)}:${j3(v)}" }.mkString(",")
+        s"${jstr(sfKey)}:{$body}"
       }.mkString("{\n", ",\n", "\n}\n")
   }
 
@@ -227,7 +246,7 @@ object Bench {
       s""""$k":{"min":$mn,"samples":$arr}"""
     }.mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"metric":"per_query","queries":$qs,"batch_samples":$samplesJson,"stream_split":$splitJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","queries":$qs,"batch_samples":$samplesJson,"stream_split":$splitJson,"failed":$failedJson,"sf":${jstr(sfDir)}}"""
     // The per-query breakdown also lands in a FILE: a fixed-size tail
     // capture of stdout beheaded it in r4/r5, losing ~20 of 130
     // timings to the artifact. A repo file survives regardless of
@@ -265,7 +284,7 @@ object Bench {
       System.err.println(s"[bench] BENCH_FLOOR.json update failed: $e")
     }
     println(perQueryLine)
-    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","batch_total":${j3(batchTotal)},"streaming_total":${j3(streamTotal)},"batch_queries":${batchR.size},"streaming_queries":${streamR.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","batch_total":${j3(batchTotal)},"streaming_total":${j3(streamTotal)},"batch_queries":${batchR.size},"streaming_queries":${streamR.size},"failed":$failedJson,"sf":${jstr(sfDir)}}""")
     Console.out.flush()
   }
 }

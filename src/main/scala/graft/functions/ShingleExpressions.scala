@@ -341,10 +341,14 @@ object ShingleKernel {
     // nWords can reach ~1G for a 2 GB UTF8String of single-char words;
     // × depth (≤10) overflows Int and would surface as a confusing
     // NegativeArraySizeException — bound it explicitly instead.
+    // bound strictly below the VM array-size limit (HotSpot caps a few
+    // elements under Int.MaxValue — an allocation AT the limit throws
+    // the confusing OutOfMemoryError this guard exists to pre-empt)
     val nCells = nWords.toLong * depth
-    require(nCells <= Int.MaxValue,
+    require(nCells <= Int.MaxValue - 8,
       s"cms_buckets: document too large ($nWords words × depth $depth " +
-      s"= $nCells cells exceeds 2^31-1) — chunk the document first")
+      s"= $nCells cells exceeds the array limit) — chunk the document " +
+      "first")
     val md = md5Local.get()
     val cells = new Array[Long](nCells.toInt)
     val buf = new Array[Byte](bytes.length + 2)

@@ -280,18 +280,67 @@ object Meta {
 
     /** Advisory directory lock for stores whose exclusive create can't
       * be trusted: acquire = atomic `mkdir` of `metadata/commit.lock`
-      * (plus an owner file for diagnosis), release = owner-checked
-      * recursive delete. A holder that died mid-commit would wedge the
-      * table forever, so a lock older than `ttlMs` (directory mtime) is
-      * reclaimed by deleting it and racing the re-acquire — the same
-      * liveness/safety trade every lease-based lock service makes, with
-      * the TTL as the crash-detection horizon. Acquisition waits up to
+      * (plus an owner file), release and crash-reclaim both go through
+      * a single-winner atomic RENAME (below). A holder that died
+      * mid-commit would wedge the table forever, so a lock older than
+      * `ttlMs` (directory mtime) is reclaimable — the lease
+      * liveness/safety trade, with the TTL as the crash-detection
+      * horizon. Acquisition (including reclaim attempts) waits up to
       * `acquireMs` with jittered backoff, then surfaces a
       * [[CommitConflictException]] so [[graft.lake.LakeTable]]'s retry
       * loop handles it like any lost CAS.
+      *
+      * Safety envelope, stated honestly: a lease lock WITHOUT fencing
+      * tokens cannot be airtight against a holder paused past its TTL
+      * — that is precisely why production deployments implement
+      * [[CommitGuard]] over a coordination service that fences
+      * (conditional puts, epoch numbers). What this impl guarantees:
+      * reclaim and release are single-winner renames followed by
+      * re-validation of the CAPTURED directory, so the naive
+      * read-then-delete races (a slow reclaimer deleting a lock
+      * another writer just re-acquired; a slow releaser deleting its
+      * reclaimer's fresh lock) are gone — the residual exposure is one
+      * rename-vs-rename window after an actual TTL expiry, and on
+      * POSIX the inner exclusive-create CAS still backstops even that.
       */
     final class DirLock(ttlMs: Long = 60000L, acquireMs: Long = 30000L)
         extends CommitGuard {
+      private def deleteTree(p: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+
+      /** True when `p`'s mtime is older than the TTL horizon. */
+      private def expiredAt(p: Path): Boolean =
+        try Files.getLastModifiedTime(p).toMillis + ttlMs <
+          System.currentTimeMillis()
+        catch { case _: Exception => false } // vanished/unreadable: no
+
+      /** Atomically capture the dir at `lock` into a unique tombstone
+        * and re-validate with `keep`: validated → deleted (return
+        * true); not ours/not expired → renamed back (best effort — if
+        * the path was re-acquired in the gap the restore fails and the
+        * tombstone is dropped; the displaced holder's own release
+        * no-ops on its owner check). Exactly one racer's rename
+        * succeeds; losers see NoSuchFile and just loop.
+        */
+      private def captureAndDrop(lock: Path, tag: String,
+          keep: Path => Boolean): Boolean = {
+        val tomb = lock.resolveSibling(s"commit.lock.$tag-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        try {
+          Files.move(lock, tomb)
+          if (keep(tomb)) { deleteTree(tomb); true }
+          else {
+            try { Files.move(tomb, lock); false }
+            catch { case _: Exception => deleteTree(tomb); false }
+          }
+        } catch { case _: Exception => false } // lost the capture race
+      }
+
       def withExclusive[A](location: String)(body: => A): A = {
         val lock = metadataDir(location).resolve("commit.lock")
         val owner = java.util.UUID.randomUUID().toString
@@ -306,35 +355,31 @@ object Meta {
             acquired = true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
-              // reclaim an expired (crashed-holder) lock; losing the
-              // delete/re-create race to another reclaimer is fine
-              val expired =
-                try Files.getLastModifiedTime(lock).toMillis +
-                  ttlMs < System.currentTimeMillis()
-                catch { case _: Exception => false } // vanished: retry
-              if (expired) {
-                try {
-                  Files.deleteIfExists(lock.resolve("owner"))
-                  Files.deleteIfExists(lock)
-                } catch { case _: Exception => () }
-              } else if (System.nanoTime() > deadline)
+              // reclaim a crashed holder's lock: capture by rename,
+              // then RE-CHECK expiry on the captured dir — a holder
+              // that refreshed between our read and the rename gets
+              // restored, not deleted
+              if (expiredAt(lock))
+                captureAndDrop(lock, "reclaim", t => expiredAt(t))
+              // every waiting path honors the acquire budget (a
+              // reclaim whose deletes persistently fail must surface,
+              // not busy-spin) and backs off
+              if (System.nanoTime() > deadline)
                 throw new CommitConflictException(
-                  s"commit lock at $lock held past ${acquireMs} ms — " +
-                    "reload and retry")
-              else Thread.sleep(5 + scala.util.Random.nextLong(20))
+                  s"commit lock at $lock not acquired within " +
+                    s"$acquireMs ms — reload and retry")
+              Thread.sleep(5 + scala.util.Random.nextLong(20))
           }
         }
         try body
-        finally {
-          // owner-checked release: never delete a lock reclaimed from us
-          val ours = try new String(Files.readAllBytes(
-              lock.resolve("owner")), StandardCharsets.UTF_8) == owner
-            catch { case _: Exception => false }
-          if (ours) try {
-            Files.deleteIfExists(lock.resolve("owner"))
-            Files.deleteIfExists(lock)
-          } catch { case _: Exception => () }
-        }
+        finally
+          // owner-checked release through the same capture: if the
+          // dir at the path is no longer OURS (we were reclaimed and
+          // it was re-acquired), it is renamed back untouched
+          captureAndDrop(lock, "release", t =>
+            try new String(Files.readAllBytes(t.resolve("owner")),
+              StandardCharsets.UTF_8) == owner
+            catch { case _: Exception => false })
       }
     }
   }

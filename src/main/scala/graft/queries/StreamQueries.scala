@@ -742,13 +742,15 @@ object StreamQueries {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(sp).sorted().iterator().asScala.foreach { p =>
+    // walk() holds a directory fd until closed — never rely on GC
+    val walk = java.nio.file.Files.walk(sp)
+    try walk.sorted().iterator().asScala.foreach { p =>
       val t = dp.resolve(sp.relativize(p).toString)
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 
   /** The odd-id half of the embeddings corpus as two ordered arrival
@@ -891,6 +893,45 @@ object StreamQueries {
     * pin idempotency (the covered-batch stamp makes it a no-op). All
     * drift arithmetic is deterministic doubles — no randomness.
     */
+  /** The drift id-space base for the refit scenario: 30 M at every
+    * standard SF (matching the oracle's literal `vec_id + 30000000`),
+    * derived from the observed max id so a RE-KEYED scale fixture
+    * (ScaleProbe offsets ids by k·100 M) keeps a correct drifted-vs-
+    * seed discriminator instead of sweeping rekeyed seed vectors into
+    * the "drifted" population.
+    */
+  private def refitDriftBase(s: SparkSession, d: String): Long = {
+    val maxId = s.read.parquet(s"$d/embeddings.parquet")
+      .agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    ((maxId / 30000000L) + 1L) * 30000000L
+  }
+
+  /** The refit scenario's two TRANSLATED drift waves (input-side
+    * setup, cached across passes like [[vecWavesDir]] and pre-built by
+    * [[warmupDirs]] so pass 1 doesn't time the parquet writes).
+    *
+    * Drift = scale ×5 + translate: WIDE (5× the fitted spread, so a
+    * competent re-fit must spend many cells on it — a tight translated
+    * blob would legitimately refit into one cell and leave nothing for
+    * the probe-cost certificate to show) and FAR (+3 then +4 per
+    * coordinate — the stamped mean jumps ~3 orders of magnitude over
+    * the 2× trigger).
+    */
+  private def refitWavesDir(s: SparkSession, d: String): String =
+    refitWavesCache.computeIfAbsent(d, _ => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val driftBase = refitDriftBase(s, d)
+      def shifted(src: org.apache.spark.sql.DataFrame, off: Double) =
+        src.select((col("vec_id") + lit(driftBase)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(5.0) + lit(off))
+            .as("embedding"))
+      buildWavesDir("graft-refitw-", Seq(
+        shifted(emb.filter(col("vec_id") % 4 === 1), 3.0),
+        shifted(emb.filter(col("vec_id") % 4 === 3), 4.0)))
+    })
+
   private def annRefitLoc(s: SparkSession, d: String): String =
     annRefitCache.computeIfAbsent(d, _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-srefit-")
@@ -905,21 +946,13 @@ object StreamQueries {
       copyTree(seedLoc, idxLoc)
       graft.lake.LakeTable.forLocation(s, idxLoc).setProperties(Map(
         graft.streaming.StreamIngest.FitMeanSqKey -> fitMean.toString))
-      // drift = scale ×5 + translate: WIDE (5× the fitted spread, so a
-      // competent re-fit must spend many cells on it — a tight
-      // translated blob would legitimately refit into one cell and
-      // leave nothing for the probe-cost certificate to show) and FAR
-      // (+3 then +4 per coordinate — the stamped mean jumps ~3 orders
-      // of magnitude over the 2× trigger)
+      val driftBase = refitDriftBase(s, d)
       def shifted(src: org.apache.spark.sql.DataFrame, off: Double) =
-        src.select((col("vec_id") + lit(30000000L)).as("vec_id"),
+        src.select((col("vec_id") + lit(driftBase)).as("vec_id"),
           transform(col("embedding"), x => x * lit(5.0) + lit(off))
             .as("embedding"))
       val w1 = shifted(emb.filter(col("vec_id") % 4 === 1), 3.0)
-      val w2 = shifted(emb.filter(col("vec_id") % 4 === 3), 4.0)
-      // input-side setup, cached across passes like [[vecWavesDir]]
-      val wavesDir = refitWavesCache.computeIfAbsent(d,
-        _ => buildWavesDir("graft-refitw-", Seq(w1, w2)))
+      val wavesDir = refitWavesDir(s, d)
       val stream = s.readStream.schema(w1.schema)
         .option("maxFilesPerTrigger", "1").parquet(wavesDir)
       val batches = timedStream("stream_ann_refit") {
@@ -934,7 +967,7 @@ object StreamQueries {
       val corpus = graft.pipeline.Similarity.loadIvf(s, idxLoc)
         .table.get.read().select(col("vec_id"), col("embedding"))
         .localCheckpoint(true)
-      val queries = w1.filter(col("vec_id") < 30000040L)
+      val queries = w1.filter(col("vec_id") < lit(driftBase + 40L))
       val exact = graft.pipeline.Similarity
         .bruteForceTopK(corpus, queries, k = 10)
         .select(col("query_id"), col("neighbor"))
@@ -960,7 +993,7 @@ object StreamQueries {
       // of per-query doubles), so the ANSI replay matches bit-for-bit.
       def scanFrac(index: graft.pipeline.Similarity.IvfIndex): Double = {
         val drifted = index.assignments
-          .filter(col("vec_id") >= 30000000L)
+          .filter(col("vec_id") >= lit(driftBase))
           .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val total = drifted.values.sum
@@ -1467,6 +1500,7 @@ object StreamQueries {
     docWavesDir(s, d)
     semWavesDir(s, d)
     vecWavesDir(s, d)
+    refitWavesDir(s, d)
     seedIvf(s, d)
   }
 

@@ -56,6 +56,13 @@ class HarnessSpec extends AnyFunSuite {
       // second round trip is a fixed point
       assert(Bench.parseFloorLedger(
         Bench.mergeFloorLedger(back, "/d/sf0.1", Map.empty)) == back)
+      // keys are ESCAPED: a backslash/quote in SPARK_GRAFT_SF_DIR (a
+      // Windows path) must round-trip, not corrupt the ledger
+      val nasty = "C:\\testdata\\sf\"0.1\""
+      val t2 = Bench.mergeFloorLedger(Map.empty, nasty, Map("q" -> 1.0))
+      val b2 = Bench.parseFloorLedger(t2)
+      assert(b2.contains(nasty), s"escaped key lost: $t2")
+      assert(b2(nasty)("q") == 1.0)
     } finally java.util.Locale.setDefault(prevLocale)
   }
 

@@ -459,11 +459,12 @@ class LakeLifecycleSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val sp = java.nio.file.Paths.get(srcLoc)
     val dp = java.nio.file.Paths.get(dstLoc)
-    Files.walk(sp).sorted().iterator().asScala.foreach { p =>
+    val walk = Files.walk(sp)
+    try walk.sorted().iterator().asScala.foreach { p =>
       val tgt = dp.resolve(sp.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(tgt)
       else Files.copy(p, tgt)
-    }
+    } finally walk.close()
     val t1 = LakeTable.forLocation(s, dstLoc)
     assert(t1.meta.location == dstLoc,
       "loaded metadata must adopt the directory it was loaded from")
