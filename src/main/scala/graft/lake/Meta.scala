@@ -270,6 +270,18 @@ object Meta {
     */
   trait CommitGuard {
     def withExclusive[A](location: String)(body: => A): A
+
+    /** Fencing re-validation, called by [[Meta.commit]] immediately
+      * before the physical publish (the last instant a doomed write can
+      * be stopped): a guard whose exclusivity can lapse mid-hold (a
+      * lease/TTL lock whose holder was paused past its horizon) must
+      * throw [[CommitConflictException]] here if the caller no longer
+      * holds the exclusivity it acquired. Default no-op — [[PosixCas]]
+      * needs none (the exclusive create IS the fence), and a
+      * coordination-service guard with real fencing tokens validates
+      * in its own publish path.
+      */
+    def validatePublish(location: String): Unit = ()
   }
 
   object CommitGuard {
@@ -290,21 +302,44 @@ object Meta {
       * [[CommitConflictException]] so [[graft.lake.LakeTable]]'s retry
       * loop handles it like any lost CAS.
       *
+      * A HEARTBEAT daemon refreshes the held lock's mtime every
+      * `ttlMs/4` while `body` runs, so an ACTIVE holder is never
+      * treated as expired no matter how long its commit takes — the
+      * TTL is a crash/stall-detection horizon, not a commit-duration
+      * budget (`ttlMs` must only exceed the longest scheduling gap an
+      * alive process can experience, not the worst-case commit).
+      *
       * Safety envelope, stated honestly: a lease lock WITHOUT fencing
       * tokens cannot be airtight against a holder paused past its TTL
-      * — that is precisely why production deployments implement
-      * [[CommitGuard]] over a coordination service that fences
-      * (conditional puts, epoch numbers). What this impl guarantees:
-      * reclaim and release are single-winner renames followed by
-      * re-validation of the CAPTURED directory, so the naive
-      * read-then-delete races (a slow reclaimer deleting a lock
-      * another writer just re-acquired; a slow releaser deleting its
-      * reclaimer's fresh lock) are gone — the residual exposure is one
-      * rename-vs-rename window after an actual TTL expiry, and on
+      * (a pause stops the heartbeat too) — that is precisely why
+      * production deployments implement [[CommitGuard]] over a
+      * coordination service that fences (conditional puts, epoch
+      * numbers). What this impl guarantees: reclaim and release are
+      * single-winner renames followed by re-validation of the CAPTURED
+      * directory, so the naive read-then-delete races (a slow reclaimer
+      * deleting a lock another writer just re-acquired; a slow releaser
+      * deleting its reclaimer's fresh lock) are gone; and
+      * [[validatePublish]] re-checks ownership at the last instant
+      * before [[Meta.commit]]'s physical publish, so a holder that WAS
+      * reclaimed mid-pause aborts with a retryable conflict instead of
+      * publishing over the new holder. The residual exposure is one
+      * validate-to-publish window after an actual TTL expiry, and on
       * POSIX the inner exclusive-create CAS still backstops even that.
+      *
+      * `heartbeat = false` exists for tests only: it simulates a paused
+      * holder (a real pause stops the heartbeat exactly like this).
       */
-    final class DirLock(ttlMs: Long = 60000L, acquireMs: Long = 30000L)
+    final class DirLock(ttlMs: Long = 60000L, acquireMs: Long = 30000L,
+        heartbeat: Boolean = true)
         extends CommitGuard {
+
+      /** Lock owner ids this THREAD currently holds, by location —
+        * consulted by [[validatePublish]]. Thread-scoped because the
+        * guard serializes commits per location per holder thread.
+        */
+      private val held = new ThreadLocal[Map[String, String]] {
+        override def initialValue(): Map[String, String] = Map.empty
+      }
       private def deleteTree(p: Path): Unit = {
         import scala.jdk.CollectionConverters._
         val walk = Files.walk(p)
@@ -312,6 +347,31 @@ object Meta {
           .iterator().asScala.foreach(Files.deleteIfExists(_))
         finally walk.close()
       }
+
+      /** Best-effort [[deleteTree]] — a failed delete must never fail
+        * the caller (tombstones and stale locks are swept again later).
+        */
+      private def tryDeleteTree(p: Path): Unit =
+        try deleteTree(p) catch { case _: Exception => () }
+
+      /** Sweep expired capture tombstones (`commit.lock.reclaim-*` /
+        * `commit.lock.release-*`) left by a [[captureAndDrop]] whose
+        * delete or restore failed mid-flight: any tombstone older than
+        * the TTL belongs to no live operation (captures live for
+        * milliseconds) and is garbage. Runs opportunistically on every
+        * acquire conflict, so a leak self-heals on the next contention
+        * instead of accreting in metadata/ forever.
+        */
+      private def sweepTombstones(dir: Path): Unit =
+        try {
+          import scala.jdk.CollectionConverters._
+          val ls = Files.list(dir)
+          try ls.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("commit.lock."))
+            .filter(expiredAt)
+            .foreach(tryDeleteTree)
+          finally ls.close()
+        } catch { case _: Exception => () }
 
       /** True when `p`'s mtime is older than the TTL horizon. */
       private def expiredAt(p: Path): Boolean =
@@ -333,12 +393,18 @@ object Meta {
           java.util.UUID.randomUUID().toString.take(8))
         try {
           Files.move(lock, tomb)
-          if (keep(tomb)) { deleteTree(tomb); true }
+          if (keep(tomb)) { tryDeleteTree(tomb); true }
           else {
             try { Files.move(tomb, lock); false }
-            catch { case _: Exception => deleteTree(tomb); false }
+            catch { case _: Exception => tryDeleteTree(tomb); false }
           }
-        } catch { case _: Exception => false } // lost the capture race
+        } catch { case _: Exception =>
+          // lost the capture race — or the move succeeded and a later
+          // step threw: never leave the tombstone behind (it would
+          // otherwise sit in metadata/ until the TTL sweep)
+          tryDeleteTree(tomb)
+          false
+        }
       }
 
       def withExclusive[A](location: String)(body: => A): A = {
@@ -350,17 +416,24 @@ object Meta {
           try {
             Files.createDirectories(lock.getParent)
             Files.createDirectory(lock) // the atomic acquire
-            Files.write(lock.resolve("owner"),
+            // anything failing AFTER the create must give the lock
+            // back, or every waiting writer is wedged into conflict
+            // retries until TTL reclaim (up to acquireMs each) over a
+            // transient IO error that wasn't even theirs
+            try Files.write(lock.resolve("owner"),
               owner.getBytes(StandardCharsets.UTF_8))
+            catch { case e: Throwable => tryDeleteTree(lock); throw e }
             acquired = true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               // reclaim a crashed holder's lock: capture by rename,
               // then RE-CHECK expiry on the captured dir — a holder
               // that refreshed between our read and the rename gets
-              // restored, not deleted
+              // restored, not deleted. (A live holder's heartbeat
+              // keeps refreshing mtime, so it never reads expired.)
               if (expiredAt(lock))
                 captureAndDrop(lock, "reclaim", t => expiredAt(t))
+              sweepTombstones(lock.getParent)
               // every waiting path honors the acquire budget (a
               // reclaim whose deletes persistently fail must surface,
               // not busy-spin) and backs off
@@ -371,8 +444,30 @@ object Meta {
               Thread.sleep(5 + scala.util.Random.nextLong(20))
           }
         }
+        // Heartbeat: refresh the held lock's mtime at ttl/4 so an
+        // ACTIVE holder never crosses the reclaim horizon — without
+        // this, any commit slower than ttlMs was reclaimed mid-commit
+        // and two writers could publish concurrently on a store whose
+        // exclusive create can't backstop. Daemon thread; a refresh
+        // failure is tolerated (the dir may be mid-capture) and the
+        // next beat retries.
+        val beat =
+          if (!heartbeat) None
+          else Some(new Thread(() => {
+            try while (true) {
+              Thread.sleep(math.max(ttlMs / 4, 1L))
+              try Files.setLastModifiedTime(lock,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
+              catch { case _: Exception => () }
+            } catch { case _: InterruptedException => () }
+          }, s"graft-dirlock-heartbeat-$owner"))
+        beat.foreach { t => t.setDaemon(true); t.start() }
+        held.set(held.get + (location -> owner))
         try body
-        finally
+        finally {
+          held.set(held.get - location)
+          beat.foreach(_.interrupt())
           // owner-checked release through the same capture: if the
           // dir at the path is no longer OURS (we were reclaimed and
           // it was re-acquired), it is renamed back untouched
@@ -380,6 +475,30 @@ object Meta {
             try new String(Files.readAllBytes(t.resolve("owner")),
               StandardCharsets.UTF_8) == owner
             catch { case _: Exception => false })
+        }
+      }
+
+      /** Last-instant fencing check (see [[CommitGuard.validatePublish]]):
+        * the publish may proceed only if the lock directory still
+        * carries THIS thread's owner stamp — a holder that was paused
+        * past its TTL, reclaimed, and displaced finds another owner's
+        * stamp (or none) and aborts with the standard retryable
+        * conflict instead of publishing over the new holder's commit.
+        */
+      override def validatePublish(location: String): Unit = {
+        val owner = held.get.getOrElse(location,
+          throw new CommitConflictException(
+            s"publish without a held commit lock for $location — " +
+              "reload and retry"))
+        val stamped =
+          try new String(Files.readAllBytes(
+            metadataDir(location).resolve("commit.lock").resolve("owner")),
+            StandardCharsets.UTF_8)
+          catch { case _: Exception => "" }
+        if (stamped != owner)
+          throw new CommitConflictException(
+            s"commit lock for $location was reclaimed while held " +
+              "(paused past TTL?) — abandoning publish; reload and retry")
       }
     }
   }
@@ -406,6 +525,10 @@ object Meta {
       val next = meta.baseVersion + 1
       val versionFile = metadataDir(meta.location).resolve(s"v$next.json")
       val withLog = meta.copy(metadataLog = meta.metadataLog :+ s"v$next.json")
+      // fencing: a guard whose exclusivity can lapse (lease/TTL lock
+      // with a paused holder) gets one last chance to abort the doomed
+      // publish; no-op under PosixCas
+      commitGuard.validatePublish(meta.location)
       // exclusive create: same-base racers lose here instead of
       // clobbering (belt under PosixCas, braces under a lock guard)
       atomicWriteExclusive(versionFile, Serialization.writePretty(withLog))

@@ -319,4 +319,101 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(Files.exists(lock3), "a live foreign lock must survive")
     } finally Meta.setCommitGuard(Meta.CommitGuard.PosixCas)
   }
+
+  test("DirLock heartbeat: a commit outliving the TTL is never reclaimed") {
+    // Regression for the lease hole: without a heartbeat, any body
+    // slower than ttlMs was reclaimed MID-COMMIT by a waiting writer —
+    // on a store without atomic exclusive create, two writers would
+    // publish concurrently. The heartbeat refreshes mtime at ttl/4, so
+    // an alive holder never reads expired no matter how slow its body.
+    val guard = new Meta.CommitGuard.DirLock(ttlMs = 300L, acquireMs = 600L)
+    val loc = Files.createTempDirectory("hb-").resolve("t").toString
+    Files.createDirectories(Meta.metadataDir(loc))
+    val contenderFailed =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    guard.withExclusive(loc) {
+      // hold 4x the TTL — a contender arriving mid-hold must time out
+      // through the conflict path, NOT reclaim the live lock
+      val contender = new Thread(() => {
+        try guard.withExclusive(loc)(())
+        catch { case e: Throwable => contenderFailed.set(e) }
+      })
+      contender.start()
+      Thread.sleep(1200L)
+      contender.join(5000L)
+      assert(contenderFailed.get() != null &&
+        contenderFailed.get().isInstanceOf[Meta.CommitConflictException],
+        s"contender should have timed out, got: ${contenderFailed.get()}")
+      // the holder still validates — it was never displaced
+      guard.validatePublish(loc)
+    }
+    // after release, the lock is free: a fresh acquire succeeds at once
+    guard.withExclusive(loc)(())
+  }
+
+  test("paused holder cannot publish: validatePublish rejects after " +
+      "reclaim (fencing)") {
+    // heartbeat=false simulates a paused process (a real pause stops
+    // the heartbeat exactly like this): the holder crosses its TTL,
+    // a second writer reclaims + re-acquires, and the paused holder's
+    // publish must abort at validatePublish instead of clobbering.
+    val guard = new Meta.CommitGuard.DirLock(ttlMs = 150L,
+      acquireMs = 3000L, heartbeat = false)
+    val loc = Files.createTempDirectory("fence-").resolve("t").toString
+    Files.createDirectories(Meta.metadataDir(loc))
+    intercept[Meta.CommitConflictException] {
+      guard.withExclusive(loc) {
+        Thread.sleep(500L) // paused past the TTL
+        val usurper = new Thread(() => guard.withExclusive(loc) {
+          guard.validatePublish(loc) // the NEW holder validates fine
+        })
+        usurper.start(); usurper.join(10000L)
+        guard.validatePublish(loc) // we were reclaimed: must throw
+      }
+    }
+    // validatePublish outside any hold is also a loud conflict
+    intercept[Meta.CommitConflictException](guard.validatePublish(loc))
+  }
+
+  test("Meta.commit drives validatePublish before the physical publish") {
+    import s.implicits._
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probe = new Meta.CommitGuard {
+      def withExclusive[A](location: String)(body: => A): A = body
+      override def validatePublish(location: String): Unit =
+        calls.incrementAndGet()
+    }
+    try {
+      Meta.setCommitGuard(probe)
+      val t = fresh()
+      val before = calls.get()
+      t.append(Seq((5000L, "fenced")).toDF("custkey", "name"))
+      assert(calls.get() > before,
+        "commit must re-validate the guard immediately before publish")
+    } finally Meta.setCommitGuard(Meta.CommitGuard.PosixCas)
+  }
+
+  test("expired capture tombstones are swept on the next contention") {
+    import s.implicits._
+    val t = fresh()
+    try {
+      Meta.setCommitGuard(new Meta.CommitGuard.DirLock(ttlMs = 500L))
+      val mdir = java.nio.file.Paths.get(t.location, "metadata")
+      // a leaked tombstone (a captureAndDrop whose delete failed) plus
+      // a crashed holder's stale lock to force the conflict path
+      val tomb = mdir.resolve("commit.lock.reclaim-deadbeef")
+      Files.createDirectory(tomb)
+      Files.write(tomb.resolve("owner"), "leaked".getBytes("UTF-8"))
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000L)
+      Files.setLastModifiedTime(tomb, old)
+      val lock = mdir.resolve("commit.lock")
+      Files.createDirectory(lock)
+      Files.write(lock.resolve("owner"), "dead".getBytes("UTF-8"))
+      Files.setLastModifiedTime(lock, old)
+      t.append(Seq((6000L, "sweep")).toDF("custkey", "name"))
+      assert(!Files.exists(tomb), "expired tombstone must be swept")
+      assert(!Files.exists(lock), "stale lock must be reclaimed")
+    } finally Meta.setCommitGuard(Meta.CommitGuard.PosixCas)
+  }
 }
