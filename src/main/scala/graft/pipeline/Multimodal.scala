@@ -10,12 +10,66 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side mechanics — schema, modality partitioning, batch
   * iteration shape, feature/frame output schemas — are real and tested.
-  * The codec step itself is STUBBED: this container has no image/audio
-  * libraries, so `decodeStub` derives deterministic fake features from
-  * the bytes. Swapping in a real decoder changes ONLY the body of
-  * `decodeStub` (e.g. JNI/javacpp ffmpeg); every plan around it stays.
+  * The codec step itself is PLUGGABLE behind [[BlobCodec]] (the same
+  * install-once-per-JVM seam as `Meta.setCommitGuard`): this container
+  * has no image/audio libraries, so the default [[StubCodec]] derives
+  * deterministic fake features from the bytes. A production deployment
+  * implements [[BlobCodec]] over its real decoder (JNI/javacpp ffmpeg,
+  * ImageIO, …) and installs it via [[setCodec]] — every plan, schema,
+  * partitioning and batching decision around the codec stays.
   */
 object Multimodal {
+
+  /** The pluggable pixel/sample path: decode-and-featurize and
+    * geometric resample over an opaque encoded payload. Implementations
+    * MUST be deterministic per input (the dedup/curation layers above
+    * hash their outputs) and thread-safe (one instance is shared by all
+    * executor tasks in a JVM); per-task codec contexts belong inside
+    * the methods (or a ThreadLocal), not in instance state.
+    * Serializable because the instance is captured by task closures.
+    */
+  trait BlobCodec extends Serializable {
+    /** Decode `content` and extract a `dim`-dimensional feature vector. */
+    def features(content: Array[Byte], dim: Int): Array[Float]
+    /** Re-encode `content` to the target geometry. */
+    def resize(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte]
+  }
+
+  /** Default stub codec — deterministic fakes for the offline harness
+    * (no codec libraries in this container). Feature path: xorshift
+    * stream seeded from a byte-fold of the payload; resize path: keeps
+    * the first `w·h` payload bytes (oracle-checkable byte counts).
+    * Real media work is the ONLY thing missing; downstream dedup math
+    * (dhash banding, digest grouping, curation ledger) is real.
+    */
+  object StubCodec extends BlobCodec {
+    def features(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(j) = (h % 1000) / 1000.0f
+        j += 1
+      }
+      out
+    }
+    def resize(content: Array[Byte], targetW: Int, targetH: Int)
+        : Array[Byte] =
+      java.util.Arrays.copyOf(content,
+        math.min(content.length, targetW * targetH))
+  }
+
+  @volatile private var codec: BlobCodec = StubCodec
+
+  /** Install a deployment's real codec (process-wide, before building
+    * plans — operators capture the installed instance at plan build).
+    */
+  def setCodec(c: BlobCodec): Unit = { codec = c }
+
+  def installedCodec: BlobCodec = codec
 
   val blobSchema: StructType = StructType(Seq(
     StructField("blob_id", LongType, nullable = false),
@@ -42,25 +96,6 @@ object Multimodal {
         (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"),
         (col("n_chars") * 10).as("duration_ms"),
         lit("stub").as("codec")).as("meta"))
-
-  /** STUB decode: deterministic pseudo-features from payload bytes.
-    * Real implementation would decode the media and run a feature
-    * extractor; everything else in this operator is production-shaped.
-    */
-  private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    // ??? real codec goes here — deterministic fake for the harness:
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < content.length) { h = 31 * h + content(i); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-      out(j) = (h % 1000) / 1000.0f
-      j += 1
-    }
-    out
-  }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("blob_id", LongType, nullable = false),
@@ -93,6 +128,10 @@ object Multimodal {
     // which is exactly the serialization this key exists to prevent.
     val partitioned = blobs.repartition(p,
       col("modality"), pmod(col("blob_id"), lit(p.toLong)))
+    // the INSTALLED codec is captured at plan-build time and shipped in
+    // the task closure (BlobCodec is Serializable) — executors decode
+    // with the same instance the driver installed
+    val c = codec
     val rdd = partitioned.select("blob_id", "modality", "content").rdd
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
@@ -100,7 +139,7 @@ object Multimodal {
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]]("content")
             Row(r.getLong(0), r.getString(1),
-              decodeStub(bytes, dim).toSeq, bytes.length)
+              c.features(bytes, dim).toSeq, bytes.length)
           }
         }
       }
@@ -118,17 +157,17 @@ object Multimodal {
     * the pipeline checklist (decode / feature-extract / RESIZE /
     * frame-sample): image blobs re-encoded to a target geometry through
     * the same batched `mapPartitions` channel as [[extractFeatures]]
-    * (one codec context per batch). The pixel work is STUBBED like
-    * `decodeStub` — the fake "resize" keeps the first `w·h` payload
-    * bytes (deterministic, oracle-checkable byte counts); a real
-    * implementation swaps only the body. Output schema carries the new
-    * geometry + payload, exactly what a downstream training-data writer
-    * consumes.
+    * (one codec context per batch). The pixel work goes through the
+    * installed [[BlobCodec]] (default [[StubCodec]]: keeps the first
+    * `w·h` payload bytes — deterministic, oracle-checkable byte
+    * counts); a real implementation installs via [[setCodec]]. Output
+    * schema carries the new geometry + payload, exactly what a
+    * downstream training-data writer consumes.
     */
   def resizeImages(blobs: DataFrame, targetW: Int = 16, targetH: Int = 16,
       batchSize: Int = 64): DataFrame = {
     val spark = blobs.sparkSession
-    val cap = targetW * targetH
+    val c = codec // captured at plan build, shipped in the closure
     val rdd = blobs.filter(col("modality") === "image")
       .select("blob_id", "content").rdd
       .mapPartitions { rows =>
@@ -136,9 +175,7 @@ object Multimodal {
           // per-batch setup would happen here (scaler/codec init)
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]]("content")
-            // ??? real resampling goes here — stub keeps the first w·h bytes
-            val out = java.util.Arrays.copyOf(bytes,
-              math.min(bytes.length, cap))
+            val out = c.resize(bytes, targetW, targetH)
             Row(r.getLong(0), targetW, targetH, out, out.length)
           }
         }

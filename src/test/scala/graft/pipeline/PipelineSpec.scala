@@ -188,6 +188,57 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("BlobCodec seam: an installed codec flows through feature and " +
+      "resize plans; the default stub is restored intact") {
+    // The production swap path (same install-once contract as
+    // Meta.setCommitGuard): a deployment's real decoder goes in via
+    // setCodec and every operator downstream — feature extraction,
+    // resize, and anything consuming their frames — composes with it
+    // UNCHANGED: same schemas, same partitioning, same batching.
+    val blobs = Multimodal.blobTable(docs.limit(40))
+    val defaults = Multimodal.extractFeatures(blobs, dim = 4)
+      .orderBy("blob_id").collect()
+    object FakeCodec extends Multimodal.BlobCodec {
+      def features(content: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(content.length.toFloat) // visibly not the stub
+      def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
+        content.reverse.take(w) // visibly not first-w·h-bytes
+    }
+    try {
+      Multimodal.setCodec(FakeCodec)
+      val f = Multimodal.extractFeatures(blobs, dim = 4)
+        .orderBy("blob_id").collect()
+      assert(f.length == 40)
+      f.foreach { r =>
+        val feats = r.getAs[collection.Seq[Float]]("features")
+        val n = r.getAs[Int]("n_bytes")
+        assert(feats == Seq.fill(4)(n.toFloat),
+          "installed codec must drive the feature path")
+      }
+      val rz = Multimodal.resizeImages(blobs, targetW = 8, targetH = 8)
+        .orderBy("blob_id").collect()
+      assert(rz.nonEmpty)
+      rz.foreach { r =>
+        assert(r.getAs[Int]("n_bytes_out") <= 8,
+          "installed codec must drive the resize path")
+      }
+      // downstream composition is codec-agnostic: the feature frame
+      // still joins/aggregates like any other (the curation chain's
+      // consumption shape), schema unchanged
+      val perModality = Multimodal.extractFeatures(blobs, dim = 4)
+        .groupBy("modality").count().collect()
+      assert(perModality.map(_.getLong(1)).sum == 40L)
+    } finally Multimodal.setCodec(Multimodal.StubCodec)
+    // restoring the stub restores byte-identical defaults (the oracled
+    // multimodal rows depend on this)
+    val after = Multimodal.extractFeatures(blobs, dim = 4)
+      .orderBy("blob_id").collect()
+    defaults.zip(after).foreach { case (a, b) =>
+      assert(a.getAs[collection.Seq[Float]]("features") ==
+        b.getAs[collection.Seq[Float]]("features"))
+    }
+  }
+
   test("single-modality corpus spreads decode over many partitions") {
     // Guard against the repartition(modality) skew trap: hashing on a
     // 3-value column alone puts an entire modality into ONE task — at
