@@ -99,6 +99,13 @@ object GraftExtensions {
         KmvAgg(args(0), intArg(args(1), "kmv_sketch"))
           .toAggregateExpression()
       }),
+    (new FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sketch(hashed, numHashes)")
+        MinHashAgg(args(0), intArg(args(1), "minhash_sketch"))
+          .toAggregateExpression()
+      }),
     (new FunctionIdentifier("cms_buckets"),
       new ExpressionInfo(classOf[CmsBuckets].getName, "cms_buckets"),
       (args: Seq[Expression]) => {

@@ -688,6 +688,58 @@ object PipelineQueries {
       FROM ev CROSS JOIN mass CROSS JOIN dh""")
   }
 
+  /** The flagship dedup op driven from PURE SQL TEXT — the
+    * `sketch_sql_text` pattern applied to MinHash LSH: one statement
+    * runs the whole near-dup pipeline (distinct hashed 3-shingles via
+    * the injected `hashed_shingles`, per-doc 32-slot signature via the
+    * newly SQL-registered `minhash_sketch` aggregate, 16-band hashing
+    * with built-in `slice`/`transform`/`xxhash64`, bucket self-join,
+    * exact-Jaccard verification of the candidates) — no DataFrame API,
+    * no call-site registration. Identical semantics to
+    * [[graft.pipeline.Dedup.minhashLsh]] with (32, 16, k=3, 0.5), so
+    * the DuckDB oracle is the exact all-pairs answer (banded recall is
+    * total at verify scale — any miss hash-mismatches loudly).
+    *
+    * Scale shape (same as the typed route): exchanges carry 64-bit
+    * hashes and fixed 32-slot signatures, candidates come from bucket
+    * joins (never all-pairs), and the verify join streams the token
+    * table against the id-sized candidate set.
+    */
+  def dedupSqlText(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs")
+    s.sql("""
+      WITH toks AS (
+        SELECT doc_id, size(shs) AS n, explode(shs) AS tok
+        FROM (SELECT doc_id, hashed_shingles(trim(lower(text)), 3) AS shs
+              FROM graft_sql_docs WHERE text IS NOT NULL)),
+      sig AS (SELECT doc_id, minhash_sketch(tok, 32) AS sig
+              FROM toks GROUP BY doc_id),
+      bucket AS (
+        SELECT doc_id, b AS band_idx,
+               xxhash64(concat_ws(',', transform(slice(sig, b * 2 + 1, 2),
+                 x -> CAST(x AS STRING)))) AS band_hash
+        FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bucket l JOIN bucket r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+        WHERE l.doc_id < r.doc_id),
+      v AS (
+        SELECT c.id_a, c.id_b, a.n AS n_a, b.n AS n_b,
+               count(1) AS inter
+        FROM cand c
+        JOIN toks a ON a.doc_id = c.id_a
+        JOIN toks b ON b.doc_id = c.id_b AND b.tok = a.tok
+        GROUP BY c.id_a, c.id_b, a.n, b.n)
+      SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6)
+               AS jaccard
+      FROM v
+      WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
+      ORDER BY id_a, id_b""")
+  }
+
   /** 3-iteration damped PageRank over the kNN graph — semantic
     * centrality for coreset selection / diversity weighting.
     */
@@ -1989,6 +2041,7 @@ object PipelineQueries {
     "sketch_freq_cms"      -> sketchFreqCms _,
     "sketch_corpus_diff"   -> sketchCorpusDiff _,
     "sketch_sql_text"      -> sketchSqlText _,
+    "dedup_sql_text"       -> dedupSqlText _,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters _,
     "dedup_semantic"       -> dedupSemantic _,
     "text_heavy_hitters"   -> textHeavyHitters _,
@@ -2973,9 +3026,22 @@ object PipelineQueries {
                >= 0.5
          ORDER BY id_a, id_b""",
     // Transitive closure of the exact Jaccard graph via a recursive
-    // CTE: reach(id, r) accumulates every (node, co-component node)
-    // pair; min(r) per node IS the min-label component — the same
+    // CTE; min(r) per node IS the min-label component — the same
     // fixpoint the Spark side's pointer-doubling propagation computes.
+    // The `reach.r < e.b` guard bounds the closure: only labels SMALLER
+    // than the receiving node propagate, so a node accumulates
+    // O(log m) labels in expectation instead of its full component
+    // (m members → ~m·H(m) rows, not m²). The fixpoint is unchanged:
+    // the component minimum is smaller than every other member, so it
+    // flows down every path unblocked, and min(r) ∪ {id} is identical.
+    // (r12's unguarded closure needed a 7200 s DuckDB budget at sf0.1;
+    // the guard puts the sweep back inside the standard cap.) The pair
+    // join additionally carries the EXACT length-ratio band: J >= 0.5
+    // forces |A∩B| >= 0.5·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
+    // 2·min(|A|,|B|) >= max(|A|,|B|) — pairs outside the band are
+    // pruned BEFORE the per-pair intersection is computed, with zero
+    // recall loss (the same arithmetic bound PPJoin's length filter
+    // uses).
     "dedup_minhash_clusters" ->
       """WITH RECURSIVE w AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
@@ -2988,17 +3054,23 @@ object PipelineQueries {
                AS sh
            FROM w),
          p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM s a JOIN s b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sh AS sha, b.sh AS shb
+             FROM s a JOIN s b
+               ON a.doc_id < b.doc_id
+              AND len(a.sh) <= 2 * len(b.sh)
+              AND len(b.sh) <= 2 * len(a.sh))
+           WHERE len(list_intersect(sha, shb))::DOUBLE /
+                 (len(sha) + len(shb) - len(list_intersect(sha, shb)))
                  >= 0.5),
          e AS (SELECT id_a AS a, id_b AS b FROM p
                UNION SELECT id_b, id_a FROM p),
          reach(id, r) AS (
            SELECT DISTINCT a, a FROM e
            UNION
-           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+           WHERE reach.r < e.b)
          SELECT id AS doc_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY component, doc_id""",
     // Same deterministic 3-word segmentation (the regex is replicated
@@ -3329,7 +3401,8 @@ object PipelineQueries {
          reach(id, r) AS (
            SELECT DISTINCT a, a FROM e
            UNION
-           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+           WHERE reach.r < e.b)
          SELECT id AS vec_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY component, vec_id""",
     // SemDeDup replay: same planted-twin union, the first-8 centroid
@@ -3947,6 +4020,31 @@ object PipelineQueries {
          dhc AS (SELECT count(DISTINCT dh) AS n_dhash FROM skb)
          SELECT ev.est_vocab, mass.top5_mass, dhc.n_dhash
          FROM ev, mass, dhc""",
+    // The SQL-text MinHash LSH route is held to the SAME exact
+    // all-pairs answer as dedup_minhash_pairs (identical parameters,
+    // identical semantics): banded recall is total at verify scale, so
+    // a recall regression in the SQL surface hash-mismatches instead
+    // of silently shrinking the row count.
+    "dedup_sql_text" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                    AS words
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_distinct(
+             list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
+               AS sh
+           FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               >= 0.5
+         ORDER BY id_a, id_b""",
     // The IVF graph replayed index-and-all (the shared nlist=16 fit
     // CTEs): every vector probes its 2 nearest cells by centroid L2,
     // scores only the vectors ASSIGNED to those cells (cells are
@@ -4379,7 +4477,8 @@ object PipelineQueries {
          reach(id, r) AS (
            SELECT DISTINCT a, a FROM e
            UNION
-           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+           WHERE reach.r < e.b)
          SELECT id AS blob_id, min(r) AS component
          FROM reach GROUP BY id ORDER BY component, blob_id"""),
     // The composed multimodal chain replayed stage-for-stage: sha-256
@@ -4711,7 +4810,8 @@ object PipelineQueries {
          reach(id, r) AS (
            SELECT DISTINCT a, a FROM e
            UNION
-           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+           SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+           WHERE reach.r < e.b),
          comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
          losers AS (
            SELECT id AS doc_id FROM (

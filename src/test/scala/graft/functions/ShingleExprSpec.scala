@@ -182,6 +182,25 @@ class ShingleExprSpec extends AnyFunSuite {
     assert(r.head.getSeq[Long](2).length == 2)
   }
 
+  test("minhash_sketch resolves from PURE SQL text and matches the " +
+      "typed MinHashAgg signature") {
+    // the SQL-registered aggregate must produce the SAME 32-slot
+    // signature as the DataFrame route (shared hashParams), or the
+    // dedup_sql_text row would silently diverge from Dedup.minhashLsh
+    val sqlSig = s.sql("""
+      SELECT minhash_sketch(h, 8) AS sig
+      FROM (SELECT explode(hashed_shingles('w1 w2 w3 w4 w5', 3)) AS h)
+      """).collect().head.getSeq[Long](0)
+    import org.apache.spark.sql.functions.{col, explode, lit}
+    val typedSig = s.range(1)
+      .select(explode(ShingleExpressions.hashedShingles(
+        lit("w1 w2 w3 w4 w5"), 3)).as("h"))
+      .agg(graft.functions.MinHashAgg.minhashSketch(col("h"), 8).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(sqlSig == typedSig)
+    assert(sqlSig.length == 8)
+  }
+
   test("cmsCell enforces the single-byte hash-row bound [0, 9]") {
     assert(ShingleKernel.cmsCell(0, "w", 1024) ==
       ShingleKernel.cmsCell(0, "w", 1024))
