@@ -28,7 +28,12 @@ object ScaleProbe {
     // (df-capped bands) though pair OUTPUT grows with true clone mass;
     // the refit row's decision fold is metadata-only
     "dedup_blob_near", "dedup_blob_clusters",
-    "sketch_distinct_kmv", "sketch_freq_cms", "stream_ann_refit")
+    "sketch_distinct_kmv", "sketch_freq_cms", "stream_ann_refit",
+    // r12 verdict #7 — the two most expensive streaming doors:
+    // expected ~linear in batch volume (each micro-batch runs O(batch)
+    // gate/probe work); the dedup door's LSH index probe cost is
+    // bounded by copies× (df-capped bands against the persisted index)
+    "stream_curate_ingest", "stream_dedup_ingest")
   private val Passes = 2
 
   def main(args: Array[String]): Unit = {
