@@ -211,6 +211,18 @@ object Bench {
     // only the MOST RECENT run of each name.
     final case class StreamPass(total: Double, streamS: Double,
         batches: Seq[Double])
+    // one snapshot rule for standard passes AND retries: the phase
+    // maps hold only the MOST RECENT run of each name, so the split
+    // must be captured immediately after the timed run it belongs to
+    def snapshotStreamPass(name: String, t: Double): StreamPass = {
+      val ss = Option(
+          graft.queries.StreamQueries.streamPhaseSecs.get(name))
+        .map(_.doubleValue).getOrElse(0.0).min(t)
+      val bs = Option(
+          graft.queries.StreamQueries.streamBatchSecs.get(name))
+        .map(_.toSeq).getOrElse(Seq.empty[Double])
+      StreamPass(t, ss, bs)
+    }
     val streamPassRecords: Seq[(String, Option[StreamPass])] =
       (1 to StreamPasses).flatMap { pass =>
         // Between passes, drop the ingest SCENARIO caches (the timed
@@ -218,16 +230,7 @@ object Bench {
         // ingest row is a hot table read, not a stream.
         if (pass > 1) graft.queries.StreamQueries.resetScenarioCaches()
         streamSel.map { case (name, fn) =>
-          val rec = timeOnce(name, fn).map { t =>
-            val ss = Option(
-                graft.queries.StreamQueries.streamPhaseSecs.get(name))
-              .map(_.doubleValue).getOrElse(0.0).min(t)
-            val bs = Option(
-                graft.queries.StreamQueries.streamBatchSecs.get(name))
-              .map(_.toSeq).getOrElse(Seq.empty[Double])
-            StreamPass(t, ss, bs)
-          }
-          name -> rec
+          name -> timeOnce(name, fn).map(snapshotStreamPass(name, _))
         }
       }
     // Adaptive retry (streams): rows still over the gate after the
@@ -247,15 +250,7 @@ object Bench {
             minSoFar(acc.toSeq).exists(overGate(name, _))) {
           graft.queries.StreamQueries.resetScenarioCaches()
           settle()
-          timeOnce(name, fn).foreach { t =>
-            val ss = Option(
-                graft.queries.StreamQueries.streamPhaseSecs.get(name))
-              .map(_.doubleValue).getOrElse(0.0).min(t)
-            val bs = Option(
-                graft.queries.StreamQueries.streamBatchSecs.get(name))
-              .map(_.toSeq).getOrElse(Seq.empty[Double])
-            acc += StreamPass(t, ss, bs)
-          }
+          timeOnce(name, fn).foreach(t => acc += snapshotStreamPass(name, t))
           tries += 1
         }
         acc.toSeq.map(p => name -> (Some(p): Option[StreamPass]))

@@ -412,6 +412,7 @@ object Meta {
         val owner = java.util.UUID.randomUUID().toString
         val deadline = System.nanoTime() + acquireMs * 1000000L
         var acquired = false
+        var swept = false
         while (!acquired) {
           try {
             Files.createDirectories(lock.getParent)
@@ -433,7 +434,11 @@ object Meta {
               // keeps refreshing mtime, so it never reads expired.)
               if (expiredAt(lock))
                 captureAndDrop(lock, "reclaim", t => expiredAt(t))
-              sweepTombstones(lock.getParent)
+              // sweep ONCE per contended acquire, not per backoff
+              // iteration — metadata/ also holds every version file
+              // and manifest, and a 30 s acquire loop would otherwise
+              // re-list it thousands of times
+              if (!swept) { sweepTombstones(lock.getParent); swept = true }
               // every waiting path honors the acquire budget (a
               // reclaim whose deletes persistently fail must surface,
               // not busy-spin) and backs off
@@ -448,18 +453,33 @@ object Meta {
         // ACTIVE holder never crosses the reclaim horizon — without
         // this, any commit slower than ttlMs was reclaimed mid-commit
         // and two writers could publish concurrently on a store whose
-        // exclusive create can't backstop. Daemon thread; a refresh
-        // failure is tolerated (the dir may be mid-capture) and the
-        // next beat retries.
+        // exclusive create can't backstop. The beat is OWNER-CHECKED:
+        // it refreshes only while the lock still carries OUR stamp —
+        // a displaced holder's beat must not keep a successor's
+        // (possibly crashed) lock perpetually unexpired, which would
+        // defeat the TTL crash detection for every waiting writer.
+        // Foreign stamp → the beat stops for good; an unreadable stamp
+        // (mid-capture rename) skips this beat and re-checks next one.
+        // Daemon thread.
         val beat =
           if (!heartbeat) None
           else Some(new Thread(() => {
-            try while (true) {
-              Thread.sleep(math.max(ttlMs / 4, 1L))
-              try Files.setLastModifiedTime(lock,
-                java.nio.file.attribute.FileTime.fromMillis(
-                  System.currentTimeMillis()))
-              catch { case _: Exception => () }
+            try {
+              var mine = true
+              while (mine) {
+                Thread.sleep(math.max(ttlMs / 4, 1L))
+                try {
+                  if (new String(Files.readAllBytes(lock.resolve("owner")),
+                      StandardCharsets.UTF_8) == owner)
+                    Files.setLastModifiedTime(lock,
+                      java.nio.file.attribute.FileTime.fromMillis(
+                        System.currentTimeMillis()))
+                  else mine = false // displaced: never beat again
+                } catch { case _: Exception => () } // mid-capture: next beat
+                // (an interrupt during file IO surfaces as a closed-
+                // channel Exception with the interrupt flag preserved,
+                // so the next sleep() still exits the thread promptly)
+              }
             } catch { case _: InterruptedException => () }
           }, s"graft-dirlock-heartbeat-$owner"))
         beat.foreach { t => t.setDaemon(true); t.start() }

@@ -326,20 +326,23 @@ class ConcurrencySpec extends AnyFunSuite {
     // on a store without atomic exclusive create, two writers would
     // publish concurrently. The heartbeat refreshes mtime at ttl/4, so
     // an alive holder never reads expired no matter how slow its body.
-    val guard = new Meta.CommitGuard.DirLock(ttlMs = 300L, acquireMs = 600L)
+    // margins sized for a loaded CI box: the beat fires every ttl/4 =
+    // 375 ms, so only a >1.5 s scheduler starvation of the daemon
+    // thread could let the contender reclaim — not a 300 ms hiccup
+    val guard = new Meta.CommitGuard.DirLock(ttlMs = 1500L, acquireMs = 1000L)
     val loc = Files.createTempDirectory("hb-").resolve("t").toString
     Files.createDirectories(Meta.metadataDir(loc))
     val contenderFailed =
       new java.util.concurrent.atomic.AtomicReference[Throwable]()
     guard.withExclusive(loc) {
-      // hold 4x the TTL — a contender arriving mid-hold must time out
+      // hold 2x the TTL — a contender arriving mid-hold must time out
       // through the conflict path, NOT reclaim the live lock
       val contender = new Thread(() => {
         try guard.withExclusive(loc)(())
         catch { case e: Throwable => contenderFailed.set(e) }
       })
       contender.start()
-      Thread.sleep(1200L)
+      Thread.sleep(3200L)
       contender.join(5000L)
       assert(contenderFailed.get() != null &&
         contenderFailed.get().isInstanceOf[Meta.CommitConflictException],
@@ -349,6 +352,30 @@ class ConcurrencySpec extends AnyFunSuite {
     }
     // after release, the lock is free: a fresh acquire succeeds at once
     guard.withExclusive(loc)(())
+  }
+
+  test("heartbeat is owner-checked: a foreign stamp stops the beat") {
+    // A displaced holder's heartbeat must NOT keep refreshing the path
+    // — it would hold a successor's (possibly crashed) lock perpetually
+    // unexpired and defeat TTL crash detection for every waiting
+    // writer. Simulate displacement by re-stamping the held lock with
+    // a foreign owner: the beat must stop touching it for good.
+    val guard = new Meta.CommitGuard.DirLock(ttlMs = 800L, acquireMs = 500L)
+    val loc = Files.createTempDirectory("hbstop-").resolve("t").toString
+    Files.createDirectories(Meta.metadataDir(loc))
+    guard.withExclusive(loc) {
+      val lock = Meta.metadataDir(loc).resolve("commit.lock")
+      Files.write(lock.resolve("owner"), "successor".getBytes("UTF-8"))
+      // let any beat that already read OUR stamp land, and the next
+      // one observe the foreign stamp and stop (beat period = 200 ms)
+      Thread.sleep(500L)
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L)
+      Files.setLastModifiedTime(lock, old)
+      Thread.sleep(700L) // >3 beat periods
+      assert(Files.getLastModifiedTime(lock).toMillis == old.toMillis,
+        "a displaced holder's heartbeat must not refresh a foreign lock")
+    }
   }
 
   test("paused holder cannot publish: validatePublish rejects after " +
