@@ -897,6 +897,37 @@ class PipelineSpec extends AnyFunSuite {
       s"grid aggregate must combine map-side:\n${plan.take(1500)}")
   }
 
+  test("dedup_sql_text plan hygiene: no exchange carries document " +
+      "text; signatures combine map-side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false") // static plan pin
+      val plan = graft.queries.PipelineQueries
+        .dedupSqlText(s, graft.TestSpark.sf)
+        .queryExecution.executedPlan
+      // the SQL-text route must keep the typed route's scale shape:
+      // every wire carries 64-bit hashes / fixed 32-slot signatures /
+      // id pairs — never the documents' text
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        val cols = e.output.map(_.name.toLowerCase)
+        assert(!cols.exists(_.contains("text")),
+          s"an exchange carries document text: ${e.output.mkString(", ")}")
+      }
+      // the signature aggregate is the TypedImperativeAggregate with a
+      // map-side partial phase — one fixed-size buffer per doc on the
+      // wire, not a shingle list
+      val str = plan.toString
+      assert(str.contains("ObjectHashAggregate") &&
+        (str.contains("partial_minhash_sketch") ||
+          str.contains("partial minhash_sketch")),
+        s"minhash_sketch must combine map-side:\n${str.take(2000)}")
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("corpus diff: subset invariants hold and exact axes replay the " +
       "gate directly") {
     val r = Sketches.corpusDiff(docs).collect()
