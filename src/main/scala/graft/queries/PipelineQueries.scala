@@ -2437,6 +2437,12 @@ object PipelineQueries {
     * are unchanged (materialization is an evaluation strategy, not a
     * semantic).
     */
+  // Every exact-Jaccard pair join below carries the EXACT length-ratio
+  // band (J >= t forces t·max(|A|,|B|) <= |A∩B| <= min(|A|,|B|), so
+  // min >= t·max — PPJoin's length filter): pairs outside the band are
+  // pruned BEFORE their intersection is computed, with zero recall
+  // loss. At sf0.1 this keeps the all-pairs oracles inside the
+  // standard sweep cap (r12 needed a 7200 s special case).
   private[queries] val PretrainChainCtes: String =
     """WITH w AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
@@ -2449,10 +2455,15 @@ object PipelineQueries {
                AS sh
            FROM w),
          p AS MATERIALIZED (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sh AS sha, b.sh AS shb
+             FROM sh a JOIN sh b
+               ON a.doc_id < b.doc_id
+              AND len(a.sh) <= 2 * len(b.sh)
+              AND len(b.sh) <= 2 * len(a.sh))
+           WHERE len(list_intersect(sha, shb))::DOUBLE /
+                 (len(sha) + len(shb) - len(list_intersect(sha, shb)))
                  >= 0.5),
          kept1 AS MATERIALIZED (
            SELECT d.doc_id FROM documents d
@@ -2967,13 +2978,18 @@ object PipelineQueries {
                i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
                AS sh
            FROM w)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         SELECT id_a, id_b,
+                round(len(list_intersect(sha, shb))::DOUBLE /
+                  (len(sha) + len(shb) - len(list_intersect(sha, shb))),
                   6) AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sh AS sha, b.sh AS shb
+               FROM s a JOIN s b
+                 ON a.doc_id < b.doc_id
+                AND 3 * len(a.sh) <= 5 * len(b.sh)
+                AND 3 * len(b.sh) <= 5 * len(a.sh))
+         WHERE len(list_intersect(sha, shb))::DOUBLE /
+               (len(sha) + len(shb) - len(list_intersect(sha, shb)))
                >= 0.6
          ORDER BY id_a, id_b""",
     // MinHash LSH is approximate, but at verify scale its banded recall
@@ -2990,13 +3006,18 @@ object PipelineQueries {
                i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
                AS sh
            FROM w)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         SELECT id_a, id_b,
+                round(len(list_intersect(sha, shb))::DOUBLE /
+                  (len(sha) + len(shb) - len(list_intersect(sha, shb))),
                   6) AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sh AS sha, b.sh AS shb
+               FROM s a JOIN s b
+                 ON a.doc_id < b.doc_id
+                AND len(a.sh) <= 2 * len(b.sh)
+                AND len(b.sh) <= 2 * len(a.sh))
+         WHERE len(list_intersect(sha, shb))::DOUBLE /
+               (len(sha) + len(shb) - len(list_intersect(sha, shb)))
                >= 0.5
          ORDER BY id_a, id_b""",
     // Exact all-pairs Jaccard restricted to pairs touching the batch
@@ -3013,16 +3034,20 @@ object PipelineQueries {
                i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
                AS sh
            FROM w)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         SELECT id_a, id_b,
+                round(len(list_intersect(sha, shb))::DOUBLE /
+                  (len(sha) + len(shb) - len(list_intersect(sha, shb))),
                   6) AS jaccard
-         FROM s a JOIN s b
-           ON b.doc_id % 5 = 4
-          AND ((a.doc_id % 5 <> 4 AND a.doc_id <> b.doc_id)
-               OR (a.doc_id % 5 = 4 AND a.doc_id < b.doc_id))
-         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sh AS sha, b.sh AS shb
+               FROM s a JOIN s b
+                 ON b.doc_id % 5 = 4
+                AND ((a.doc_id % 5 <> 4 AND a.doc_id <> b.doc_id)
+                     OR (a.doc_id % 5 = 4 AND a.doc_id < b.doc_id))
+                AND len(a.sh) <= 2 * len(b.sh)
+                AND len(b.sh) <= 2 * len(a.sh))
+         WHERE len(list_intersect(sha, shb))::DOUBLE /
+               (len(sha) + len(shb) - len(list_intersect(sha, shb)))
                >= 0.5
          ORDER BY id_a, id_b""",
     // Transitive closure of the exact Jaccard graph via a recursive
@@ -4036,13 +4061,18 @@ object PipelineQueries {
                i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
                AS sh
            FROM w)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         SELECT id_a, id_b,
+                round(len(list_intersect(sha, shb))::DOUBLE /
+                  (len(sha) + len(shb) - len(list_intersect(sha, shb))),
                   6) AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sh AS sha, b.sh AS shb
+               FROM s a JOIN s b
+                 ON a.doc_id < b.doc_id
+                AND len(a.sh) <= 2 * len(b.sh)
+                AND len(b.sh) <= 2 * len(a.sh))
+         WHERE len(list_intersect(sha, shb))::DOUBLE /
+               (len(sha) + len(shb) - len(list_intersect(sha, shb)))
                >= 0.5
          ORDER BY id_a, id_b""",
     // The IVF graph replayed index-and-all (the shared nlist=16 fit
@@ -4800,10 +4830,15 @@ object PipelineQueries {
                       ' ')))
                   AS sh
                 FROM w),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         p AS (SELECT id_a, id_b FROM (
+                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sh AS sha, b.sh AS shb
+                 FROM sh a JOIN sh b
+                   ON a.doc_id < b.doc_id
+                  AND len(a.sh) <= 2 * len(b.sh)
+                  AND len(b.sh) <= 2 * len(a.sh))
+               WHERE len(list_intersect(sha, shb))::DOUBLE /
+                     (len(sha) + len(shb) - len(list_intersect(sha, shb)))
                      >= 0.5),
          e AS (SELECT id_a AS a, id_b AS b FROM p
                UNION SELECT id_b, id_a FROM p),
@@ -5207,13 +5242,18 @@ object PipelineQueries {
                i -> array_to_string(words[i:least(i+2, len(words))], ' ')))
                AS sh
            FROM w)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         SELECT id_a, id_b,
+                round(len(list_intersect(sha, shb))::DOUBLE /
+                  (len(sha) + len(shb) - len(list_intersect(sha, shb))),
                   6) AS jaccard
-         FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sh AS sha, b.sh AS shb
+               FROM s a JOIN s b
+                 ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                AND 3 * len(a.sh) <= 5 * len(b.sh)
+                AND 3 * len(b.sh) <= 5 * len(a.sh))
+         WHERE len(list_intersect(sha, shb))::DOUBLE /
+               (len(sha) + len(shb) - len(list_intersect(sha, shb)))
                >= 0.6
          ORDER BY id_a, id_b""",
     "sample_shard_export" ->
