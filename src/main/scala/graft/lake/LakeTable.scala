@@ -274,6 +274,85 @@ class LakeTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** DELETE by key set — the public Iceberg v2/v3 EQUALITY-delete shape
+    * (the reference script exercises only position deletes/deletion
+    * vectors, `sql:137,228,240`; this is the delete form streaming CDC
+    * writers like Flink emit). `keys` carries the key column values
+    * (CURRENT names); every table row whose key null-safe-equals a key
+    * row AND whose `_last_updated_seq` predates this commit is deleted.
+    *
+    * MoR writes ONLY a key-set-sized equality-delete file — no table
+    * read, no data rewrite: O(keys) commit cost regardless of table
+    * size, which is the whole point of equality deletes at 100 TB (a
+    * position delete must first FIND the rows; a CDC writer can't
+    * afford that per batch). The scan applies it as a broadcast
+    * anti-join (`Scan.readEntries`). CoW rewrites only the files whose
+    * stats intersect the key set's bounding box AND that actually
+    * contain a matching row — same two-stage pruning as [[delete]].
+    */
+  def deleteByKeys(keys: DataFrame, keyCols: Seq[String],
+      branch: String = "main"): Option[Snapshot] =
+      withCommitRetry("DELETE (equality)") {
+    val m = meta
+    require(Scan.rowLineageEnabled(m), "equality delete requires row lineage")
+    val target = m.currentSchema.struct
+    val fieldIds = keyCols.map { c =>
+      target.fields.find(_.name == c).map(SchemaEvolution.fieldId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"equality delete key '$c' is not a table column"))
+    }
+    val seq = m.lastSequenceNumber + 1
+    if (mergeMode == "merge-on-read") {
+      Writer.writeEqualityDeleteFile(keys, keyCols, fieldIds,
+        location, seq) match {
+        case None => None
+        case Some(entry) => Some(commitSnapshot(m, "delete",
+          Manifest(Nil, List(entry), Nil, Nil), branch, 0))
+      }
+    } else {
+      // CoW: prune candidate files by the key set's bounding box (one
+      // metadata-sized agg over the key set), then rewrite only files
+      // that actually contain a matching row — the key set broadcasts
+      // in both the hit-detection and the survivor anti-join.
+      keys.persist()
+      try {
+        val (files, dels) = liveOf(m, branch)
+        val boundsAggs = keyCols.flatMap(k =>
+          Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
+        val b = keys.agg(boundsAggs.head, boundsAggs.tail: _*).head()
+        val bounds = keyCols.map(k =>
+          (b.getAs[Any](s"_mn_$k"), b.getAs[Any](s"_mx_$k")))
+        val candidates =
+          if (bounds.exists { case (mn, mx) => mn == null || mx == null }) Nil
+          else Scan.pruneFiles(m, files, Some(
+            keyCols.zip(bounds).map { case (k, (mn, mx)) =>
+              col(k) >= lit(mn) && col(k) <= lit(mx)
+            }.reduce(_ && _)))
+        if (candidates.isEmpty) return None
+        val keyDf = broadcast(keys.select(keyCols.map(c =>
+          col(c).as(s"_k_$c")): _*).distinct())
+        def keyEq(df: DataFrame) = keyCols.map(c =>
+          df(c) <=> keyDf(s"_k_$c")).reduce(_ && _)
+        val withPath = Scan.readEntries(spark, m, candidates, dels,
+          withPath = true)
+        val hitNames = withPath.join(keyDf, keyEq(withPath), "left_semi")
+          .select(Scan.GraftPath).distinct().collect()
+          .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+          .toSet
+        val affected = candidates.filter(e =>
+          hitNames.contains(e.path.stripPrefix("data/")))
+        if (affected.isEmpty) return None
+        val all = Scan.readEntries(spark, m, affected, dels)
+        val survivors = all.join(keyDf, keyEq(all), "left_anti")
+        val entries = Writer.writeDataFiles(survivors, location,
+          m.defaultSpec, m.currentSchemaId, seq, sortedBy(m), writeOpts(m))
+        Some(commitSnapshot(m, "delete",
+          Manifest(entries.toList, Nil, affected.map(_.path).toList, Nil),
+          branch, 0))
+      } finally keys.unpersist()
+    }
+  }
+
   /** UPDATE … SET … WHERE (`sql:129,241`): preserves `$row_id`, bumps
     * `$last_updated_sequence_number` (v3 row lineage, `sql:133-135`).
     */
@@ -609,26 +688,55 @@ class LakeTable(val spark: SparkSession, val location: String) {
 
         val preimage: Option[DataFrame] =
           if (mf.addedDeletes.nonEmpty) {
-            // MoR deletes: join parent state against the new delete ids.
-            // Deletion vectors are metadata-sized → take their row-id
-            // bounds first and prune parent files whose _row_id stats
-            // can't overlap — the preimage scan touches only files that
-            // actually lost rows, not the whole parent snapshot.
             val (pData, pDels) = parentLive.getOrElse((Nil, Nil))
-            val delDf = broadcast(spark.read.parquet(
-              mf.addedDeletes.map(d => s"$location/${d.path}"): _*))
-            val b = delDf.agg(min(col("_del_row_id")), max(col("_del_row_id")))
-              .head()
-            val (lo, hi) = (b.getLong(0), b.getLong(1))
-            val prunedParent = pData.filter { f =>
-              f.stats.get(RowId).forall { st =>
-                st.min.forall(_.toLong <= hi) && st.max.forall(_.toLong >= lo)
+            val (eqDels, posDels) =
+              mf.addedDeletes.partition(_.content == "equality")
+            // Position deletes: join parent state against the new
+            // delete ids. Deletion vectors are metadata-sized → take
+            // their row-id bounds first and prune parent files whose
+            // _row_id stats can't overlap — the preimage scan touches
+            // only files that actually lost rows, not the whole parent
+            // snapshot.
+            val posPre: Option[DataFrame] = if (posDels.isEmpty) None else {
+              val delDf = broadcast(spark.read.parquet(
+                posDels.map(d => s"$location/${d.path}"): _*))
+              val b = delDf.agg(min(col("_del_row_id")), max(col("_del_row_id")))
+                .head()
+              val (lo, hi) = (b.getLong(0), b.getLong(1))
+              val prunedParent = pData.filter { f =>
+                f.stats.get(RowId).forall { st =>
+                  st.min.forall(_.toLong <= hi) && st.max.forall(_.toLong >= lo)
+                }
               }
+              val parent = Scan.readEntries(spark, m, prunedParent, pDels)
+              Some(parent.join(delDf,
+                parent(RowId) === delDf("_del_row_id") &&
+                  parent(LastUpdatedSeq) < delDf("_del_seq"), "left_semi"))
             }
-            val parent = Scan.readEntries(spark, m, prunedParent, pDels)
-            Some(parent.join(delDf,
-              parent(RowId) === delDf("_del_row_id") &&
-                parent(LastUpdatedSeq) < delDf("_del_seq"), "left_semi"))
+            // Equality deletes: the preimage is the parent rows whose
+            // key null-safe-equals a delete-file row (same semi-join
+            // the scan path uses as anti-join). Key-set files are
+            // CDC-batch-sized → broadcast; parent files are pruned by
+            // the key columns' stats via the ordinary pruneFiles path.
+            val eqPres: Seq[DataFrame] =
+              eqDels.groupBy(_.equalityIds).toSeq.map { case (ids, fs) =>
+                val names = ids.map { id =>
+                  m.currentSchema.struct.fields
+                    .find(f => SchemaEvolution.fieldId(f) == id)
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"equality delete references dropped field id $id"))
+                    .name
+                }
+                val delDf = broadcast(spark.read.parquet(
+                  fs.map(d => s"$location/${d.path}"): _*))
+                val parent = Scan.readEntries(spark, m, pData, pDels)
+                val keyEq = ids.zip(names).map { case (id, n) =>
+                  parent(n) <=> delDf(s"k_$id") }.reduce(_ && _)
+                parent.join(delDf,
+                  keyEq && parent(LastUpdatedSeq) < delDf("_del_seq"),
+                  "left_semi")
+              }
+            (posPre.toSeq ++ eqPres).reduceOption(_ unionByName _)
           } else if (mf.removedDataPaths.nonEmpty) {
             // CoW rewrite: pre = removed files' rows (deletes applied).
             val (pData, pDels) = parentLive.getOrElse((Nil, Nil))

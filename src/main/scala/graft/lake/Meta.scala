@@ -65,13 +65,30 @@ object Meta {
       stats: Map[String, ColumnStats],
       dataSeq: Long)
 
-  /** A deletion-vector file: parquet of (_row_id, _del_seq). A delete
-    * entry hits a data row iff row._last_updated_seq < entry._del_seq —
-    * rows (re)written in the same or a later commit are immune, which is
-    * what makes MoR UPDATE (delete-old + rewrite-new with the same
-    * `$row_id`) correct. (`sql:129-143`)
+  /** A delete file. Two contents, mirroring the public Iceberg v2/v3
+    * spec's delete-file taxonomy:
+    *
+    *  - `content = "position"` — a deletion vector: parquet of
+    *    (_row_id, _del_seq). Hits a data row iff
+    *    row._last_updated_seq < entry._del_seq — rows (re)written in
+    *    the same or a later commit are immune, which is what makes MoR
+    *    UPDATE (delete-old + rewrite-new with the same `$row_id`)
+    *    correct. (`sql:129-143`)
+    *  - `content = "equality"` — an equality delete (the shape
+    *    streaming CDC writers emit: delete-by-key WITHOUT reading the
+    *    table): parquet of the key columns (named `k_<fieldId>`, so the
+    *    mapping survives column renames) plus `_del_seq`;
+    *    `equalityIds` lists the key field ids. Hits a data row iff the
+    *    row's key values null-safe-equal a delete row's AND
+    *    row._last_updated_seq < _del_seq — same sequence-number
+    *    immunity rule as position deletes, so a row re-inserted after
+    *    the delete survives.
+    *
+    * Both fields default for manifests written before equality deletes
+    * existed (json4s fills constructor defaults on missing fields).
     */
-  case class DeleteFileEntry(path: String, recordCount: Long, dataSeq: Long)
+  case class DeleteFileEntry(path: String, recordCount: Long, dataSeq: Long,
+      content: String = "position", equalityIds: List[Int] = Nil)
 
   /** An immutable manifest: the delta one commit contributed. */
   case class Manifest(
@@ -469,12 +486,30 @@ object Meta {
               while (mine) {
                 Thread.sleep(math.max(ttlMs / 4, 1L))
                 try {
-                  if (new String(Files.readAllBytes(lock.resolve("owner")),
-                      StandardCharsets.UTF_8) == owner)
+                  def stamped: Boolean =
+                    new String(Files.readAllBytes(lock.resolve("owner")),
+                      StandardCharsets.UTF_8) == owner
+                  if (stamped) {
+                    val prior = Files.getLastModifiedTime(lock)
                     Files.setLastModifiedTime(lock,
                       java.nio.file.attribute.FileTime.fromMillis(
                         System.currentTimeMillis()))
-                  else mine = false // displaced: never beat again
+                    // Read-then-touch race: if the lock was reclaimed
+                    // AND re-acquired between the stamp read and the
+                    // touch, the touch just refreshed the SUCCESSOR's
+                    // dir — extending a possibly-crashed successor's
+                    // TTL horizon by up to one window. Re-read after
+                    // the touch; on mismatch restore the pre-touch
+                    // mtime (at worst it backdates the successor by
+                    // ≤ one beat period — conservative: it can only
+                    // SHORTEN a crashed successor's reclaim horizon,
+                    // never extend it) and stop beating for good.
+                    if (!stamped) {
+                      try Files.setLastModifiedTime(lock, prior)
+                      catch { case _: Exception => () }
+                      mine = false
+                    }
+                  } else mine = false // displaced: never beat again
                 } catch { case _: Exception => () } // mid-capture: next beat
                 // (an interrupt during file IO surfaces as a closed-
                 // channel Exception with the interrupt flag preserved,

@@ -74,7 +74,8 @@ object MetaTables {
   }
 
   /** `$files` (`sql:79,141-143,207`): current snapshot's live files —
-    * data (content=0) and deletion vectors (content=1).
+    * data (content=0), position deletes/deletion vectors (content=1),
+    * equality deletes (content=2) — Iceberg's content taxonomy.
     */
   def files(spark: SparkSession, m: TableMetadata): DataFrame = {
     import spark.implicits._
@@ -82,7 +83,9 @@ object MetaTables {
     val (data, dels) = live.getOrElse((Nil, Nil))
     val dataRows = data.map(f => (0, f.path, "PARQUET", f.recordCount,
       f.sizeBytes, f.specId, renderPartition(m, f), f.dataSeq))
-    val delRows = dels.map(d => (1, d.path, "PARQUET", d.recordCount,
+    val delRows = dels.map(d => (
+      if (d.content == "equality") 2 else 1,
+      d.path, "PARQUET", d.recordCount,
       java.nio.file.Files.size(java.nio.file.Paths.get(m.location, d.path)),
       -1, "", d.dataSeq))
     (dataRows ++ delRows)

@@ -105,12 +105,38 @@ object Scan {
     }
     var df = parts.reduce(_ unionByName _)
     if (applyDeletes && deletes.nonEmpty && lineage) {
-      val delDf = broadcast(spark.read
-        .parquet(deletes.map(d => s"${meta.location}/${d.path}"): _*))
-      df = df.join(delDf,
-        df(RowId) === delDf("_del_row_id") &&
-          df(LastUpdatedSeq) < delDf("_del_seq"),
-        "left_anti")
+      val (eqDels, posDels) = deletes.partition(_.content == "equality")
+      if (posDels.nonEmpty) {
+        val delDf = broadcast(spark.read
+          .parquet(posDels.map(d => s"${meta.location}/${d.path}"): _*))
+        df = df.join(delDf,
+          df(RowId) === delDf("_del_row_id") &&
+            df(LastUpdatedSeq) < delDf("_del_seq"),
+          "left_anti")
+      }
+      // Equality deletes (Iceberg v2/v3 delete shape): anti-join on
+      // null-safe key equality, gated by the same sequence rule as
+      // position deletes (row seq < delete seq → hit; a row
+      // re-inserted after the delete is immune). Delete files are
+      // key-set-sized (CDC batches), so the delete side broadcasts —
+      // the data side never shuffles, same plan shape as deletion
+      // vectors. Files are grouped by key-id set so mixed-key-history
+      // tables still read in one pass per distinct key set.
+      eqDels.groupBy(_.equalityIds).foreach { case (ids, files) =>
+        val names = ids.map { id =>
+          target.fields.find(f => SchemaEvolution.fieldId(f) == id)
+            .getOrElse(throw new IllegalArgumentException(
+              s"equality delete references dropped field id $id"))
+            .name
+        }
+        val delDf = broadcast(spark.read
+          .parquet(files.map(d => s"${meta.location}/${d.path}"): _*))
+        val keyEq = ids.zip(names).map { case (id, n) =>
+          df(n) <=> delDf(s"k_$id")
+        }.reduce(_ && _)
+        df = df.join(delDf,
+          keyEq && df(LastUpdatedSeq) < delDf("_del_seq"), "left_anti")
+      }
     }
     df
   }

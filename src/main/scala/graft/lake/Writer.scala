@@ -154,6 +154,44 @@ object Writer {
     } finally deleteRecursively(tmp)
   }
 
+  /** Write an equality-delete file (public Iceberg v2/v3 delete shape —
+    * the one streaming CDC writers emit): parquet of the key columns
+    * plus `_del_seq`, under `location/deletes`. Key columns are stored
+    * under field-id-derived names (`k_<fieldId>`) so the scan-side
+    * mapping survives later column renames, mirroring Iceberg's
+    * field-id-based delete resolution. `keyed` must expose the key
+    * columns under their CURRENT names, in `fieldIds` order.
+    *
+    * Scale shape: an equality delete never reads the table — the file
+    * is key-set-sized (a CDC batch, not a corpus), deduplicated and
+    * coalesced to one file per commit like position deletes.
+    */
+  def writeEqualityDeleteFile(keyed: DataFrame, keyCols: Seq[String],
+      fieldIds: Seq[Int], location: String, seq: Long)
+      : Option[DeleteFileEntry] = {
+    val spark = keyed.sparkSession
+    val tmp = Files.createTempDirectory(Paths.get(location), ".stage-del-")
+    try {
+      keyed
+        .select(keyCols.zip(fieldIds).map { case (c, id) =>
+          col(c).as(s"k_$id") }: _*)
+        .distinct() // a key deletes once; duplicates only bloat the file
+        .withColumn("_del_seq", lit(seq).cast(LongType))
+        .coalesce(1) // key sets are CDC-batch-sized; one file per commit
+        .write.mode("overwrite").parquet(tmp.toString)
+      val staged = collectParquet(tmp)
+      if (staged.isEmpty) return None
+      val delDir = Paths.get(location, "deletes")
+      Files.createDirectories(delDir)
+      val name = s"eq$seq-${UUID.randomUUID.toString.take(8)}.parquet"
+      Files.move(staged.head, delDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val (rows, _, _) = footerStats(spark, delDir.resolve(name).toString)
+      if (rows == 0) { Files.delete(delDir.resolve(name)); None }
+      else Some(DeleteFileEntry(s"deletes/$name", rows, seq,
+        content = "equality", equalityIds = fieldIds.toList))
+    } finally deleteRecursively(tmp)
+  }
+
   // ---- helpers --------------------------------------------------------
 
   private def collectParquet(dir: Path): Seq[Path] =

@@ -62,6 +62,117 @@ object Multimodal {
         math.min(content.length, targetW * targetH))
   }
 
+  /** Executable [[BlobCodec]] conformance check — the contract the
+    * trait scaladoc states, runnable by a production implementer
+    * BEFORE [[setCodec]] (no Spark session needed; pure JVM). Returns
+    * violations (empty = conformant). Laws checked:
+    *
+    *  1. dim contract — `features(c, d).length == d` for every probed
+    *     payload (including empty) and dim;
+    *  2. finiteness — no NaN/Infinity feature values (the dedup and
+    *     ANN layers above take cosines over these; one NaN poisons a
+    *     whole centroid);
+    *  3. determinism — repeated `features`/`resize` calls on the same
+    *     input are element-identical (the curation ledger and the
+    *     dhash banding hash outputs; nondeterminism breaks re-runs);
+    *  4. thread-safety — concurrent calls from many threads on the
+    *     SHARED instance agree with the single-threaded reference
+    *     (one instance serves all executor tasks in a JVM);
+    *  5. optional resize byte-count law — when the implementation
+    *     documents one (the [[StubCodec]] keeps `min(len, w·h)`
+    *     bytes), outputs must obey it for every probed geometry.
+    *
+    * `BlobCodecContractSpec` drives this against [[StubCodec]] and the
+    * test fakes; a deployment runs `validateCodec(myCodec)` in its own
+    * test suite with its real payloads via `probes`.
+    */
+  def validateCodec(c: BlobCodec,
+      probes: Seq[Array[Byte]] = defaultProbes,
+      dims: Seq[Int] = Seq(1, 4, 16, 64),
+      geometries: Seq[(Int, Int)] = Seq((1, 1), (8, 8), (64, 32)),
+      resizeByteLaw: Option[(Int, Int, Int) => Int] = None,
+      threads: Int = 8): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def label(i: Int) = s"probe#$i(${probes(i).length}B)"
+    // laws 1-3 single-threaded, and capture the reference outputs
+    val featRef = probes.zipWithIndex.flatMap { case (p, i) =>
+      dims.map { d =>
+        val a = c.features(p, d)
+        if (a == null || a.length != d)
+          out += s"dim contract: features(${label(i)}, $d) returned " +
+            s"${Option(a).map(_.length.toString).getOrElse("null")}"
+        else {
+          if (a.exists(f => f.isNaN || f.isInfinite))
+            out += s"finiteness: features(${label(i)}, $d) has NaN/Inf"
+          if (!java.util.Arrays.equals(c.features(p, d), a))
+            out += s"determinism: features(${label(i)}, $d) differs on re-call"
+        }
+        (i, d) -> a
+      }
+    }.toMap
+    val rzRef = probes.zipWithIndex.flatMap { case (p, i) =>
+      geometries.map { case (w, h) =>
+        val b = c.resize(p, w, h)
+        if (b == null) out += s"resize(${label(i)}, $w, $h) returned null"
+        else {
+          if (!java.util.Arrays.equals(c.resize(p, w, h), b))
+            out += s"determinism: resize(${label(i)}, $w, $h) differs on re-call"
+          resizeByteLaw.foreach { law =>
+            val want = law(p.length, w, h)
+            if (b.length != want)
+              out += s"byte-count law: resize(${label(i)}, $w, $h) wrote " +
+                s"${b.length}B, law says ${want}B"
+          }
+        }
+        (i, w, h) -> b
+      }
+    }.toMap
+    if (out.isEmpty) {
+      // law 4: hammer the shared instance; every result must equal the
+      // single-threaded reference (a per-instance mutable codec context
+      // fails here — the scaladoc demands those live per-call/ThreadLocal)
+      val errs = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val tasks = (0 until threads * 4).map { k =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val i = k % probes.length
+              dims.foreach { d =>
+                if (!java.util.Arrays.equals(
+                    c.features(probes(i), d), featRef((i, d))))
+                  errs.add(s"thread-safety: features(${label(i)}, $d) " +
+                    "diverged under concurrency")
+              }
+              geometries.foreach { case (w, h) =>
+                if (!java.util.Arrays.equals(
+                    c.resize(probes(i), w, h), rzRef((i, w, h))))
+                  errs.add(s"thread-safety: resize(${label(i)}, $w, $h) " +
+                    "diverged under concurrency")
+              }
+            }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      out ++= errs.asScala.distinct
+    }
+    out.toSeq
+  }
+
+  /** Default conformance probes: empty, tiny, text-like, binary-ish,
+    * and a larger repetitive payload — the byte shapes the offline
+    * harness feeds the codec.
+    */
+  def defaultProbes: Seq[Array[Byte]] = Seq(
+    Array.empty[Byte],
+    Array[Byte](0),
+    "a small text payload standing in for encoded media".getBytes("UTF-8"),
+    Array.tabulate(257)(i => (i * 131 % 256 - 128).toByte),
+    Array.fill(8192)(42.toByte))
+
   @volatile private var codec: BlobCodec = StubCodec
 
   /** Install a deployment's real codec (process-wide, before building

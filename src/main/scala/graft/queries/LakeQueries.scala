@@ -75,6 +75,28 @@ object LakeQueries {
     t.read().orderBy("custkey")
   }
 
+  /** Equality-delete MoR (public Iceberg v2/v3 delete shape — the form
+    * streaming CDC writers emit; the reference script exercises only
+    * position deletes). Deletes by KEY SET without reading the table,
+    * then re-appends a subset of the deleted keys — the re-appended
+    * rows carry a later sequence number, so the equality delete must
+    * NOT hit them (sequence-immunity, the rule that makes
+    * delete-then-reinsert CDC streams converge).
+    */
+  def equalityDelete(s: SparkSession, d: String): DataFrame = {
+    val t = scenario("eqdel", d) { loc =>
+      val src = customerDf(s, d)
+      val t0 = LakeTable.create(s, loc, Right(src),
+        properties = Map("merge_mode" -> "merge-on-read"))
+      t0.deleteByKeys(
+        src.filter(col("custkey") % 7 === 0).select("custkey"),
+        Seq("custkey"))
+      t0.append(src.filter(col("custkey") % 14 === 0))
+      t0
+    }
+    t.read().orderBy("custkey")
+  }
+
   /** CoW UPDATE+DELETE (`sql:25` copy-on-write mode). */
   def cowDml(s: SparkSession, d: String): DataFrame = {
     val t = scenario("cowdml", d) { loc =>
@@ -845,6 +867,7 @@ object LakeQueries {
     "lake_ctas_select"     -> ctasSelect _,
     "lake_mor_update"      -> morUpdate _,
     "lake_mor_delete"      -> morDelete _,
+    "lake_equality_delete" -> equalityDelete _,
     "lake_cow_dml"         -> cowDml _,
     "lake_merge_upsert"    -> mergeUpsert _,
     "lake_time_travel"     -> timeTravel _,
@@ -910,6 +933,13 @@ object LakeQueries {
       """SELECT c_custkey AS custkey, c_name AS name,
                 c_acctbal AS account_balance, c_mktsegment AS mktsegment
          FROM customer WHERE c_custkey % 10 <> 0 ORDER BY custkey""",
+    // survivors = keys not deleted, plus the re-appended half of the
+    // deleted keys (identical values, later sequence → immune)
+    "lake_equality_delete" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                c_acctbal AS account_balance, c_mktsegment AS mktsegment
+         FROM customer WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
+         ORDER BY custkey""",
     "lake_cow_dml" ->
       """SELECT c_custkey AS custkey, c_name AS name,
                 CASE WHEN c_custkey < 10 THEN 1000.0 ELSE c_acctbal END

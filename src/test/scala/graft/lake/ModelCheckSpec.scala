@@ -45,7 +45,7 @@ class ModelCheckSpec extends AnyFunSuite {
     }
 
     (1 to nOps).foreach { i =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // append
           val rows = freshRows(1 + rnd.nextInt(5))
           t.append(rows.toDF("id", "v", "tag"))
@@ -86,6 +86,12 @@ class ModelCheckSpec extends AnyFunSuite {
           model ++= srcRows.map(r => r._1 -> (r._2, r._3))
           history += t.meta.currentSnapshotId.getOrElse(-1L) -> model
           check(s"op$i merge upsert ${srcRows.map(_._1)}")
+        case 6 => // equality delete by key set (no table read in MoR)
+          val ids = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(4))
+          t.deleteByKeys(ids.toDF("id"), Seq("id"))
+          model --= ids
+          history += t.meta.currentSnapshotId.getOrElse(-1L) -> model
+          check(s"op$i deleteByKeys $ids")
       }
     }
   }
