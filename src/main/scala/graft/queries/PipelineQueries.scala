@@ -740,6 +740,68 @@ object PipelineQueries {
       ORDER BY id_a, id_b""")
   }
 
+  /** The FULL curation chain driven from PURE SQL TEXT (r13 verdict
+    * #6 — the `dedup_sql_text` pattern applied to [[pipelineCurate]]):
+    * blocklist → exact dedup → quality gate (the same four-signal
+    * score, bit-identical arithmetic order) → stratified md5-bucket
+    * downsample → per-(lang, source) accounting, as ONE statement over
+    * built-ins. Identical semantics to the typed route, so it shares
+    * `pipeline_curate`'s DuckDB oracle verbatim.
+    *
+    * Scale shape — BETTER than or equal to the typed route's three
+    * exchanges: every per-row signal (text hash, quality score, token
+    * count, sample bucket) is computed in the SCAN stage and the text
+    * column is projected away before any exchange, so the dedup
+    * window's exchange carries id-width rows (the typed route's
+    * semi-join probe side re-shuffles the text). Wire content is
+    * pinned by PipelineSpec ("pipeline_curate_sql plan hygiene").
+    */
+  def pipelineCurateSql(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs")
+    s.sql("""
+      WITH narrow AS (
+        SELECT doc_id, lang, source, md5(text) AS th,
+               CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS toks,
+               round(
+                 CAST(length(text) >= 100 AND length(text) <= 20000
+                      AS DOUBLE) * 0.3 +
+                 CAST(CAST(size(filter(split(trim(lower(text)), '\\s+'),
+                        w -> array_contains(array('the','a','an','and',
+                          'or','of','to','in','is','it','that','for','on',
+                          'with','as','at','by'), w))) AS DOUBLE)
+                      / greatest(CAST(size(split(trim(lower(text)),
+                          '\\s+')) AS DOUBLE), 1.0D) >= 0.01D
+                      AS DOUBLE) * 0.3 +
+                 CAST(CAST(size(regexp_extract_all(text,
+                        '[^A-Za-z0-9\\s]', 0)) AS DOUBLE)
+                      / greatest(CAST(length(text) AS DOUBLE), 1.0D)
+                        <= 0.2D AS DOUBLE) * 0.2 +
+                 CAST(aggregate(split(trim(lower(text)), '\\s+'), 0.0D,
+                        (acc, w) -> acc + length(w))
+                      / greatest(CAST(size(split(trim(lower(text)),
+                          '\\s+')) AS DOUBLE), 1.0D)
+                        BETWEEN 2.0D AND 12.0D AS DOUBLE) * 0.2,
+                 2) AS q,
+               pmod(CAST(conv(substring(md5(concat('graft:',
+                      CAST(doc_id AS STRING))), 18, 15), 16, 10)
+                    AS BIGINT), 100) AS bucket
+        FROM graft_sql_docs
+        WHERE source IS NULL OR source NOT IN ('src3','src7','src11')),
+      dedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY th
+                      ORDER BY doc_id) AS rn
+          FROM narrow) WHERE rn = 1),
+      kept AS (
+        SELECT * FROM dedup
+        WHERE q >= 0.8
+          AND bucket < CASE WHEN lang = 'en' THEN 30
+                            WHEN lang = 'de' THEN 60 ELSE 100 END)
+      SELECT lang, source, count(1) AS n_docs, sum(toks) AS n_tokens
+      FROM kept GROUP BY lang, source
+      ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST""")
+  }
+
   /** 3-iteration damped PageRank over the kNN graph — semantic
     * centrality for coreset selection / diversity weighting.
     */
@@ -2019,6 +2081,7 @@ object PipelineQueries {
     "text_lm_score_persisted" -> textLmScorePersisted _,
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "pipeline_curate"      -> pipelineCurate _,
+    "pipeline_curate_sql"  -> pipelineCurateSql _,
     "pipeline_attrition"   -> pipelineAttrition _,
     "pipeline_curate_neardup" -> pipelineCurateNearDup _,
     "pipeline_pretrain"    -> pipelinePretrain _,
@@ -2857,7 +2920,14 @@ object PipelineQueries {
          FROM best b JOIN documents d USING (doc_id)
          WHERE rn = 1 ORDER BY doc_id"""
 
-  val oracleSql: Map[String, String] = Map(
+  /** The SQL-text curate route is semantics-identical to the typed
+    * chain, so it shares `pipeline_curate`'s oracle verbatim (appended
+    * below the literal — one definition, zero drift risk).
+    */
+  val oracleSql: Map[String, String] = oracleSqlBase +
+    ("pipeline_curate_sql" -> oracleSqlBase("pipeline_curate"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "sim_topk_matryoshka" -> MatryoshkaOracle,
     // Full Artetxe–Schwenk replay from all-pairs cosines: forward/
     // backward top-4 neighborhood averages, ratio margin, forward-best

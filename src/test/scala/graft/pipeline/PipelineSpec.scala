@@ -928,6 +928,36 @@ class PipelineSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("pipeline_curate_sql plan hygiene: no exchange carries text; " +
+      "exchange count <= the typed route's") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = s.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false") // static plan pin
+      def shuffles(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e }
+      val sqlRoute = shuffles(graft.queries.PipelineQueries
+        .pipelineCurateSql(s, graft.TestSpark.sf))
+      val typed = shuffles(graft.queries.PipelineQueries
+        .pipelineCurate(s, graft.TestSpark.sf))
+      // the SQL route computes every per-row signal in the scan stage
+      // and drops text before the dedup window's exchange — no wire
+      // may carry document bodies
+      assert(sqlRoute.nonEmpty)
+      sqlRoute.foreach { e =>
+        val cols = e.output.map(_.name.toLowerCase)
+        assert(!cols.exists(_.contains("text")),
+          s"an exchange carries document text: ${e.output.mkString(", ")}")
+      }
+      // and it must not pay MORE exchanges than the typed chain
+      assert(sqlRoute.length <= typed.length,
+        s"SQL route has ${sqlRoute.length} exchanges, typed has " +
+          s"${typed.length}")
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("corpus diff: subset invariants hold and exact axes replay the " +
       "gate directly") {
     val r = Sketches.corpusDiff(docs).collect()
