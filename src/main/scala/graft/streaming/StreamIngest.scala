@@ -206,7 +206,10 @@ object StreamIngest {
               trim(lower(col("text"))), k)).as("_gram"))
           val contaminated = grams.join(bench, Seq("_gram"), "left_semi")
             .select("doc_id").distinct()
-          kept.append(batch.join(contaminated, Seq("doc_id"), "left_anti"),
+          // one materialization (see qualityGateIngestAvailable): the
+          // gram probe must not re-run inside append's lineage pass
+          kept.append(batch.join(contaminated, Seq("doc_id"), "left_anti")
+              .localCheckpoint(true),
             summary = Map(BatchStamp -> stamp(queryName, batchId)))
           seen += batchId
           committed += 1
@@ -240,7 +243,11 @@ object StreamIngest {
         if (!seen.contains(batchId) && !batch.isEmpty) {
           val kept_ids = graft.pipeline.TextAnalysis.qualityGate(batch)
             .filter(col("keep")).select("doc_id")
-          kept.append(batch.join(kept_ids, Seq("doc_id"), "left_semi"),
+          // one materialization: append's lineage pass (dense row-id
+          // assignment counts its input) would otherwise re-run the
+          // gate plan a second time per batch
+          kept.append(batch.join(kept_ids, Seq("doc_id"), "left_semi")
+              .localCheckpoint(true),
             summary = Map(BatchStamp -> stamp(queryName, batchId)))
           seen += batchId
           committed += 1
@@ -282,7 +289,10 @@ object StreamIngest {
           val keptIds = graft.pipeline.TextAnalysis
             .nbScore(batch, weights, prior)
             .filter(col("log_odds") >= threshold).select("doc_id")
-          kept.append(batch.join(keptIds, Seq("doc_id"), "left_semi"),
+          // one materialization (see qualityGateIngestAvailable): the
+          // score plan must not re-run inside append's lineage pass
+          kept.append(batch.join(keptIds, Seq("doc_id"), "left_semi")
+              .localCheckpoint(true),
             summary = Map(BatchStamp -> stamp(queryName, batchId)))
           seen += batchId
           committed += 1

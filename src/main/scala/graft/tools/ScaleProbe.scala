@@ -36,11 +36,29 @@ object ScaleProbe {
     "stream_curate_ingest", "stream_dedup_ingest")
   private val Passes = 2
 
+  /** Resolve `floors:<minSec>` to every query whose BENCH_FLOOR entry
+    * for `src` is ≥ the threshold (r13 verdict #3: "publish 10× slopes
+    * for every row with sf0.1 floor ≥ 1.5 s") — the target list tracks
+    * the ledger instead of a hand-maintained constant going stale.
+    */
+  private def floorTargets(src: String, minSec: Double): Seq[String] =
+    graft.Bench.parseFloorLedger(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FLOOR.json")),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse(src, Map.empty)
+      .collect { case (q, f) if f >= minSec => q }.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val targets =
-      if (args.length > 2) args.drop(2).toSeq else DefaultTargets
+      if (args.length > 2) args.drop(2).toSeq.flatMap {
+        case s if s.startsWith("floors:") =>
+          floorTargets(src, s.stripPrefix("floors:").toDouble)
+        case s => Seq(s)
+      }.distinct
+      else DefaultTargets
     val spark = graft.SparkEnv.session()
     val base = java.nio.file.Files.createTempDirectory("graft-scale-")
     def rekey(table: String, idCol: String): Unit = {
@@ -60,11 +78,32 @@ object ScaleProbe {
     val qs = graft.SparkEntry.queries.filter {
       case (k, _) => targets.contains(k)
     }.toSeq.sortBy(_._1)
+    // Shuffle-write accounting per timed run (the scale evidence next
+    // to wall-clock: a banded/bucketed op's exchanges must grow with
+    // the BOUNDED work, not the corpus). Stage-completion metrics are
+    // engine-reported, so the number is the actual wire volume.
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffleW.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame, dir: String): (Double, Long) = {
+        => org.apache.spark.sql.DataFrame, dir: String)
+        : (Double, Long, Long) = {
+      // stage-completion events ride the async listener bus — give it
+      // a short settle so the byte window belongs to THIS run
+      // (best-effort attribution; wall-clock is unaffected)
+      Thread.sleep(300L)
+      val b0 = shuffleW.get()
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
-      ((System.nanoTime() - t0) / 1e9, n)
+      val t = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300L)
+      (t, n, shuffleW.get() - b0)
     }
     // warmup both dirs (codegen, scan caches), then interleaved passes
     qs.foreach { case (_, fn) =>
@@ -78,20 +117,25 @@ object ScaleProbe {
         // dirs and the shared seed index stay cached, as in Bench
         if (name.startsWith("stream_"))
           graft.queries.StreamQueries.resetScenarioCaches()
-        val (tb, nb) = timeOne(fn, src)
+        val (tb, nb, bb) = timeOne(fn, src)
         if (name.startsWith("stream_"))
           graft.queries.StreamQueries.resetScenarioCaches()
-        val (ts, ns) = timeOne(fn, base.toString)
-        (name, tb, ts, nb, ns)
+        val (ts, ns, bs) = timeOne(fn, base.toString)
+        (name, tb, ts, nb, ns, bb, bs)
       }
     }
-    println("query,base_min_s,scaled_min_s,ratio,base_rows,scaled_rows")
+    println("query,base_min_s,scaled_min_s,ratio,base_rows,scaled_rows," +
+      "base_shuffle_mb,scaled_shuffle_mb,shuffle_ratio")
     qs.map(_._1).foreach { name =>
       val mine = samples.filter(_._1 == name)
       val tb = mine.map(_._2).min
       val ts = mine.map(_._3).min
+      val bb = mine.map(_._6).min
+      val bs = mine.map(_._7).min
+      val sr = if (bb > 0) bs.toDouble / bb else 0.0
       println(f"$name%s,$tb%.2f,$ts%.2f,${ts / tb}%.1f," +
-        s"${mine.head._4},${mine.head._5}")
+        s"${mine.head._4},${mine.head._5}," +
+        f"${bb / 1048576.0}%.1f,${bs / 1048576.0}%.1f,$sr%.1f")
     }
     spark.stop()
   }
