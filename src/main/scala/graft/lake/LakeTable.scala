@@ -717,7 +717,13 @@ class LakeTable(val spark: SparkSession, val location: String) {
             // key null-safe-equals a delete-file row (same semi-join
             // the scan path uses as anti-join). Key-set files are
             // CDC-batch-sized → broadcast; parent files are pruned by
-            // the key columns' stats via the ordinary pruneFiles path.
+            // the key set's bounding box first (one agg over the
+            // loaded delete frame — the merge()/deleteByKeys-CoW
+            // stance), so a narrow-key delete commit's preimage never
+            // scans the rest of a 100 TB parent snapshot. Null keys
+            // defeat the box (a null never satisfies a range
+            // predicate), so any null key falls back to the full
+            // parent — correctness over pruning.
             val eqPres: Seq[DataFrame] =
               eqDels.groupBy(_.equalityIds).toSeq.map { case (ids, fs) =>
                 val names = ids.map { id =>
@@ -729,7 +735,25 @@ class LakeTable(val spark: SparkSession, val location: String) {
                 }
                 val delDf = broadcast(spark.read.parquet(
                   fs.map(d => s"$location/${d.path}"): _*))
-                val parent = Scan.readEntries(spark, m, pData, pDels)
+                val boundsAggs = ids.flatMap(id => Seq(
+                  min(col(s"k_$id")).as(s"_mn_$id"),
+                  max(col(s"k_$id")).as(s"_mx_$id"),
+                  sum(when(col(s"k_$id").isNull, 1).otherwise(0))
+                    .as(s"_nn_$id")))
+                val b = delDf.agg(boundsAggs.head, boundsAggs.tail: _*)
+                  .head()
+                val anyNull = ids.exists(id =>
+                  b.getAs[Any](s"_mn_$id") == null ||
+                    Option(b.getAs[Any](s"_nn_$id"))
+                      .exists(_.toString.toLong > 0))
+                val prunedParent =
+                  if (anyNull) pData
+                  else Scan.pruneFiles(m, pData, Some(
+                    ids.zip(names).map { case (id, n) =>
+                      col(n) >= lit(b.getAs[Any](s"_mn_$id")) &&
+                        col(n) <= lit(b.getAs[Any](s"_mx_$id"))
+                    }.reduce(_ && _)))
+                val parent = Scan.readEntries(spark, m, prunedParent, pDels)
                 val keyEq = ids.zip(names).map { case (id, n) =>
                   parent(n) <=> delDf(s"k_$id") }.reduce(_ && _)
                 parent.join(delDf,
