@@ -1294,7 +1294,21 @@ object Similarity {
   private def labelNeighbors(vectors: DataFrame, k: Int, nSubs: Int,
       sameLabel: Boolean, vecCol: String, idCol: String,
       labelCol: String): DataFrame = {
-    import graft.functions.VectorExpressions.topKNeighborsAgainst
+    val (v, packed) =
+      labelBlocks(vectors, nSubs, vecCol, idCol, labelCol)
+    neighborsFromBlocks(v, packed, k, sameLabel, idCol)
+  }
+
+  /** The (query rows, label-keyed packed blocks) pair behind
+    * [[labelNeighbors]], exposed so a caller that needs BOTH the
+    * same-label and other-label passes ([[tripletMine]]) can build the
+    * packed corpus once instead of re-running the groupBy+collect pack
+    * per pass — the pack is the only corpus-wide shuffle in this
+    * operator (guide §2.4: two operations keyed the same way share one
+    * exchange).
+    */
+  private def labelBlocks(vectors: DataFrame, nSubs: Int, vecCol: String,
+      idCol: String, labelCol: String): (DataFrame, DataFrame) = {
     val v = vectors.select(col(idCol).cast("long").as("_id"),
       col(labelCol).cast("int").as("_lbl"),
       col(vecCol).cast("array<double>").as("_v"))
@@ -1308,6 +1322,12 @@ object Similarity {
           s("id").as("id"), s("v").as("v"),
           sqrt(aggregate(s("v"), lit(0.0d),
             (acc, x) => acc + x * x)).as("nrm"))).as("_block"))
+    (v, packed)
+  }
+
+  private def neighborsFromBlocks(v: DataFrame, packed: DataFrame,
+      k: Int, sameLabel: Boolean, idCol: String): DataFrame = {
+    import graft.functions.VectorExpressions.topKNeighborsAgainst
     val keys = packed.select(col("_plbl"), col("_sub"))
     val cand = v
       .crossJoin(broadcast(keys))
@@ -1341,12 +1361,20 @@ object Similarity {
   def tripletMine(vectors: DataFrame, nSubs: Int = 2,
       vecCol: String = "embedding", idCol: String = "vec_id",
       labelCol: String = "label"): DataFrame = {
-    val pos = labelNeighbors(vectors, k = 1, nSubs, sameLabel = true,
-        vecCol, idCol, labelCol)
+    // ONE pack, two passes: the positive and negative legs read the
+    // SAME (label, sub)-keyed block table — materialized once — instead
+    // of each re-shuffling the corpus into blocks (guide §2.4). The
+    // per-leg kernels and merges are unchanged, so the output is
+    // byte-identical to the two-pack form.
+    val (v, packed0) =
+      labelBlocks(vectors, nSubs, vecCol, idCol, labelCol)
+    val packed = packed0.localCheckpoint(true)
+    val pos = neighborsFromBlocks(v, packed, k = 1, sameLabel = true,
+        idCol)
       .select(col(idCol), col("neighbor").as("pos_id"),
         col("cosine").as("pos_cosine"))
-    val neg = labelNeighbors(vectors, k = 1, nSubs, sameLabel = false,
-        vecCol, idCol, labelCol)
+    val neg = neighborsFromBlocks(v, packed, k = 1, sameLabel = false,
+        idCol)
       .select(col(idCol), col("neighbor").as("neg_id"),
         col("cosine").as("neg_cosine"))
     pos.join(neg, Seq(idCol))

@@ -13,10 +13,20 @@ object StreamCostProbe {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        starts.put(e.jobId, (System.nanoTime(),
-          Option(e.properties).map(_.getProperty("spark.job.description"))
-            .flatMap(Option(_)).getOrElse("?").take(90)))
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        // Attribute each job: prefer the explicit description, fall
+        // back to the final stage's call site (the action that ran).
+        def prop(k: String) = Option(e.properties)
+          .flatMap(p => Option(p.getProperty(k))).filter(_.nonEmpty)
+        val desc = prop("spark.job.description")
+          .orElse(prop("callSite.short"))
+          .orElse(e.stageInfos.lastOption.map(_.name).filter(_.nonEmpty))
+          .getOrElse("?")
+        val tasks = e.stageInfos.map(_.numTasks).sum
+        starts.put(e.jobId,
+          (System.nanoTime(), s"[${e.stageInfos.size}st/${tasks}tk] " +
+            desc.take(110)))
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val st = starts.get(e.jobId)
         if (st != null) jobs.add((e.jobId, System.nanoTime() - st._1, st._2))
