@@ -1163,7 +1163,10 @@ object PipelineQueries {
   def pipelineRag(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorExpressions.topKNeighborsAgainst
     val stride = 48; val chunk = 64; val dim = 8
-    val chunks = Tables.documents(s, d)
+    // spread BEFORE the chunk/md5-embed chain: the whole encoder ran in
+    // one task off a single-split local scan (2.2 s of the row's 3.0 s;
+    // guide §2.5) — identity at production split counts
+    val chunks = graft.SparkEnv.spread(Tables.documents(s, d))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_toks"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0L, (size(_toks) - 1) div ${stride}L),
@@ -1262,7 +1265,10 @@ object PipelineQueries {
     */
   def pipelineFewshot(s: SparkSession, d: String): DataFrame = {
     val dim = 8
-    val emb = TextAnalysis.qualityScore(Tables.documents(s, d))
+    // spread: gate + md5-embed otherwise run in one task off the
+    // single-split local scan (guide §2.5) — identity at scale
+    val emb = TextAnalysis.qualityScore(
+        graft.SparkEnv.spread(Tables.documents(s, d)))
       .filter(col("quality_score") >= 0.5)
       .withColumn("_hs",
         expr("transform(split(trim(text), '\\\\s+'), t -> md5(t))"))

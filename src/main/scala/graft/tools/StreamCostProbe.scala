@@ -8,7 +8,7 @@ import org.apache.spark.scheduler._
 object StreamCostProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val q = args.drop(1).headOption.getOrElse("stream_quality_gate")
+    // args: <sfDir> <query> [query...]
     val spark = graft.SparkEnv.session()
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
@@ -32,21 +32,23 @@ object StreamCostProbe {
         if (st != null) jobs.add((e.jobId, System.nanoTime() - st._1, st._2))
       }
     })
-    val fn = graft.SparkEntry.queries(q)
-    // warmup pass
-    fn(spark, d).count()
-    graft.queries.StreamQueries.resetScenarioCaches()
-    Thread.sleep(500); jobs.clear()
-    val t0 = System.nanoTime()
-    fn(spark, d).count()
-    val total = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(1000)
-    import scala.jdk.CollectionConverters._
-    val js = jobs.iterator().asScala.toSeq.sortBy(_._1)
-    println(f"TOTAL $q: $total%.2f s, ${js.size} jobs, " +
-      f"job-sum ${js.map(_._2).sum / 1e9}%.2f s")
-    js.foreach { case (id, ns, desc) =>
-      println(f"  job $id%3d ${ns / 1e9}%6.3f s  $desc")
+    args.drop(1).foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      // warmup pass
+      fn(spark, d).count()
+      graft.queries.StreamQueries.resetScenarioCaches()
+      Thread.sleep(500); jobs.clear()
+      val t0 = System.nanoTime()
+      fn(spark, d).count()
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      import scala.jdk.CollectionConverters._
+      val js = jobs.iterator().asScala.toSeq.sortBy(_._1)
+      println(f"TOTAL $q: $total%.2f s, ${js.size} jobs, " +
+        f"job-sum ${js.map(_._2).sum / 1e9}%.2f s")
+      js.foreach { case (id, ns, desc) =>
+        println(f"  job $id%3d ${ns / 1e9}%6.3f s  $desc")
+      }
     }
     spark.stop()
   }
