@@ -246,7 +246,12 @@ object PipelineQueries {
     * decomposition ≡ the naive global-order semantics.
     */
   def sampleTokenBudget(s: SparkSession, d: String): DataFrame = {
-    val scored = TextAnalysis.qualityScore(Tables.documents(s, d))
+    // spread: the quality-score + token-count pass otherwise runs
+    // one-task off the single-split local scan, TWICE (the budget's
+    // level aggregate broadcast build + the admission scan) — guide
+    // §2.5; identity at production split counts
+    val scored = TextAnalysis.qualityScore(
+        graft.SparkEnv.spread(Tables.documents(s, d)))
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
     Sampling.tokenBudgetMix(
         scored.select(col("doc_id"), col("lang"), col("n_tokens"),
