@@ -146,9 +146,10 @@ object StreamIngest {
           // sketch ONCE: shingling + minhashing is the map-side cost of
           // the operator, and the lazy-lineage form (probe from `batch`,
           // admit from `keptRows`) re-shingled every kept document
-          val (nb, nt) = graft.pipeline.IncrementalDedup.sketch(idx, batch)
+          // toks comes back materialized from sketch (shingled once);
+          // only the band frame still needs its own checkpoint
+          val (nb, toks) = graft.pipeline.IncrementalDedup.sketch(idx, batch)
           val bands = nb.localCheckpoint(true)
-          val toks = nt.localCheckpoint(true)
           val losers = graft.pipeline.IncrementalDedup
             .nearDupPairsSketched(idx, bands, toks, threshold)
             .select(col("id_b").as("doc_id")).distinct()
@@ -355,10 +356,11 @@ object StreamIngest {
             .localCheckpoint(true)
           val idx = graft.pipeline.IncrementalDedup.load(
             batch.sparkSession, indexLoc)
-          val (nb, nt) = graft.pipeline.IncrementalDedup
+          // toks comes back materialized from sketch (shingled once);
+          // only the band frame still needs its own checkpoint
+          val (nb, toks) = graft.pipeline.IncrementalDedup
             .sketch(idx, statics)
           val bands = nb.localCheckpoint(true)
-          val toks = nt.localCheckpoint(true)
           val losers = graft.pipeline.IncrementalDedup
             .nearDupPairsSketched(idx, bands, toks, dedupThreshold)
             .select(col("id_b").as("doc_id")).distinct()
