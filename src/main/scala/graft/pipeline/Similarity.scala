@@ -1361,14 +1361,14 @@ object Similarity {
   def tripletMine(vectors: DataFrame, nSubs: Int = 2,
       vecCol: String = "embedding", idCol: String = "vec_id",
       labelCol: String = "label"): DataFrame = {
-    // ONE pack, two passes: the positive and negative legs read the
-    // SAME (label, sub)-keyed block table — materialized once — instead
-    // of each re-shuffling the corpus into blocks (guide §2.4). The
-    // per-leg kernels and merges are unchanged, so the output is
-    // byte-identical to the two-pack form.
-    val (v, packed0) =
+    // ONE pack definition, two passes: the positive and negative legs
+    // read the SAME (label, sub)-keyed block subtree (guide §2.4) —
+    // shared LAZILY, not checkpointed: the two occurrences are
+    // canonically identical, so AQE's runtime stage reuse computes the
+    // pack shuffle once either way, and a paired A/B showed the eager
+    // materialization only added its own job (+7%).
+    val (v, packed) =
       labelBlocks(vectors, nSubs, vecCol, idCol, labelCol)
-    val packed = packed0.localCheckpoint(true)
     val pos = neighborsFromBlocks(v, packed, k = 1, sameLabel = true,
         idCol)
       .select(col(idCol), col("neighbor").as("pos_id"),
