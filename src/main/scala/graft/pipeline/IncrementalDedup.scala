@@ -31,21 +31,11 @@ object IncrementalDedup {
       lshBands: Int,
       shingleK: Int)
 
-  /** Minhash signatures from the (doc_id, toks) token frame — the same
-    * values [[Dedup.minhashSignature]] computes from raw text, minus
-    * the second shingle pass (the arrays are already in hand).
-    */
-  private def sigsFromToks(toks: DataFrame, numHashes: Int): DataFrame =
-    toks.select(col("doc_id"), explode(col("toks")).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg
-        .minhashSketch(col("sh"), numHashes).as("sig"))
-
-  /** (band_idx, band_hash, doc_id) from per-doc signatures. */
-  private def bandsFromSigs(sigs: DataFrame, numHashes: Int,
-      lshBands: Int): DataFrame = {
+  private def bandsOf(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, lshBands: Int, shingleK: Int): DataFrame = {
     val rows = numHashes / lshBands
-    sigs.select(col("doc_id"), posexplode(
+    val sigs = Dedup.minhashSignature(df, textCol, idCol, numHashes, shingleK)
+    sigs.select(col(idCol).as("doc_id"), posexplode(
       array((0 until lshBands).map { b =>
         xxhash64(concat_ws(",",
           transform(slice(col("sig"), lit(b * rows + 1), lit(rows)),
@@ -53,13 +43,6 @@ object IncrementalDedup {
       }: _*)).as(Seq("band_idx", "band_hash")))
       .select(col("band_idx"), col("band_hash"), col("doc_id"))
   }
-
-  private def bandsOf(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, lshBands: Int, shingleK: Int): DataFrame =
-    bandsFromSigs(
-      Dedup.minhashSignature(df, textCol, idCol, numHashes, shingleK)
-        .withColumnRenamed(idCol, "doc_id"),
-      numHashes, lshBands)
 
   private def tokensOf(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int): DataFrame =
@@ -78,18 +61,13 @@ object IncrementalDedup {
       "graft.dedup.lshBands" -> lshBands.toString,
       "graft.dedup.shingleK" -> shingleK.toString,
       "row-lineage" -> "false")
-    // tokens first, bands derived from the WRITTEN token table: the
-    // two-branch form shingled the whole corpus twice at build time;
-    // reading the just-written (doc_id, toks) parquet back is one
-    // columnar scan of exactly the arrays the band pass needs
+    val bandsT = graft.lake.LakeTable.create(spark, s"$location/bands",
+      Right(bandsOf(df, textCol, idCol, numHashes, lshBands, shingleK)
+        .repartition(col("band_idx"))),
+      partitioning = Seq("band_idx"), properties = props, replace = true)
     val toksT = graft.lake.LakeTable.create(spark, s"$location/tokens",
       Right(tokensOf(df, textCol, idCol, shingleK)),
       properties = props, replace = true)
-    val bands = bandsFromSigs(
-      sigsFromToks(toksT.read(), numHashes), numHashes, lshBands)
-    val bandsT = graft.lake.LakeTable.create(spark, s"$location/bands",
-      Right(bands.repartition(col("band_idx"))),
-      partitioning = Seq("band_idx"), properties = props, replace = true)
     Index(bandsT, toksT, numHashes, lshBands, shingleK)
   }
 
@@ -111,12 +89,6 @@ object IncrementalDedup {
     */
   def nearDupPairs(index: Index, batch: DataFrame, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    // deliberately the LAZY two-branch form, not [[sketch]]: the
-    // one-shot probe path returns one composable plan, and a paired
-    // A/B showed the eager token materialization costs more than the
-    // second shingle pass it saves here (+18% on dedup_incremental) —
-    // the sketch route pays off only for streaming callers that
-    // ALREADY materialize both halves per batch
     nearDupPairsSketched(index,
       bandsOf(batch, textCol, idCol, index.numHashes, index.lshBands,
         index.shingleK),
@@ -124,25 +96,18 @@ object IncrementalDedup {
       threshold, idCol)
 
   /** The batch's LSH sketch — (bands, tokens) exactly as the index
-    * stores them. The TOKEN frame comes back MATERIALIZED
-    * (`localCheckpoint`) and the band frame derives its minhash
-    * signatures from those token arrays, so the text is shingled ONCE
-    * per batch: the lazy two-branch form ([[bandsOf]] + [[tokensOf]])
-    * ran the shingle kernel twice per ingested document — the map-side
-    * cost of the whole operator, paid double for identical arrays
-    * (minhash over `explode(toks)` ≡ minhash over the re-shingled
-    * stream, same values in, same signature out). Callers checkpoint
-    * the BAND frame themselves and feed both to the probe
+    * stores them. Streaming callers materialize this ONCE per batch
+    * (`localCheckpoint`) and feed it to BOTH the probe
     * ([[nearDupPairsSketched]]) and the admit
-    * ([[appendIdempotentSketched]]).
+    * ([[appendIdempotentSketched]]): shingling + minhashing is the
+    * map-side cost of the whole operator, and the lazy-lineage form
+    * paid it twice per ingested document.
     */
   def sketch(index: Index, batch: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
-    val toks = tokensOf(batch, textCol, idCol, index.shingleK)
-      .localCheckpoint(true)
-    (bandsFromSigs(sigsFromToks(toks, index.numHashes),
-      index.numHashes, index.lshBands), toks)
-  }
+      idCol: String = "doc_id"): (DataFrame, DataFrame) =
+    (bandsOf(batch, textCol, idCol, index.numHashes, index.lshBands,
+      index.shingleK),
+      tokensOf(batch, textCol, idCol, index.shingleK))
 
   /** [[nearDupPairs]] over a precomputed batch sketch. */
   def nearDupPairsSketched(index: Index, newBands: DataFrame,

@@ -146,10 +146,9 @@ object StreamIngest {
           // sketch ONCE: shingling + minhashing is the map-side cost of
           // the operator, and the lazy-lineage form (probe from `batch`,
           // admit from `keptRows`) re-shingled every kept document
-          // toks comes back materialized from sketch (shingled once);
-          // only the band frame still needs its own checkpoint
-          val (nb, toks) = graft.pipeline.IncrementalDedup.sketch(idx, batch)
+          val (nb, nt) = graft.pipeline.IncrementalDedup.sketch(idx, batch)
           val bands = nb.localCheckpoint(true)
+          val toks = nt.localCheckpoint(true)
           val losers = graft.pipeline.IncrementalDedup
             .nearDupPairsSketched(idx, bands, toks, threshold)
             .select(col("id_b").as("doc_id")).distinct()
@@ -356,11 +355,10 @@ object StreamIngest {
             .localCheckpoint(true)
           val idx = graft.pipeline.IncrementalDedup.load(
             batch.sparkSession, indexLoc)
-          // toks comes back materialized from sketch (shingled once);
-          // only the band frame still needs its own checkpoint
-          val (nb, toks) = graft.pipeline.IncrementalDedup
+          val (nb, nt) = graft.pipeline.IncrementalDedup
             .sketch(idx, statics)
           val bands = nb.localCheckpoint(true)
+          val toks = nt.localCheckpoint(true)
           val losers = graft.pipeline.IncrementalDedup
             .nearDupPairsSketched(idx, bands, toks, dedupThreshold)
             .select(col("id_b").as("doc_id")).distinct()

@@ -58,10 +58,9 @@ object CurateProf {
         .localCheckpoint(true))
       val idx = time("index_load")(
         graft.pipeline.IncrementalDedup.load(spark, idxLoc))
-      // sketch returns toks already materialized (shingled once)
-      val (nb, toks) = time("sketch_toks")(
-        graft.pipeline.IncrementalDedup.sketch(idx, statics))
+      val (nb, nt) = graft.pipeline.IncrementalDedup.sketch(idx, statics)
       val bands = time("sketch_bands_checkpoint")(nb.localCheckpoint(true))
+      val toks = time("sketch_toks_checkpoint")(nt.localCheckpoint(true))
       val losers = graft.pipeline.IncrementalDedup
         .nearDupPairsSketched(idx, bands, toks, 0.5)
         .select(col("id_b").as("doc_id")).distinct()
